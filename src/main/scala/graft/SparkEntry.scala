@@ -1,13 +1,240 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.api.Pipelines
+import graft.oracle.Sql
+import graft.sources.Tables
+import graft.stats.WinStats
+import graft.vector.{Distance, Knn}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry pairs a Spark query (lazily built DataFrame over the
+  * harness parquet tables) with equivalent DuckDB SQL; the driver
+  * hash-compares both at sf0.01. Continuous float outputs are rounded
+  * (4dp) on both sides and every ordering carries a unique-id
+  * tie-break, so results are deterministic under any partitioning.
+  */
 object SparkEntry {
+
+  private case class Q(name: String,
+                       fn: (SparkSession, String) => DataFrame,
+                       oracle: Option[String])
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Pipelines.similarCases(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- //
+  // Vector query path (reference V1–V6, A1–A3)                       //
+  // ---------------------------------------------------------------- //
+
+  private val vectorSpecs: Seq[Q] = Seq(
+    // V1–V3: filtered KNN, top-100 candidate pool
+    // (/root/reference/extract_and_search_v2.py:134-140)
+    Q("v1_knn_filtered",
+      (s, dir) => Knn.topK(Pipelines.scoredAtLevel(s, dir, level = 3), 100, col("vec_id")),
+      Some(s"""SELECT * FROM (${Sql.scoredAtLevel(3)})
+              |ORDER BY score, vec_id LIMIT 100""".stripMargin)),
+
+    // V4: best hit per document (extract_and_search_v2.py:143-156)
+    Q("v4_group_dedup",
+      (s, dir) => Knn.bestPerGroup(Pipelines.scoredAtLevel(s, dir, level = 3),
+          col("file_id"), col("vec_id"))
+        .select("file_id", "vec_id", "case_decision", "score")
+        .orderBy("file_id"),
+      Some(s"${Sql.dedupAtLevel(3)} ORDER BY file_id")),
+
+    // V5: final ascending top-5 (extract_and_search_v2.py:159)
+    Q("v5_top5_similar",
+      (s, dir) => Knn.topK(
+          Knn.bestPerGroup(Pipelines.scoredAtLevel(s, dir, level = 3),
+            col("file_id"), col("vec_id")), 5, col("file_id"))
+        .select("file_id", "vec_id", "case_decision", "score"),
+      Some(Sql.top5AtLevel(3))),
+
+    // A1–A3: appellant win statistics over the top-5
+    // (extract_and_search_v2.py:162-168)
+    Q("a_win_stats",
+      (s, dir) => WinStats.over(
+        Knn.topK(
+          Knn.bestPerGroup(Pipelines.scoredAtLevel(s, dir, level = 3),
+            col("file_id"), col("vec_id")), 5, col("file_id")),
+        col("case_decision")),
+      Some(Sql.winStats(Sql.top5AtLevel(3)))),
+
+    // §3.1 flagship: top-5 rows + stats columns (README.md:17-64 shape)
+    Q("flagship_similar_cases",
+      (s, dir) => Pipelines.similarCases(s, dir),
+      Some(s"""SELECT t.file_id, t.vec_id, t.case_decision, t.score,
+              | s.win_count, s.total_valid_decisions, s.win_percentage,
+              | s.invalid_decisions, s.result_count
+              |FROM (${Sql.top5AtLevel(3)}) t, (${Sql.winStats(Sql.top5AtLevel(3))}) s
+              |ORDER BY t.score, t.file_id""".stripMargin)),
+
+    // F5: representative embedding = first chunk per group
+    // (extract_and_search.py:73-91); rep_norm proves the vector rode along
+    Q("f5_repr_embedding",
+      (s, dir) => Tables.embeddings(s, dir)
+        .groupBy(col("label").as("court_level"))
+        .agg(min(col("vec_id")).as("rep_vec_id"),
+             round(Distance.norm(min_by(col("embedding"), col("vec_id"))), 4)
+               .as("rep_norm"))
+        .orderBy("court_level"),
+      Some(s"""SELECT label AS court_level, min(vec_id) AS rep_vec_id,
+              | ${Sql.norm("arg_min(embedding, vec_id)")} AS rep_norm
+              |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // F6: court-level increment (extract_and_search_v2.py:313)
+    Q("f6_court_level_inc",
+      (s, dir) => Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label").as("court_level"),
+          (col("label") + 1).as("target_court_level"))
+        .orderBy("vec_id"),
+      Some("""SELECT vec_id, label AS court_level, label + 1 AS target_court_level
+             |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
+    // F3: document key hash (extract_and_embed_v2.py:348)
+    Q("f3_file_id_sha256",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(lit("doc_"), col("doc_id").cast("string"), lit(".pdf")).as("file_name"))
+        .withColumn("file_id", sha2(col("file_name"), 256))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, 'doc_' || CAST(doc_id AS VARCHAR) || '.pdf' AS file_name,
+             | sha256('doc_' || CAST(doc_id AS VARCHAR) || '.pdf') AS file_id
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+  )
+
+  // ---------------------------------------------------------------- //
+  // Relational / events extensions (SURVEY §2.7 — joins, windows,    //
+  // sessionization, JSON extraction; bench headliners at sf0.1)      //
+  // ---------------------------------------------------------------- //
+
+  private val relationalSpecs: Seq[Q] = Seq(
+    Q("q1_lineitem_agg",
+      (s, dir) => Tables.lineitem(s, dir)
+        .where(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             | sum(l_quantity) AS sum_qty,
+             | round(sum(l_extendedprice), 2) AS sum_base_price,
+             | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+             | round(avg(l_quantity), 4) AS avg_qty,
+             | round(avg(l_discount), 4) AS avg_disc,
+             | count(*) AS count_order
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Q3-style 3-way join; customer is broadcast-small, orders/lineitem
+    // shuffle on the join keys — the shape that matters at 100 TB.
+    Q("q3_top_revenue_orders",
+      (s, dir) => {
+        val cust = Tables.customer(s, dir).where(col("c_mktsegment") === "BUILDING")
+        val ord  = Tables.orders(s, dir)
+          .where(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+        val li   = Tables.lineitem(s, dir)
+          .where(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+             | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+             |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+             |GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
+
+    // Window: top-3 orders per customer by price (deterministic ties).
+    Q("q_window_top_orders",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, dir)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            row_number().over(w).as("rn"))
+          .where(col("rn") <= 3)
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+             | CAST(row_number() OVER (PARTITION BY o_custkey
+             |   ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+             |FROM orders QUALIFY rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
+
+    // Sessionization (30-min inactivity gap) — the batch analog of the
+    // streaming file-drop/session extension; lag + conditional sum.
+    // `ts` arrives as epoch-nanos long (nanosAsLong); 30 min = 1.8e12 ns.
+    Q("q_events_sessionize",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"),
+            (col("ts") - lag(col("ts"), 1).over(w)).as("gap_ns"))
+          .select(col("user_id"), col("event_id"),
+            when(col("gap_ns").isNull || col("gap_ns") > 1800000000000L, 1L)
+              .otherwise(0L).as("new_session"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+               sum(col("new_session")).as("n_sessions"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+             | CAST(sum(new_session) AS BIGINT) AS n_sessions
+             |FROM (
+             | SELECT user_id,
+             |  CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts), 1) OVER
+             |    (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+             |   WHEN epoch_ns(ts) - lag(epoch_ns(ts), 1) OVER
+             |    (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000000 THEN 1
+             |   ELSE 0 END AS new_session
+             | FROM events)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // JSON-ish property extraction (S6 analog) + grouped rollup.
+    Q("q_events_json_extract",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_type"), col("value"),
+          nullif(regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1), lit(""))
+            .cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+             sum(col("k")).as("sum_k"),
+             round(sum(col("value")), 2).as("sum_value"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n,
+             | CAST(sum(CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT)) AS BIGINT) AS sum_k,
+             | round(sum(value), 2) AS sum_value
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+  )
+
+  private def specs: Seq[Q] = vectorSpecs ++ relationalSpecs
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    specs.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    specs.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }
