@@ -4,10 +4,12 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.api.Pipelines
+import graft.api.{Enrich, Pipelines}
+import graft.classify.{Cascades, CaseMetadata, Conclusion}
 import graft.oracle.Sql
 import graft.sources.Tables
 import graft.stats.WinStats
+import graft.text.{ChunkPacker, TextAnalysis}
 import graft.vector.{Distance, Knn}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -227,7 +229,225 @@ object SparkEntry {
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 
-  private def specs: Seq[Q] = vectorSpecs ++ relationalSpecs
+  // ---------------------------------------------------------------- //
+  // Classification pipeline (reference C1–C4, S2) — regex cascades    //
+  // over documents.text enriched with deterministic marker phrases    //
+  // (see Enrich: the raw fixture text matches no legal patterns)      //
+  // ---------------------------------------------------------------- //
+
+  private val classifySpecs: Seq[Q] = Seq(
+    // C1: ordered first-match-wins decision cascade
+    Q("c1_case_decision",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Cascades.decision(Enrich.inject(col("text"), col("doc_id"), Enrich.decisionPhrases))
+            .as("case_decision"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              | ${Cascades.decisionSql(Enrich.injectSql("text", "doc_id", Enrich.decisionPhrases))} AS case_decision
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // C2: document-type detection
+    Q("c2_document_type",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Cascades.docType(Enrich.inject(col("text"), col("doc_id"), Enrich.docTypePhrases))
+            .as("document_type"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              | ${Cascades.docTypeSql(Enrich.injectSql("text", "doc_id", Enrich.docTypePhrases))} AS document_type
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // C3: document-context label
+    Q("c3_document_context",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Cascades.docContext(Enrich.inject(col("text"), col("doc_id"), Enrich.docContextPhrases))
+            .as("document_context"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              | ${Cascades.docContextSql(Enrich.injectSql("text", "doc_id", Enrich.docContextPhrases))} AS document_context
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // C4: metadata-enriched retry — docs whose first pass is `invalid`
+    // and that carry metadata (doc_id % 3 == 0) get re-classified on
+    // metadata+text and flip to won.
+    Q("c4_decision_retry",
+      (s, dir) => {
+        val injected = Enrich.inject(col("text"), col("doc_id"), Enrich.decisionPhrases)
+        val meta = when(col("doc_id") % 3 === 0,
+          lit("Case C/42/2012 metadata: appeal allowed")).otherwise(lit(""))
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            Cascades.decision(injected).as("decision_initial"),
+            Cascades.decisionWithRetry(injected, meta).as("case_decision"))
+          .orderBy("doc_id")
+      },
+      {
+        val injected = Enrich.injectSql("text", "doc_id", Enrich.decisionPhrases)
+        val meta = "CASE WHEN (doc_id % 3) = 0 THEN 'Case C/42/2012 metadata: appeal allowed' ELSE '' END"
+        Some(s"""SELECT doc_id,
+                | ${Cascades.decisionSql(injected)} AS decision_initial,
+                | ${Cascades.decisionWithRetrySql(injected, s"($meta)")} AS case_decision
+                |FROM documents ORDER BY doc_id""".stripMargin)
+      }),
+
+    // S2: first-page metadata extraction (case number, dates, parties)
+    Q("s2_metadata_extract",
+      (s, dir) => {
+        val page = Enrich.withHeader(col("text"), col("doc_id"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            CaseMetadata.caseNumber(page),
+            CaseMetadata.firstDate(page),
+            size(CaseMetadata.datesMentioned(page)).as("n_dates"),
+            CaseMetadata.appellant(page),
+            CaseMetadata.respondent(page))
+          .orderBy("doc_id")
+      },
+      {
+        val page = Enrich.withHeaderSql("text", "doc_id")
+        Some(s"""SELECT doc_id,
+                | regexp_extract($page, ${Sql.lit(CaseMetadata.caseNumberPattern)}, 1) AS case_number,
+                | regexp_extract($page, ${Sql.lit(CaseMetadata.datePattern)}, 0) AS first_date,
+                | CAST(len(regexp_extract_all($page, ${Sql.lit(CaseMetadata.datePattern)})) AS INTEGER) AS n_dates,
+                | trim(regexp_extract($page, ${Sql.lit(CaseMetadata.partiesPattern)}, 1)) AS appellant,
+                | trim(regexp_extract($page, ${Sql.lit(CaseMetadata.partiesPattern)}, 2)) AS respondent
+                |FROM documents ORDER BY doc_id""".stripMargin)
+      }),
+  )
+
+  // ---------------------------------------------------------------- //
+  // Text pipeline (reference F1/F2/F7 + training-data text analysis)  //
+  // ---------------------------------------------------------------- //
+
+  /** documents.text re-shaped into a 3-paragraph layout (the fixture
+    * text has no blank lines of its own).
+    */
+  private def paragraphedText: Column =
+    concat_ws("\n\n",
+      substring(col("text"), 1, 120),
+      substring(col("text"), 121, 180),
+      substring(col("text"), 301, 100000))
+
+  private val paragraphedTextSql: String =
+    "concat_ws(chr(10)||chr(10), substr(text, 1, 120), substr(text, 121, 180), substr(text, 301, 100000))"
+
+  private val textSpecs: Seq[Q] = Seq(
+    // F1: paragraph split — explode + trim + drop empties
+    Q("f1_paragraph_split",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(paragraphedText, "\n\n")).as("para"))
+        .select(col("doc_id"), trim(col("para")).as("para"))
+        .where(length(col("para")) > 0)
+        .orderBy(col("doc_id"), col("para")),
+      Some(s"""SELECT doc_id, para FROM (
+              | SELECT doc_id, trim(unnest(string_split($paragraphedTextSql, chr(10)||chr(10)))) AS para
+              | FROM documents)
+              |WHERE length(para) > 0 ORDER BY doc_id, para""".stripMargin)),
+
+    // F2: greedy chunk packing — stateful per-document fold, not
+    // SQL-expressible (rows-only check; semantics pinned by ChunkPackerSpec)
+    Q("f2_chunk_pack",
+      (s, dir) => {
+        val big = Tables.documents(s, dir)
+          .groupBy(col("source"))
+          .agg(array_join(
+            transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+              x => x.getField("text")),
+            "\n\n").as("big_text"))
+        ChunkPacker.chunkDocuments(s, big, "source", "big_text")
+          .toDF()
+          .select(col("key").as("source"), col("chunk_idx"), col("n_words"),
+            md5(col("chunk_text")).as("chunk_md5"))
+          .orderBy("source", "chunk_idx")
+      },
+      None),
+
+    // F7: conclusion-section extraction — doc-type-aware tail slicing
+    // (rows-only; branch semantics pinned by ConclusionSpec)
+    Q("f7_conclusion_extract",
+      (s, dir) => {
+        val base = Enrich.inject(col("text"), col("doc_id"), Enrich.docTypePhrases)
+        val lengthened = concat(base,
+          repeat(concat(lit(" "), col("text")), (pmod(col("doc_id"), lit(4)) * 7).cast("int")),
+          when(col("doc_id") % 5 === 0, lit(" CONCLUSION the appeal is allowed thereafter"))
+            .otherwise(lit("")))
+        val docType = Cascades.docType(lengthened)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), docType.as("document_type"),
+            Conclusion.extractCol(lengthened, docType).as("conclusion"))
+          .select(col("doc_id"), col("document_type"),
+            length(col("conclusion")).as("conclusion_len"),
+            md5(col("conclusion")).as("conclusion_md5"))
+          .orderBy("doc_id")
+      },
+      None),
+
+    // Token counting: whitespace + BPE-ish regex tokens
+    Q("text_token_stats",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.nTokensWs(col("text")).as("n_tokens_ws"),
+          TextAnalysis.nTokensRe(Enrich.withHeader(col("text"), col("doc_id"))).as("n_tokens_re"),
+          TextAnalysis.avgWordLen(col("text")).as("avg_word_len"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              | ${TextAnalysis.nTokensWsSql("text")} AS n_tokens_ws,
+              | ${TextAnalysis.nTokensReSql(Enrich.withHeaderSql("text", "doc_id"))} AS n_tokens_re,
+              | ${TextAnalysis.avgWordLenSql("text")} AS avg_word_len
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Quality scoring over header-enriched text (has digits/punct)
+    Q("text_quality",
+      (s, dir) => {
+        val t = Enrich.withHeader(col("text"), col("doc_id"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            TextAnalysis.punctRatio(t).as("punct_ratio"),
+            TextAnalysis.alphaRatio(t).as("alpha_ratio"),
+            TextAnalysis.stopwordRatio(t).as("stopword_ratio"),
+            TextAnalysis.qualityScore(t).as("quality_score"))
+          .orderBy("doc_id")
+      },
+      {
+        val t = Enrich.withHeaderSql("text", "doc_id")
+        Some(s"""SELECT doc_id,
+                | ${TextAnalysis.punctRatioSql(t)} AS punct_ratio,
+                | ${TextAnalysis.alphaRatioSql(t)} AS alpha_ratio,
+                | ${TextAnalysis.stopwordRatioSql(t)} AS stopword_ratio,
+                | ${TextAnalysis.qualityScoreSql(t)} AS quality_score
+                |FROM documents ORDER BY doc_id""".stripMargin)
+      }),
+
+    // Language ID over marker-injected text — recovers the lang label
+    Q("text_langid",
+      (s, dir) => {
+        val t = Enrich.withLangMarkers(col("text"), col("lang"), TextAnalysis.LangMarkers)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            TextAnalysis.langId(t).as("lang_pred"))
+          .orderBy("doc_id")
+      },
+      {
+        val t = Enrich.withLangMarkersSql("text", "lang", TextAnalysis.LangMarkers)
+        Some(s"""SELECT doc_id, lang,
+                | ${TextAnalysis.langIdSql(t)} AS lang_pred
+                |FROM documents ORDER BY doc_id""".stripMargin)
+      }),
+
+    // Document fingerprint (whitespace-normalized md5)
+    Q("text_fingerprint",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, ${TextAnalysis.fingerprintSql("text")} AS fingerprint
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+  )
+
+  private def specs: Seq[Q] =
+    vectorSpecs ++ relationalSpecs ++ classifySpecs ++ textSpecs
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,112 @@
+package graft.api
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.oracle.Sql
+
+/** Deterministic fixture enrichment for the correctness gate.
+  *
+  * The harness `documents.text` is lowercase word-salad over a 31-word
+  * vocabulary — no legal phrases, no punctuation — so every regex
+  * cascade would emit its default label and the oracle compare would
+  * prove nothing. These helpers append/prepend marker phrases keyed on
+  * `doc_id` (identically on the Spark and DuckDB sides, rendered from
+  * the same phrase lists), so each cascade branch — including the
+  * order-sensitive ones — is exercised with varied output. None of the
+  * phrases can collide with the base vocabulary.
+  */
+object Enrich {
+
+  /** Covers C1 branches: rules 1–3 (won), 4 (lost), an ordering probe
+    * (index 4: contains both a lost-rule and an earlier won-rule
+    * pattern — must classify won), rules 5–10, a win-indicator, and a
+    * no-match slot (invalid).
+    */
+  val decisionPhrases: Seq[String] = Seq(
+    "the appeal is allowed by way of remand",
+    "the impugned order is set aside",
+    "the matter needs to be remanded",
+    "appeal dismissed",
+    "appeal dismissed but on review the appeal is allowed",
+    "we allow the appeal",
+    "judgment affirmed",
+    "the order is upheld",
+    "the petition is rejected",
+    "relief is granted",
+    "")
+
+  /** Covers C2 branches + an ordering probe (index 4: high_court and
+    * appellate_tribunal markers together — tribunal rule fires first).
+    */
+  val docTypePhrases: Seq[String] = Seq(
+    "before the appellate tribunal",
+    "order-in-original issued by the commissioner of customs",
+    "writ petition before the division bench",
+    "civil appeal no 123 before the constitution bench",
+    "in the high court cestat matter",
+    "")
+
+  /** Covers C3 branches. */
+  val docContextPhrases: Seq[String] = Seq(
+    "central excise duty dispute",
+    "service tax demand notice",
+    "writ petition filed today",
+    "criminal appeal lodged herein",
+    "order of the commissioner impugned",
+    "")
+
+  /** Pick `phrases(key % n)` as a Column. */
+  def phrase(key: Column, phrases: Seq[String]): Column = {
+    val n = phrases.size
+    phrases.zipWithIndex.init.foldRight(lit(phrases.last): Column) {
+      case ((p, i), acc) => when(pmod(key, lit(n)) === i, lit(p)).otherwise(acc)
+    }
+  }
+
+  def phraseSql(keyExpr: String, phrases: Seq[String]): String = {
+    val n = phrases.size
+    val whens = phrases.zipWithIndex.init
+      .map { case (p, i) => s"WHEN $i THEN ${Sql.lit(p)}" }
+    s"CASE ($keyExpr) % $n ${whens.mkString(" ")} ELSE ${Sql.lit(phrases.last)} END"
+  }
+
+  /** `text + " " + phrases(key % n)`. */
+  def inject(text: Column, key: Column, phrases: Seq[String]): Column =
+    concat(text, lit(" "), phrase(key, phrases))
+
+  def injectSql(textExpr: String, keyExpr: String, phrases: Seq[String]): String =
+    s"($textExpr || ' ' || (${phraseSql(keyExpr, phrases)}))"
+
+  /** S2 fixture: a first-page-style header (case number, parties, two
+    * date formats, mixed case) prepended to the document text.
+    */
+  def withHeader(text: Column, key: Column): Column =
+    concat(lit("Appeal No. C/"), pmod(key, lit(900)).cast("string"),
+      lit("/2012 Alpha Corp versus Beta Ltd 29-03-2023 heard 1st Apr 2023 "), text)
+
+  def withHeaderSql(textExpr: String, keyExpr: String): String =
+    s"('Appeal No. C/' || CAST(($keyExpr) % 900 AS VARCHAR) || " +
+      s"'/2012 Alpha Corp versus Beta Ltd 29-03-2023 heard 1st Apr 2023 ' || $textExpr)"
+
+  /** Language-marker injection: appends each language's markers three
+    * times for the document's labelled `lang`, so content-based langid
+    * can recover the label.
+    */
+  def withLangMarkers(text: Column, lang: Column,
+                      markers: Seq[(String, Seq[String])]): Column = {
+    val markerFor = markers.init.foldRight(lit(markers.last._2.mkString(" ")): Column) {
+      case ((l, ms), acc) => when(lang === l, lit(ms.mkString(" "))).otherwise(acc)
+    }
+    concat(text, lit(" "), markerFor, lit(" "), markerFor, lit(" "), markerFor)
+  }
+
+  def withLangMarkersSql(textExpr: String, langExpr: String,
+                         markers: Seq[(String, Seq[String])]): String = {
+    val whens = markers.init.map { case (l, ms) =>
+      s"WHEN ${Sql.lit(l)} THEN ${Sql.lit(ms.mkString(" "))}"
+    }
+    val m = s"(CASE $langExpr ${whens.mkString(" ")} ELSE ${Sql.lit(markers.last._2.mkString(" "))} END)"
+    s"($textExpr || ' ' || $m || ' ' || $m || ' ' || $m)"
+  }
+}

@@ -1,0 +1,43 @@
+package graft.classify
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** S2 — first-page metadata extraction
+  * (`/root/reference/extract_and_embed_v2.py:387-422`): case number,
+  * mentioned dates, and parties, as pure regexp projections. Python's
+  * `re.IGNORECASE` becomes an inline `(?i)` prefix, valid in both Java
+  * regex (Spark) and RE2 (DuckDB).
+  */
+object CaseMetadata {
+
+  /** `extract_and_embed_v2.py:401` — appeal/case number, group 1. */
+  val caseNumberPattern =
+    """(?i)(?:appeal|application|petition|case|c\.a\.)\s+no\.?\s*([\w\d\.\-\/]+)"""
+
+  /** `extract_and_embed_v2.py:407` — numeric and written dates. */
+  val datePattern =
+    """(?i)\d{1,2}[\/\.\-]\d{1,2}[\/\.\-]\d{2,4}|\d{1,2}(?:st|nd|rd|th)?\s+(?:jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)[a-z]*\.?\s+\d{2,4}"""
+
+  /** `extract_and_embed_v2.py:413` — "X versus Y" parties. */
+  val partiesPattern =
+    """(?i)([A-Za-z\s\.,]+)\s+(?:versus|vs\.?|v\.)\s+([A-Za-z\s\.,]+)"""
+
+  def caseNumber(text: Column): Column =
+    regexp_extract(text, caseNumberPattern, 1).as("case_number")
+
+  /** All date mentions (Python `re.findall` analog). The pattern has no
+    * capturing group, so extract whole matches (group 0).
+    */
+  def datesMentioned(text: Column): Column =
+    regexp_extract_all(text, lit(datePattern), lit(0)).as("dates_mentioned")
+
+  def firstDate(text: Column): Column =
+    regexp_extract(text, datePattern, 0).as("first_date")
+
+  def appellant(text: Column): Column =
+    trim(regexp_extract(text, partiesPattern, 1)).as("appellant")
+
+  def respondent(text: Column): Column =
+    trim(regexp_extract(text, partiesPattern, 2)).as("respondent")
+}

@@ -1,0 +1,148 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.oracle.Sql
+
+/** Text-analysis operators for LLM training-data pipelines (the
+  * BASELINE.json north star): token counting, quality scoring,
+  * language identification, and document fingerprinting. Everything is
+  * built from codegen'd expression primitives — narrow maps over the
+  * scan, no UDFs, no shuffles — so each op is a constant-cost column at
+  * any scale. Each op has a DuckDB-SQL twin generated here, used by the
+  * oracle gate.
+  */
+object TextAnalysis {
+
+  // ---- token counting ------------------------------------------------
+
+  /** Whitespace tokens (Python `len(s.split())` semantics). */
+  def nTokensWs(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0L))
+      .otherwise(size(split(trim(c), "\\s+")).cast("long"))
+
+  def nTokensWsSql(t: String): String =
+    s"CASE WHEN length(trim($t)) = 0 THEN 0 ELSE len(string_split_regex(trim($t), '\\s+')) END"
+
+  /** BPE-ish tokens: letter runs, digit runs, single punctuation. */
+  val TokenRe = """[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"""
+
+  def nTokensRe(c: Column): Column = regexp_count(c, lit(TokenRe)).cast("long")
+  def nTokensReSql(t: String): String =
+    s"len(regexp_extract_all($t, ${Sql.lit(TokenRe)}))"
+
+  // ---- quality scoring ----------------------------------------------
+
+  private val PunctRe = """[^A-Za-z0-9\s]"""
+  private val AlphaRe = """[A-Za-z]"""
+
+  /** 4-decimal truncation via floor: decimal `round()` modes differ
+    * between engines at exact .00005 boundaries (small-integer ratios
+    * hit them), while floor over identical IEEE doubles is engine-
+    * independent. Used for all ratio outputs.
+    */
+  private def floor4(c: Column): Column = floor(c * 10000.0) / 10000.0
+  private def floor4Sql(e: String): String = s"(floor(($e) * 10000.0) / 10000.0)"
+
+  def punctRatio(c: Column): Column =
+    floor4(regexp_count(c, lit(PunctRe)) / greatest(length(c), lit(1)))
+  def punctRatioSql(t: String): String =
+    floor4Sql(s"len(regexp_extract_all($t, ${Sql.lit(PunctRe)})) / greatest(length($t), 1)")
+
+  def alphaRatio(c: Column): Column =
+    floor4(regexp_count(c, lit(AlphaRe)) / greatest(length(c), lit(1)))
+  def alphaRatioSql(t: String): String =
+    floor4Sql(s"len(regexp_extract_all($t, ${Sql.lit(AlphaRe)})) / greatest(length($t), 1)")
+
+  /** Mean word length: non-whitespace chars / whitespace tokens. */
+  def avgWordLen(c: Column): Column =
+    when(nTokensWs(c) === 0, lit(0.0))
+      .otherwise(floor4(length(regexp_replace(trim(c), "\\s+", "")) / nTokensWs(c)))
+  def avgWordLenSql(t: String): String =
+    s"""CASE WHEN (${nTokensWsSql(t)}) = 0 THEN 0.0
+       | ELSE ${floor4Sql(s"length(regexp_replace(trim($t), '\\s+', '', 'g')) / (${nTokensWsSql(t)})")} END""".stripMargin
+
+  val Stopwords = Seq("a", "the", "and", "of", "is")
+
+  def stopwordCount(c: Column): Column =
+    size(filter(split(lower(trim(c)), "\\s+"),
+      t => Stopwords.map(s => t === s).reduce(_ || _))).cast("long")
+  def stopwordCountSql(t: String): String = {
+    val set = Stopwords.map(Sql.lit).mkString(", ")
+    s"len(list_filter(string_split_regex(lower(trim($t)), '\\s+'), x -> x IN ($set)))"
+  }
+
+  def stopwordRatio(c: Column): Column =
+    floor4(stopwordCount(c) / greatest(nTokensWs(c), lit(1L)))
+  def stopwordRatioSql(t: String): String =
+    floor4Sql(s"(${stopwordCountSql(t)}) / greatest(${nTokensWsSql(t)}, 1)")
+
+  /** Composite quality heuristic in [0,1]: mostly-alphabetic text of a
+    * reasonable length with some (but not too many) stopwords.
+    */
+  def qualityScore(c: Column): Column =
+    floor4(alphaRatio(c) * 0.5
+      + least(nTokensWs(c) / lit(100.0), lit(1.0)) * 0.3
+      + least(stopwordRatio(c) * lit(5.0), lit(1.0)) * 0.2)
+  def qualityScoreSql(t: String): String =
+    floor4Sql(s"""(${alphaRatioSql(t)}) * 0.5
+       | + least((${nTokensWsSql(t)}) / 100.0, 1.0) * 0.3
+       | + least((${stopwordRatioSql(t)}) * 5.0, 1.0) * 0.2""".stripMargin)
+
+  // ---- language identification ---------------------------------------
+
+  /** Disjoint per-language stopword markers (n-gram-free heuristic:
+    * membership counts over whitespace tokens). Order = tie-break
+    * priority.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("and", "of", "is", "that", "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "que", "por", "con"),
+    "fr" -> Seq("le", "les", "et", "des", "dans"),
+    "zh" -> Seq("wo", "ni", "ta", "men", "hao"))
+
+  def langScore(c: Column, markers: Seq[String]): Column =
+    size(filter(split(lower(trim(c)), "\\s+"),
+      t => markers.map(m => t === m).reduce(_ || _))).cast("long")
+  def langScoreSql(t: String, markers: Seq[String]): String = {
+    val set = markers.map(Sql.lit).mkString(", ")
+    s"len(list_filter(string_split_regex(lower(trim($t)), '\\s+'), x -> x IN ($set)))"
+  }
+
+  /** Predicted language: highest marker count, ties to the earlier
+    * language in [[LangMarkers]]; `und` when nothing matches.
+    */
+  def langId(c: Column): Column = {
+    val scores = LangMarkers.map { case (lang, ms) => lang -> langScore(c, ms) }
+    val allZero = scores.map(_._2 === 0L).reduce(_ && _)
+    val picked = scores.zipWithIndex.map { case ((lang, s), i) =>
+      val rest = scores.drop(i + 1).map(_._2)
+      (lang, if (rest.isEmpty) lit(true) else rest.map(r => s >= r).reduce(_ && _))
+    }.init.foldRight(lit(LangMarkers.last._1): Column) { case ((lang, cond), acc) =>
+      when(cond, lit(lang)).otherwise(acc)
+    }
+    when(allZero, lit("und")).otherwise(picked)
+  }
+
+  def langIdSql(t: String): String = {
+    val scoreExprs = LangMarkers.map { case (lang, ms) => lang -> langScoreSql(t, ms) }
+    val allZero = scoreExprs.map { case (_, e) => s"($e) = 0" }.mkString(" AND ")
+    val whens = scoreExprs.zipWithIndex.init.map { case ((lang, e), i) =>
+      val rest = scoreExprs.drop(i + 1).map { case (_, r) => s"($e) >= ($r)" }
+      s"WHEN ${rest.mkString(" AND ")} THEN ${Sql.lit(lang)}"
+    }
+    s"""CASE WHEN $allZero THEN 'und'
+       | ${whens.mkString(" ")}
+       | ELSE ${Sql.lit(LangMarkers.last._1)} END""".stripMargin
+  }
+
+  // ---- fingerprinting -------------------------------------------------
+
+  /** Whitespace-normalized md5 fingerprint — the exact-dedup key. */
+  def fingerprint(c: Column): Column =
+    md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+  def fingerprintSql(t: String): String =
+    s"md5(regexp_replace(lower(trim($t)), '\\s+', ' ', 'g'))"
+}
