@@ -6,11 +6,12 @@ import org.apache.spark.sql.functions._
 
 import graft.api.{Enrich, Pipelines}
 import graft.classify.{Cascades, CaseMetadata, Conclusion}
+import graft.dedup.Dedup
 import graft.oracle.Sql
 import graft.sources.Tables
 import graft.stats.WinStats
 import graft.text.{ChunkPacker, TextAnalysis}
-import graft.vector.{Distance, Knn}
+import graft.vector.{Ann, Distance, Knn}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -446,8 +447,70 @@ object SparkEntry {
               |FROM documents ORDER BY doc_id""".stripMargin)),
   )
 
+  // ---------------------------------------------------------------- //
+  // Dedup + ANN extensions (BASELINE.json north star)                 //
+  // ---------------------------------------------------------------- //
+
+  private val dedupSpecs: Seq[Q] = Seq(
+    // Exact dedup: normalized-fingerprint groups with >1 member
+    Q("dedup_exact",
+      (s, dir) => Dedup.exactDuplicates(Tables.documents(s, dir),
+          col("doc_id"), Enrich.dedupContent(col("text"), col("doc_id")))
+        .orderBy("fingerprint"),
+      Some(s"""SELECT ${TextAnalysis.fingerprintSql(Enrich.dedupContentSql("text", "doc_id"))} AS fingerprint,
+              | count(*) AS n_dups, min(doc_id) AS keeper_id
+              |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin)),
+
+    // Brute-force n-gram Jaccard near-dup pairs (quadratic oracle baseline)
+    Q("dedup_ngram_jaccard",
+      (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir),
+          col("doc_id"), Enrich.dedupContent(col("text"), col("doc_id")))
+        .orderBy("id_a", "id_b"),
+      Some(Dedup.ngramJaccardPairsSql("documents", "doc_id",
+        Enrich.dedupContentSql("text", "doc_id")) + " ORDER BY id_a, id_b")),
+
+    // MinHash+LSH near-dup pairs — the sub-quadratic scale path
+    // (xxhash64 signatures have no DuckDB twin → rows-only; recall vs the
+    // exact baseline is pinned by DedupSpec)
+    Q("dedup_minhash_lsh",
+      (s, dir) => Dedup.minhashPairs(Tables.documents(s, dir),
+          col("doc_id"), Enrich.dedupContent(col("text"), col("doc_id")))
+        .orderBy("id_a", "id_b"),
+      None),
+
+    // SimHash 64-bit signatures (rows-only; properties pinned by DedupSpec)
+    Q("dedup_simhash",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Dedup.simhash(Enrich.dedupContent(col("text"), col("doc_id"))).as("simhash"))
+        .orderBy("doc_id"),
+      None),
+
+    // Exact brute-force cosine top-k — the ANN correctness baseline
+    Q("ann_cosine_topk",
+      (s, dir) => Ann.cosineTopK(Tables.embeddings(s, dir),
+        Pipelines.queryVector(s, dir), col("embedding"), col("vec_id"), 10)
+        .select("vec_id", "label", "sim"),
+      Some(s"""SELECT e.vec_id, e.label,
+              | ${Sql.cosine("e.embedding", "q.q_emb")} AS sim
+              |FROM embeddings e, (${Sql.queryVector(0)}) q
+              |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // IVF (KMeans coarse quantizer) probe search — approximate scale
+    // path (rows-only; recall vs brute force pinned by AnnSpec)
+    Q("ann_ivf_topk",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val qv  = emb.where(col("vec_id") === 0L)
+          .select(col("embedding")).head().getSeq[Float](0)
+        Ann.buildIvf(emb, nlist = 16).searchL2(qv, k = 10, nprobe = 8)
+          .select("vec_id", "label", "cluster_id", "score")
+      },
+      None),
+  )
+
   private def specs: Seq[Q] =
-    vectorSpecs ++ relationalSpecs ++ classifySpecs ++ textSpecs
+    vectorSpecs ++ relationalSpecs ++ classifySpecs ++ textSpecs ++ dedupSpecs
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -78,6 +78,27 @@ object Enrich {
   def injectSql(textExpr: String, keyExpr: String, phrases: Seq[String]): String =
     s"($textExpr || ' ' || (${phraseSql(keyExpr, phrases)}))"
 
+  /** Dedup fixture: plants exact-duplicate classes (doc_id % 7 == 0,
+    * three classes) and near-duplicate classes (doc_id % 7 == 1, two
+    * variants sharing a long shingle prefix); all other rows keep their
+    * (unique) fixture text.
+    */
+  def dedupContent(text: Column, key: Column): Column =
+    when(pmod(key, lit(7)) === 0,
+      concat(lit("dup block exact "), pmod(key, lit(3)).cast("string"),
+        lit(" alpha beta gamma delta epsilon zeta eta theta")))
+      .when(pmod(key, lit(7)) === 1,
+        concat(lit("near block shared one two three four five six seven eight nine ten tail"),
+          pmod(key, lit(2)).cast("string")))
+      .otherwise(text)
+
+  def dedupContentSql(textExpr: String, keyExpr: String): String =
+    s"""CASE WHEN ($keyExpr) % 7 = 0
+       | THEN 'dup block exact ' || CAST(($keyExpr) % 3 AS VARCHAR) || ' alpha beta gamma delta epsilon zeta eta theta'
+       | WHEN ($keyExpr) % 7 = 1
+       | THEN 'near block shared one two three four five six seven eight nine ten tail' || CAST(($keyExpr) % 2 AS VARCHAR)
+       | ELSE $textExpr END""".stripMargin
+
   /** S2 fixture: a first-page-style header (case number, parties, two
     * date formats, mixed case) prepended to the document text.
     */

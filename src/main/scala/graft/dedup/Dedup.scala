@@ -1,0 +1,198 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.oracle.Sql
+import graft.text.TextAnalysis
+
+/** Deduplication operators for training-data pipelines — the core
+  * 100 TB extension surface (BASELINE.json north star). Three tiers:
+  *
+  *  - exact: hash-groupBy on a normalized fingerprint. One shuffle on
+  *    the 16-byte hash; the text column never shuffles.
+  *  - MinHash + LSH: word-shingles → 64 minhash signature → banded
+  *    bucket keys → candidate pairs only *within* buckets → exact
+  *    Jaccard verification of candidates. The only all-pairs work
+  *    happens inside buckets, which is what keeps near-dup detection
+  *    sub-quadratic at corpus scale.
+  *  - brute-force n-gram Jaccard: the small-N / oracle baseline that
+  *    LSH recall is measured against. Quadratic — never the scale path.
+  *
+  * Everything is built from codegen'd expression primitives (split /
+  * transform / aggregate / xxhash64) — no UDFs.
+  */
+object Dedup {
+
+  // ---- shingling ------------------------------------------------------
+
+  /** Word n-gram shingles. Texts shorter than n words yield one shingle
+    * (their full token run).
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val tokens = split(trim(text), "\\s+")
+    transform(
+      sequence(lit(1), greatest(size(tokens) - (n - 1), lit(1))),
+      i => array_join(slice(tokens, i, lit(n)), " "))
+  }
+
+  def shinglesSql(t: String, n: Int = 3): String = {
+    val tokens = s"string_split_regex(trim($t), '\\s+')"
+    s"""list_transform(range(1, greatest(len($tokens) - ${n - 1}, 1) + 1),
+       | i -> array_to_string(list_slice($tokens, i, i + ${n - 1}), ' '))""".stripMargin
+  }
+
+  /** Jaccard similarity of two shingle arrays (distinct-set semantics),
+    * floor-truncated to 4dp (cross-engine deterministic).
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    val union = size(array_distinct(a)) + size(array_distinct(b)) - inter
+    floor(inter / greatest(union, lit(1)).cast("double") * 10000.0) / 10000.0
+  }
+
+  def jaccardSql(a: String, b: String): String = {
+    val inter = s"len(list_intersect(list_distinct($a), list_distinct($b)))"
+    val union = s"(len(list_distinct($a)) + len(list_distinct($b)) - $inter)"
+    s"(floor(($inter / greatest($union, 1)::DOUBLE) * 10000.0) / 10000.0)"
+  }
+
+  // ---- exact dedup ----------------------------------------------------
+
+  /** Exact duplicate groups: normalized-md5 fingerprint → groups with
+    * >1 member, with the smallest id as the keeper. The text never
+    * shuffles — only (hash, id) pairs do.
+    */
+  def exactDuplicates(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("id"), TextAnalysis.fingerprint(text).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(count(lit(1)).as("n_dups"), min(col("id")).as("keeper_id"))
+      .where(col("n_dups") > 1)
+
+  // ---- MinHash + LSH --------------------------------------------------
+
+  /** Number of hash permutations and LSH banding (8 bands × 8 rows):
+    * catches pairs with Jaccard ≳ (1/8)^(1/8) ≈ 0.77 with high
+    * probability; lower-similarity pairs fall off steeply.
+    */
+  val NumPerms = 64
+  val NumBands = 8
+  val RowsPerBand: Int = NumPerms / NumBands
+
+  /** Deterministic affine-permutation parameters (public textbook
+    * construction: h_j(x) = (a_j·x + b_j) mod p over a 31-bit universe;
+    * base hash is xxhash64 masked to 31 bits so products stay in 62
+    * bits — no ANSI overflow).
+    */
+  private val P = 2147483647L // 2^31 - 1 (Mersenne prime)
+  private val perms: Seq[(Long, Long)] =
+    (0 until NumPerms).map { j =>
+      // fixed odd multipliers / offsets derived from small primes
+      val a = (2654435761L * (j + 1)) % P
+      val b = (40503L * (j * j + 7) + 97L) % P
+      (if (a == 0) 1L else a, b)
+    }
+
+  private val permA = array(perms.map(p => lit(p._1)): _*)
+  private val permB = array(perms.map(p => lit(p._2)): _*)
+
+  /** 64-element minhash signature of a shingle array: a single fold
+    * over the (once-computed) shingle hashes, updating all 64 minima
+    * per step — keeps the expression tree and generated code small
+    * (the naive 64-independent-array_min form duplicates the shingle
+    * hashing subtree 64× and produces multi-MiB codegen).
+    */
+  def minhashSignature(sh: Column): Column = {
+    val hashed = transform(sh, s => pmod(xxhash64(s), lit(P)))
+    aggregate(hashed, array_repeat(lit(P), NumPerms),
+      (acc, h) => transform(acc, (m, i) =>
+        least(m, pmod(h * element_at(permA, i + 1) + element_at(permB, i + 1), lit(P)))))
+  }
+
+  /** LSH band keys: one 64-bit key per band over its signature slice.
+    * Rows with any equal band key become candidate pairs.
+    */
+  def bandKeys(sig: Column): Column =
+    array((0 until NumBands).map { bnd =>
+      xxhash64(lit(bnd),
+        array_join(transform(slice(sig, bnd * RowsPerBand + 1, RowsPerBand),
+          v => v.cast("string")), "_"))
+    }: _*)
+
+  /** Candidate near-duplicate pairs via LSH banding, verified with
+    * exact Jaccard over the shingle sets. Plan shape: narrow signature
+    * computation → explode to (band_key, id) → shuffle on band_key →
+    * in-bucket self-join → distinct pairs → verify. At scale, bucket
+    * sizes bound the join; no all-pairs stage exists.
+    */
+  def minhashPairs(df: DataFrame, idCol: Column, textCol: Column,
+                   n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val sh  = shingles(textCol, n)
+    val base = df.select(idCol.as("id"), sh.as("sh"))
+      .withColumn("bands", bandKeys(minhashSignature(col("sh"))))
+    val exploded = base.select(col("id"), explode(col("bands")).as("band_key"))
+    val cands = exploded.as("l")
+      .join(exploded.as("r"), col("l.band_key") === col("r.band_key")
+        && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    val withSh = cands
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+    withSh
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
+  /** Brute-force n-gram Jaccard pairs — quadratic oracle baseline. */
+  def ngramJaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
+                        n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val base = df.select(idCol.as("id"), shingles(textCol, n).as("sh"))
+    base.as("l").join(broadcast(base.as("r")), col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        jaccard(col("l.sh"), col("r.sh")).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
+  def ngramJaccardPairsSql(table: String, idExpr: String, textExpr: String,
+                           n: Int = 3, minJaccard: Double = 0.5): String = {
+    val sh = shinglesSql(textExpr, n)
+    s"""SELECT id_a, id_b, jaccard FROM (
+       | SELECT l.id AS id_a, r.id AS id_b, ${jaccardSql("l.sh", "r.sh")} AS jaccard
+       | FROM (SELECT $idExpr AS id, $sh AS sh FROM $table) l
+       | JOIN (SELECT $idExpr AS id, $sh AS sh FROM $table) r ON l.id < r.id)
+       |WHERE jaccard >= $minJaccard""".stripMargin
+  }
+
+  // ---- SimHash --------------------------------------------------------
+
+  /** Number of SimHash signature bits. 32 keeps the whole signature a
+    * single-pass expression fold with exact power-of-two arithmetic in
+    * doubles (< 2^53); a 64-bit variant belongs in a custom codegen
+    * Expression (planned phase-2 kernel).
+    */
+  val SimhashBits = 32
+
+  /** SimHash over whitespace tokens: bit i of the signature is the
+    * sign of Σ_tokens (2·bit_i(hash(token)) − 1). Near-identical texts
+    * land within a few bits of Hamming distance. One fold over the
+    * token hashes updates all bit-counters per step.
+    */
+  def simhash(text: Column): Column = {
+    val tokens = split(trim(lower(text)), "\\s+")
+    // token hash folded into [0, 2^32)
+    val hashed = transform(tokens, t => pmod(xxhash64(t), lit(4294967296L)))
+    val counts = aggregate(hashed, array_repeat(lit(0L), SimhashBits),
+      (acc, h) => transform(acc, (s, i) => {
+        val bit = pmod(floor(h / pow(lit(2.0), i.cast("double"))).cast("long"), lit(2L))
+        s + when(bit === 1L, 1L).otherwise(-1L)
+      }))
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(SimhashBits - 1)),
+        (c, i) => when(c > 0, pow(lit(2.0), i.cast("double")).cast("long")).otherwise(0L)),
+      lit(0L), (acc, v) => acc + v)
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,71 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class DedupSpec extends AnyFunSuite with SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),          // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy cat instead"),  // near dup of 1
+      (4L, "completely different content about database engines"),
+      (5L, "another unrelated text concerning vector search")
+    ).toDF("id", "text")
+  }
+
+  test("exactDuplicates finds only the planted exact pair") {
+    val out = Dedup.exactDuplicates(docs, col("id"), col("text")).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n_dups") == 2L)
+    assert(out.head.getAs[Long]("keeper_id") == 1L)
+  }
+
+  test("jaccard: identical=1, disjoint=0, hand-computed overlap") {
+    import spark.implicits._
+    val j = Seq((Seq("a b c", "b c d"), Seq("a b c", "b c d"), Seq("x y z")))
+      .toDF("s1", "s2", "s3")
+      .select(
+        Dedup.jaccard(col("s1"), col("s2")).as("same"),
+        Dedup.jaccard(col("s1"), col("s3")).as("disjoint"))
+      .collect().head
+    assert(j.getAs[Double]("same") == 1.0)
+    assert(j.getAs[Double]("disjoint") == 0.0)
+  }
+
+  test("minhash LSH catches exact duplicates and high-overlap near-dups") {
+    val pairs = Dedup.minhashPairs(docs, col("id"), col("text"), minJaccard = 0.0)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)))   // jaccard 1.0 — must always be caught
+    // unrelated docs never pair up
+    assert(!pairs.contains((4L, 5L)))
+  }
+
+  test("minhash pairs agree with brute-force ngram pairs on planted dups") {
+    val brute = Dedup.ngramJaccardPairs(docs, col("id"), col("text"), minJaccard = 0.9)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val lsh = Dedup.minhashPairs(docs, col("id"), col("text"), minJaccard = 0.9)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(brute == Set((1L, 2L)))
+    assert(lsh == brute)   // at jaccard≥0.9 LSH recall is ~certain
+  }
+
+  test("simhash: identical text → identical signature; near text → low hamming") {
+    import spark.implicits._
+    val sigs = docs.select(col("id"), Dedup.simhash(col("text")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    val nearDist = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+    val farDist  = java.lang.Long.bitCount(sigs(1L) ^ sigs(4L))
+    assert(nearDist < farDist)
+    // hamming Column matches JVM bitCount
+    val h = docs.where(col("id") === 1L)
+      .select(Dedup.hamming(lit(sigs(1L)), lit(sigs(3L))).cast("int"))
+      .collect().head.getInt(0)
+    assert(h == nearDist)
+  }
+}

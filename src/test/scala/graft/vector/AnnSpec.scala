@@ -1,0 +1,50 @@
+package graft.vector
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** IVF probe search vs the exact brute-force baseline on the harness
+  * embeddings fixture.
+  */
+class AnnSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def corpus = Tables.embeddings(spark, dir)
+
+  private def queryVec: Seq[Float] =
+    corpus.where(col("vec_id") === 0L).select("embedding").head().getSeq[Float](0)
+
+  private def bruteIds(k: Int): Seq[Long] = {
+    val q = spark.createDataFrame(Seq(Tuple1(queryVec))).toDF("q_emb")
+    Ann.l2TopK(corpus, q, col("embedding"), col("vec_id"), k)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+  }
+
+  test("probing all clusters reproduces the exact result") {
+    val idx = Ann.buildIvf(corpus, nlist = 8)
+    val ids = idx.searchL2(queryVec, k = 10, nprobe = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(ids == bruteIds(10))
+  }
+
+  test("partial probing keeps high recall at a fraction of the scan") {
+    val idx = Ann.buildIvf(corpus, nlist = 8)
+    val approx = idx.searchL2(queryVec, k = 10, nprobe = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = bruteIds(10).toSet
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall@10 = $recall")
+  }
+
+  test("cosine top-k self-match: the query vector ranks itself first") {
+    val q = spark.createDataFrame(Seq(Tuple1(queryVec))).toDF("q_emb")
+    val top = Ann.cosineTopK(corpus, q, col("embedding"), col("vec_id"), 3)
+      .select("vec_id", "sim").collect()
+    assert(top.head.getLong(0) == 0L)
+    assert(top.head.getDouble(1) == 1.0)
+  }
+}
