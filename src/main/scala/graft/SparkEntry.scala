@@ -509,8 +509,45 @@ object SparkEntry {
       None),
   )
 
+  // ---------------------------------------------------------------- //
+  // Ingest pipeline + multimodal plumbing (rows-only: stateful chunk  //
+  // fold and JVM-hash stubs have no SQL twins; semantics pinned by    //
+  // IngestSpec / MultimodalSpec)                                      //
+  // ---------------------------------------------------------------- //
+
+  private val pipelineSpecs: Seq[Q] = Seq(
+    // §3.2 ingest: documents → classify → chunk → embed → chunk table.
+    // chunk_id (partition-dependent auto-id) is excluded from the
+    // output so the result is deterministic under any parallelism.
+    Q("ingest_chunk_table",
+      (s, dir) => graft.api.Ingest.chunkTable(s,
+          Tables.documents(s, dir), col("doc_id"), col("text"),
+          pmod(col("doc_id"), lit(10)),
+          graft.embed.DeterministicEmbedder(dim = 16))
+        .select(col("doc_key"), col("chunk_idx"), col("n_words"),
+          col("file_name"), col("file_id"), col("court_level"),
+          col("case_decision"), col("document_type"),
+          round(Distance.norm(col("embedding")), 4).as("emb_norm"))
+        .orderBy(col("doc_key"), col("chunk_idx")),
+      None),
+
+    // Multimodal: binary columns + per-partition decode/featurize stubs
+    Q("mm_media_features",
+      (s, dir) => {
+        val media = Tables.documents(s, dir)
+          .select(col("doc_id"), encode(col("text"), "utf-8").as("data"))
+        val meta  = graft.multimodal.Multimodal.decodeMeta(s, media, "doc_id", "data").toDF()
+        val feats = graft.multimodal.Multimodal.extractFeatures(s, media, "doc_id", "data", dim = 8)
+          .toDF()
+          .select(col("media_id"), round(element_at(col("features"), 1), 4).as("f0"))
+        meta.join(feats, "media_id").orderBy("media_id")
+      },
+      None),
+  )
+
   private def specs: Seq[Q] =
-    vectorSpecs ++ relationalSpecs ++ classifySpecs ++ textSpecs ++ dedupSpecs
+    vectorSpecs ++ relationalSpecs ++ classifySpecs ++ textSpecs ++
+      dedupSpecs ++ pipelineSpecs
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

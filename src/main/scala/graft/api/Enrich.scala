@@ -78,25 +78,38 @@ object Enrich {
   def injectSql(textExpr: String, keyExpr: String, phrases: Seq[String]): String =
     s"($textExpr || ' ' || (${phraseSql(keyExpr, phrases)}))"
 
-  /** Dedup fixture: plants exact-duplicate classes (doc_id % 7 == 0,
-    * three classes) and near-duplicate classes (doc_id % 7 == 1, two
-    * variants sharing a long shingle prefix); all other rows keep their
-    * (unique) fixture text.
+  /** Dedup fixture: plants exact-duplicate and near-duplicate classes
+    * among doc_id % 7 ∈ {0, 1} rows; all other rows keep their (unique)
+    * fixture text. Classes are keyed on `doc_id / 70` blocks so each
+    * class holds ~10 members *at any table size* — class sizes (and
+    * hence verified-pair counts) scale linearly with the corpus, never
+    * quadratically.
     */
+  private def blockId(key: Column): Column =
+    floor(key.cast("double") / 70.0).cast("long")
+  private def blockIdSql(keyExpr: String): String =
+    s"CAST(floor(($keyExpr) / 70.0) AS BIGINT)"
+
   def dedupContent(text: Column, key: Column): Column =
     when(pmod(key, lit(7)) === 0,
-      concat(lit("dup block exact "), pmod(key, lit(3)).cast("string"),
+      concat(lit("dup block exact "), blockId(key).cast("string"),
         lit(" alpha beta gamma delta epsilon zeta eta theta")))
       .when(pmod(key, lit(7)) === 1,
-        concat(lit("near block shared one two three four five six seven eight nine ten tail"),
-          pmod(key, lit(2)).cast("string")))
+        // block id interleaved through the shared run so shingles
+        // straddling it differ across blocks (cross-block Jaccard ≈ 0.2,
+        // below threshold); within a block, variants differ only in the
+        // trailing token (Jaccard ≈ 0.87, above threshold)
+        concat(lit("near block "), blockId(key).cast("string"),
+          lit(" shared one two three "), blockId(key).cast("string"),
+          lit(" four five six seven "), blockId(key).cast("string"),
+          lit(" eight nine ten tail"), pmod(key, lit(2)).cast("string")))
       .otherwise(text)
 
   def dedupContentSql(textExpr: String, keyExpr: String): String =
     s"""CASE WHEN ($keyExpr) % 7 = 0
-       | THEN 'dup block exact ' || CAST(($keyExpr) % 3 AS VARCHAR) || ' alpha beta gamma delta epsilon zeta eta theta'
+       | THEN 'dup block exact ' || CAST(${blockIdSql(keyExpr)} AS VARCHAR) || ' alpha beta gamma delta epsilon zeta eta theta'
        | WHEN ($keyExpr) % 7 = 1
-       | THEN 'near block shared one two three four five six seven eight nine ten tail' || CAST(($keyExpr) % 2 AS VARCHAR)
+       | THEN 'near block ' || CAST(${blockIdSql(keyExpr)} AS VARCHAR) || ' shared one two three ' || CAST(${blockIdSql(keyExpr)} AS VARCHAR) || ' four five six seven ' || CAST(${blockIdSql(keyExpr)} AS VARCHAR) || ' eight nine ten tail' || CAST(($keyExpr) % 2 AS VARCHAR)
        | ELSE $textExpr END""".stripMargin
 
   /** S2 fixture: a first-page-style header (case number, parties, two

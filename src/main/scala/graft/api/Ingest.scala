@@ -1,0 +1,77 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.classify.{Cascades, CaseMetadata}
+import graft.embed.Embedder
+import graft.text.ChunkPacker
+
+/** The §3.2 ingest pipeline (`process_pdf_to_milvus`,
+  * `/root/reference/extract_and_embed_v2.py:322-385`) as one
+  * DataFrame composition:
+  *
+  *   document rows → document-level attributes (file_id hash, type,
+  *   decision with metadata retry) → per-document chunk flatMap →
+  *   per-chunk embedding → fixed chunk-table schema → parquet append.
+  *
+  * Whole-document operators compute once per document and ride into
+  * the chunk flatMap (no join-back needed for the computed columns —
+  * they are projected before chunking, carried through as the flatMap
+  * key joins back on one narrow column). Embedding happens after
+  * chunking, chunk-parallel.
+  */
+object Ingest {
+
+  /** Document-level attributes of the ingest path:
+    * file_name/file_id (F3), document_type (C2), case_decision with
+    * metadata-enriched retry (C1+C4 over S2-extracted metadata).
+    */
+  def documentAttributes(docs: DataFrame, idCol: Column, textCol: Column,
+                         courtLevel: Column): DataFrame = {
+    val fileName = concat(lit("doc_"), idCol.cast("string"), lit(".pdf"))
+    val meta = concat_ws(" ",
+      CaseMetadata.caseNumber(textCol),
+      CaseMetadata.appellant(textCol),
+      CaseMetadata.respondent(textCol))
+    docs.select(
+      idCol.cast("string").as("key"),
+      textCol.as("doc_text"),
+      fileName.as("file_name"),
+      sha2(fileName, 256).as("file_id"),
+      courtLevel.cast("int").as("court_level"),
+      Cascades.docType(textCol).as("document_type"),
+      Cascades.decisionWithRetry(textCol, trim(meta)).as("case_decision"))
+  }
+
+  /** Full ingest: returns the reference chunk-table rows
+    * (`extract_and_embed_v2.py:44-52` schema; chunk_id is
+    * assigned-on-write like Milvus auto-id — unique, not contiguous).
+    */
+  def chunkTable(spark: SparkSession, docs: DataFrame, idCol: Column,
+                 textCol: Column, courtLevel: Column,
+                 embedder: Embedder, maxWords: Int = 400): DataFrame = {
+    val attrs  = documentAttributes(docs, idCol, textCol, courtLevel)
+    val chunks = ChunkPacker.chunkDocuments(spark, attrs, "key", "doc_text", maxWords)
+      .toDF()
+    chunks
+      .join(attrs.drop("doc_text"), "key")
+      .select(
+        monotonically_increasing_id().as("chunk_id"),
+        col("chunk_text").as("text"),
+        embedder.embed(col("chunk_text")).as("embedding"),
+        col("file_name"), col("file_id"), col("court_level"),
+        col("case_decision"),
+        // extras beyond the reference schema, useful downstream
+        col("key").as("doc_key"), col("chunk_idx"), col("n_words"),
+        col("document_type"))
+  }
+
+  /** S5 sink analog: append to the chunk-table parquet, partitioned by
+    * court_level (the only scalar filter the flagship query uses —
+    * partition pruning replaces Milvus's bitset pre-filter). The atomic
+    * job commit is the `flush()` durability barrier.
+    */
+  def write(chunkTable: DataFrame, path: String): Unit =
+    chunkTable.write.mode("append").partitionBy("court_level").parquet(path)
+}

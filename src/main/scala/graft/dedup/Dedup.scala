@@ -93,8 +93,11 @@ object Dedup {
       (if (a == 0) 1L else a, b)
     }
 
-  private val permA = array(perms.map(p => lit(p._1)): _*)
-  private val permB = array(perms.map(p => lit(p._2)): _*)
+  // single array Literals (typedlit), not CreateArray-of-literals:
+  // inside an interpreted higher-order lambda the latter re-materializes
+  // the 64-element array on every invocation
+  private val permA = typedlit(perms.map(_._1))
+  private val permB = typedlit(perms.map(_._2))
 
   /** 64-element minhash signature of a shingle array: a single fold
     * over the (once-computed) shingle hashes, updating all 64 minima
@@ -127,30 +130,65 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, idCol: Column, textCol: Column,
                    n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
-    val sh  = shingles(textCol, n)
-    val base = df.select(idCol.as("id"), sh.as("sh"))
-      .withColumn("bands", bandKeys(minhashSignature(col("sh"))))
-    val exploded = base.select(col("id"), explode(col("bands")).as("band_key"))
+    // The signature is an (interpreted) higher-order fold — the most
+    // expensive scalar in the pipeline. Two plan obligations: (a) a
+    // repartition *below* the fold spreads it across cores (a single
+    // parquet file otherwise computes every signature in one task);
+    // (b) band keys are derived by exploding literal band indices so
+    // the signature array travels through the Generate as a plain
+    // attribute — inlining `explode(bandKeys(sig))` would re-evaluate
+    // the whole fold once per band.
+    val base = df.select(idCol.as("id"), array_distinct(shingles(textCol, n)).as("sh"))
+      .repartition(col("id"))
+      .withColumn("sig", minhashSignature(col("sh")))
+    val exploded = base
+      .select(col("id"), col("sig"),
+        explode(typedlit((0 until NumBands).toList)).as("band"))
+      .select(col("id"),
+        xxhash64(col("band"),
+          array_join(
+            transform(slice(col("sig"), col("band") * RowsPerBand + 1, lit(RowsPerBand)),
+              v => v.cast("string")), "_")).as("band_key"))
     val cands = exploded.as("l")
       .join(exploded.as("r"), col("l.band_key") === col("r.band_key")
         && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
+    val sets = base.select(col("id"), col("sh"))
     val withSh = cands
-      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
     withSh
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
   }
 
-  /** Brute-force n-gram Jaccard pairs — quadratic oracle baseline. */
+  /** Exact n-gram Jaccard pairs via a shingle inverted index: explode
+    * distinct shingles, hash-self-join on the shingle, count shared
+    * shingles per pair, derive Jaccard from set sizes. Identical output
+    * to the all-pairs formulation for any threshold > 0 (pairs sharing
+    * no shingle have Jaccard 0), but the plan is hash joins + partial
+    * aggregations — codegen'd, shuffle-partitioned, no nested-loop
+    * stage. At corpus scale, cap ultra-frequent shingles (document-
+    * frequency cut) to bound bucket fan-out, as with any inverted
+    * index.
+    */
   def ngramJaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
                         n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
-    val base = df.select(idCol.as("id"), shingles(textCol, n).as("sh"))
-    base.as("l").join(broadcast(base.as("r")), col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        jaccard(col("l.sh"), col("r.sh")).as("jaccard"))
+    val base  = df.select(idCol.as("id"), array_distinct(shingles(textCol, n)).as("sh"))
+    val sizes = base.select(col("id"), size(col("sh")).as("n_sh"))
+    val inv   = base.select(col("id"), explode(col("sh")).as("shingle"))
+    val shared = inv.as("l")
+      .join(inv.as("r"), col("l.shingle") === col("r.shingle")
+        && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(broadcast(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a"))), "id_a")
+      .join(broadcast(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b"))), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (floor(col("shared") / greatest(col("n_a") + col("n_b") - col("shared"), lit(1))
+          .cast("double") * 10000.0) / 10000.0).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
   }
 

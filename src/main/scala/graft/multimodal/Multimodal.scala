@@ -1,0 +1,79 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for training-data pipelines: image/audio/video
+  * travel as opaque `binary` columns with typed metadata, processed
+  * per-partition so a real decoder amortizes library init across a
+  * batch of rows (the Spark-side plumbing — schema, batch shape,
+  * partition parallelism — is real; the codec itself is STUBBED:
+  * no image/audio libraries exist in this container).
+  */
+object Multimodal {
+
+  /** Typed metadata a decoder would emit. */
+  final case class MediaMeta(media_id: Long, n_bytes: Long, format: String,
+                             width: Int, height: Int, n_frames: Int)
+
+  /** One extracted feature row: fixed-dim float features per media. */
+  final case class MediaFeatures(media_id: Long, n_bytes: Long,
+                                 features: Array[Float])
+
+  /** STUB decode — deterministic fake metadata derived from the bytes.
+    * A real implementation calls the codec here (per partition, one
+    * decoder instance per task, rows streamed through it).
+    */
+  private[multimodal] def decodeStub(id: Long, data: Array[Byte]): MediaMeta = {
+    val h = java.util.Arrays.hashCode(data)
+    val fmt = (math.floorMod(h, 3)) match {
+      case 0 => "jpeg"; case 1 => "png"; case _ => "webp"
+    }
+    MediaMeta(id, data.length.toLong, fmt,
+      width = 64 + math.floorMod(h >> 2, 1024),
+      height = 64 + math.floorMod(h >> 12, 1024),
+      n_frames = 1)
+  }
+
+  /** STUB featurize — a deterministic fake embedding of the raw bytes
+    * (a real implementation runs the vision/audio model on the decoded
+    * batch). Keeps the real batch shape: one `mapPartitions` pass,
+    * features of fixed dimension.
+    */
+  private[multimodal] def featurizeStub(data: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var i = 0
+    var h = 1125899906842597L
+    while (i < data.length) { h = 31 * h + data(i); i += 1 }
+    var j = 0
+    while (j < dim) {
+      val v = h * (j * 2654435761L + 40503L)
+      out(j) = (math.floorMod(v, 2000001L) - 1000000L).toFloat / 1000000.0f
+      j += 1
+    }
+    out
+  }
+
+  /** Decode metadata for a (id, binary) DataFrame — per-partition map,
+    * no shuffle; decoder init amortized per task.
+    */
+  def decodeMeta(spark: SparkSession, media: DataFrame,
+                 idCol: String, dataCol: String): Dataset[MediaMeta] = {
+    import spark.implicits._
+    media.selectExpr(s"CAST($idCol AS BIGINT)", dataCol).as[(Long, Array[Byte])]
+      .mapPartitions { rows => rows.map { case (id, data) => decodeStub(id, data) } }
+  }
+
+  /** Feature extraction for a (id, binary) DataFrame. */
+  def extractFeatures(spark: SparkSession, media: DataFrame,
+                      idCol: String, dataCol: String,
+                      dim: Int = 64): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.selectExpr(s"CAST($idCol AS BIGINT)", dataCol).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, data) =>
+          MediaFeatures(id, data.length.toLong, featurizeStub(data, dim))
+        }
+      }
+  }
+}

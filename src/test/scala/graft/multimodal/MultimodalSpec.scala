@@ -1,0 +1,36 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class MultimodalSpec extends AnyFunSuite with SparkSpec {
+
+  private def media = {
+    import spark.implicits._
+    Seq((1L, "first blob".getBytes("UTF-8")),
+        (2L, "second longer binary blob".getBytes("UTF-8")))
+      .toDF("media_id", "data")
+  }
+
+  test("decode stub emits plausible deterministic metadata") {
+    val m1 = Multimodal.decodeMeta(spark, media, "media_id", "data").collect()
+      .sortBy(_.media_id)
+    val m2 = Multimodal.decodeMeta(spark, media, "media_id", "data").collect()
+      .sortBy(_.media_id)
+    assert(m1.toSeq == m2.toSeq)
+    assert(m1.map(_.media_id).toSeq == Seq(1L, 2L))
+    assert(m1.forall(m => m.width >= 64 && m.height >= 64 && m.n_bytes > 0))
+    assert(m1.forall(m => Set("jpeg", "png", "webp").contains(m.format)))
+  }
+
+  test("feature extraction keeps fixed dimension and [-1,1] range") {
+    val f = Multimodal.extractFeatures(spark, media, "media_id", "data", dim = 16)
+      .collect().sortBy(_.media_id)
+    assert(f.forall(_.features.length == 16))
+    assert(f.forall(_.features.forall(v => v >= -1f && v <= 1f)))
+    // different payloads → different features
+    assert(!f(0).features.sameElements(f(1).features))
+  }
+}
