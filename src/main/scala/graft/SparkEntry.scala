@@ -496,6 +496,23 @@ object SparkEntry {
               |FROM embeddings e, (${Sql.queryVector(0)}) q
               |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)),
 
+    // Similarity join: top-3 neighbors for each of the first 20 vectors
+    // (M×N generalization of the reference's 1×N search)
+    Q("sim_join_topk",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+          .select(col("vec_id").as("id"), col("embedding"))
+        Knn.similarityJoin(emb.where(col("id") < 20), emb, k = 3)
+          .orderBy("left_id", "rank")
+      },
+      Some(s"""SELECT left_id, right_id, score, CAST(rn AS INTEGER) AS rank FROM (
+              | SELECT l.vec_id AS left_id, r.vec_id AS right_id,
+              |  ${Sql.l2("l.embedding", "r.embedding")} AS score,
+              |  row_number() OVER (PARTITION BY l.vec_id
+              |    ORDER BY ${Sql.l2("l.embedding", "r.embedding")}, r.vec_id) AS rn
+              | FROM (SELECT * FROM embeddings WHERE vec_id < 20) l, embeddings r)
+              |WHERE rn <= 3 ORDER BY left_id, rank""".stripMargin)),
+
     // IVF (KMeans coarse quantizer) probe search — approximate scale
     // path (rows-only; recall vs brute force pinned by AnnSpec)
     Q("ann_ivf_topk",

@@ -61,4 +61,28 @@ object Knn {
       .where(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** Similarity join — the M×N generalization of the reference's 1×N
+    * search (SURVEY §2.7): for every left row, its k nearest right rows
+    * by L2. Brute force with the right side broadcast; the per-left-row
+    * top-k runs as a window with `WindowGroupLimit` (per-partition heap
+    * before any exchange). At corpus×corpus scale, pre-filter pairs
+    * with the IVF cluster id or MinHash bands before this join — the
+    * ranking semantics stay identical.
+    *
+    * `left`/`right`: (id, embedding) frames; output (left_id, right_id,
+    * score, rank), deterministic via rounded-score + id tie-break.
+    */
+  def similarityJoin(left: DataFrame, right: DataFrame, k: Int,
+                     roundTo: Int = 4): DataFrame = {
+    val l = left.select(col("id").as("left_id"), col("embedding").as("l_emb"))
+    val r = right.select(col("id").as("right_id"), col("embedding").as("r_emb"))
+    val w = Window.partitionBy(col("left_id"))
+      .orderBy(col("score").asc, col("right_id").asc)
+    l.crossJoin(broadcast(r))
+      .withColumn("score", round(Distance.l2(col("l_emb"), col("r_emb")), roundTo))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("left_id"), col("right_id"), col("score"), col("rank"))
+  }
 }

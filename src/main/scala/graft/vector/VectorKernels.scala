@@ -1,0 +1,128 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Fused codegen kernels for vector distance — the "single
+  * highest-value custom kernel" from SURVEY §4 (the role Milvus's SIMD
+  * L2 loop plays in the reference, `/root/reference/extract_and_embed.py:54`).
+  *
+  * The built-in composition (`zip_with` + `aggregate`) is correct but
+  * those higher-order functions evaluate interpreted, building an
+  * intermediate boxed array per row. These expressions generate one
+  * primitive `for` loop over the two `ArrayData` float buffers inside
+  * whole-stage codegen — no allocation, no boxing, JIT-vectorizable.
+  *
+  * Numeric contract: identical results to [[Distance]]'s built-in
+  * forms — float→double widening per element, strict left-to-right
+  * accumulation, same final ops — so swapping kernels can never move a
+  * rounded score.
+  */
+object VectorKernels {
+
+  sealed abstract class FusedVectorOp(name: String) {
+    /** Java statements computing `resultVar` from two ArrayData vars. */
+    def gen(a: String, b: String, n: String, result: String): String
+    /** Interpreted twin (same op order). */
+    def eval(a: ArrayData, b: ArrayData, n: Int): Double
+  }
+
+  case object L2 extends FusedVectorOp("graft_l2") {
+    def gen(a: String, b: String, n: String, result: String): String =
+      s"""double acc = 0.0;
+         |for (int i = 0; i < $n; i++) {
+         |  double d = (double) $a.getFloat(i) - (double) $b.getFloat(i);
+         |  acc += d * d;
+         |}
+         |$result = Math.sqrt(acc);""".stripMargin
+    def eval(a: ArrayData, b: ArrayData, n: Int): Double = {
+      var acc = 0.0; var i = 0
+      while (i < n) {
+        val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+        acc += d * d; i += 1
+      }
+      math.sqrt(acc)
+    }
+  }
+
+  case object Dot extends FusedVectorOp("graft_dot") {
+    def gen(a: String, b: String, n: String, result: String): String =
+      s"""double acc = 0.0;
+         |for (int i = 0; i < $n; i++) {
+         |  acc += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |}
+         |$result = acc;""".stripMargin
+    def eval(a: ArrayData, b: ArrayData, n: Int): Double = {
+      var acc = 0.0; var i = 0
+      while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+      acc
+    }
+  }
+
+  /** dot / (‖a‖·‖b‖), with the three sums accumulated in separate
+    * left-to-right passes' order (single fused loop, independent
+    * accumulators — addition order per accumulator matches the
+    * built-in form).
+    */
+  case object Cosine extends FusedVectorOp("graft_cosine") {
+    def gen(a: String, b: String, n: String, result: String): String =
+      s"""double dot = 0.0; double na = 0.0; double nb = 0.0;
+         |for (int i = 0; i < $n; i++) {
+         |  double x = (double) $a.getFloat(i);
+         |  double y = (double) $b.getFloat(i);
+         |  dot += x * y; na += x * x; nb += y * y;
+         |}
+         |$result = dot / (Math.sqrt(na) * Math.sqrt(nb));""".stripMargin
+    def eval(a: ArrayData, b: ArrayData, n: Int): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+  }
+
+  /** Binary expression over two `array<float>` columns; iterates over
+    * the common prefix (min length), matching `zip_with` semantics for
+    * equal-length inputs.
+    */
+  case class VectorDistance(left: Expression, right: Expression, op: FusedVectorOp)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = op.toString.toLowerCase + "_distance"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      op.eval(x, y, math.min(x.numElements(), y.numElements()))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        s"""int $n = Math.min($a.numElements(), $b.numElements());
+           |${op.gen(a, b, n, ev.value)}""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(newLeft: Expression,
+                                                   newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def l2(a: Column, b: Column): Column =
+    GraftColumnBridge.column(VectorDistance(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b), L2))
+
+  def dot(a: Column, b: Column): Column =
+    GraftColumnBridge.column(VectorDistance(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b), Dot))
+
+  def cosine(a: Column, b: Column): Column =
+    GraftColumnBridge.column(VectorDistance(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b), Cosine))
+}

@@ -35,4 +35,21 @@ class DistanceSpec extends AnyFunSuite with SparkSpec {
   test("dot product matches hand computation") {
     assert(eval(Distance.dot, Seq(1f, 2f, 3f), Seq(4f, 5f, 6f)) == 32.0)
   }
+
+  test("fused codegen kernels are bit-identical to the built-in forms") {
+    import spark.implicits._
+    // fixture vectors with awkward floats to exercise accumulation order
+    val rows = Seq(
+      (Seq(0.1f, -2.7f, 3.333f, 9.81f), Seq(1.0f, 0.003f, -8.25f, 0.5f)),
+      (Seq(1e-8f, 1e8f, -1e-8f, -1e8f), Seq(5f, -5f, 5f, -5f)))
+    val df = rows.toDF("a", "b")
+    val out = df.select(
+      (Distance.l2($"a", $"b") === Distance.l2Builtin($"a", $"b")).as("l2eq"),
+      (Distance.dot($"a", $"b") === Distance.dotBuiltin($"a", $"b")).as("doteq"),
+      (Distance.cosine($"a", $"b") === Distance.cosineBuiltin($"a", $"b")).as("coseq"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2))
+    }
+  }
 }
