@@ -12,6 +12,8 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // strip JVM/session warmup out of the first measured query
+    spark.range(100).count()
     // dev aid: SPARK_GRAFT_ONLY=q1,q2 restricts the benchmarked set
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (name, _) =>

@@ -93,24 +93,13 @@ object Dedup {
       (if (a == 0) 1L else a, b)
     }
 
-  // single array Literals (typedlit), not CreateArray-of-literals:
-  // inside an interpreted higher-order lambda the latter re-materializes
-  // the 64-element array on every invocation
-  private val permA = typedlit(perms.map(_._1))
-  private val permB = typedlit(perms.map(_._2))
-
-  /** 64-element minhash signature of a shingle array: a single fold
-    * over the (once-computed) shingle hashes, updating all 64 minima
-    * per step — keeps the expression tree and generated code small
-    * (the naive 64-independent-array_min form duplicates the shingle
-    * hashing subtree 64× and produces multi-MiB codegen).
+  /** 64-element minhash signature of a shingle array — delegates to the
+    * codegen kernel ([[MinHashKernel]]): one generated loop, primitive
+    * state. (A pure-built-in fold exists in git history; higher-order
+    * functions evaluate interpreted and dominated the LSH pipeline.)
     */
-  def minhashSignature(sh: Column): Column = {
-    val hashed = transform(sh, s => pmod(xxhash64(s), lit(P)))
-    aggregate(hashed, array_repeat(lit(P), NumPerms),
-      (acc, h) => transform(acc, (m, i) =>
-        least(m, pmod(h * element_at(permA, i + 1) + element_at(permB, i + 1), lit(P)))))
-  }
+  def minhashSignature(sh: Column): Column =
+    MinHashKernel.signature(sh, perms.map(_._1), perms.map(_._2))
 
   /** LSH band keys: one 64-bit key per band over its signature slice.
     * Rows with any equal band key become candidate pairs.
