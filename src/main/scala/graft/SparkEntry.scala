@@ -11,7 +11,7 @@ import graft.oracle.Sql
 import graft.sources.Tables
 import graft.stats.WinStats
 import graft.text.{ChunkPacker, TextAnalysis}
-import graft.vector.{Ann, Distance, Knn}
+import graft.vector.{Ann, Distance, GroupedTopK, Knn}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -495,6 +495,23 @@ object SparkEntry {
               | ${Sql.cosine("e.embedding", "q.q_emb")} AS sim
               |FROM embeddings e, (${Sql.queryVector(0)}) q
               |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // Grouped top-k via the bounded-state aggregate (scale alternative
+    // to window row_number): top-3 nearest per court level
+    Q("grouped_topk_per_level",
+      (s, dir) => {
+        val scored = Knn.scored(Pipelines.caseCorpus(s, dir),
+            Pipelines.queryVector(s, dir), col("embedding"), Distance.l2)
+          .select(col("court_level"), col("vec_id").as("id"), col("score"))
+        GroupedTopK.topKPerGroup(scored, col("court_level"), k = 3)
+          .orderBy("court_level", "rank")
+      },
+      Some(s"""SELECT court_level, vec_id AS id, score, CAST(rn AS INTEGER) AS rank FROM (
+              | SELECT c.court_level, c.vec_id, ${Sql.l2("c.embedding", "q.q_emb")} AS score,
+              |  row_number() OVER (PARTITION BY c.court_level
+              |    ORDER BY ${Sql.l2("c.embedding", "q.q_emb")}, c.vec_id) AS rn
+              | FROM (${Sql.caseCorpus}) c, (${Sql.queryVector(0)}) q)
+              |WHERE rn <= 3 ORDER BY court_level, rank""".stripMargin)),
 
     // Similarity join: top-3 neighbors for each of the first 20 vectors
     // (M×N generalization of the reference's 1×N search)
