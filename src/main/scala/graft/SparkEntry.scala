@@ -213,6 +213,25 @@ object SparkEntry {
              | FROM events)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Hierarchical rollup (grouping-sets family — beyond the reference
+    // surface, SURVEY §2.7). Grouping-null rows are marked explicitly
+    // so the driver's column-sorted hash compare can't confuse
+    // subtotal rows with data rows.
+    Q("q_rollup_lineitem",
+      (s, dir) => Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("<all>")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("<all>")).as("l_linestatus"),
+          col("sum_qty"), col("n"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
+             | coalesce(l_linestatus, '<all>') AS l_linestatus,
+             | sum(l_quantity) AS sum_qty, count(*) AS n
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY 1, 2""".stripMargin)),
+
     // JSON-ish property extraction (S6 analog) + grouped rollup.
     Q("q_events_json_extract",
       (s, dir) => Tables.events(s, dir)

@@ -54,4 +54,15 @@ class IngestSpec extends AnyFunSuite with SparkSpec {
     val ids = table.select("chunk_id").collect().map(_.getLong(0))
     assert(ids.distinct.length == ids.length)
   }
+
+  test("court_level write partitioning turns the flagship filter into partition pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunks").toString
+    Ingest.write(table, dir)
+    val read = spark.read.parquet(dir).where(col("court_level") === 1)
+    val plan = read.queryExecution.executedPlan.toString
+    // the scan must prune on the partition column, not post-filter rows
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("court_level"), s"no partition pruning in plan:\n$plan")
+    assert(read.count() > 0)
+  }
 }
