@@ -213,6 +213,37 @@ object SparkEntry {
              | FROM events)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // As-of join: each purchase matched to the user's latest prior (or
+    // same-instant) view — union + carry-forward window, one shuffle
+    Q("q_events_asof_join",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val views = ev.where(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("value").as("view_value"))
+        graft.operators.AsOfJoin.asOf(purchases, views, "user_id", "ts",
+          Seq("view_value"))
+          .select(col("event_id"), col("user_id"), col("value"), col("view_value"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT p.event_id, p.user_id, p.value, v.value AS view_value
+             |FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') p
+             |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
+             |  ON p.user_id = v.user_id AND v.ts <= p.ts
+             |ORDER BY event_id""".stripMargin)),
+
+    // Exact epoch time-bucket aggregation (10-minute buckets in pure
+    // integer nanos arithmetic — engine-alignment-free)
+    Q("q_events_time_buckets",
+      (s, dir) => Tables.events(s, dir)
+        .select(expr("ts div 600000000000").as("bucket"), col("event_type"))
+        .groupBy("bucket", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket", "event_type"),
+      Some("""SELECT epoch_ns(ts) // 600000000000 AS bucket, event_type, count(*) AS n
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Hierarchical rollup (grouping-sets family — beyond the reference
     // surface, SURVEY §2.7). Grouping-null rows are marked explicitly
     // so the driver's column-sorted hash compare can't confuse
