@@ -263,6 +263,64 @@ object SparkEntry {
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
              |ORDER BY 1, 2""".stripMargin)),
 
+    // Set operations (union/intersect/except with set semantics)
+    Q("q_set_ops",
+      (s, dir) => {
+        val a = Tables.customer(s, dir).where(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("k"))
+        val b = Tables.orders(s, dir).where(col("o_totalprice") > 150000.0)
+          .select(col("o_custkey").as("k"))
+        val nUnion     = a.union(b).distinct().agg(count(lit(1)).as("n_union"))
+        val nIntersect = a.intersect(b).agg(count(lit(1)).as("n_intersect"))
+        val nExcept    = a.except(b).agg(count(lit(1)).as("n_except"))
+        nUnion.crossJoin(nIntersect).crossJoin(nExcept)
+      },
+      Some("""SELECT
+             | (SELECT count(*) FROM (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+             |   UNION SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0)) AS n_union,
+             | (SELECT count(*) FROM (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+             |   INTERSECT SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0)) AS n_intersect,
+             | (SELECT count(*) FROM (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+             |   EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0)) AS n_except""".stripMargin)),
+
+    // Exact distinct cardinalities per group
+    Q("q_count_distinct",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+             countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+             | count(DISTINCT l_suppkey) AS n_supps
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Salting demo: two-phase aggregation over a salted key — the skew
+    // mitigation for hot groups — must equal the plain aggregation
+    // (the oracle IS the unsalted form)
+    Q("q_salted_agg",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), pmod(col("l_orderkey"), lit(16)).as("__salt"))
+        .agg(sum("l_quantity").as("partial_qty"), count(lit(1)).as("partial_n"))
+        .groupBy("l_returnflag")
+        .agg(sum("partial_qty").as("sum_qty"), sum("partial_n").cast("long").as("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Exact interpolated percentiles (both engines use the standard
+    // R-7 continuous quantile; floor-truncated to absorb last-ulp)
+    Q("q_percentiles",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          (floor(expr("percentile(l_extendedprice, 0.5)") * 10000.0) / 10000.0).as("p50"),
+          (floor(expr("percentile(l_extendedprice, 0.9)") * 10000.0) / 10000.0).as("p90"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             | (floor(quantile_cont(l_extendedprice, 0.5) * 10000.0) / 10000.0) AS p50,
+             | (floor(quantile_cont(l_extendedprice, 0.9) * 10000.0) / 10000.0) AS p90
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // JSON-ish property extraction (S6 analog) + grouped rollup.
     Q("q_events_json_extract",
       (s, dir) => Tables.events(s, dir)
