@@ -193,32 +193,14 @@ object Dedup {
 
   // ---- SimHash --------------------------------------------------------
 
-  /** Number of SimHash signature bits. 32 keeps the whole signature a
-    * single-pass expression fold with exact power-of-two arithmetic in
-    * doubles (< 2^53); a 64-bit variant belongs in a custom codegen
-    * Expression (planned phase-2 kernel).
+  /** 64-bit SimHash over whitespace tokens: bit i of the signature is
+    * the sign of Σ_tokens (2·bit_i(hash(token)) − 1). Near-identical
+    * texts land within a few bits of Hamming distance. Delegates to the
+    * codegen kernel ([[MinHashKernel.simhash64]]); a 32-bit pure-HOF
+    * fold lives in git history.
     */
-  val SimhashBits = 32
-
-  /** SimHash over whitespace tokens: bit i of the signature is the
-    * sign of Σ_tokens (2·bit_i(hash(token)) − 1). Near-identical texts
-    * land within a few bits of Hamming distance. One fold over the
-    * token hashes updates all bit-counters per step.
-    */
-  def simhash(text: Column): Column = {
-    val tokens = split(trim(lower(text)), "\\s+")
-    // token hash folded into [0, 2^32)
-    val hashed = transform(tokens, t => pmod(xxhash64(t), lit(4294967296L)))
-    val counts = aggregate(hashed, array_repeat(lit(0L), SimhashBits),
-      (acc, h) => transform(acc, (s, i) => {
-        val bit = pmod(floor(h / pow(lit(2.0), i.cast("double"))).cast("long"), lit(2L))
-        s + when(bit === 1L, 1L).otherwise(-1L)
-      }))
-    aggregate(
-      zip_with(counts, sequence(lit(0), lit(SimhashBits - 1)),
-        (c, i) => when(c > 0, pow(lit(2.0), i.cast("double")).cast("long")).otherwise(0L)),
-      lit(0L), (acc, v) => acc + v)
-  }
+  def simhash(text: Column): Column =
+    MinHashKernel.simhash64(split(trim(lower(text)), "\\s+"))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

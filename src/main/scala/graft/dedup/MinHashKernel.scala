@@ -92,4 +92,72 @@ object MinHashKernel {
   def signature(shingles: Column, permA: Seq[Long], permB: Seq[Long]): Column =
     GraftColumnBridge.column(MinHashSignature(
       GraftColumnBridge.expression(shingles), permA.toArray, permB.toArray))
+
+  /** 64-bit SimHash over an `array<string>` token column: bit i of the
+    * signature is the sign of Σ_tokens (2·bit_i(fnv64(token)) − 1).
+    * The generated loop keeps a 64-int counter array and folds it to
+    * one long — no expression-level shift-by-column restriction, full
+    * 64 bits (the HOF form was capped at 32 by exact-double math).
+    */
+  case class SimHash64(child: Expression) extends UnaryExpression {
+
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+    override def prettyName: String = "simhash64"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val counts = new Array[Int](64)
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        val bytes = arr.getUTF8String(i).getBytes
+        var h = FnvOffset
+        var j = 0
+        while (j < bytes.length) { h ^= (bytes(j) & 0xffL); h *= FnvPrime; j += 1 }
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+      java.lang.Long.valueOf(sig)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, input => {
+        val counts = ctx.freshName("counts")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val b = ctx.freshName("b")
+        val h = ctx.freshName("h")
+        val bs = ctx.freshName("bs")
+        val sig = ctx.freshName("sig")
+        s"""int[] $counts = new int[64];
+           |for (int $i = 0; $i < $input.numElements(); $i++) {
+           |  byte[] $bs = $input.getUTF8String($i).getBytes();
+           |  long $h = ${FnvOffset}L;
+           |  for (int $j = 0; $j < $bs.length; $j++) {
+           |    $h ^= ($bs[$j] & 0xffL); $h *= ${FnvPrime}L;
+           |  }
+           |  for (int $b = 0; $b < 64; $b++) {
+           |    if ((($h >>> $b) & 1L) == 1L) $counts[$b]++; else $counts[$b]--;
+           |  }
+           |}
+           |long $sig = 0L;
+           |for (int $b = 0; $b < 64; $b++) {
+           |  if ($counts[$b] > 0) $sig |= (1L << $b);
+           |}
+           |${ev.value} = $sig;""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def simhash64(tokens: Column): Column =
+    GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(tokens)))
 }

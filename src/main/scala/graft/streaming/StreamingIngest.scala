@@ -23,20 +23,38 @@ object StreamingIngest {
                      schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(inputDir)
 
-  /** The per-document ingest projection (classification + embedding) —
-    * shared shape with batch [[graft.api.Ingest]]; chunking is omitted
-    * on the streaming path in round 1 (stateless projections only).
+  /** One streamed chunk row carrying its document-level attributes. */
+  final case class StreamChunk(key: String, chunk_idx: Int, chunk_text: String,
+                               court_level: Int, case_decision: String)
+
+  /** The per-document ingest pipeline: classify at document level, then
+    * chunk via a typed flatMap that carries the document attributes
+    * along (documents are independent, so chunking is stateless with
+    * respect to the stream and runs incrementally — no stream-stream
+    * join, no state store), then embed chunk-parallel. Same semantics
+    * as batch [[graft.api.Ingest]].
     */
   def ingestColumns(docs: DataFrame, idCol: Column, textCol: Column,
                     courtLevel: Column, embedder: Embedder): DataFrame = {
-    val fileName = concat(lit("doc_"), idCol.cast("string"), lit(".pdf"))
-    docs.select(
-      textCol.as("text"),
-      embedder.embed(textCol).as("embedding"),
-      fileName.as("file_name"),
-      sha2(fileName, 256).as("file_id"),
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val attrs = docs.select(
+      idCol.cast("string").as("key"),
+      textCol.as("doc_text"),
       courtLevel.cast("int").as("court_level"),
       Cascades.decision(textCol).as("case_decision"))
+    val chunks = attrs.as[(String, String, Int, String)].flatMap {
+      case (key, text, lvl, dec) =>
+        graft.text.ChunkPacker.chunkText(if (text == null) "" else text)
+          .zipWithIndex.map { case (c, i) => StreamChunk(key, i, c, lvl, dec) }
+    }
+    chunks.toDF()
+      .select(
+        col("chunk_text").as("text"),
+        embedder.embed(col("chunk_text")).as("embedding"),
+        concat(lit("doc_"), col("key"), lit(".pdf")).as("file_name"),
+        sha2(concat(lit("doc_"), col("key"), lit(".pdf")), 256).as("file_id"),
+        col("court_level"), col("case_decision"), col("chunk_idx"))
   }
 
   /** Start the file-drop → chunk-table pipeline. `Trigger.AvailableNow`

@@ -40,6 +40,18 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.5, s"recall@10 = $recall")
   }
 
+  test("cluster_id write partitioning makes IVF probes partition-prunable") {
+    val idx = Ann.buildIvf(corpus, nlist = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    idx.assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(dir)
+    val probed = spark.read.parquet(dir)
+      .where(org.apache.spark.sql.functions.col("cluster_id").isin(0, 1))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster_id"),
+      s"no partition pruning in plan:\n$plan")
+    assert(probed.count() > 0)
+  }
+
   test("cosine top-k self-match: the query vector ranks itself first") {
     val q = spark.createDataFrame(Seq(Tuple1(queryVec))).toDF("q_emb")
     val top = Ann.cosineTopK(corpus, q, col("embedding"), col("vec_id"), 3)
