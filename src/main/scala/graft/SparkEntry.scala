@@ -569,9 +569,11 @@ object SparkEntry {
               | count(*) AS n_dups, min(doc_id) AS keeper_id
               |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin)),
 
-    // Brute-force n-gram Jaccard near-dup pairs (quadratic oracle baseline)
+    // Exact n-gram Jaccard near-dup pairs via the prefix-filtered
+    // similarity join (rarest-shingles index; provably lossless above
+    // threshold) — the all-pairs DuckDB oracle validates the rewrite
     Q("dedup_ngram_jaccard",
-      (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir),
+      (s, dir) => Dedup.ngramJaccardPairsPrefix(Tables.documents(s, dir),
           col("doc_id"), Enrich.dedupContent(col("text"), col("doc_id")))
         .orderBy("id_a", "id_b"),
       Some(Dedup.ngramJaccardPairsSql("documents", "doc_id",

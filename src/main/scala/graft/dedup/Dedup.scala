@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.oracle.Sql
@@ -189,6 +190,46 @@ object Dedup {
        | FROM (SELECT $idExpr AS id, $sh AS sh FROM $table) l
        | JOIN (SELECT $idExpr AS id, $sh AS sh FROM $table) r ON l.id < r.id)
        |WHERE jaccard >= $minJaccard""".stripMargin
+  }
+
+  /** Exact n-gram Jaccard pairs with prefix filtering (the PPJoin
+    * family's position-free prefix filter, public literature): order
+    * each document's shingles by ascending global document frequency
+    * (rarest first) and index only the first
+    * `|s| − ⌈t·|s|⌉ + 1` of them. Any pair with Jaccard ≥ t must share
+    * at least one prefix shingle (if not, the overlap is at most
+    * min(⌈t·|a|⌉−1, ⌈t·|b|⌉−1) < t/(1+t)·(|a|+|b|), contradicting
+    * Jaccard ≥ t), so candidate generation over the prefix index loses
+    * nothing; full-set verification then computes the exact Jaccard.
+    *
+    * Versus the full inverted index: the join fans out only on rare
+    * shingles, so hot shingles (ubiquitous n-grams in low-entropy text)
+    * never explode the candidate set — the property that keeps an exact
+    * similarity join feasible at corpus scale.
+    */
+  def ngramJaccardPairsPrefix(df: DataFrame, idCol: Column, textCol: Column,
+                              n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val base = df.select(idCol.as("id"), array_distinct(shingles(textCol, n)).as("sh"))
+    val inv  = base.select(col("id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("shingle"))
+    val freq = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // rank each doc's shingles rarest-first; keep the prefix
+    val w = Window.partitionBy(col("id")).orderBy(col("df").asc, col("shingle").asc)
+    val prefix = inv.join(freq, "shingle")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= col("n_sh") - ceil(col("n_sh") * minJaccard) + 1)
+      .select(col("id"), col("shingle"))
+    val cands = prefix.as("l")
+      .join(prefix.as("r"), col("l.shingle") === col("r.shingle")
+        && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    val sets = base
+    val verified = cands
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+    verified.where(col("jaccard") >= minJaccard)
   }
 
   // ---- SimHash --------------------------------------------------------

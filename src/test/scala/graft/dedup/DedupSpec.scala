@@ -54,6 +54,15 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(lsh == brute)   // at jaccard≥0.9 LSH recall is ~certain
   }
 
+  test("prefix-filtered jaccard join equals the full inverted-index join") {
+    val full = Dedup.ngramJaccardPairs(docs, col("id"), col("text"), minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pref = Dedup.ngramJaccardPairsPrefix(docs, col("id"), col("text"), minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pref == full)
+    assert(full.nonEmpty)   // the planted near-dup pair survives at 0.3
+  }
+
   test("simhash: identical text → identical signature; near text → low hamming") {
     import spark.implicits._
     val sigs = docs.select(col("id"), Dedup.simhash(col("text")).as("sig"))
