@@ -94,6 +94,10 @@ object Dedup {
       (if (a == 0) 1L else a, b)
     }
 
+  /** Published permutation parameters (SQL-function registration). */
+  def permParamsA: Seq[Long] = perms.map(_._1)
+  def permParamsB: Seq[Long] = perms.map(_._2)
+
   /** 64-element minhash signature of a shingle array — delegates to the
     * codegen kernel ([[MinHashKernel]]): one generated loop, primitive
     * state. (A pure-built-in fold exists in git history; higher-order

@@ -1,0 +1,50 @@
+package graft.ext
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.dedup.{Dedup, MinHashKernel}
+import graft.vector.VectorKernels
+
+/** The engine's custom kernels as SQL functions, so `spark.sql(...)`
+  * users get the same codegen operators as the Column API. Two entry
+  * points over one function table:
+  *
+  *  - at session build: `.withExtensions(new GraftExtensions)`
+  *    (the same extension point a `SparkStrategy` or optimizer `Rule`
+  *    would use; those stay unnecessary here because the engine's
+  *    operators compose to physical shapes — TakeOrderedAndProject,
+  *    WindowGroupLimit, hash joins — a custom node would replicate);
+  *  - on a live session: `GraftFunctions.register(spark)`.
+  */
+object GraftFunctions {
+
+  val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_l2", "graft_l2(a, b) - L2 distance between float vectors",
+      exprs => VectorKernels.VectorDistance(exprs(0), exprs(1), VectorKernels.L2)),
+    ("graft_dot", "graft_dot(a, b) - dot product of float vectors",
+      exprs => VectorKernels.VectorDistance(exprs(0), exprs(1), VectorKernels.Dot)),
+    ("graft_cosine", "graft_cosine(a, b) - cosine similarity of float vectors",
+      exprs => VectorKernels.VectorDistance(exprs(0), exprs(1), VectorKernels.Cosine)),
+    ("graft_simhash64", "graft_simhash64(tokens) - 64-bit SimHash of a string array",
+      exprs => MinHashKernel.SimHash64(exprs.head)),
+    ("graft_minhash", "graft_minhash(shingles) - 64-permutation MinHash signature",
+      exprs => MinHashKernel.MinHashSignature(exprs.head,
+        Dedup.permParamsA.toArray, Dedup.permParamsB.toArray)))
+
+  /** Register on an already-running session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, usage, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", null, name, usage, ""), builder))
+    }
+}

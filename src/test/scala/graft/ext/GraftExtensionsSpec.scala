@@ -1,0 +1,34 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** The kernel SQL surface: registered functions resolve and agree with
+  * the Column API.
+  */
+class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
+
+  test("registered SQL functions evaluate the codegen kernels") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT
+        |  graft_l2(array(CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |           array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS l2,
+        |  graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |            array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS dot,
+        |  graft_cosine(array(CAST(2.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |               array(CAST(5.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS cos,
+        |  graft_simhash64(array('alpha', 'beta')) AS sh,
+        |  size(graft_minhash(array('a b c', 'b c d'))) AS sig_len
+        |""".stripMargin).collect().head
+    assert(row.getAs[Double]("l2") == 5.0)
+    assert(row.getAs[Double]("dot") == 11.0)
+    assert(math.abs(row.getAs[Double]("cos") - 1.0) < 1e-12)
+    // simhash of a fixed token list is a fixed signature
+    val again = spark.sql("SELECT graft_simhash64(array('alpha', 'beta')) AS sh")
+      .collect().head.getAs[Long]("sh")
+    assert(row.getAs[Long]("sh") == again)
+    assert(row.getAs[Int]("sig_len") == 64)
+  }
+}
