@@ -45,6 +45,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(e: SparkSessionExtensions): Unit =
     GraftFunctions.all.foreach { case (name, usage, builder) =>
       e.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo("graft", null, name, usage, ""), builder))
+        new ExpressionInfo("graft.ext.GraftFunctions", null, name), builder))
     }
 }

@@ -36,4 +36,22 @@ class StreamingIngestSpec extends AnyFunSuite with SparkSpec {
     assert(result.select("court_level").collect().forall(_.getInt(0) == 2))
     assert(result.select("embedding").collect().forall(_.getSeq[Float](0).length == 8))
   }
+
+  test("watermarked windowed counts bucket events into 10-minute windows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // same aggregation shape works on a batch frame; windows align to epoch
+    val events = Seq(
+      ("2024-01-01 00:01:00", "click"), ("2024-01-01 00:04:30", "click"),
+      ("2024-01-01 00:12:00", "click"), ("2024-01-01 00:03:00", "view"))
+      .toDF("ts_str", "event_type")
+      .select(to_timestamp($"ts_str").as("ts"), $"event_type")
+    val out = StreamingIngest.windowedEventCounts(events, $"ts", $"event_type")
+      .select($"window.start".cast("string").as("start"), $"event_type", $"count")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set(
+      ("2024-01-01 00:00:00", "click", 2L),
+      ("2024-01-01 00:10:00", "click", 1L),
+      ("2024-01-01 00:00:00", "view", 1L)))
+  }
 }
