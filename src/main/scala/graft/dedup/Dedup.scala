@@ -43,6 +43,26 @@ object Dedup {
        | i -> array_to_string(list_slice($tokens, i, i + ${n - 1}), ' '))""".stripMargin
   }
 
+  /** Word n-gram shingles as a SORTED DISTINCT `array<long>` of 64-bit
+    * hashes ([[ShingleKernel.ShingleHash64]]) — the scale form every
+    * pipeline below runs on. One codegen loop per row; recompute under
+    * self-joins is cheap and shuffle payloads are 8-byte longs. Same
+    * set semantics as `array_distinct(shingles(text, n))` up to 64-bit
+    * hash collisions.
+    */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    ShingleKernel.shingleHash64(split(trim(text), "\\s+"), n)
+
+  /** Jaccard of two sorted distinct hash arrays: linear merge intersect
+    * ([[ShingleKernel.SortedIntersectCount]]), same floor-truncated 4dp
+    * contract as [[jaccard]].
+    */
+  def jaccardSorted(a: Column, b: Column): Column = {
+    val inter = ShingleKernel.sortedIntersectCount(a, b)
+    val union = size(a) + size(b) - inter
+    floor(inter / greatest(union, lit(1)).cast("double") * 10000.0) / 10000.0
+  }
+
   /** Jaccard similarity of two shingle arrays (distinct-set semantics),
     * floor-truncated to 4dp (cross-engine deterministic).
     */
@@ -106,6 +126,12 @@ object Dedup {
   def minhashSignature(sh: Column): Column =
     MinHashKernel.signature(sh, perms.map(_._1), perms.map(_._2))
 
+  /** Signature over pre-hashed shingles ([[shingleHashes]]) — identical
+    * values to [[minhashSignature]] on the same shingle set.
+    */
+  def minhashSignatureFromHashes(sh: Column): Column =
+    MinHashKernel.signatureFromHashes(sh, perms.map(_._1), perms.map(_._2))
+
   /** LSH band keys: one 64-bit key per band over its signature slice.
     * Rows with any equal band key become candidate pairs.
     */
@@ -124,25 +150,15 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, idCol: Column, textCol: Column,
                    n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
-    // The signature is an (interpreted) higher-order fold — the most
-    // expensive scalar in the pipeline. Two plan obligations: (a) a
-    // repartition *below* the fold spreads it across cores (a single
-    // parquet file otherwise computes every signature in one task);
-    // (b) band keys are derived by exploding literal band indices so
-    // the signature array travels through the Generate as a plain
-    // attribute — inlining `explode(bandKeys(sig))` would re-evaluate
-    // the whole fold once per band.
-    val base = df.select(idCol.as("id"), array_distinct(shingles(textCol, n)).as("sh"))
-      .repartition(col("id"))
-      .withColumn("sig", minhashSignature(col("sh")))
+    // Every stage is a codegen kernel (shingle-hash → signature → band
+    // keys), so the subtree is cheap to re-evaluate on both sides of
+    // the self-join — no caching or pre-shuffle needed; the band-key
+    // equi-join provides the only required exchange.
+    val base = df.select(idCol.as("id"), shingleHashes(textCol, n).as("sh"))
+      .withColumn("sig", minhashSignatureFromHashes(col("sh")))
     val exploded = base
-      .select(col("id"), col("sig"),
-        explode(typedlit((0 until NumBands).toList)).as("band"))
       .select(col("id"),
-        xxhash64(col("band"),
-          array_join(
-            transform(slice(col("sig"), col("band") * RowsPerBand + 1, lit(RowsPerBand)),
-              v => v.cast("string")), "_")).as("band_key"))
+        explode(ShingleKernel.bandHash64(col("sig"), NumBands)).as("band_key"))
     val cands = exploded.as("l")
       .join(exploded.as("r"), col("l.band_key") === col("r.band_key")
         && col("l.id") < col("r.id"))
@@ -153,7 +169,8 @@ object Dedup {
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
     withSh
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .select(col("id_a"), col("id_b"),
+        jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
   }
 
@@ -169,7 +186,7 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
                         n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
-    val base  = df.select(idCol.as("id"), array_distinct(shingles(textCol, n)).as("sh"))
+    val base  = df.select(idCol.as("id"), shingleHashes(textCol, n).as("sh"))
     val sizes = base.select(col("id"), size(col("sh")).as("n_sh"))
     val inv   = base.select(col("id"), explode(col("sh")).as("shingle"))
     val shared = inv.as("l")
@@ -213,7 +230,7 @@ object Dedup {
     */
   def ngramJaccardPairsPrefix(df: DataFrame, idCol: Column, textCol: Column,
                               n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
-    val base = df.select(idCol.as("id"), array_distinct(shingles(textCol, n)).as("sh"))
+    val base = df.select(idCol.as("id"), shingleHashes(textCol, n).as("sh"))
     val inv  = base.select(col("id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("shingle"))
     val freq = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -232,7 +249,8 @@ object Dedup {
     val verified = cands
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .select(col("id_a"), col("id_b"),
+        jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
     verified.where(col("jaccard") >= minJaccard)
   }
 

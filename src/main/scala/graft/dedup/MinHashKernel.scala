@@ -93,6 +93,68 @@ object MinHashKernel {
     GraftColumnBridge.column(MinHashSignature(
       GraftColumnBridge.expression(shingles), permA.toArray, permB.toArray))
 
+  /** MinHash signature over PRE-HASHED shingles (`array<long>` of raw
+    * FNV-1a-64 values, e.g. [[ShingleKernel.ShingleHash64]] output).
+    * Skips the per-string byte loop; `floorMod(h, p)` then the affine
+    * family — bit-identical signatures to [[MinHashSignature]] fed the
+    * corresponding shingle strings.
+    */
+  case class MinHashFromHashes(child: Expression, permA: Array[Long], permB: Array[Long])
+      extends UnaryExpression {
+
+    private val numPerms = permA.length
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_from_hashes"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val sig = Array.fill(numPerms)(P)
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        val base = java.lang.Math.floorMod(arr.getLong(i), P)
+        var p = 0
+        while (p < numPerms) {
+          val v = java.lang.Math.floorMod(base * permA(p) + permB(p), P)
+          if (v < sig(p)) sig(p) = v
+          p += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(sig)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, input => {
+        val aRef = ctx.addReferenceObj("minhashPermA", permA, "long[]")
+        val bRef = ctx.addReferenceObj("minhashPermB", permB, "long[]")
+        val sig  = ctx.freshName("sig")
+        val i    = ctx.freshName("i")
+        val p    = ctx.freshName("p")
+        val base = ctx.freshName("base")
+        val v    = ctx.freshName("v")
+        s"""long[] $sig = new long[$numPerms];
+           |java.util.Arrays.fill($sig, ${P}L);
+           |for (int $i = 0; $i < $input.numElements(); $i++) {
+           |  long $base = java.lang.Math.floorMod($input.getLong($i), ${P}L);
+           |  for (int $p = 0; $p < $numPerms; $p++) {
+           |    long $v = java.lang.Math.floorMod($base * $aRef[$p] + $bRef[$p], ${P}L);
+           |    if ($v < $sig[$p]) $sig[$p] = $v;
+           |  }
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Signature column over an `array<long>` pre-hashed shingle column. */
+  def signatureFromHashes(hashes: Column, permA: Seq[Long], permB: Seq[Long]): Column =
+    GraftColumnBridge.column(MinHashFromHashes(
+      GraftColumnBridge.expression(hashes), permA.toArray, permB.toArray))
+
   /** 64-bit SimHash over an `array<string>` token column: bit i of the
     * signature is the sign of Σ_tokens (2·bit_i(fnv64(token)) − 1).
     * The generated loop keeps a 64-int counter array and folds it to
