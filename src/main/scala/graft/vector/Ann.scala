@@ -1,8 +1,5 @@
 package graft.vector
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.ml.linalg.{Vector => MlVector}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -14,11 +11,21 @@ import org.apache.spark.sql.functions._
   *    narrow scan + `TakeOrderedAndProject` — embarrassingly parallel,
   *    no shuffle; this is the correctness oracle and is already the
   *    right plan for one-off queries at any corpus size.
-  *  - [[IvfIndex]]: offline KMeans (the IVF "coarse quantizer") →
-  *    `cluster_id` column. At scale the corpus is *written partitioned
-  *    by cluster_id*, so a probe query's `cluster_id IN (...)` filter
+  *  - [[IvfIndex]]: bounded-sample Lloyd's k-means (the IVF "coarse
+  *    quantizer") trained driver-side, then one distributed codegen
+  *    map ([[VectorKernels.NearestCentroid]]) assigns every row its
+  *    `cluster_id`. At scale the corpus is *written partitioned by
+  *    cluster_id*, so a probe query's `cluster_id IN (...)` filter
   *    becomes Parquet partition pruning: only nprobe/nlist of the data
   *    is read — the same recall/throughput dial IVF_FLAT exposes.
+  *
+  * Training on a bounded sample is the standard IVF recipe (a coarse
+  * quantizer needs ~O(100·nlist) points): clustering cost stays
+  * constant as the corpus grows to 100 TB, while assignment remains a
+  * single embarrassingly-parallel scan. Driver-side Lloyd's on that
+  * sample costs milliseconds and zero Spark jobs — a distributed
+  * k-means (tens of tiny jobs per fit) only pays off when the training
+  * set itself can't fit on the driver, which a capped sample never hits.
   */
 object Ann {
 
@@ -45,7 +52,7 @@ object Ann {
   /** IVF index: corpus rows annotated with their nearest-centroid
     * `cluster_id`, plus the centroids themselves for probe selection.
     */
-  final case class IvfIndex(assigned: DataFrame, centroids: Array[MlVector]) {
+  final case class IvfIndex(assigned: DataFrame, centroids: Array[Array[Double]]) {
 
     /** Probe the `nprobe` clusters nearest to `queryVec`, then exact
       * L2 top-k within them. Cluster selection runs on the driver over
@@ -57,7 +64,7 @@ object Ann {
       val q = queryVec.map(_.toDouble).toArray
       val probes = centroids.zipWithIndex
         .map { case (c, i) =>
-          val d = c.toArray.zip(q).map { case (x, y) => (x - y) * (x - y) }.sum
+          val d = c.zip(q).map { case (x, y) => (x - y) * (x - y) }.sum
           (i, d)
         }
         .sortBy { case (i, d) => (d, i) }
@@ -69,19 +76,80 @@ object Ann {
     }
   }
 
-  /** Build the IVF coarse quantizer: MLlib KMeans over the embedding
-    * column (seeded, deterministic for a fixed partitioning), assigning
-    * each row its cluster id. At write time, partitioning the output by
-    * `cluster_id` turns probes into partition pruning.
+  /** Build the IVF coarse quantizer: seeded Lloyd's k-means over a
+    * bounded driver-side sample of the embedding column, then a codegen
+    * nearest-centroid map assigning each corpus row its cluster id.
     */
   def buildIvf(corpus: DataFrame, emb: String = "embedding",
-               nlist: Int = 16, seed: Long = 42L): IvfIndex = {
-    val featurized = corpus.withColumn("features",
-      array_to_vector(col(emb).cast("array<double>")))
-    val model = new KMeans()
-      .setK(nlist).setSeed(seed).setMaxIter(20)
-      .setFeaturesCol("features").setPredictionCol("cluster_id")
-      .fit(featurized)
-    IvfIndex(model.transform(featurized).drop("features"), model.clusterCenters)
+               nlist: Int = 16, seed: Long = 42L,
+               maxIter: Int = 10, maxTrainRows: Int = 100000): IvfIndex = {
+    val sample = corpus.select(col(emb)).limit(maxTrainRows)
+      .collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val centroids = lloyd(sample, nlist, maxIter, seed)
+    val assigned = corpus.withColumn("cluster_id",
+      VectorKernels.nearestCentroid(col(emb), centroids))
+    IvfIndex(assigned, centroids)
+  }
+
+  /** Plain Lloyd's: seeded distinct-point init, squared-L2 assignment
+    * with lowest-index tie-break, mean update; empty clusters keep
+    * their previous centroid. Runs entirely on the driver.
+    */
+  private[vector] def lloyd(points: Array[Array[Double]], k: Int,
+                            maxIter: Int, seed: Long): Array[Array[Double]] = {
+    require(points.nonEmpty, "empty training sample")
+    val n = points.length
+    val dim = points.head.length
+    val kk = math.min(k, n)
+    val rnd = new scala.util.Random(seed)
+    val centroids = rnd.shuffle(points.indices.toVector).take(kk)
+      .map(points(_).clone).toArray
+    val assign = Array.fill(n)(-1)
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      moved = false
+      var i = 0
+      while (i < n) {
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < kk) {
+          var d = 0.0
+          var j = 0
+          while (j < dim) {
+            val t = points(i)(j) - centroids(c)(j)
+            d += t * t; j += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        if (assign(i) != best) { assign(i) = best; moved = true }
+        i += 1
+      }
+      if (moved) {
+        val sums = Array.fill(kk)(new Array[Double](dim))
+        val counts = new Array[Int](kk)
+        var i2 = 0
+        while (i2 < n) {
+          val c = assign(i2)
+          counts(c) += 1
+          var j = 0
+          while (j < dim) { sums(c)(j) += points(i2)(j); j += 1 }
+          i2 += 1
+        }
+        var c = 0
+        while (c < kk) {
+          if (counts(c) > 0) {
+            var j = 0
+            while (j < dim) { centroids(c)(j) = sums(c)(j) / counts(c); j += 1 }
+          }
+          c += 1
+        }
+      }
+      iter += 1
+    }
+    centroids
   }
 }

@@ -1,7 +1,7 @@
 package graft.vector
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType}
@@ -112,6 +112,76 @@ object VectorKernels {
     override protected def withNewChildrenInternal(newLeft: Expression,
                                                    newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)
+  }
+
+  /** argmin_c ‖x − centroid_c‖² over a fixed centroid table (flattened
+    * row-major `double[]`) — the IVF assignment step as one generated
+    * loop nest. Ties (exact equal distance) resolve to the lowest
+    * cluster index, so assignment is deterministic.
+    */
+  case class NearestCentroid(child: Expression, centroids: Array[Double], dim: Int)
+      extends UnaryExpression {
+
+    require(dim > 0 && centroids.length % dim == 0, "centroids must be k × dim")
+    private val k = centroids.length / dim
+
+    override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+    override def prettyName: String = "nearest_centroid"
+
+    override def nullSafeEval(input: Any): Any = {
+      val x = input.asInstanceOf[ArrayData]
+      val n = math.min(dim, x.numElements())
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        var d = 0.0
+        val off = c * dim
+        var j = 0
+        while (j < n) {
+          val t = x.getFloat(j).toDouble - centroids(off + j)
+          d += t * t; j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      java.lang.Integer.valueOf(best)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, input => {
+        val cents = ctx.addReferenceObj("centroids", centroids, "double[]")
+        val n    = ctx.freshName("n")
+        val best = ctx.freshName("best")
+        val bestD = ctx.freshName("bestD")
+        val c    = ctx.freshName("c")
+        val d    = ctx.freshName("d")
+        val off  = ctx.freshName("off")
+        val j    = ctx.freshName("j")
+        val t    = ctx.freshName("t")
+        s"""int $n = Math.min($dim, $input.numElements());
+           |int $best = 0;
+           |double $bestD = Double.MAX_VALUE;
+           |for (int $c = 0; $c < $k; $c++) {
+           |  double $d = 0.0;
+           |  int $off = $c * $dim;
+           |  for (int $j = 0; $j < $n; $j++) {
+           |    double $t = (double) $input.getFloat($j) - $cents[$off + $j];
+           |    $d += $t * $t;
+           |  }
+           |  if ($d < $bestD) { $bestD = $d; $best = $c; }
+           |}
+           |${ev.value} = $best;""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def nearestCentroid(emb: Column, centroids: Array[Array[Double]]): Column = {
+    val dim = centroids.head.length
+    GraftColumnBridge.column(NearestCentroid(
+      GraftColumnBridge.expression(emb), centroids.flatten, dim))
   }
 
   def l2(a: Column, b: Column): Column =
