@@ -11,11 +11,12 @@ import graft.vector.VectorKernels
   * users get the same codegen operators as the Column API. Two entry
   * points over one function table:
   *
-  *  - at session build: `.withExtensions(new GraftExtensions)`
-  *    (the same extension point a `SparkStrategy` or optimizer `Rule`
-  *    would use; those stay unnecessary here because the engine's
-  *    operators compose to physical shapes — TakeOrderedAndProject,
-  *    WindowGroupLimit, hash joins — a custom node would replicate);
+  *  - at session build: `.withExtensions(new GraftExtensions)` —
+  *    registers the SQL functions AND the [[graft.plans.KnnJoinStrategy]]
+  *    planner strategy (most operators compose to physical shapes
+  *    Catalyst already has — TakeOrderedAndProject, WindowGroupLimit,
+  *    hash joins; the KNN join is the exception where a custom physical
+  *    operator beats the compositional plan);
   *  - on a live session: `GraftFunctions.register(spark)`.
   */
 object GraftFunctions {
@@ -42,9 +43,12 @@ object GraftFunctions {
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(e: SparkSessionExtensions): Unit =
+  def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, usage, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.ext.GraftFunctions", null, name), builder))
     }
+    // whole-operator extensions: logical node → custom physical operator
+    e.injectPlannerStrategy(_ => graft.plans.KnnJoinStrategy)
+  }
 }

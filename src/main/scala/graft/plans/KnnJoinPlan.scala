@@ -1,0 +1,196 @@
+package graft.plans
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, GenericInternalRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+/** Whole-operator KNN join as a first-class Catalyst citizen: a logical
+  * node + planner strategy + physical operator (SURVEY §8 round-2
+  * candidate; the custom-operator tier (c) of the build brief).
+  *
+  * Semantics: for every left row, the k nearest right rows by L2 over
+  * `array<float>` embeddings — identical output contract to
+  * [[graft.vector.Knn.similarityJoin]] (score rounded half-up to 4dp,
+  * ascending (score, right_id) order, rank 1..k).
+  *
+  * Why a custom physical node when the compositional form exists: the
+  * declarative plan is `BroadcastNestedLoopJoin` → full M×N row
+  * materialization → `Window(row_number)` — which *shuffles the M×N
+  * intermediate by left_id* before discarding all but k per row.
+  * [[BroadcastKnnExec]] keeps a k-heap per left row while streaming the
+  * broadcast right side, so the M×N candidate set is never materialized
+  * and the operator emits exactly M×k rows with NO exchange: per-
+  * partition work is CPU-bound distance math, the shape that scales
+  * linearly with executors at 100 TB.
+  */
+case class KnnJoin(left: LogicalPlan, right: LogicalPlan, k: Int,
+                   output: Seq[Attribute]) extends BinaryNode {
+
+  require(k > 0, "k must be positive")
+
+  override protected def withNewChildrenInternal(newLeft: LogicalPlan,
+                                                 newRight: LogicalPlan): KnnJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+object KnnJoin {
+
+  /** Output attributes: (left_id, right_id, score, rank). */
+  def knnOutput(): Seq[Attribute] = Seq(
+    AttributeReference("left_id", LongType, nullable = false)(),
+    AttributeReference("right_id", LongType, nullable = false)(),
+    AttributeReference("score", DoubleType, nullable = false)(),
+    AttributeReference("rank", IntegerType, nullable = false)())
+
+  /** Build the KNN-join DataFrame. `left`/`right` must carry
+    * (`id`: long, `embedding`: array<float>) columns; extra columns are
+    * pruned here so the physical operator can address fields by
+    * position.
+    */
+  def apply(left: DataFrame, right: DataFrame, k: Int): DataFrame = {
+    val spark = left.sparkSession
+    GraftColumnBridge.addStrategy(spark, KnnJoinStrategy)
+    val l = left.select(col("id").cast("long").as("id"), col("embedding"))
+    val r = right.select(col("id").cast("long").as("id"), col("embedding"))
+    GraftColumnBridge.ofRows(spark,
+      new KnnJoin(GraftColumnBridge.analyzed(l), GraftColumnBridge.analyzed(r),
+        k, knnOutput()))
+  }
+}
+
+/** Plans [[KnnJoin]] into [[BroadcastKnnExec]]; injected via
+  * [[graft.ext.GraftExtensions]] or `experimental.extraStrategies`.
+  */
+object KnnJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case KnnJoin(l, r, k, out) => BroadcastKnnExec(planLater(l), planLater(r), k, out) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical broadcast-KNN: collect + broadcast the (small) right side,
+  * then one narrow map over left partitions maintaining a bounded
+  * max-heap of (rounded score, right_id) per left row. Emits k rows per
+  * left row in ascending rank order. No exchange anywhere in the
+  * operator; parallelism is the left side's partitioning.
+  */
+case class BroadcastKnnExec(left: SparkPlan, right: SparkPlan, k: Int,
+                            output: Seq[Attribute]) extends BinaryExecNode {
+
+  override protected def withNewChildrenInternal(newLeft: SparkPlan,
+                                                 newRight: SparkPlan): BroadcastKnnExec =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val rightRows = right.executeCollect()
+    val rIds = new Array[Long](rightRows.length)
+    val rEmbs = new Array[Array[Float]](rightRows.length)
+    var i = 0
+    while (i < rightRows.length) {
+      rIds(i) = rightRows(i).getLong(0)
+      rEmbs(i) = rightRows(i).getArray(1).toFloatArray()
+      i += 1
+    }
+    val bc = sparkContext.broadcast((rIds, rEmbs))
+    val kk = k
+    left.execute().mapPartitions { iter =>
+      val proj = UnsafeProjection.create(
+        Array(LongType, LongType, DoubleType, IntegerType))
+      val (ids, embs) = bc.value
+      iter.flatMap { row =>
+        val lid = row.getLong(0)
+        val lemb = row.getArray(1).toFloatArray()
+        // bounded max-heap: root = current worst of the kept k,
+        // ordered by (score desc, right_id desc) so better candidates
+        // evict it; final extraction sorts ascending.
+        val hScore = new Array[Double](kk)
+        val hId = new Array[Long](kk)
+        var size = 0
+
+        def worse(s1: Double, id1: Long, s2: Double, id2: Long): Boolean =
+          s1 > s2 || (s1 == s2 && id1 > id2)
+
+        def siftDown(start: Int): Unit = {
+          var p = start
+          var continue = true
+          while (continue) {
+            val lc = 2 * p + 1
+            val rc = lc + 1
+            var m = p
+            if (lc < size && worse(hScore(lc), hId(lc), hScore(m), hId(m))) m = lc
+            if (rc < size && worse(hScore(rc), hId(rc), hScore(m), hId(m))) m = rc
+            if (m == p) continue = false
+            else {
+              val ts = hScore(p); hScore(p) = hScore(m); hScore(m) = ts
+              val ti = hId(p); hId(p) = hId(m); hId(m) = ti
+              p = m
+            }
+          }
+        }
+
+        var r = 0
+        val n = ids.length
+        while (r < n) {
+          val e = embs(r)
+          var acc = 0.0
+          var j = 0
+          val d = math.min(lemb.length, e.length)
+          while (j < d) {
+            val t = lemb(j).toDouble - e(j).toDouble
+            acc += t * t; j += 1
+          }
+          // identical rounding to Spark's round(col, 4): HALF_UP decimal
+          val score = new JBigDecimal(java.lang.Double.toString(math.sqrt(acc)))
+            .setScale(4, RoundingMode.HALF_UP).doubleValue()
+          if (size < kk) {
+            // insert + sift up
+            hScore(size) = score; hId(size) = ids(r); size += 1
+            var c = size - 1
+            while (c > 0 && worse(hScore(c), hId(c), hScore((c - 1) / 2), hId((c - 1) / 2))) {
+              val p = (c - 1) / 2
+              val ts = hScore(p); hScore(p) = hScore(c); hScore(c) = ts
+              val ti = hId(p); hId(p) = hId(c); hId(c) = ti
+              c = p
+            }
+          } else if (worse(hScore(0), hId(0), score, ids(r))) {
+            hScore(0) = score; hId(0) = ids(r)
+            siftDown(0)
+          }
+          r += 1
+        }
+        // drain the heap into ascending (score, id) order
+        val m = size
+        val outScore = new Array[Double](m)
+        val outId = new Array[Long](m)
+        var s = m
+        while (s > 0) {
+          outScore(s - 1) = hScore(0); outId(s - 1) = hId(0)
+          size -= 1
+          hScore(0) = hScore(size); hId(0) = hId(size)
+          siftDown(0)
+          s -= 1
+        }
+        (0 until m).iterator.map { rk =>
+          proj(new GenericInternalRow(
+            Array[Any](lid, outId(rk), outScore(rk), rk + 1)))
+        }
+      }
+    }
+  }
+}
+
+/** Convenience API mirroring [[graft.vector.Knn.similarityJoin]]. */
+object BroadcastKnn {
+  def similarityJoin(left: DataFrame, right: DataFrame, k: Int): DataFrame =
+    KnnJoin(left, right, k)
+
+  def inject(spark: SparkSession): Unit =
+    GraftColumnBridge.addStrategy(spark, KnnJoinStrategy)
+}
