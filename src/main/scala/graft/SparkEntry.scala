@@ -640,6 +640,25 @@ object SparkEntry {
               | FROM (SELECT * FROM embeddings WHERE vec_id < 20) l, embeddings r)
               |WHERE rn <= 3 ORDER BY left_id, rank""".stripMargin)),
 
+    // Same semantics through the custom Catalyst route: KnnJoin logical
+    // node → KnnJoinStrategy → BroadcastKnnExec (per-left-row bounded
+    // heap over the broadcast right side; zero exchanges, M×k output
+    // without materializing M×N). Shares the all-pairs oracle above.
+    Q("knn_join_exec",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+          .select(col("vec_id").as("id"), col("embedding"))
+        graft.plans.BroadcastKnn.similarityJoin(emb.where(col("id") < 20), emb, k = 3)
+          .orderBy("left_id", "rank")
+      },
+      Some(s"""SELECT left_id, right_id, score, CAST(rn AS INTEGER) AS rank FROM (
+              | SELECT l.vec_id AS left_id, r.vec_id AS right_id,
+              |  ${Sql.l2("l.embedding", "r.embedding")} AS score,
+              |  row_number() OVER (PARTITION BY l.vec_id
+              |    ORDER BY ${Sql.l2("l.embedding", "r.embedding")}, r.vec_id) AS rn
+              | FROM (SELECT * FROM embeddings WHERE vec_id < 20) l, embeddings r)
+              |WHERE rn <= 3 ORDER BY left_id, rank""".stripMargin)),
+
     // IVF (KMeans coarse quantizer) probe search — approximate scale
     // path (rows-only; recall vs brute force pinned by AnnSpec)
     Q("ann_ivf_topk",

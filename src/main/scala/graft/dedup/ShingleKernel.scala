@@ -172,8 +172,18 @@ object ShingleKernel {
     */
   case class BandHash64(child: Expression, numBands: Int) extends UnaryExpression {
 
+    require(numBands > 0, s"numBands must be positive, got $numBands")
+
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "band_hash64"
+
+    // Signature length must be an exact multiple of numBands: integer
+    // division would otherwise silently drop trailing elements (and a
+    // signature shorter than numBands would collide every row).
+    private def checkLen(n: Int): Unit =
+      if (n % numBands != 0 || n < numBands)
+        throw new IllegalArgumentException(
+          s"band_hash64: signature length $n is not a positive multiple of numBands=$numBands")
 
     private def mix(h0: Long, v: Long): Long = {
       var h = h0
@@ -185,6 +195,7 @@ object ShingleKernel {
     override def nullSafeEval(input: Any): Any = {
       val sig = input.asInstanceOf[ArrayData]
       val n = sig.numElements()
+      checkLen(n)
       val rows = n / numBands
       val out = new Array[Long](numBands)
       var b = 0
@@ -207,7 +218,12 @@ object ShingleKernel {
         val s    = ctx.freshName("s")
         val h    = ctx.freshName("h")
         val v    = ctx.freshName("v")
-        s"""int $rows = $input.numElements() / $numBands;
+        s"""if ($input.numElements() % $numBands != 0 || $input.numElements() < $numBands) {
+           |  throw new IllegalArgumentException(
+           |    "band_hash64: signature length " + $input.numElements() +
+           |    " is not a positive multiple of numBands=" + $numBands);
+           |}
+           |int $rows = $input.numElements() / $numBands;
            |long[] $out = new long[$numBands];
            |for (int $b = 0; $b < $numBands; $b++) {
            |  long $h = ${FnvOffset}L;

@@ -5,11 +5,11 @@ import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, GenericInternalRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, GenericInternalRow, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType}
 
 /** Whole-operator KNN join as a first-class Catalyst citizen: a logical
   * node + planner strategy + physical operator (SURVEY §8 round-2
@@ -35,6 +35,11 @@ case class KnnJoin(left: LogicalPlan, right: LogicalPlan, k: Int,
 
   require(k > 0, "k must be positive")
 
+  // The node mints its own output attributes (they reference no child
+  // column); declare them produced or CheckAnalysis reports them as
+  // missing from the children's output.
+  override def producedAttributes: AttributeSet = AttributeSet(output)
+
   override protected def withNewChildrenInternal(newLeft: LogicalPlan,
                                                  newRight: LogicalPlan): KnnJoin =
     copy(left = newLeft, right = newRight)
@@ -57,8 +62,16 @@ object KnnJoin {
   def apply(left: DataFrame, right: DataFrame, k: Int): DataFrame = {
     val spark = left.sparkSession
     GraftColumnBridge.addStrategy(spark, KnnJoinStrategy)
-    val l = left.select(col("id").cast("long").as("id"), col("embedding"))
-    val r = right.select(col("id").cast("long").as("id"), col("embedding"))
+    // The exec addresses (id: long, embedding: array<float>) by position
+    // and assumes both non-null; enforce that contract here (null rows
+    // can't participate in a distance ranking anyway — matches the
+    // compositional similarityJoin, where null inputs round to no rows).
+    def prep(df: DataFrame): DataFrame = df
+      .select(col("id").cast("long").as("id"),
+        col("embedding").cast("array<float>").as("embedding"))
+      .where(col("id").isNotNull && col("embedding").isNotNull)
+    val l = prep(left)
+    val r = prep(right)
     GraftColumnBridge.ofRows(spark,
       new KnnJoin(GraftColumnBridge.analyzed(l), GraftColumnBridge.analyzed(r),
         k, knnOutput()))
@@ -84,12 +97,25 @@ object KnnJoinStrategy extends SparkStrategy {
 case class BroadcastKnnExec(left: SparkPlan, right: SparkPlan, k: Int,
                             output: Seq[Attribute]) extends BinaryExecNode {
 
+  override def producedAttributes: AttributeSet = AttributeSet(output)
+
   override protected def withNewChildrenInternal(newLeft: SparkPlan,
                                                  newRight: SparkPlan): BroadcastKnnExec =
     copy(left = newLeft, right = newRight)
 
   protected override def doExecute(): RDD[InternalRow] = {
-    val rightRows = right.executeCollect()
+    // Guard the driver collect: this operator is for a SMALL right side
+    // (the dimension/query set). A large right side must go through the
+    // compositional path, where Spark's broadcast thresholds apply.
+    val maxRows = conf.getConfString("graft.knn.maxBroadcastRows", "4000000").toInt
+    // executeTake stops pulling partitions once it has maxRows+1 rows, so an
+    // oversized right side fails fast instead of OOMing the driver mid-collect.
+    val rightRows = right.executeTake(maxRows + 1)
+    if (rightRows.length > maxRows)
+      throw new IllegalStateException(
+        s"BroadcastKnnExec: right side exceeds graft.knn.maxBroadcastRows=$maxRows; " +
+          "use graft.vector.Knn.similarityJoin (compositional, respects Spark " +
+          "broadcast limits) for large right sides.")
     val rIds = new Array[Long](rightRows.length)
     val rEmbs = new Array[Array[Float]](rightRows.length)
     var i = 0
@@ -102,7 +128,7 @@ case class BroadcastKnnExec(left: SparkPlan, right: SparkPlan, k: Int,
     val kk = k
     left.execute().mapPartitions { iter =>
       val proj = UnsafeProjection.create(
-        Array(LongType, LongType, DoubleType, IntegerType))
+        Array[DataType](LongType, LongType, DoubleType, IntegerType))
       val (ids, embs) = bc.value
       iter.flatMap { row =>
         val lid = row.getLong(0)

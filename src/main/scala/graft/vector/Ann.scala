@@ -83,7 +83,13 @@ object Ann {
   def buildIvf(corpus: DataFrame, emb: String = "embedding",
                nlist: Int = 16, seed: Long = 42L,
                maxIter: Int = 10, maxTrainRows: Int = 100000): IvfIndex = {
-    val sample = corpus.select(col(emb)).limit(maxTrainRows)
+    // Deterministic pseudo-random sample: order by a content hash, not a
+    // partition-order prefix — reproducible across partitionings and
+    // unbiased on sorted/clustered corpora. Plans as TakeOrderedAndProject
+    // (per-partition heap of maxTrainRows, no full sort/shuffle).
+    val sample = corpus.select(col(emb))
+      .orderBy(xxhash64(col(emb)), col(emb))
+      .limit(maxTrainRows)
       .collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     val centroids = lloyd(sample, nlist, maxIter, seed)

@@ -24,9 +24,14 @@ object GraftColumnBridge {
   def analyzed(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
 
-  /** Idempotently add an extra planner strategy to a live session. */
+  /** Idempotently add an extra planner strategy to a live session.
+    * Synchronized: `extraStrategies` is a plain var, so a concurrent
+    * check-then-append from two threads could lose one strategy.
+    */
   def addStrategy(spark: SparkSession, s: org.apache.spark.sql.execution.SparkStrategy): Unit = {
     val exp = spark.asInstanceOf[classic.SparkSession].experimental
-    if (!exp.extraStrategies.contains(s)) exp.extraStrategies = exp.extraStrategies :+ s
+    exp.synchronized {
+      if (!exp.extraStrategies.contains(s)) exp.extraStrategies = exp.extraStrategies :+ s
+    }
   }
 }

@@ -1,0 +1,73 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.sources.Tables
+import graft.vector.Knn
+
+/** The custom broadcast-KNN physical operator vs the compositional
+  * similarity join: identical output contract, no exchange in the plan,
+  * null tolerance, and the driver-collect size guard.
+  */
+class KnnJoinPlanSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def emb = Tables.embeddings(spark, dir)
+    .select(col("vec_id").as("id"), col("embedding"))
+
+  test("matches the compositional similarityJoin row for row") {
+    val left = emb.where(col("id") < 20)
+    val expected = Knn.similarityJoin(left, emb, k = 3)
+      .orderBy("left_id", "rank").collect().toSeq
+    val actual = BroadcastKnn.similarityJoin(left, emb, k = 3)
+      .orderBy("left_id", "rank").collect().toSeq
+    assert(actual == expected)
+  }
+
+  test("plan contains the custom exec and no shuffle exchange") {
+    val df = BroadcastKnn.similarityJoin(emb.where(col("id") < 5), emb, k = 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastKnn"), s"custom exec missing:\n$plan")
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+      s"unexpected exchange:\n$plan")
+  }
+
+  test("null ids / null embeddings are dropped, not NPE'd") {
+    import spark.implicits._
+    val left = Seq(
+      (Some(1L), Some(Seq(1.0f, 0.0f))),
+      (None: Option[Long], Some(Seq(0.5f, 0.5f))),
+      (Some(2L), None: Option[Seq[Float]]))
+      .toDF("id", "embedding")
+    val right = Seq((10L, Seq(1.0f, 0.0f)), (11L, Seq(0.0f, 1.0f)))
+      .toDF("id", "embedding")
+    val out = BroadcastKnn.similarityJoin(left, right, k = 2).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L))
+    assert(out.length == 2)
+  }
+
+  test("oversized right side fails fast with a clear error") {
+    spark.conf.set("graft.knn.maxBroadcastRows", "10")
+    try {
+      val e = intercept[Exception] {
+        BroadcastKnn.similarityJoin(emb.where(col("id") < 2), emb, k = 1).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+      assert(msgs(e).exists(m => m != null && m.contains("maxBroadcastRows")), e.toString)
+    } finally spark.conf.unset("graft.knn.maxBroadcastRows")
+  }
+
+  test("k larger than the right side emits all right rows per left row") {
+    import spark.implicits._
+    val left = Seq((1L, Seq(0.0f, 0.0f))).toDF("id", "embedding")
+    val right = Seq((10L, Seq(1.0f, 0.0f)), (11L, Seq(0.0f, 2.0f))).toDF("id", "embedding")
+    val out = BroadcastKnn.similarityJoin(left, right, k = 5)
+      .orderBy("rank").collect()
+    assert(out.map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq ==
+      Seq((10L, 1.0, 1), (11L, 2.0, 2)))
+  }
+}
