@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.api.{Enrich, Pipelines}
 import graft.classify.{Cascades, CaseMetadata, Conclusion}
-import graft.dedup.Dedup
+import graft.dedup.{Dedup, EmbeddingDedup}
 import graft.oracle.Sql
 import graft.sources.Tables
 import graft.stats.WinStats
@@ -595,6 +595,47 @@ object SparkEntry {
           Dedup.simhash(Enrich.dedupContent(col("text"), col("doc_id"))).as("simhash"))
         .orderBy("doc_id"),
       None),
+
+    // Embedding-cosine near-dup pairs, exact tier: all-pairs with the
+    // fused codegen cosine kernel, threshold on the 4dp-rounded value
+    // so boundary pairs resolve identically in both engines
+    Q("dedup_embedding_cosine",
+      (s, dir) => EmbeddingDedup.cosinePairs(Tables.embeddings(s, dir),
+          col("vec_id"), col("embedding"), minCosine = 0.35)
+        .orderBy("id_a", "id_b"),
+      Some(EmbeddingDedup.cosinePairsSql("embeddings", "vec_id", "embedding",
+        minCosine = 0.35) + " ORDER BY id_a, id_b")),
+
+    // Embedding-cosine near-dup, LSH tier, at a true near-dup
+    // threshold: corpus = embeddings ∪ planted scaled copies (×2 is
+    // exact in both float and double, so each copy has cosine exactly
+    // 1.0 with its original and every hyperplane sign agrees — all
+    // bands collide, recall is DETERMINISTIC, and the query is
+    // oracle-checkable despite LSH being probabilistic in general).
+    // Geometry 8 bands × 16 bits: random pairs collide at 2⁻¹⁶/band,
+    // so candidate generation is sub-quadratic; exact-cosine verify
+    // keeps precision exact. Probabilistic-recall behavior at weaker
+    // thresholds is pinned by EmbeddingDedupSpec instead.
+    Q("dedup_embedding_lsh",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+          .select(col("vec_id").as("id"), col("embedding"))
+        val planted = emb.select((col("id") + 1000000L).as("id"),
+          transform(col("embedding"), x => (x * lit(2.0f)).cast("float")).as("embedding"))
+        EmbeddingDedup.cosineLshPairs(emb.unionAll(planted), col("id"),
+            col("embedding"), minCosine = 0.9, dim = 64, bands = 8, bits = 16)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH corpus AS (
+              |  SELECT vec_id AS id, embedding FROM embeddings
+              |  UNION ALL
+              |  SELECT vec_id + 1000000, list_transform(embedding, x -> CAST(x * CAST(2.0 AS FLOAT) AS FLOAT))
+              |  FROM embeddings)
+              |SELECT id_a, id_b, cosine FROM (
+              | SELECT l.id AS id_a, r.id AS id_b,
+              |  ${Sql.cosine("l.embedding", "r.embedding")} AS cosine
+              | FROM corpus l JOIN corpus r ON l.id < r.id)
+              |WHERE cosine >= 0.9 ORDER BY id_a, id_b""".stripMargin)),
 
     // Exact brute-force cosine top-k — the ANN correctness baseline
     Q("ann_cosine_topk",

@@ -178,6 +178,87 @@ object VectorKernels {
       copy(child = newChild)
   }
 
+  /** Random-hyperplane LSH band keys for an `array<float>` embedding —
+    * the signature step of cosine near-dup bucketing (sign-random-
+    * projection LSH, public literature: Charikar's SimHash for angular
+    * distance). `planes` is (bands·bits) × dim row-major; bit r of band
+    * b is the sign of ⟨x, plane_{b·bits+r}⟩. Each output element packs
+    * the band index above the sign bits, so keys never collide across
+    * bands and a single `explode` + equi-join buckets all bands at
+    * once — the same plan shape as MinHash banding
+    * ([[graft.dedup.Dedup.minhashPairs]]).
+    */
+  case class HyperplaneBandKeys(child: Expression, planes: Array[Double],
+                                dim: Int, bands: Int, bits: Int)
+      extends UnaryExpression {
+
+    require(bands > 0 && bits > 0 && bits <= 56, "need 0 < bits <= 56 sign bits per band")
+    require(planes.length == bands * bits * dim, "planes must be (bands*bits) x dim")
+
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType,
+        containsNull = false)
+    override def prettyName: String = "hyperplane_band_keys"
+
+    override def nullSafeEval(input: Any): Any = {
+      val x = input.asInstanceOf[ArrayData]
+      val n = math.min(dim, x.numElements())
+      val out = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var key = b.toLong << bits
+        var r = 0
+        while (r < bits) {
+          val off = (b * bits + r) * dim
+          var dot = 0.0
+          var j = 0
+          while (j < n) { dot += x.getFloat(j).toDouble * planes(off + j); j += 1 }
+          if (dot >= 0.0) key |= (1L << r)
+          r += 1
+        }
+        out(b) = key
+        b += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, input => {
+        val pl  = ctx.addReferenceObj("planes", planes, "double[]")
+        val n   = ctx.freshName("n")
+        val out = ctx.freshName("out")
+        val b   = ctx.freshName("b")
+        val key = ctx.freshName("key")
+        val r   = ctx.freshName("r")
+        val off = ctx.freshName("off")
+        val dot = ctx.freshName("dot")
+        val j   = ctx.freshName("j")
+        s"""int $n = Math.min($dim, $input.numElements());
+           |long[] $out = new long[$bands];
+           |for (int $b = 0; $b < $bands; $b++) {
+           |  long $key = ((long) $b) << $bits;
+           |  for (int $r = 0; $r < $bits; $r++) {
+           |    int $off = ($b * $bits + $r) * $dim;
+           |    double $dot = 0.0;
+           |    for (int $j = 0; $j < $n; $j++) {
+           |      $dot += (double) $input.getFloat($j) * $pl[$off + $j];
+           |    }
+           |    if ($dot >= 0.0) $key |= (1L << $r);
+           |  }
+           |  $out[$b] = $key;
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def hyperplaneBandKeys(emb: Column, planes: Array[Double], dim: Int,
+                         bands: Int, bits: Int): Column =
+    GraftColumnBridge.column(HyperplaneBandKeys(
+      GraftColumnBridge.expression(emb), planes, dim, bands, bits))
+
   def nearestCentroid(emb: Column, centroids: Array[Array[Double]]): Column = {
     val dim = centroids.head.length
     GraftColumnBridge.column(NearestCentroid(
