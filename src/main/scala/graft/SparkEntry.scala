@@ -213,6 +213,30 @@ object SparkEntry {
              | FROM events)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Pure non-equi temporal range join via the binned rewrite (bin
+    // equi-key + residual filter — no nested loop): clicks within
+    // ±5 min of each purchase, across all users
+    Q("q_events_range_join",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val p = ev.where(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
+        val c = ev.where(col("event_type") === "click")
+          .select(col("ts").as("c_ts"), col("value").as("c_value"))
+        graft.operators.RangeJoin.bandJoin(p, c, "p_ts", "c_ts",
+            radius = 300000000000L) // 5 min in nanos
+          .groupBy("p_id")
+          .agg(count(lit(1)).as("n_clicks"),
+            round(sum(col("c_value")), 2).as("click_value"))
+          .orderBy("p_id")
+      },
+      Some("""SELECT p.event_id AS p_id, count(*) AS n_clicks,
+             | round(sum(c.value), 2) AS click_value
+             |FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+             |JOIN (SELECT ts, value FROM events WHERE event_type = 'click') c
+             |  ON abs(epoch_ns(p.ts) - epoch_ns(c.ts)) <= 300000000000
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // As-of join: each purchase matched to the user's latest prior (or
     // same-instant) view — union + carry-forward window, one shuffle
     Q("q_events_asof_join",
