@@ -345,6 +345,32 @@ object SparkEntry {
              | (floor(quantile_cont(l_extendedprice, 0.9) * 10000.0) / 10000.0) AS p90
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Approximate sketches — the 100 TB forms of the two queries
+    // above: HLL++ count-distinct (one long register set per group, no
+    // distinct shuffle) and GK approx-percentile (bounded summary vs a
+    // full sort). Sketch values differ by engine, so the oracle gates
+    // on deterministic within-tolerance booleans next to the exact
+    // values (sketch merges are commutative — the Spark-side values
+    // are stable across partitionings)
+    Q("q_approx_sketches",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey")).as("hll_parts"),
+          (floor(expr("percentile(l_extendedprice, 0.5)") * 100.0) / 100.0).as("exact_p50"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"))
+        .select(col("l_returnflag"), col("exact_parts"), col("exact_p50"),
+          (abs(col("hll_parts") - col("exact_parts")) <=
+            col("exact_parts") * 0.1).as("hll_within_10pct"),
+          (abs(col("approx_p50") - col("exact_p50")) <=
+            col("exact_p50") * 0.05).as("p50_within_5pct"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+             | (floor(quantile_cont(l_extendedprice, 0.5) * 100.0) / 100.0) AS exact_p50,
+             | TRUE AS hll_within_10pct, TRUE AS p50_within_5pct
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // JSON-ish property extraction (S6 analog) + grouped rollup.
     Q("q_events_json_extract",
       (s, dir) => Tables.events(s, dir)

@@ -32,7 +32,19 @@ object GraftFunctions {
       exprs => MinHashKernel.SimHash64(exprs.head)),
     ("graft_minhash", "graft_minhash(shingles) - 64-permutation MinHash signature",
       exprs => MinHashKernel.MinHashSignature(exprs.head,
-        Dedup.permParamsA.toArray, Dedup.permParamsB.toArray)))
+        Dedup.permParamsA.toArray, Dedup.permParamsB.toArray)),
+    ("graft_hyperplane_bands",
+      "graft_hyperplane_bands(emb, dim, bands, bits, seed) - hyperplane LSH band keys",
+      exprs => {
+        // geometry args must be literals: planes are baked into the
+        // expression at resolution time
+        def intArg(i: Int) = exprs(i).eval(null).asInstanceOf[Number].intValue
+        val (dim, bands, bits) = (intArg(1), intArg(2), intArg(3))
+        val seed = exprs(4).eval(null).asInstanceOf[Number].longValue
+        VectorKernels.HyperplaneBandKeys(exprs.head,
+          graft.dedup.EmbeddingDedup.hyperplanes(dim, bands, bits, seed),
+          dim, bands, bits)
+      }))
 
   /** Register on an already-running session (idempotent). */
   def register(spark: SparkSession): Unit =

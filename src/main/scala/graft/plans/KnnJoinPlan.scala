@@ -40,6 +40,15 @@ case class KnnJoin(left: LogicalPlan, right: LogicalPlan, k: Int,
   // missing from the children's output.
   override def producedAttributes: AttributeSet = AttributeSet(output)
 
+  // The physical operator consumes BOTH child columns positionally, but
+  // no Catalyst expression in this node references them — without this
+  // override `references` is empty and ColumnPruning rewrites the
+  // children to empty Projects (observed under `count()`, where nothing
+  // downstream references our output either: the exec then read field 0
+  // of zero-field rows — wild reads, intermittent SIGSEGV).
+  override lazy val references: AttributeSet =
+    AttributeSet(left.output ++ right.output)
+
   override protected def withNewChildrenInternal(newLeft: LogicalPlan,
                                                  newRight: LogicalPlan): KnnJoin =
     copy(left = newLeft, right = newRight)
@@ -103,7 +112,24 @@ case class BroadcastKnnExec(left: SparkPlan, right: SparkPlan, k: Int,
                                                  newRight: SparkPlan): BroadcastKnnExec =
     copy(left = newLeft, right = newRight)
 
+  /** The exec addresses child fields positionally; a planner rewrite
+    * that prunes or reorders them must fail loudly, never read wild.
+    */
+  private def checkChildSchema(p: SparkPlan, side: String): Unit = {
+    val ok = p.output.length == 2 &&
+      p.output.head.dataType == LongType &&
+      (p.output(1).dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, _) => true
+        case _ => false
+      })
+    require(ok, s"BroadcastKnnExec $side child must produce exactly " +
+      s"(id: bigint, embedding: array<float>), got: ${p.output.map(a => s"${a.name}: ${a.dataType.simpleString}")}")
+  }
+
   protected override def doExecute(): RDD[InternalRow] = {
+    checkChildSchema(left, "left")
+    checkChildSchema(right, "right")
     // Guard the driver collect: this operator is for a SMALL right side
     // (the dimension/query set). A large right side must go through the
     // compositional path, where Spark's broadcast thresholds apply.

@@ -31,4 +31,21 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(row.getAs[Long]("sh") == again)
     assert(row.getAs[Int]("sig_len") == 64)
   }
+
+  test("graft_hyperplane_bands matches the Column-API kernel") {
+    GraftFunctions.register(spark)
+    val sqlKeys = spark.sql(
+      """SELECT graft_hyperplane_bands(
+        |  array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT), CAST(0.5 AS FLOAT)),
+        |  3, 8, 4, 42L) AS keys""".stripMargin)
+      .collect().head.getSeq[Long](0)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val viaColumn = Seq(Tuple1(Array(1.0f, -2.0f, 0.5f))).toDF("emb")
+      .select(graft.vector.VectorKernels.hyperplaneBandKeys(col("emb"),
+        graft.dedup.EmbeddingDedup.hyperplanes(3, 8, 4, 42L), 3, 8, 4).as("keys"))
+      .collect().head.getSeq[Long](0)
+    assert(sqlKeys == viaColumn)
+    assert(sqlKeys.length == 8)
+  }
 }

@@ -35,6 +35,19 @@ class KnnJoinPlanSpec extends AnyFunSuite with SparkSpec {
       s"unexpected exchange:\n$plan")
   }
 
+  test("count-only consumption keeps child columns alive (pruning regression)") {
+    // nothing downstream references the node's output, and the node's
+    // expressions reference no child column — without the `references`
+    // override ColumnPruning emptied both children and the exec read
+    // zero-field rows (intermittent SIGSEGV)
+    val left = emb.where(col("id") < 20)
+    val counted = BroadcastKnn.similarityJoin(left, emb, k = 3).groupBy().count()
+    val opt = counted.queryExecution.optimizedPlan.toString
+    assert(!opt.matches("(?s).*Project\\s*\\n\\s*:?\\+?- Filter.*") ||
+      opt.contains("AS id"), s"children were pruned empty:\n$opt")
+    assert(counted.collect().head.getLong(0) == left.count() * 3)
+  }
+
   test("null ids / null embeddings are dropped, not NPE'd") {
     import spark.implicits._
     val left = Seq(
