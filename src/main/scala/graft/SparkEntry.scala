@@ -11,7 +11,7 @@ import graft.oracle.Sql
 import graft.sources.Tables
 import graft.stats.WinStats
 import graft.text.{ChunkPacker, TextAnalysis}
-import graft.vector.{Ann, Distance, GroupedTopK, Knn}
+import graft.vector.{Ann, BlockMatrix, Distance, GroupedTopK, Knn}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -638,6 +638,21 @@ object SparkEntry {
         .orderBy("id_a", "id_b"),
       None),
 
+    // Same LSH pipeline at threshold 0.9 — here it IS oracle-gateable:
+    // the only fixture pairs at J ≥ 0.9 are identical-shingle-set pairs
+    // (J = 1.0; the planted near-dups sit at ≈0.87), identical sets give
+    // identical MinHash signatures, identical signatures collide in
+    // EVERY band — so LSH recall is deterministically 1.0 and the
+    // verified output equals DuckDB's exact all-pairs Jaccard ≥ 0.9.
+    Q("dedup_minhash_verified",
+      (s, dir) => Dedup.minhashPairs(Tables.documents(s, dir),
+          col("doc_id"), Enrich.dedupContent(col("text"), col("doc_id")),
+          minJaccard = 0.9)
+        .orderBy("id_a", "id_b"),
+      Some(Dedup.ngramJaccardPairsSql("documents", "doc_id",
+        Enrich.dedupContentSql("text", "doc_id"), minJaccard = 0.9) +
+        " ORDER BY id_a, id_b")),
+
     // SimHash 64-bit signatures (rows-only; properties pinned by DedupSpec)
     Q("dedup_simhash",
       (s, dir) => Tables.documents(s, dir)
@@ -761,6 +776,39 @@ object SparkEntry {
           .select("vec_id", "label", "cluster_id", "score")
       },
       None),
+
+    // IVF with nprobe = nlist: probing every list degrades gracefully
+    // to the exact scan, so the ENTIRE index machinery (quantizer
+    // training, codegen centroid assignment, probe pruning, in-list
+    // ranking) is oracle-gated against DuckDB's brute-force top-k —
+    // the approximate path above then differs only in the probe count.
+    Q("ann_ivf_full_probe",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val qv  = emb.where(col("vec_id") === 0L)
+          .select(col("embedding")).head().getSeq[Float](0)
+        Ann.buildIvf(emb, nlist = 16).searchL2(qv, k = 10, nprobe = 16)
+          .select("vec_id", "label", "score")
+      },
+      Some(s"""SELECT e.vec_id, e.label,
+              | ${Sql.l2("e.embedding", "q.q_emb")} AS score
+              |FROM embeddings e, (${Sql.queryVector(0)}) q
+              |ORDER BY score, vec_id LIMIT 10""".stripMargin)),
+
+    // All-pairs exact cosine top-k via block-GEMM ([[BlockMatrix]]):
+    // every document's 5 nearest neighbors over the whole corpus in
+    // one pass — B² tile tasks, M·B·k shuffle rows, never M².
+    Q("blockmatrix_cosine_topk",
+      (s, dir) => BlockMatrix.cosineTopK(Tables.embeddings(s, dir),
+          col("vec_id"), col("embedding"), k = 5, numBlocks = 16)
+        .orderBy("left_id", "rank"),
+      Some(s"""SELECT left_id, right_id, score, CAST(rn AS INTEGER) AS rank FROM (
+              | SELECT l.vec_id AS left_id, r.vec_id AS right_id,
+              |  ${Sql.cosine("l.embedding", "r.embedding")} AS score,
+              |  row_number() OVER (PARTITION BY l.vec_id
+              |    ORDER BY ${Sql.cosine("l.embedding", "r.embedding")} DESC, r.vec_id) AS rn
+              | FROM embeddings l JOIN embeddings r ON l.vec_id <> r.vec_id)
+              |WHERE rn <= 5 ORDER BY left_id, rank""".stripMargin)),
   )
 
   // ---------------------------------------------------------------- //

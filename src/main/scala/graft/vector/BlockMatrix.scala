@@ -1,0 +1,158 @@
+package graft.vector
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** All-pairs exact cosine top-k ("k most similar documents for EVERY
+  * document") via block-partitioned GEMM — the dense-linear-algebra
+  * scale path the reference's Milvus deployment would need for corpus-
+  * wide similarity (its IVF_FLAT index answers one query vector at a
+  * time; `/root/reference/extract_and_search.py:104-110` — this is the
+  * M×M generalization, cf. SURVEY §2.7).
+  *
+  * Why blocking, not a pair join: the naive formulation (self-join +
+  * window) materializes M² scored rows and shuffles them by left id.
+  * Here the corpus is split into B row-blocks; each of the B² block
+  * pairs is one task that runs a cache-friendly fused loop over its
+  * (m×d)·(d×n) tile and keeps only a k-heap per left row. Shuffle
+  * volume is M·B·k partial candidates (not M²), and the FLOPs — the
+  * true lower bound of exact all-pairs — spread evenly over B² tasks.
+  * At 100 TB: B ≈ √(cluster cores) keeps every core busy while each
+  * row is replicated only B times (the standard block-outer-product
+  * tradeoff); the final merge is the bounded-state
+  * [[GroupedTopK.TopKAggregator]], so no group ever sorts in full.
+  *
+  * Determinism contract (matches [[VectorKernels.Cosine]] and the
+  * DuckDB oracle): dot/‖a‖‖b‖ accumulated sequentially in doubles,
+  * rounded HALF_UP to 4dp before ranking; ties break on ascending
+  * right id. Rows with null/zero embeddings cannot rank and are
+  * dropped.
+  */
+object BlockMatrix {
+
+  /** One corpus row inside a block. */
+  final case class BlockRow(id: Long, emb: Array[Float])
+
+  /** Per-tile top-k candidate (public: encoder codegen needs the ctor). */
+  final case class Partial(left_id: Long, right_id: Long, score: Double)
+
+  /** Identical value to `round(VectorKernels.cosine(a, b), 4)`:
+    * independent sequential double accumulators, HALF_UP decimal.
+    */
+  private def cosine4dp(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    new JBigDecimal(java.lang.Double.toString(dot / (math.sqrt(na) * math.sqrt(nb))))
+      .setScale(4, RoundingMode.HALF_UP).doubleValue()
+  }
+
+  /** For each corpus row, its k nearest neighbors by cosine similarity
+    * over all OTHER rows. Output: (left_id, right_id, score, rank)
+    * with rank 1..k by (score desc, right_id asc).
+    */
+  def cosineTopK(df: DataFrame, idCol: Column, embCol: Column, k: Int,
+                 numBlocks: Int = 16): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(numBlocks > 0, "numBlocks must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val base = df
+      .select(idCol.cast("long").as("id"), embCol.cast("array<float>").as("emb"))
+      .where(col("id").isNotNull && col("emb").isNotNull)
+      .as[BlockRow]
+
+    // Row-blocks: deterministic residue assignment; rows sorted by id
+    // inside each block so every downstream loop order is reproducible.
+    val b = numBlocks
+    val blocks = base
+      .groupByKey(r => ((r.id % b) + b) % b)
+      .mapGroups((bid, it) => (bid, it.toArray.sortBy(_.id)))
+
+    // All B² ordered block pairs. Both sides are B-row datasets of
+    // whole blocks, so the cross join is a trivially small broadcast
+    // NLJ over block HANDLES — the heavy data rides inside the rows.
+    val pairs = blocks.toDF("bid", "rows").as("L")
+      .crossJoin(blocks.toDF("bid", "rows").as("R"))
+      .select(col("L.rows").as("lrows"), col("R.rows").as("rrows"))
+      .as[(Array[BlockRow], Array[BlockRow])]
+
+    val kk = k
+    val partials = pairs.flatMap { case (lrows, rrows) =>
+      // Right-side norms once per tile (na/nb accumulate independently,
+      // so hoisting nb out of the pair loop preserves bit-equality).
+      val nbs = new Array[Double](rrows.length)
+      var j = 0
+      while (j < rrows.length) {
+        var acc = 0.0; var i = 0; val e = rrows(j).emb
+        while (i < e.length) { val y = e(i).toDouble; acc += y * y; i += 1 }
+        nbs(j) = acc
+        j += 1
+      }
+      lrows.iterator.flatMap { l =>
+        // bounded selection: worst-of-k at the root, evicted by better
+        // candidates; "better" = higher score, then lower right id
+        val hS = new Array[Double](kk)
+        val hI = new Array[Long](kk)
+        var size = 0
+        def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+          s1 < s2 || (s1 == s2 && i1 > i2)
+        def siftDown(): Unit = {
+          var p = 0
+          var cont = true
+          while (cont) {
+            val lc = 2 * p + 1; val rc = lc + 1; var m = p
+            if (lc < size && worse(hS(lc), hI(lc), hS(m), hI(m))) m = lc
+            if (rc < size && worse(hS(rc), hI(rc), hS(m), hI(m))) m = rc
+            if (m == p) cont = false
+            else {
+              val ts = hS(p); hS(p) = hS(m); hS(m) = ts
+              val ti = hI(p); hI(p) = hI(m); hI(m) = ti
+              p = m
+            }
+          }
+        }
+        var r = 0
+        while (r < rrows.length) {
+          val rr = rrows(r)
+          if (rr.id != l.id && nbs(r) > 0.0) {
+            val s = cosine4dp(l.emb, rr.emb)
+            if (!s.isNaN) {
+              if (size < kk) {
+                hS(size) = s; hI(size) = rr.id; size += 1
+                var c = size - 1
+                while (c > 0 && worse(hS(c), hI(c), hS((c - 1) / 2), hI((c - 1) / 2))) {
+                  val p = (c - 1) / 2
+                  val ts = hS(p); hS(p) = hS(c); hS(c) = ts
+                  val ti = hI(p); hI(p) = hI(c); hI(c) = ti
+                  c = p
+                }
+              } else if (worse(hS(0), hI(0), s, rr.id)) {
+                hS(0) = s; hI(0) = rr.id; siftDown()
+              }
+            }
+          }
+          r += 1
+        }
+        (0 until size).map(i => Partial(l.id, hI(i), hS(i)))
+      }
+    }
+
+    // Global merge of the ≤B partial k-sets per left row through the
+    // bounded-state aggregate (ascending (score, id) order → feed the
+    // NEGATED score; `+ 0.0` normalizes -0.0 so the round-trip is exact).
+    GroupedTopK.topKPerGroup(
+        partials.toDF().select(col("left_id"), col("right_id").as("id"),
+          (negate(col("score")) + lit(0.0)).as("score")),
+        col("left_id"), k)
+      .select(col("left_id"), col("id").as("right_id"),
+        (negate(col("score")) + lit(0.0)).as("score"), col("rank"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.vector
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Block-GEMM all-pairs cosine top-k vs the naive self-join + window
+  * formulation, plus block-count invariance (the result must not
+  * depend on the physical tiling).
+  */
+class BlockMatrixSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def corpus = Tables.embeddings(spark, dir).where(col("vec_id") < 60)
+
+  private def brute(k: Int): DataFrame = {
+    val e = corpus.select(col("vec_id").as("id"), col("embedding"))
+    val w = Window.partitionBy("left_id").orderBy(col("score").desc, col("right_id").asc)
+    e.as("l").join(e.as("r"), col("l.id") =!= col("r.id"))
+      .select(col("l.id").as("left_id"), col("r.id").as("right_id"),
+        round(Distance.cosine(col("l.embedding"), col("r.embedding")), 4).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  private def collectSorted(df: DataFrame): Seq[(Long, Long, Double, Int)] =
+    df.select("left_id", "right_id", "score", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+
+  test("matches the brute-force window formulation exactly") {
+    val blocked = BlockMatrix.cosineTopK(corpus, col("vec_id"), col("embedding"),
+      k = 3, numBlocks = 4)
+    assert(collectSorted(blocked) == collectSorted(brute(3)))
+  }
+
+  test("result is invariant to the block count") {
+    val one = collectSorted(BlockMatrix.cosineTopK(corpus, col("vec_id"),
+      col("embedding"), k = 3, numBlocks = 1))
+    val seven = collectSorted(BlockMatrix.cosineTopK(corpus, col("vec_id"),
+      col("embedding"), k = 3, numBlocks = 7))
+    assert(one == seven)
+  }
+
+  test("null ids and embeddings are dropped, not ranked") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some(Array(1.0f, 0.0f))),
+      (Some(2L), Some(Array(0.9f, 0.1f))),
+      (Some(3L), Some(Array(0.0f, 1.0f))),
+      (None: Option[Long], Some(Array(1.0f, 1.0f))),
+      (Some(4L), None: Option[Array[Float]])
+    ).toDF("id", "emb")
+    val out = BlockMatrix.cosineTopK(df, col("id"), col("emb"), k = 2, numBlocks = 2)
+    val leftIds = out.select("left_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(leftIds == Set(1L, 2L, 3L))
+    assert(out.count() == 6) // 3 rows × 2 neighbors
+  }
+
+  test("k larger than the corpus emits all available neighbors") {
+    import spark.implicits._
+    val df = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(1.0f, 1.0f))).toDF("id", "emb")
+    val out = BlockMatrix.cosineTopK(df, col("id"), col("emb"), k = 10, numBlocks = 2)
+    assert(out.count() == 6) // each row has only 2 possible neighbors
+  }
+}
