@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.api.{Enrich, Pipelines}
 import graft.classify.{Cascades, CaseMetadata, Conclusion}
 import graft.dedup.{Dedup, EmbeddingDedup}
+import graft.operators.Skew
 import graft.oracle.Sql
 import graft.sources.Tables
 import graft.stats.WinStats
@@ -330,6 +331,29 @@ object SparkEntry {
         .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Salting for JOIN skew: each left row takes one deterministic
+    // salt, the (small-but-not-broadcast) right side replicates under
+    // all salts, so a hot key spreads over `salts` reducers instead of
+    // one ([[Skew.saltedJoin]]; AQE's runtime splitting is the
+    // unplanned-skew counterpart, demonstrated in SkewSpec). The
+    // oracle is the plain unsalted join.
+    Q("q_skew_salted_join",
+      (s, dir) => {
+        val ev  = Tables.events(s, dir)
+        val dim = ev.select(col("event_type")).distinct()
+          .withColumn("type_weight", length(col("event_type")).cast("long"))
+        Skew.saltedJoin(ev, dim, "event_type", col("event_id"), salts = 8)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"),
+            max(col("type_weight")).as("type_weight"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT e.event_type, count(*) AS n, sum(e.value) AS sum_value,
+             | CAST(max(length(e.event_type)) AS BIGINT) AS type_weight
+             |FROM events e JOIN (SELECT DISTINCT event_type FROM events) d
+             | ON e.event_type = d.event_type
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Exact interpolated percentiles (both engines use the standard
     // R-7 continuous quantile; floor-truncated to absorb last-ulp)
@@ -660,6 +684,29 @@ object SparkEntry {
           Dedup.simhash(Enrich.dedupContent(col("text"), col("doc_id"))).as("simhash"))
         .orderBy("doc_id"),
       None),
+
+    // SimHash pair detection via pigeonhole banding: 4 bands of 16 bits
+    // make candidate generation LOSSLESS for Hamming ≤ 3 (≤3 differing
+    // bits touch ≤3 bands → one band matches exactly), unlike the
+    // probabilistic MinHash bands. Runs on the dedicated high-entropy
+    // fixture ([[Enrich.simhashContent]] — the base word-salad shares a
+    // 31-word vocabulary, whose near-identical token distributions
+    // SimHash correctly refuses to separate), where the only pairs
+    // within distance 3 are the planted identical-content classes —
+    // a set DuckDB enumerates by fingerprint equality.
+    Q("dedup_simhash_pairs",
+      (s, dir) => Dedup.simhashPairs(Tables.documents(s, dir),
+          col("doc_id"), Enrich.simhashContent(col("doc_id")),
+          maxHamming = 3)
+        .orderBy("id_a", "id_b"),
+      Some({
+        val f = TextAnalysis.fingerprintSql(Enrich.simhashContentSql("doc_id"))
+        s"""SELECT l.doc_id AS id_a, r.doc_id AS id_b, CAST(0 AS INTEGER) AS hamming
+           |FROM (SELECT doc_id, $f AS f FROM documents) l
+           |JOIN (SELECT doc_id, $f AS f FROM documents) r
+           | ON l.f = r.f AND l.doc_id < r.doc_id
+           |ORDER BY id_a, id_b""".stripMargin
+      })),
 
     // Embedding-cosine near-dup pairs, exact tier: all-pairs with the
     // fused codegen cosine kernel, threshold on the 4dp-rounded value

@@ -112,6 +112,40 @@ object Enrich {
        | THEN 'near block ' || CAST(${blockIdSql(keyExpr)} AS VARCHAR) || ' shared one two three ' || CAST(${blockIdSql(keyExpr)} AS VARCHAR) || ' four five six seven ' || CAST(${blockIdSql(keyExpr)} AS VARCHAR) || ' eight nine ten tail' || CAST(($keyExpr) % 2 AS VARCHAR)
        | ELSE $textExpr END""".stripMargin
 
+  /** SimHash-pair fixture. The word-salad `text` column draws on a
+    * 31-word vocabulary, so long documents have near-identical token
+    * DISTRIBUTIONS — and SimHash, being a distribution sketch,
+    * correctly lands ~3000 of the sf0.01 pairs within Hamming
+    * distance 3 (measured). That is the honest scale lesson (SimHash
+    * cannot separate a low-entropy corpus), but it makes the pair set
+    * un-predictable in SQL. For the oracle gate we synthesize content
+    * that is actually far apart: 16 pseudo-random tokens per document
+    * from a ~100k vocabulary (affine hash mod a prime — identical
+    * arithmetic in Spark and DuckDB), with `doc_id % 7 == 0` rows
+    * collapsed into per-block exact-duplicate classes whose shared
+    * tokens are seeded from the block id (so distinct classes are
+    * ALSO far apart). Every pair within Hamming ≤ 3 is then an
+    * identical-content pair, a set DuckDB can enumerate by fingerprint
+    * equality.
+    */
+  def simhashContent(key: Column): Column = {
+    def tok(prefix: String, seed: Column, i: Int, a: Long, b: Long, p: Long) =
+      concat(lit(if (i == 0) prefix else " " + prefix),
+        pmod(seed * a + lit(i * b), lit(p)).cast("string"))
+    val uniq = (0 until 16).map(i => tok("w", key, i, 2654435761L, 40503L, 100003L))
+    val dup  = (0 until 12).map(i => tok("d", blockId(key), i, 7919L, 104729L, 99991L))
+    when(pmod(key, lit(7)) === 0, concat(dup: _*))
+      .otherwise(concat(uniq: _*))
+  }
+
+  def simhashContentSql(keyExpr: String): String = {
+    def tok(prefix: String, seed: String, i: Int, a: Long, b: Long, p: Long) =
+      s"'${if (i == 0) prefix else " " + prefix}' || CAST((($seed) * $a + ${i.toLong * b}) % $p AS VARCHAR)"
+    val uniq = (0 until 16).map(i => tok("w", keyExpr, i, 2654435761L, 40503L, 100003L)).mkString(" || ")
+    val dup  = (0 until 12).map(i => tok("d", blockIdSql(keyExpr), i, 7919L, 104729L, 99991L)).mkString(" || ")
+    s"CASE WHEN ($keyExpr) % 7 = 0 THEN $dup ELSE $uniq END"
+  }
+
   /** S2 fixture: a first-page-style header (case number, parties, two
     * date formats, mixed case) prepended to the document text.
     */

@@ -254,6 +254,55 @@ object Dedup {
     verified.where(col("jaccard") >= minJaccard)
   }
 
+  /** Document-frequency-cut near-dup join — the pragmatic tier for
+    * ULTRA-low-entropy corpora (boilerplate/templated text), where even
+    * the prefix filter degrades: when every document's rarest shingles
+    * are still globally hot, the prefix index's posting lists are O(M)
+    * and candidate generation goes quadratic anyway. The df-cut caps
+    * the problem absolutely: shingles with document frequency > `maxDf`
+    * are excluded from candidate generation (verification still runs on
+    * the FULL shingle sets), bounding the join fan-out by Σ df² over
+    * surviving shingles ≤ maxDf · Σ df.
+    *
+    * Recall contract (document it, don't hide it): a qualifying pair is
+    * missed only when EVERY shingle the two documents share is hot
+    * (df > maxDf) — i.e. the pair is similar purely through boilerplate.
+    * For dedup pipelines that is usually the intended semantics:
+    * template-only overlap is not duplication. The lossless tiers
+    * ([[ngramJaccardPairs]], [[ngramJaccardPairsPrefix]]) remain the
+    * default; this one is opt-in for corpora where they cannot scale.
+    */
+  def ngramJaccardPairsDfCut(df: DataFrame, idCol: Column, textCol: Column,
+                             n: Int = 3, minJaccard: Double = 0.5,
+                             maxDf: Long = 1000L): DataFrame = {
+    val base = df.select(idCol.as("id"), shingleHashes(textCol, n).as("sh"))
+    val cands = dfCutCandidates(base, maxDf)
+    cands
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
+  /** Candidate pairs from the df-capped inverted index (exposed for
+    * fan-out assertions in tests). The df filter reuses the inverted
+    * index's own partitioning: groupBy(shingle) and the df-join key
+    * are the same, so AQE plans one exchange for both.
+    */
+  private[dedup] def dfCutCandidates(base: DataFrame, maxDf: Long): DataFrame = {
+    val inv  = base.select(col("id"), explode(col("sh")).as("shingle"))
+    val kept = inv.join(
+      inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .where(col("df") <= maxDf),
+      "shingle")
+    kept.as("l")
+      .join(kept.as("r"), col("l.shingle") === col("r.shingle")
+        && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+  }
+
   // ---- SimHash --------------------------------------------------------
 
   /** 64-bit SimHash over whitespace tokens: bit i of the signature is
@@ -267,4 +316,43 @@ object Dedup {
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Near-duplicate pairs by SimHash Hamming distance ≤ `maxHamming`,
+    * found WITHOUT an all-pairs scan: split each 64-bit signature into
+    * `maxHamming + 1` equal bit-bands and equi-join on (band index,
+    * band value). By pigeonhole, two signatures within Hamming distance
+    * d differ in at most d bands, so with d + 1 bands at least one band
+    * matches EXACTLY — candidate generation is lossless (unlike MinHash
+    * banding, which is probabilistic), and the verify step just re-checks
+    * the true distance. Plan shape mirrors [[minhashPairs]]: narrow
+    * signature computation → explode bands → one hash-join exchange on
+    * the band key → verify; bucket sizes bound the join at any scale.
+    *
+    * 64 must be divisible by `maxHamming + 1` (bands of equal width):
+    * supported maxHamming ∈ {0, 1, 3, 7, 15, 31, 63}.
+    */
+  def simhashPairs(df: DataFrame, idCol: Column, textCol: Column,
+                   maxHamming: Int = 3): DataFrame = {
+    val nBands = maxHamming + 1
+    require(nBands > 0 && 64 % nBands == 0,
+      s"64 must divide into maxHamming+1=$nBands equal bands; " +
+        "use maxHamming in {0, 1, 3, 7, 15, 31, 63}")
+    val width = 64 / nBands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val base = df.select(idCol.as("id"), simhash(textCol).as("sig"))
+    val banded = base.select(col("id"), col("sig"),
+      explode(array((0 until nBands).map { i =>
+        struct(lit(i).as("band"),
+          shiftright(col("sig"), i * width).bitwiseAND(lit(mask)).as("bval"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.bval"))
+    banded.as("l")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bval") === col("r.bval")
+          && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        hamming(col("l.sig"), col("r.sig")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
 }

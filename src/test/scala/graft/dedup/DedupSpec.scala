@@ -77,4 +77,67 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       .collect().head.getInt(0)
     assert(h == nearDist)
   }
+
+  test("simhashPairs equals the brute-force hamming filter (pigeonhole is lossless)") {
+    import spark.implicits._
+    val sigs = docs.select(col("id"), Dedup.simhash(col("text")).as("sig"))
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib, h)).toSet
+    val banded = Dedup.simhashPairs(docs, col("id"), col("text"), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute)
+    assert(banded.contains((1L, 2L, 0)))   // the planted exact pair
+  }
+
+  test("simhashPairs at maxHamming=0 is exact-signature grouping") {
+    val pairs = Dedup.simhashPairs(docs, col("id"), col("text"), maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhashPairs rejects band widths that do not divide 64") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, col("id"), col("text"), maxHamming = 4)
+    }
+  }
+
+  // boilerplate corpus: every doc shares an 8-word template run, two
+  // docs are true duplicates through their distinctive content
+  private def boilerplate = {
+    import spark.implicits._
+    val template = "standard legal disclaimer applies to all filed documents"
+    (1 to 20).map(i => (i.toLong, s"$template unique$i tail$i word$i"))
+      .:+((21L, s"$template identical distinctive content here"))
+      .:+((22L, s"$template identical distinctive content here"))
+      .toDF("id", "text")
+  }
+
+  test("df-cut join equals the lossless join when shared content is rare") {
+    val full = Dedup.ngramJaccardPairs(docs, col("id"), col("text"), minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val cut = Dedup.ngramJaccardPairsDfCut(docs, col("id"), col("text"),
+        minJaccard = 0.5, maxDf = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(cut == full)
+    assert(full.nonEmpty)
+  }
+
+  test("df-cut bounds candidate fan-out on a boilerplate corpus") {
+    val base = boilerplate.select(col("id"),
+      Dedup.shingleHashes(col("text")).as("sh"))
+    val fullCands = Dedup.dfCutCandidates(base, maxDf = Long.MaxValue).count()
+    val cutCands  = Dedup.dfCutCandidates(base, maxDf = 3L).count()
+    // template shingles pair everyone with everyone: C(22,2) = 231
+    assert(fullCands == 231L, s"expected all-pairs fan-out, got $fullCands")
+    // rare-shingle candidates: just the true duplicate pair
+    assert(cutCands == 1L, s"expected only the planted pair, got $cutCands")
+    // and verification still finds the true duplicate pair, nothing else
+    val pairs = Dedup.ngramJaccardPairsDfCut(boilerplate, col("id"), col("text"),
+        minJaccard = 0.9, maxDf = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((21L, 22L)))
+  }
 }
