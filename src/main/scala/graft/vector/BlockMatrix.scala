@@ -16,12 +16,14 @@ import org.apache.spark.sql.functions._
   * window) materializes M² scored rows and shuffles them by left id.
   * Here the corpus is split into B row-blocks; each of the B² block
   * pairs is one task that runs a cache-friendly fused loop over its
-  * (m×d)·(d×n) tile and keeps only a k-heap per left row. Shuffle
-  * volume is M·B·k partial candidates (not M²), and the FLOPs — the
-  * true lower bound of exact all-pairs — spread evenly over B² tasks.
-  * At 100 TB: B ≈ √(cluster cores) keeps every core busy while each
-  * row is replicated only B times (the standard block-outer-product
-  * tradeoff); the final merge is the bounded-state
+  * (m×d)·(d×n) tile and keeps only a k-heap per left row. Distribution
+  * is SUMMA-style (cf. MLlib's BlockMatrix.multiply): each block is
+  * explode-replicated B ways and the two sides equi-join on the
+  * (left-block, right-block) key — shuffle volume 2·B·corpus for the
+  * tiles plus M·B·k partial candidates (never M², and never a
+  * corpus-sized broadcast), with B² join keys so every core owns whole
+  * tiles. At 100 TB: B ≈ √(cluster cores) balances replication against
+  * parallelism; the final merge is the bounded-state
   * [[GroupedTopK.TopKAggregator]], so no group ever sorts in full.
   *
   * Determinism contract (matches [[VectorKernels.Cosine]] and the
@@ -38,20 +40,28 @@ object BlockMatrix {
   /** Per-tile top-k candidate (public: encoder codegen needs the ctor). */
   final case class Partial(left_id: Long, right_id: Long, score: Double)
 
-  /** Identical value to `round(VectorKernels.cosine(a, b), 4)`:
-    * independent sequential double accumulators, HALF_UP decimal.
+  /** Identical value to Spark's `round(x, 4)`: HALF_UP on the decimal
+    * string form. Costs ~a BigDecimal per call, so the hot loop only
+    * invokes it for candidates that can actually enter the heap.
     */
-  private def cosine4dp(a: Array[Float], b: Array[Float]): Double = {
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) {
-      val x = a(i).toDouble; val y = b(i).toDouble
-      dot += x * y; na += x * x; nb += y * y; i += 1
-    }
-    new JBigDecimal(java.lang.Double.toString(dot / (math.sqrt(na) * math.sqrt(nb))))
+  private def round4dp(x: Double): Double =
+    new JBigDecimal(java.lang.Double.toString(x))
       .setScale(4, RoundingMode.HALF_UP).doubleValue()
+
+  /** Sum of squares, same sequential accumulation order as the fused
+    * [[VectorKernels.Cosine]] kernel's independent `na`/`nb` sums.
+    */
+  private def sumSq(a: Array[Float]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { val x = a(i).toDouble; acc += x * x; i += 1 }
+    acc
   }
+
+  /** Rounding moves a value by at most 5e-5 (+ last-ulp slack); a raw
+    * score this far below the current worst ROUNDED score cannot reach
+    * it after rounding, so the heap decision can skip rounding it.
+    */
+  private final val RoundMargin = 1e-4
 
   /** For each corpus row, its k nearest neighbors by cosine similarity
     * over all OTHER rows. Output: (left_id, right_id, score, rank)
@@ -76,27 +86,33 @@ object BlockMatrix {
       .groupByKey(r => ((r.id % b) + b) % b)
       .mapGroups((bid, it) => (bid, it.toArray.sortBy(_.id)))
 
-    // All B² ordered block pairs. Both sides are B-row datasets of
-    // whole blocks, so the cross join is a trivially small broadcast
-    // NLJ over block HANDLES — the heavy data rides inside the rows.
-    val pairs = blocks.toDF("bid", "rows").as("L")
-      .crossJoin(blocks.toDF("bid", "rows").as("R"))
-      .select(col("L.rows").as("lrows"), col("R.rows").as("rrows"))
+    // All B² ordered block pairs, SUMMA-style: replicate each block B
+    // ways on both sides and equi-join on the (left-block, right-block)
+    // key. A cross join of whole-corpus block rows would instead
+    // BROADCAST the corpus to every task — fine at spec scale, fatal at
+    // 100 TB; the co-partitioned join keeps everything in bounded
+    // shuffle streams and spreads the B² tiles over all cores.
+    val bl = blocks.toDF("bid", "rows")
+    val allBlockIds = array((0 until b).map(i => lit(i.toLong)): _*)
+    val lrep = bl.select(col("bid").as("lb"), col("rows").as("lrows"),
+      explode(allBlockIds).as("rb"))
+    val rrep = bl.select(col("bid").as("rb"), col("rows").as("rrows"),
+      explode(allBlockIds).as("lb"))
+    val pairs = lrep.join(rrep, Seq("lb", "rb"))
+      .select(col("lrows"), col("rrows"))
       .as[(Array[BlockRow], Array[BlockRow])]
 
     val kk = k
     val partials = pairs.flatMap { case (lrows, rrows) =>
-      // Right-side norms once per tile (na/nb accumulate independently,
-      // so hoisting nb out of the pair loop preserves bit-equality).
+      // Norms hoisted out of the pair loop: the fused kernel's na/nb
+      // accumulate independently of dot, so per-row precomputation in
+      // the same sequential order preserves bit-equality while cutting
+      // the inner loop to the dot product alone.
       val nbs = new Array[Double](rrows.length)
       var j = 0
-      while (j < rrows.length) {
-        var acc = 0.0; var i = 0; val e = rrows(j).emb
-        while (i < e.length) { val y = e(i).toDouble; acc += y * y; i += 1 }
-        nbs(j) = acc
-        j += 1
-      }
+      while (j < rrows.length) { nbs(j) = sumSq(rrows(j).emb); j += 1 }
       lrows.iterator.flatMap { l =>
+        val sqrtNa = math.sqrt(sumSq(l.emb))
         // bounded selection: worst-of-k at the root, evicted by better
         // candidates; "better" = higher score, then lower right id
         val hS = new Array[Double](kk)
@@ -119,12 +135,21 @@ object BlockMatrix {
             }
           }
         }
+        val lemb = l.emb
         var r = 0
         while (r < rrows.length) {
           val rr = rrows(r)
-          if (rr.id != l.id && nbs(r) > 0.0) {
-            val s = cosine4dp(l.emb, rr.emb)
-            if (!s.isNaN) {
+          if (rr.id != l.id && nbs(r) > 0.0 && sqrtNa > 0.0) {
+            val remb = rr.emb
+            var dot = 0.0
+            var i = 0
+            val d = math.min(lemb.length, remb.length)
+            while (i < d) { dot += lemb(i).toDouble * remb(i).toDouble; i += 1 }
+            val raw = dot / (sqrtNa * math.sqrt(nbs(r)))
+            // hot-path cut: most pairs sit far below the current worst;
+            // only possible entrants pay the decimal rounding
+            if (!raw.isNaN && (size < kk || raw + RoundMargin >= hS(0))) {
+              val s = round4dp(raw)
               if (size < kk) {
                 hS(size) = s; hI(size) = rr.id; size += 1
                 var c = size - 1
