@@ -288,6 +288,30 @@ object SparkEntry {
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
              |ORDER BY 1, 2""".stripMargin)),
 
+    // General grouping sets (beyond rollup's prefix hierarchy): per-flag
+    // and per-status marginals in one pass over the data — at scale ONE
+    // shuffle instead of a union of independent aggregations. CUBE and
+    // ROLLUP are special cases; grouping_id disambiguates the null
+    // produced by "grouped out" from a null data value.
+    Q("q_grouping_sets",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"),
+          grouping_id().cast("long").as("gid"))
+        .select(
+          coalesce(col("l_returnflag"), lit("<all>")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("<all>")).as("l_linestatus"),
+          col("sum_qty"), col("n"), col("gid"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
+             | coalesce(l_linestatus, '<all>') AS l_linestatus,
+             | sum(l_quantity) AS sum_qty, count(*) AS n,
+             | CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+             |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+             |ORDER BY 1, 2""".stripMargin)),
+
     // Set operations (union/intersect/except with set semantics)
     Q("q_set_ops",
       (s, dir) => {

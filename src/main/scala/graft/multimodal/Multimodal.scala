@@ -76,4 +76,43 @@ object Multimodal {
         }
       }
   }
+
+  /** One feature row from the BATCHED path, carrying which batch the
+    * row rode in (`batch_seq` within its task, `batch_size` of that
+    * batch) so tests can assert the delivery shape.
+    */
+  final case class BatchedFeatures(media_id: Long, n_bytes: Long,
+                                   features: Array[Float],
+                                   batch_seq: Int, batch_size: Int)
+
+  /** Feature extraction with FIXED-SIZE batch delivery — the shape a
+    * model server actually wants (this is Scala's analog of a Pandas
+    * UDF over `mapInPandas`: rows arrive in bounded batches, not one
+    * by one and not a whole partition at once). One "model" init per
+    * task, one stubbed inference call per batch of ≤ `batchSize` rows;
+    * memory per task is bounded by batch × row size regardless of
+    * partition size, which is what keeps a 100 TB scan from holding a
+    * partition of decoded tensors live. Feature values are identical
+    * to [[extractFeatures]] — batching changes delivery, not results.
+    */
+  def extractFeaturesBatched(spark: SparkSession, media: DataFrame,
+                             idCol: String, dataCol: String,
+                             dim: Int = 64, batchSize: Int = 32): Dataset[BatchedFeatures] = {
+    require(batchSize > 0, "batchSize must be positive")
+    import spark.implicits._
+    media.selectExpr(s"CAST($idCol AS BIGINT)", dataCol).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // a real pipeline initializes the codec/model HERE, once per task
+        var seq = -1
+        rows.grouped(batchSize).flatMap { batch =>
+          seq += 1
+          val bs = batch.size
+          // a real pipeline runs ONE inference call on the whole batch
+          batch.iterator.map { case (id, data) =>
+            BatchedFeatures(id, data.length.toLong,
+              featurizeStub(data, dim), seq, bs)
+          }
+        }
+      }
+  }
 }

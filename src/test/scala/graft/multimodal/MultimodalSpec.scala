@@ -33,4 +33,25 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     // different payloads → different features
     assert(!f(0).features.sameElements(f(1).features))
   }
+
+  test("batched extraction: bounded batches, same features as the per-row path") {
+    import spark.implicits._
+    val many = spark.range(0, 25).repartition(1)
+      .select(col("id").as("media_id"),
+        concat(lit("payload "), col("id").cast("string")).cast("binary").as("data"))
+    val batched = Multimodal.extractFeaturesBatched(spark, many,
+        "media_id", "data", dim = 8, batchSize = 10)
+      .collect().sortBy(_.media_id)
+    // delivery shape: one partition of 25 rows → batches of 10/10/5
+    assert(batched.forall(_.batch_size <= 10))
+    assert(batched.map(b => b.batch_seq -> b.batch_size).distinct.sorted.toSeq ==
+      Seq(0 -> 10, 1 -> 10, 2 -> 5))
+    // values: batching changes delivery, never results
+    val perRow = Multimodal.extractFeatures(spark, many, "media_id", "data", dim = 8)
+      .collect().sortBy(_.media_id)
+    assert(batched.length == perRow.length)
+    batched.zip(perRow).foreach { case (b, r) =>
+      assert(b.media_id == r.media_id && b.features.sameElements(r.features))
+    }
+  }
 }
