@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.Pipelines
+import graft.dedup.Dedup
+import graft.sources.Tables
+import graft.vector.{BlockMatrix, Knn}
+
+/** Scale-critical plan shapes, asserted so they cannot regress
+  * silently: the operators' 100 TB claims live or die on these
+  * (filter pushdown reaching the scan, top-k planning as
+  * TakeOrderedAndProject, similarity joins staying on equi-join
+  * machinery rather than degenerating to nested loops).
+  */
+class PlanShapeSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executed(df: DataFrame): String = {
+    df.collect() // finalize AQE so the inspected plan is the real one
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filtered KNN: level filter is pushed to the parquet scan; top-k never sorts in full") {
+    val df = Knn.topK(Pipelines.scoredAtLevel(spark, dir, level = 3), 100, col("vec_id"))
+    val plan = executed(df)
+    // court_level aliases the parquet `label` column — the pushed
+    // filter must reach the scan under the physical name
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(label,3\\).*"),
+      s"expected label pushdown in:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject (bounded top-k), not a global sort:\n$plan")
+  }
+
+  test("flagship plan has no cartesian product; every nested-loop join is a 1-row broadcast") {
+    val plan = executed(Pipelines.similarCases(spark, dir))
+    assert(!plan.contains("CartesianProduct"), s"cartesian product in flagship:\n$plan")
+    // 1-row frames (query vector, win-stats aggregates) legitimately
+    // attach as broadcast cross joins; a corpus-sized NLJ would build
+    // the streamed side instead
+    val nljs = "BroadcastNestedLoopJoin \\w+".r.findAllIn(plan).toSeq
+    assert(nljs.forall(_.endsWith("BuildRight")),
+      s"nested-loop join building the streamed side: $nljs\n$plan")
+  }
+
+  test("block-matrix tiles meet through an equi-join, never a nested loop") {
+    val emb = Tables.embeddings(spark, dir).where(col("vec_id") < 100)
+    val plan = executed(BlockMatrix.cosineTopK(emb, col("vec_id"), col("embedding"),
+      k = 3, numBlocks = 4))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"block pairing degenerated to a nested loop:\n$plan")
+  }
+
+  test("prefix-filtered jaccard join runs on hash-join machinery only") {
+    val docs = Tables.documents(spark, dir).limit(100)
+    val plan = executed(
+      Dedup.ngramJaccardPairsPrefix(docs, col("doc_id"), col("text"), minJaccard = 0.8))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"similarity join degenerated to an all-pairs stage:\n$plan")
+  }
+
+  test("aggregation is two-phase (map-side partial before the exchange)") {
+    // the pre-AQE physical plan shows both phases in one tree (the
+    // adaptive form elides finished query-stage subtrees)
+    val plan = Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag").agg(sum("l_quantity").as("s"))
+      .queryExecution.sparkPlan.toString
+    val aggs = "HashAggregate".r.findAllIn(plan).size
+    assert(aggs >= 2, s"expected partial+final HashAggregate pair:\n$plan")
+  }
+}
