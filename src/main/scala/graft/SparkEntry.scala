@@ -288,6 +288,32 @@ object SparkEntry {
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
              |ORDER BY 1, 2""".stripMargin)),
 
+    // Window-function breadth: per-customer order sequences — lag
+    // (previous price), running sum, quartile bucket, cumulative
+    // distribution — one window definition, unique-id tie-break so
+    // every function is engine-deterministic
+    Q("q_window_functions",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        Tables.orders(s, dir)
+          .where(col("o_custkey") < 500)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            lag("o_totalprice", 1).over(w).as("prev_price"),
+            sum("o_totalprice").over(w).as("running_total"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            cume_dist().over(w).as("cume"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+             | lag(o_totalprice, 1) OVER w AS prev_price,
+             | sum(o_totalprice) OVER w AS running_total,
+             | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             | cume_dist() OVER w AS cume
+             |FROM orders WHERE o_custkey < 500
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
     // General grouping sets (beyond rollup's prefix hierarchy): per-flag
     // and per-status marginals in one pass over the data — at scale ONE
     // shuffle instead of a union of independent aggregations. CUBE and

@@ -60,7 +60,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.ext.GraftFunctions", null, name), builder))
     }
-    // whole-operator extensions: logical node → custom physical operator
+    // whole-operator extensions: logical node → custom physical operator,
+    // plus the operator's own pushdown rule (left_id filters commute
+    // with the per-left-row top-k)
     e.injectPlannerStrategy(_ => graft.plans.KnnJoinStrategy)
+    e.injectOptimizerRule(_ => graft.plans.PushFilterThroughKnnJoin)
   }
 }

@@ -5,8 +5,9 @@ import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, GenericInternalRow, UnsafeProjection}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, AttributeSet, GenericInternalRow, PredicateHelper, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType}
@@ -71,6 +72,7 @@ object KnnJoin {
   def apply(left: DataFrame, right: DataFrame, k: Int): DataFrame = {
     val spark = left.sparkSession
     GraftColumnBridge.addStrategy(spark, KnnJoinStrategy)
+    GraftColumnBridge.addOptimization(spark, PushFilterThroughKnnJoin)
     // The exec addresses (id: long, embedding: array<float>) by position
     // and assumes both non-null; enforce that contract here (null rows
     // can't participate in a distance ranking anyway — matches the
@@ -84,6 +86,38 @@ object KnnJoin {
     GraftColumnBridge.ofRows(spark,
       new KnnJoin(GraftColumnBridge.analyzed(l), GraftColumnBridge.analyzed(r),
         k, knnOutput()))
+  }
+}
+
+/** Optimizer rule for the custom operator: a filter on `left_id`
+  * commutes with the per-left-row top-k (each left row's neighbor set
+  * is independent of every other left row), so left_id-only conjuncts
+  * push through [[KnnJoin]] into the LEFT child — pruning rows before
+  * any distance is computed, and letting Catalyst continue pushing the
+  * rewritten predicate all the way into the parquet scan. Built-in
+  * pushdown cannot do this (KnnJoin is an opaque node to it); this is
+  * the `Rule[LogicalPlan]` the custom-operator tier owes the optimizer.
+  *
+  * Filters on `right_id`/`score`/`rank` do NOT commute (removing a
+  * right row changes every left row's ranking) and stay above the join.
+  */
+object PushFilterThroughKnnJoin extends Rule[LogicalPlan] with PredicateHelper {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, kj: KnnJoin) =>
+      val leftId = kj.output.head
+      val (push, keep) = splitConjunctivePredicates(cond)
+        .partition(c => c.deterministic && c.references == AttributeSet(leftId))
+      if (push.isEmpty) f
+      else {
+        // left_id carries the value of the left child's id column verbatim
+        val childId = kj.left.output.head
+        val rewritten = push.map(_.transform {
+          case a: AttributeReference if a.exprId == leftId.exprId => childId
+        }).reduce(And)
+        val pushed = kj.withNewChildren(
+          Seq(Filter(rewritten, kj.left), kj.right))
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
   }
 }
 
@@ -243,6 +277,8 @@ object BroadcastKnn {
   def similarityJoin(left: DataFrame, right: DataFrame, k: Int): DataFrame =
     KnnJoin(left, right, k)
 
-  def inject(spark: SparkSession): Unit =
+  def inject(spark: SparkSession): Unit = {
     GraftColumnBridge.addStrategy(spark, KnnJoinStrategy)
+    GraftColumnBridge.addOptimization(spark, PushFilterThroughKnnJoin)
+  }
 }

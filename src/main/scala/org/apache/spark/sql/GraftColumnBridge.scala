@@ -34,4 +34,15 @@ object GraftColumnBridge {
       if (!exp.extraStrategies.contains(s)) exp.extraStrategies = exp.extraStrategies :+ s
     }
   }
+
+  /** Idempotently add an extra optimizer rule to a live session (same
+    * check-then-append hazard as [[addStrategy]]).
+    */
+  def addOptimization(spark: SparkSession,
+                      r: org.apache.spark.sql.catalyst.rules.Rule[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    exp.synchronized {
+      if (!exp.extraOptimizations.contains(r)) exp.extraOptimizations = exp.extraOptimizations :+ r
+    }
+  }
 }

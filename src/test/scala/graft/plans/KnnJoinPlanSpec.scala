@@ -35,6 +35,25 @@ class KnnJoinPlanSpec extends AnyFunSuite with SparkSpec {
       s"unexpected exchange:\n$plan")
   }
 
+  test("left_id filter pushes through the join into the left child") {
+    val df = BroadcastKnn.similarityJoin(emb, emb, k = 3)
+      .where(col("left_id") < 5 && col("rank") === 1)
+    val opt = df.queryExecution.optimizedPlan
+    // the KnnJoin node must sit ABOVE the left_id filter after the
+    // rewrite; only the rank conjunct may remain on top
+    val top = opt.collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f }.get
+    assert(!top.condition.toString.contains("left_id <"),
+      s"left_id filter not pushed:\n$opt")
+    assert(opt.toString.contains("KnnJoin"), s"KnnJoin missing:\n$opt")
+    // semantics: identical to pre-filtering the left input
+    val expected = BroadcastKnn.similarityJoin(emb.where(col("id") < 5), emb, k = 3)
+      .where(col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(got == expected && got.size == 5)
+  }
+
   test("count-only consumption keeps child columns alive (pruning regression)") {
     // nothing downstream references the node's output, and the node's
     // expressions reference no child column — without the `references`
