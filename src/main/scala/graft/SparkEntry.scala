@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.api.{Enrich, Pipelines}
 import graft.classify.{Cascades, CaseMetadata, Conclusion}
-import graft.dedup.{Dedup, EmbeddingDedup}
+import graft.dedup.{Components, Dedup, EmbeddingDedup}
 import graft.operators.Skew
 import graft.oracle.Sql
 import graft.sources.Tables
@@ -313,6 +313,23 @@ object SparkEntry {
              |FROM orders WHERE o_custkey < 500
              |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
              |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // CUBE: all four grouping combinations in one pass (rollup's prefix
+    // hierarchy plus the status-only marginal)
+    Q("q_cube_lineitem",
+      (s, dir) => Tables.lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("<all>")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("<all>")).as("l_linestatus"),
+          col("sum_qty"), col("n"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
+             | coalesce(l_linestatus, '<all>') AS l_linestatus,
+             | sum(l_quantity) AS sum_qty, count(*) AS n
+             |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+             |ORDER BY 1, 2""".stripMargin)),
 
     // General grouping sets (beyond rollup's prefix hierarchy): per-flag
     // and per-status marginals in one pass over the data — at scale ONE
@@ -757,6 +774,32 @@ object SparkEntry {
            | ON l.f = r.f AND l.doc_id < r.doc_id
            |ORDER BY id_a, id_b""".stripMargin
       })),
+
+    // Duplicate-cluster collapse: near-dup pairs chain (A≈B≈C), so the
+    // deletion unit is the CONNECTED COMPONENT, not the pair. Min-label
+    // propagation over the pair graph (one hash-join+agg pass per
+    // round, rounds = diameter, lineage truncated per round); keeper =
+    // min id per cluster. The DuckDB oracle recomputes the clustering
+    // independently with a recursive CTE over the same edge set.
+    Q("dedup_clusters",
+      (s, dir) => Components.dupClusters(Tables.documents(s, dir),
+          col("doc_id"), Enrich.dedupContent(col("text"), col("doc_id")),
+          minJaccard = 0.5)
+        .orderBy("id"),
+      Some(s"""WITH RECURSIVE edges AS MATERIALIZED (
+              |  ${Dedup.ngramJaccardPairsSql("documents", "doc_id",
+                   Enrich.dedupContentSql("text", "doc_id"))}
+              |), sym AS (
+              |  SELECT id_a AS src, id_b AS dst FROM edges
+              |  UNION ALL
+              |  SELECT id_b, id_a FROM edges
+              |), reach AS (
+              |  SELECT src AS id, src AS r FROM sym
+              |  UNION
+              |  SELECT sym.src, reach.r FROM sym JOIN reach ON sym.dst = reach.id
+              |)
+              |SELECT id, min(r) AS cluster_id, (id = min(r)) AS is_keeper
+              |FROM reach GROUP BY id ORDER BY id""".stripMargin)),
 
     // Embedding-cosine near-dup pairs, exact tier: all-pairs with the
     // fused codegen cosine kernel, threshold on the 4dp-rounded value

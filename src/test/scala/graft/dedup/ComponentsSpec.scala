@@ -1,0 +1,54 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class ComponentsSpec extends AnyFunSuite with SparkSpec {
+
+  private def cc(edges: Seq[(Long, Long)], nodes: Seq[Long]): Map[Long, Long] = {
+    import spark.implicits._
+    Components.connectedComponents(
+        nodes.toDF("id"), edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("chains, cliques and singletons resolve to min-id components") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),   // a 4-chain
+      (10L, 11L), (10L, 12L), (11L, 12L))           // a triangle
+    val labels = cc(edges, Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 99L))
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 99L -> 99L))
+  }
+
+  test("a long path needs diameter rounds and still converges") {
+    val n = 15
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong))
+    val labels = cc(edges, (1 to n).map(_.toLong))
+    assert(labels.values.toSet == Set(1L))
+  }
+
+  test("non-convergence within maxIters raises instead of emitting partial clusters") {
+    import spark.implicits._
+    val edges = (1 until 10).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    val nodes = (1 to 10).map(_.toLong).toDF("id")
+    intercept[IllegalStateException] {
+      Components.connectedComponents(nodes, edges, maxIters = 2).collect()
+    }
+  }
+
+  test("dupClusters: planted dup classes collapse to one keeper each") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),     // dup of 1
+      (3L, "alpha beta gamma delta zeta"),        // near-dup of 1/2
+      (4L, "totally different content here now"),
+      (5L, "another unrelated document text")
+    ).toDF("id", "text")
+    val out = Components.dupClusters(docs, col("id"), col("text"), minJaccard = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(out == Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false)))
+  }
+}

@@ -34,6 +34,32 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-vs-corpus near-dup check: stateless join, one row per pair") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"),
+      (101L, "an entirely different corpus document about engines")
+    ).toDF("doc_id", "text")
+    val ms = MemoryStream[(Long, String)]
+    val out = StreamingDedup.nearDupsAgainstCorpus(
+      ms.toDS().toDF("doc_id", "text"), corpus, "doc_id", "text",
+      minJaccard = 0.5)
+    val q = out.writeStream.format("memory").queryName("neardup")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        (1L, "the quick brown fox jumps over the lazy dog tonight"), // exact dup of 100
+        (2L, "wholly unrelated new submission text goes here"))
+      q.processAllAvailable()
+      val rows = spark.table("neardup")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      // identical texts collide in ALL bands — the first-match filter
+      // must still emit exactly one row
+      assert(rows == Seq((1L, 100L, 1.0)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("a copy arriving beyond the watermark horizon is admitted again") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
