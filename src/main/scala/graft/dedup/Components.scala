@@ -45,7 +45,9 @@ object Components {
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
-      // each node adopts the min label among itself and its neighbors
+      // each node adopts the min label among itself and its neighbors;
+      // the `changed` flag rides along so convergence is a count over
+      // the already-materialized checkpoint, not an extra join
       val fromNeighbors = sym
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("component", "n_component"), "dst")
@@ -54,12 +56,11 @@ object Components {
       val next = labels.join(fromNeighbors, Seq("id"), "left")
         .select(col("id"),
           least(col("component"),
-            coalesce(col("n_component"), col("component"))).as("component"))
+            coalesce(col("n_component"), col("component"))).as("component"),
+          (col("n_component") < col("component")).as("changed"))
         .localCheckpoint()
-      val changes = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .where(col("component") =!= col("old")).count()
-      labels = next
-      converged = changes == 0
+      converged = next.where(col("changed")).isEmpty
+      labels = next.select("id", "component")
       it += 1
     }
     if (!converged)
