@@ -281,4 +281,26 @@ object BroadcastKnn {
     GraftColumnBridge.addStrategy(spark, KnnJoinStrategy)
     GraftColumnBridge.addOptimization(spark, PushFilterThroughKnnJoin)
   }
+
+  /** Physical-route dispatch for the KNN join — the cost decision a
+    * planner would make, exposed as API because the two routes have
+    * identical semantics but opposite scaling walls:
+    *
+    *  - right side fits the broadcast budget → [[BroadcastKnnExec]]
+    *    (zero exchanges, M×k output, never materializes M×N);
+    *  - right side too large → [[graft.vector.BlockMatrix.l2Join]]
+    *    (SUMMA block tiles, bounded shuffle streams, no broadcast of
+    *    either side) — same output contract, opposite memory shape.
+    *
+    * The probe is `limit(budget + 1).count()` on the right side — a
+    * bounded scan that stops as soon as the budget is exceeded, not a
+    * full count of a 100 TB input.
+    */
+  def similarityJoinAuto(left: DataFrame, right: DataFrame, k: Int,
+                         maxBroadcastRows: Long = 4000000L): DataFrame = {
+    val budget = math.min(maxBroadcastRows, Int.MaxValue - 1L).toInt
+    val smallEnough = right.limit(budget + 1).count() <= budget
+    if (smallEnough) similarityJoin(left, right, k)
+    else graft.vector.BlockMatrix.l2Join(left, right, k)
+  }
 }

@@ -5,32 +5,32 @@ import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** All-pairs exact cosine top-k ("k most similar documents for EVERY
-  * document") via block-partitioned GEMM — the dense-linear-algebra
-  * scale path the reference's Milvus deployment would need for corpus-
-  * wide similarity (its IVF_FLAT index answers one query vector at a
-  * time; `/root/reference/extract_and_search.py:104-110` — this is the
-  * M×M generalization, cf. SURVEY §2.7).
+/** Exact top-k similarity joins via block-partitioned GEMM — the
+  * dense-linear-algebra scale path the reference's Milvus deployment
+  * would need for corpus-wide similarity (its IVF_FLAT index answers
+  * one query vector at a time;
+  * `/root/reference/extract_and_search.py:104-110` — this is the M×N
+  * generalization, cf. SURVEY §2.7).
   *
-  * Why blocking, not a pair join: the naive formulation (self-join +
-  * window) materializes M² scored rows and shuffles them by left id.
-  * Here the corpus is split into B row-blocks; each of the B² block
+  * Why blocking, not a pair join: the naive formulation (join +
+  * window) materializes M·N scored rows and shuffles them by left id.
+  * Here each side is split into B row-blocks; each of the B² block
   * pairs is one task that runs a cache-friendly fused loop over its
   * (m×d)·(d×n) tile and keeps only a k-heap per left row. Distribution
   * is SUMMA-style (cf. MLlib's BlockMatrix.multiply): each block is
   * explode-replicated B ways and the two sides equi-join on the
-  * (left-block, right-block) key — shuffle volume 2·B·corpus for the
-  * tiles plus M·B·k partial candidates (never M², and never a
+  * (left-block, right-block) key — shuffle volume B·(|L|+|R|) for the
+  * tiles plus M·B·k partial candidates (never M·N, and never a
   * corpus-sized broadcast), with B² join keys so every core owns whole
   * tiles. At 100 TB: B ≈ √(cluster cores) balances replication against
   * parallelism; the final merge is the bounded-state
   * [[GroupedTopK.TopKAggregator]], so no group ever sorts in full.
   *
-  * Determinism contract (matches [[VectorKernels.Cosine]] and the
-  * DuckDB oracle): dot/‖a‖‖b‖ accumulated sequentially in doubles,
-  * rounded HALF_UP to 4dp before ranking; ties break on ascending
-  * right id. Rows with null/zero embeddings cannot rank and are
-  * dropped.
+  * Determinism contract (matches [[VectorKernels]] and the DuckDB
+  * oracle): distances accumulated sequentially in doubles, rounded
+  * HALF_UP to 4dp before ranking; ties break on ascending right id.
+  * Rows with null ids/embeddings are dropped (cosine additionally
+  * drops zero vectors — they cannot rank).
   */
 object BlockMatrix {
 
@@ -58,68 +58,98 @@ object BlockMatrix {
   }
 
   /** Rounding moves a value by at most 5e-5 (+ last-ulp slack); a raw
-    * score this far below the current worst ROUNDED score cannot reach
-    * it after rounding, so the heap decision can skip rounding it.
+    * score this far on the wrong side of the current worst ROUNDED
+    * score cannot reach it after rounding, so the heap decision can
+    * skip rounding it.
     */
   private final val RoundMargin = 1e-4
 
   /** For each corpus row, its k nearest neighbors by cosine similarity
-    * over all OTHER rows. Output: (left_id, right_id, score, rank)
-    * with rank 1..k by (score desc, right_id asc).
+    * over all OTHER rows (self-pairs excluded — a dedup/similarity
+    * sweep wants neighbors, not identities). Output: (left_id,
+    * right_id, score, rank) with rank 1..k by (score desc, right_id).
     */
   def cosineTopK(df: DataFrame, idCol: Column, embCol: Column, k: Int,
                  numBlocks: Int = 16): DataFrame = {
+    val base = prep(df, idCol, embCol)
+    topKJoin(base, base, k, numBlocks, cosineMetric = true, excludeSelf = true)
+  }
+
+  /** M×N exact L2 top-k join — identical output contract to
+    * [[Knn.similarityJoin]] (score = round(l2, 4), rank 1..k ascending
+    * (score, right_id), self-pairs included when the frames overlap),
+    * but without broadcasting the right side: the scale route when
+    * BOTH sides are large. Frames carry (`id`, `embedding`).
+    */
+  def l2Join(left: DataFrame, right: DataFrame, k: Int,
+             numBlocks: Int = 16): DataFrame =
+    topKJoin(prep(left, col("id"), col("embedding")),
+      prep(right, col("id"), col("embedding")),
+      k, numBlocks, cosineMetric = false, excludeSelf = false)
+
+  private def prep(df: DataFrame, idCol: Column, embCol: Column): DataFrame =
+    df.select(idCol.cast("long").as("id"), embCol.cast("array<float>").as("emb"))
+      .where(col("id").isNotNull && col("emb").isNotNull)
+
+  /** Shared SUMMA core. `cosineMetric`: cosine descending vs L2
+    * ascending; both round HALF_UP to 4dp before the heap decides.
+    */
+  private def topKJoin(leftBase: DataFrame, rightBase: DataFrame, k: Int,
+                       numBlocks: Int, cosineMetric: Boolean,
+                       excludeSelf: Boolean): DataFrame = {
     require(k > 0, "k must be positive")
     require(numBlocks > 0, "numBlocks must be positive")
-    val spark = df.sparkSession
+    val spark = leftBase.sparkSession
     import spark.implicits._
 
-    val base = df
-      .select(idCol.cast("long").as("id"), embCol.cast("array<float>").as("emb"))
-      .where(col("id").isNotNull && col("emb").isNotNull)
-      .as[BlockRow]
-
-    // Row-blocks: deterministic residue assignment; rows sorted by id
-    // inside each block so every downstream loop order is reproducible.
+    // Row-blocks per side: deterministic residue assignment; rows
+    // sorted by id inside each block so every loop order reproduces.
     val b = numBlocks
-    val blocks = base
+    def blocks(df: DataFrame) = df.as[BlockRow]
       .groupByKey(r => ((r.id % b) + b) % b)
       .mapGroups((bid, it) => (bid, it.toArray.sortBy(_.id)))
+      .toDF("bid", "rows")
 
     // All B² ordered block pairs, SUMMA-style: replicate each block B
-    // ways on both sides and equi-join on the (left-block, right-block)
-    // key. A cross join of whole-corpus block rows would instead
-    // BROADCAST the corpus to every task — fine at spec scale, fatal at
-    // 100 TB; the co-partitioned join keeps everything in bounded
-    // shuffle streams and spreads the B² tiles over all cores.
-    val bl = blocks.toDF("bid", "rows")
+    // ways and equi-join on the (left-block, right-block) key. A cross
+    // join of whole-corpus block rows would instead BROADCAST a corpus
+    // to every task — fine at spec scale, fatal at 100 TB; the
+    // co-partitioned join keeps everything in bounded shuffle streams
+    // and spreads the B² tiles over all cores.
     val allBlockIds = array((0 until b).map(i => lit(i.toLong)): _*)
-    val lrep = bl.select(col("bid").as("lb"), col("rows").as("lrows"),
-      explode(allBlockIds).as("rb"))
-    val rrep = bl.select(col("bid").as("rb"), col("rows").as("rrows"),
-      explode(allBlockIds).as("lb"))
+    val lrep = blocks(leftBase).select(col("bid").as("lb"),
+      col("rows").as("lrows"), explode(allBlockIds).as("rb"))
+    val rrep = blocks(rightBase).select(col("bid").as("rb"),
+      col("rows").as("rrows"), explode(allBlockIds).as("lb"))
     val pairs = lrep.join(rrep, Seq("lb", "rb"))
       .select(col("lrows"), col("rrows"))
       .as[(Array[BlockRow], Array[BlockRow])]
 
     val kk = k
+    val cos = cosineMetric
+    val noSelf = excludeSelf
     val partials = pairs.flatMap { case (lrows, rrows) =>
-      // Norms hoisted out of the pair loop: the fused kernel's na/nb
-      // accumulate independently of dot, so per-row precomputation in
-      // the same sequential order preserves bit-equality while cutting
-      // the inner loop to the dot product alone.
-      val nbs = new Array[Double](rrows.length)
-      var j = 0
-      while (j < rrows.length) { nbs(j) = sumSq(rrows(j).emb); j += 1 }
+      // Cosine norms hoisted out of the pair loop: the fused kernel's
+      // na/nb accumulate independently of dot, so per-row
+      // precomputation in the same sequential order is bit-identical
+      // while cutting the inner loop to the dot product alone.
+      val nbs = if (cos) {
+        val a = new Array[Double](rrows.length)
+        var j = 0
+        while (j < rrows.length) { a(j) = sumSq(rrows(j).emb); j += 1 }
+        a
+      } else null
       lrows.iterator.flatMap { l =>
-        val sqrtNa = math.sqrt(sumSq(l.emb))
+        val sqrtNa = if (cos) math.sqrt(sumSq(l.emb)) else 0.0
         // bounded selection: worst-of-k at the root, evicted by better
-        // candidates; "better" = higher score, then lower right id
+        // candidates; "better" = nearer (higher cosine / lower L2),
+        // then lower right id
         val hS = new Array[Double](kk)
         val hI = new Array[Long](kk)
         var size = 0
         def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-          s1 < s2 || (s1 == s2 && i1 > i2)
+          if (cos) s1 < s2 || (s1 == s2 && i1 > i2)
+          else s1 > s2 || (s1 == s2 && i1 > i2)
         def siftDown(): Unit = {
           var p = 0
           var cont = true
@@ -139,16 +169,33 @@ object BlockMatrix {
         var r = 0
         while (r < rrows.length) {
           val rr = rrows(r)
-          if (rr.id != l.id && nbs(r) > 0.0 && sqrtNa > 0.0) {
+          val usable =
+            if (cos) (!noSelf || rr.id != l.id) && nbs(r) > 0.0 && sqrtNa > 0.0
+            else !noSelf || rr.id != l.id
+          if (usable) {
             val remb = rr.emb
-            var dot = 0.0
-            var i = 0
             val d = math.min(lemb.length, remb.length)
-            while (i < d) { dot += lemb(i).toDouble * remb(i).toDouble; i += 1 }
-            val raw = dot / (sqrtNa * math.sqrt(nbs(r)))
-            // hot-path cut: most pairs sit far below the current worst;
-            // only possible entrants pay the decimal rounding
-            if (!raw.isNaN && (size < kk || raw + RoundMargin >= hS(0))) {
+            var raw = 0.0
+            if (cos) {
+              var dot = 0.0
+              var i = 0
+              while (i < d) { dot += lemb(i).toDouble * remb(i).toDouble; i += 1 }
+              raw = dot / (sqrtNa * math.sqrt(nbs(r)))
+            } else {
+              var acc = 0.0
+              var i = 0
+              while (i < d) {
+                val t = lemb(i).toDouble - remb(i).toDouble
+                acc += t * t; i += 1
+              }
+              raw = math.sqrt(acc)
+            }
+            // hot-path cut: most pairs sit far on the wrong side of the
+            // current worst; only possible entrants pay the decimal
+            // rounding
+            val mayEnter = size < kk ||
+              (if (cos) raw + RoundMargin >= hS(0) else raw - RoundMargin <= hS(0))
+            if (!raw.isNaN && mayEnter) {
               val s = round4dp(raw)
               if (size < kk) {
                 hS(size) = s; hI(size) = rr.id; size += 1
@@ -171,13 +218,17 @@ object BlockMatrix {
     }
 
     // Global merge of the ≤B partial k-sets per left row through the
-    // bounded-state aggregate (ascending (score, id) order → feed the
-    // NEGATED score; `+ 0.0` normalizes -0.0 so the round-trip is exact).
-    GroupedTopK.topKPerGroup(
-        partials.toDF().select(col("left_id"), col("right_id").as("id"),
-          (negate(col("score")) + lit(0.0)).as("score")),
-        col("left_id"), k)
+    // bounded-state aggregate. The aggregate orders ascending
+    // (score, id): L2 feeds its score directly; cosine feeds the
+    // NEGATED score (`+ 0.0` normalizes -0.0 so the round-trip is
+    // exact — HALF_UP is symmetric away from zero, so negation
+    // commutes with the rounding already applied).
+    val mergeIn = partials.toDF().select(col("left_id"),
+      col("right_id").as("id"),
+      (if (cosineMetric) negate(col("score")) + lit(0.0) else col("score")).as("score"))
+    GroupedTopK.topKPerGroup(mergeIn, col("left_id"), k)
       .select(col("left_id"), col("id").as("right_id"),
-        (negate(col("score")) + lit(0.0)).as("score"), col("rank"))
+        (if (cosineMetric) negate(col("score")) + lit(0.0) else col("score")).as("score"),
+        col("rank"))
   }
 }

@@ -69,4 +69,32 @@ class BlockMatrixSpec extends AnyFunSuite with SparkSpec {
     val out = BlockMatrix.cosineTopK(df, col("id"), col("emb"), k = 10, numBlocks = 2)
     assert(out.count() == 6) // each row has only 2 possible neighbors
   }
+
+  test("l2Join matches the compositional broadcast similarity join exactly") {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val left = emb.where(col("id") < 30)
+    val viaWindow = collectSorted(
+      Knn.similarityJoin(left, emb, k = 4))
+    val viaBlocks = collectSorted(
+      BlockMatrix.l2Join(left, emb, k = 4, numBlocks = 4))
+    assert(viaBlocks == viaWindow)
+    // identity pairs are included (score 0 at rank 1), like the
+    // compositional form
+    assert(viaBlocks.count { case (l, r, s, rk) => l == r && s == 0.0 && rk == 1 } == 30)
+  }
+
+  test("similarityJoinAuto dispatches by right-side size with identical results") {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val left = emb.where(col("id") < 10)
+    val small = graft.plans.BroadcastKnn.similarityJoinAuto(left, emb, k = 3)
+    assert(small.queryExecution.executedPlan.toString.contains("BroadcastKnn"),
+      "small right side must take the custom broadcast exec")
+    // force the block route with a 1-row budget
+    val large = graft.plans.BroadcastKnn.similarityJoinAuto(left, emb, k = 3,
+      maxBroadcastRows = 1L)
+    assert(!large.queryExecution.executedPlan.toString.contains("BroadcastKnn"))
+    assert(collectSorted(small) == collectSorted(large))
+  }
 }
