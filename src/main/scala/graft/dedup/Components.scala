@@ -42,6 +42,10 @@ object Components {
       .localCheckpoint()
     var labels = nodes.select(col("id"), col("id").as("component"))
       .localCheckpoint()
+    // superseded checkpoints must be dropped as we go: each round's
+    // blocks otherwise stay in the block manager for the session's
+    // lifetime (storage leak ∝ rounds × labels), starving later jobs
+    var retired = List.empty[DataFrame]
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -60,13 +64,21 @@ object Components {
           (col("n_component") < col("component")).as("changed"))
         .localCheckpoint()
       converged = next.where(col("changed")).isEmpty
+      // next is materialized (localCheckpoint is eager); the previous
+      // round's blocks can go now
+      retired.foreach(org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint)
+      retired = List(labels)
       labels = next.select("id", "component")
       it += 1
     }
+    org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(sym)
+    retired.foreach(org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint)
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds " +
           "(graph diameter exceeds the bound); raise maxIters")
+    // the returned frame is backed by the FINAL round's checkpoint
+    // only — bounded, and still readable by the caller
     labels
   }
 

@@ -37,10 +37,22 @@ object GraftFunctions {
       "graft_hyperplane_bands(emb, dim, bands, bits, seed) - hyperplane LSH band keys",
       exprs => {
         // geometry args must be literals: planes are baked into the
-        // expression at resolution time
-        def intArg(i: Int) = exprs(i).eval(null).asInstanceOf[Number].intValue
+        // expression at resolution time — validate arity and
+        // foldability up front so a misuse reads as a usage error,
+        // not an opaque IndexOutOfBounds/ClassCast at resolution
+        val usage = "graft_hyperplane_bands(emb, dim INT, bands INT, bits INT, seed BIGINT)" +
+          " — dim/bands/bits/seed must be integer literals"
+        require(exprs.length == 5, s"wrong argument count ${exprs.length}; usage: $usage")
+        require(exprs.tail.forall(_.foldable),
+          s"non-literal geometry argument; usage: $usage")
+        def numArg(i: Int) = exprs(i).eval(null) match {
+          case n: Number => n
+          case other => throw new IllegalArgumentException(
+            s"argument ${i + 1} is ${if (other == null) "NULL" else other.getClass.getSimpleName}, expected integer; usage: $usage")
+        }
+        def intArg(i: Int) = numArg(i).intValue
         val (dim, bands, bits) = (intArg(1), intArg(2), intArg(3))
-        val seed = exprs(4).eval(null).asInstanceOf[Number].longValue
+        val seed = numArg(4).longValue
         VectorKernels.HyperplaneBandKeys(exprs.head,
           graft.dedup.EmbeddingDedup.hyperplanes(dim, bands, bits, seed),
           dim, bands, bits)

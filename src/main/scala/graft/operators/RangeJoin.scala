@@ -42,6 +42,11 @@ object RangeJoin {
     require(radius >= 0, "radius must be non-negative")
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty, s"column names must be disjoint, both sides have: $overlap")
+    // withColumn REPLACES silently — a pre-existing helper column would
+    // corrupt the bin key rather than error
+    val reserved = (left.columns ++ right.columns).toSet.intersect(Set("__bin", "__rbin"))
+    require(reserved.isEmpty,
+      s"bandJoin reserves column names __bin/__rbin; rename on the inputs: $reserved")
     val w = if (binWidth > 0L) binWidth else math.max(radius, 1L)
     // `div` is exact integer division — `/` would promote to double,
     // which cannot represent epoch-nanos magnitudes exactly

@@ -28,6 +28,10 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  leftSaltSrc: Column, salts: Int = 16): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // withColumn REPLACES silently — a pre-existing __salt on either
+    // side would corrupt the join key rather than error
+    require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
+      "saltedJoin reserves column name __salt; rename it on the inputs")
     val l = left.withColumn("__salt", pmod(xxhash64(leftSaltSrc), lit(salts)))
     val r = right.withColumn("__salt",
       explode(array((0 until salts).map(i => lit(i.toLong)): _*)))

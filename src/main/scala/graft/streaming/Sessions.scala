@@ -70,21 +70,30 @@ object Sessions {
             state.remove()
             out.iterator
           } else {
-            // events within one micro-batch may arrive unordered
-            val evs = it.toArray.sortBy(e => (e.ts.getTime, e.value))
+            // Interval merge over (open session ∪ batch events), in
+            // start order: events within one micro-batch may arrive
+            // unordered, and a late event (inside the watermark) may
+            // even predate the open session's start — merging as
+            // intervals extends the session BACKWARD in that case
+            // (min start / max end), keeping emitted bounds identical
+            // to the batch sessionizer's on the same event set.
+            val intervals =
+              (state.getOption.toSeq ++
+                it.map(e => OpenSession(e.ts.getTime, e.ts.getTime, 1L, e.value)))
+                .sortBy(s => (s.startMs, s.lastMs, s.totalValue))
             val out = ArrayBuffer.empty[SessionOut]
-            var open = state.getOption
-            evs.foreach { e =>
-              val t = e.ts.getTime
+            var open: Option[OpenSession] = None
+            intervals.foreach { iv =>
               open match {
-                case Some(o) if t - o.lastMs <= gapMs =>
-                  open = Some(OpenSession(o.startMs, math.max(o.lastMs, t),
-                    o.nEvents + 1, o.totalValue + e.value))
+                case Some(o) if iv.startMs - o.lastMs <= gapMs =>
+                  open = Some(OpenSession(math.min(o.startMs, iv.startMs),
+                    math.max(o.lastMs, iv.lastMs),
+                    o.nEvents + iv.nEvents, o.totalValue + iv.totalValue))
                 case Some(o) =>
                   out += closed(o)
-                  open = Some(OpenSession(t, t, 1L, e.value))
+                  open = Some(iv)
                 case None =>
-                  open = Some(OpenSession(t, t, 1L, e.value))
+                  open = Some(iv)
               }
             }
             open.foreach { o =>

@@ -22,9 +22,17 @@ import org.apache.spark.sql.functions._
   * (left-block, right-block) key — shuffle volume B·(|L|+|R|) for the
   * tiles plus M·B·k partial candidates (never M·N, and never a
   * corpus-sized broadcast), with B² join keys so every core owns whole
-  * tiles. At 100 TB: B ≈ √(cluster cores) balances replication against
-  * parallelism; the final merge is the bounded-state
-  * [[GroupedTopK.TopKAggregator]], so no group ever sorts in full.
+  * tiles.
+  *
+  * Per-task memory bound (the REAL sizing constraint): one task holds
+  * one left block + one right block fully in heap —
+  * `2 · (rows/B) · (4·dim + ~40)` bytes — so B must be sized from
+  * CORPUS BYTES, not core count: `B ≥ corpusBytes / targetTileBytes`
+  * ([[chooseNumBlocks]] computes this; a few hundred MB per tile is
+  * the sweet spot). With that bound satisfied, B ≈ √(cluster cores) is
+  * the parallelism floor — take the max of the two. The final merge is
+  * the bounded-state [[GroupedTopK.TopKAggregator]], so no group ever
+  * sorts in full.
   *
   * Determinism contract (matches [[VectorKernels]] and the DuckDB
   * oracle): distances accumulated sequentially in doubles, rounded
@@ -39,6 +47,22 @@ object BlockMatrix {
 
   /** Per-tile top-k candidate (public: encoder codegen needs the ctor). */
   final case class Partial(left_id: Long, right_id: Long, score: Double)
+
+  /** Block count honoring the per-task heap bound: each task
+    * materializes one left + one right row-block, so a block must fit
+    * a task's working heap. `B = max(ceil(sideBytes / targetTileBytes),
+    * parallelismFloor)`, where `sideBytes ≈ rows · (4·dim + 40)` (float
+    * payload + JVM row overhead). Defaults: 256 MB tiles, floor 16.
+    */
+  def chooseNumBlocks(rows: Long, dim: Int,
+                      targetTileBytes: Long = 256L << 20,
+                      parallelismFloor: Int = 16): Int = {
+    require(rows >= 0 && dim > 0 && targetTileBytes > 0 && parallelismFloor > 0,
+      "rows/dim/targetTileBytes/parallelismFloor must be positive")
+    val sideBytes = rows * (4L * dim + 40L)
+    val byMemory = (sideBytes + targetTileBytes - 1) / targetTileBytes
+    math.max(byMemory, parallelismFloor.toLong).min(Int.MaxValue).toInt
+  }
 
   /** Identical value to Spark's `round(x, 4)`: HALF_UP on the decimal
     * string form. Costs ~a BigDecimal per call, so the hot loop only

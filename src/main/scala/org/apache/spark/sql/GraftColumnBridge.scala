@@ -24,6 +24,20 @@ object GraftColumnBridge {
   def analyzed(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
 
+  /** Drop the block-manager blocks behind a `localCheckpoint()`ed
+    * DataFrame (`LogicalRDD.rdd` is the persisted internal RDD;
+    * `df.rdd` would wrap it in a fresh conversion RDD whose unpersist
+    * is a no-op). After this the DataFrame is UNRECOMPUTABLE — only
+    * call once nothing downstream will read it again. Iterative
+    * algorithms need it: each round's checkpoint otherwise stays
+    * cached for the session's lifetime.
+    */
+  def unpersistCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _ =>
+    }
+
   /** Idempotently add an extra planner strategy to a live session.
     * Synchronized: `extraStrategies` is a plain var, so a concurrent
     * check-then-append from two threads could lose one strategy.

@@ -38,6 +38,19 @@ class ComponentsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("superseded per-round checkpoints are unpersisted (no storage leak)") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.size
+    // 15-node path → many propagation rounds → many retired checkpoints
+    val edges = (1 until 15).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    val nodes = (1 to 15).map(_.toLong).toDF("id")
+    Components.connectedComponents(nodes, edges).collect()
+    val leaked = spark.sparkContext.getPersistentRDDs.size - before
+    // only the FINAL round's checkpoint (the returned frame's backing
+    // blocks) may remain
+    assert(leaked <= 1, s"$leaked checkpointed RDDs left cached; expected <= 1")
+  }
+
   test("dupClusters: planted dup classes collapse to one keeper each") {
     import spark.implicits._
     val docs = Seq(

@@ -32,6 +32,25 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(row.getAs[Int]("sig_len") == 64)
   }
 
+  test("graft_hyperplane_bands misuse raises a clear usage error") {
+    GraftFunctions.register(spark)
+    // wrong arity
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT graft_hyperplane_bands(array(CAST(1.0 AS FLOAT)), 1, 8)")
+        .collect()
+    }
+    assert(e1.getMessage.contains("graft_hyperplane_bands(emb, dim"),
+      s"arity error lacks usage string: ${e1.getMessage}")
+    // non-literal geometry argument
+    val e2 = intercept[Exception] {
+      spark.range(1).selectExpr(
+        "graft_hyperplane_bands(array(CAST(1.0 AS FLOAT)), CAST(id AS INT), 8, 4, 42L)")
+        .collect()
+    }
+    assert(e2.getMessage.contains("non-literal"),
+      s"foldability error lacks reason: ${e2.getMessage}")
+  }
+
   test("graft_hyperplane_bands matches the Column-API kernel") {
     GraftFunctions.register(spark)
     val sqlKeys = spark.sql(

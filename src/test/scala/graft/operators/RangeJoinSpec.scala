@@ -28,6 +28,15 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec {
     assert(!pairs(104L).contains((1L, 12L)))
   }
 
+  test("a pre-existing __bin/__rbin column is rejected, not silently overwritten") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, 0L)).toDF("l_id", "l_ts", "__bin")
+    val r = Seq((10L, 100L)).toDF("r_id", "r_ts")
+    intercept[IllegalArgumentException] {
+      RangeJoin.bandJoin(l, r, "l_ts", "r_ts", 50L)
+    }
+  }
+
   test("each qualifying pair appears exactly once (no bin-overlap dups)") {
     import spark.implicits._
     val l = Seq((1L, 100L)).toDF("l_id", "l_ts")

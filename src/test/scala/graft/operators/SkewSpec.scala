@@ -22,6 +22,17 @@ class SkewSpec extends AnyFunSuite with SparkSpec {
     (left, right)
   }
 
+  test("a pre-existing __salt column is rejected, not silently overwritten") {
+    val (left, right) = skewed
+    val poisoned = left.withColumn("__salt", lit(7L))
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(poisoned, right, "k", col("payload"))
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(left, right.withColumn("__salt", lit(7L)), "k", col("payload"))
+    }
+  }
+
   test("saltedJoin equals the plain join") {
     val (left, right) = skewed
     val plain  = left.join(right, "k")

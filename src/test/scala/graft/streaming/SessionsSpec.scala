@@ -51,6 +51,32 @@ class SessionsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("late in-watermark event older than the open session lowers session_start") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp, Double)]
+    val out = Sessions.sessionize(
+      ms.toDS().toDF("user_id", "ts", "value"), gapMinutes = 30)
+    val q = out.writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").start()
+    try {
+      // session opens at minute 20; watermark moves to 20 - 10 = 10
+      ms.addData((1L, ts(20), 1.0))
+      q.processAllAvailable()
+      // minute-15 event arrives LATE (inside the watermark) and
+      // predates the open session's start — must merge backward
+      ms.addData((1L, ts(15), 2.0))
+      q.processAllAvailable()
+      // minute-120 event is > gap past 20: closes the merged session
+      ms.addData((1L, ts(120), 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("late_sessions").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      assert(rows.contains((1L, ts(15), ts(20), 2L)),
+        s"backward-merged session missing: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("stream-stream watermarked join attributes purchases to preceding views") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -33,6 +33,18 @@ class BlockMatrixSpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
       .sortBy(t => (t._1, t._4)).toSeq
 
+  test("chooseNumBlocks: tile-memory bound dominates the parallelism floor") {
+    // tiny corpus → the floor wins
+    assert(BlockMatrix.chooseNumBlocks(rows = 1000L, dim = 64) == 16)
+    // 100M rows × 1536 dims ≈ 575 GB per side → memory bound wins:
+    // ceil(575 GB / 256 MB) ≈ 2306 blocks, far above the floor
+    val b = BlockMatrix.chooseNumBlocks(rows = 100000000L, dim = 1536)
+    val sideBytes = 100000000L * (4L * 1536 + 40L)
+    assert(b >= (sideBytes / (256L << 20)).toInt && b > 16)
+    // block must fit the target tile size
+    assert(sideBytes / b <= (256L << 20))
+  }
+
   test("matches the brute-force window formulation exactly") {
     val blocked = BlockMatrix.cosineTopK(corpus, col("vec_id"), col("embedding"),
       k = 3, numBlocks = 4)
