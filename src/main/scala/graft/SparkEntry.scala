@@ -687,6 +687,17 @@ object SparkEntry {
       }),
 
     // Document fingerprint (whitespace-normalized md5)
+    // BM25 ranked retrieval: corpus stats (N, avgdl, per-term df) as
+    // one broadcast aggregate row, tf as columnar expressions, top-20
+    // via TakeOrderedAndProject — the lexical complement of the KNN
+    // vector path
+    Q("text_bm25",
+      (s, dir) => TextAnalysis.bm25(Tables.documents(s, dir),
+          col("doc_id"), col("text"), Seq("hash", "join", "vector"))
+        .orderBy(col("score").desc, col("id").asc).limit(20),
+      Some(TextAnalysis.bm25Sql("documents", "doc_id", "text",
+        Seq("hash", "join", "vector")) + " ORDER BY score DESC, id ASC LIMIT 20")),
+
     Q("text_fingerprint",
       (s, dir) => Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -801,12 +812,64 @@ object SparkEntry {
               |SELECT id, min(r) AS cluster_id, (id = min(r)) AS is_keeper
               |FROM reach GROUP BY id ORDER BY id""".stripMargin)),
 
+    // Incremental re-clustering: labels computed on "yesterday's"
+    // corpus (doc_id < 250), then the delta edge batch (any pair
+    // touching a newer doc) folded in via contracted-graph propagation
+    // + one broadcast relabel join — NO full re-propagation. Jaccard
+    // is pairwise, so edges(old corpus) = edges(full) restricted to
+    // old endpoints, and the maintained labels must equal the
+    // from-scratch clustering — which is exactly what the (full
+    // recompute) recursive-CTE oracle checks.
+    Q("dedup_clusters_incremental",
+      (s, dir) => {
+        val content = Enrich.dedupContent(col("text"), col("doc_id"))
+        val oldDocs = Tables.documents(s, dir).where(col("doc_id") < 250)
+        val oldEdges = Dedup.ngramJaccardPairsPrefix(oldDocs,
+          col("doc_id"), content, minJaccard = 0.5).select("id_a", "id_b")
+        val oldNodes = oldEdges.select(col("id_a").as("id"))
+          .unionAll(oldEdges.select(col("id_b").as("id"))).distinct()
+        val prev = Components.connectedComponents(oldNodes, oldEdges)
+        val delta = Dedup.ngramJaccardPairsPrefix(Tables.documents(s, dir),
+            col("doc_id"), content, minJaccard = 0.5)
+          .where(col("id_a") >= 250 || col("id_b") >= 250)
+          .select("id_a", "id_b")
+        Components.incrementalComponents(prev, delta)
+          .select(col("id"), col("component").as("cluster_id"),
+            (col("id") === col("component")).as("is_keeper"))
+          .orderBy("id")
+      },
+      Some(s"""WITH RECURSIVE edges AS MATERIALIZED (
+              |  ${Dedup.ngramJaccardPairsSql("documents", "doc_id",
+                   Enrich.dedupContentSql("text", "doc_id"))}
+              |), sym AS (
+              |  SELECT id_a AS src, id_b AS dst FROM edges
+              |  UNION ALL
+              |  SELECT id_b, id_a FROM edges
+              |), reach AS (
+              |  SELECT src AS id, src AS r FROM sym
+              |  UNION
+              |  SELECT sym.src, reach.r FROM sym JOIN reach ON sym.dst = reach.id
+              |)
+              |SELECT id, min(r) AS cluster_id, (id = min(r)) AS is_keeper
+              |FROM reach GROUP BY id ORDER BY id""".stripMargin)),
+
     // Embedding-cosine near-dup pairs, exact tier: all-pairs with the
     // fused codegen cosine kernel, threshold on the 4dp-rounded value
     // so boundary pairs resolve identically in both engines
     Q("dedup_embedding_cosine",
       (s, dir) => EmbeddingDedup.cosinePairs(Tables.embeddings(s, dir),
           col("vec_id"), col("embedding"), minCosine = 0.35)
+        .orderBy("id_a", "id_b"),
+      Some(EmbeddingDedup.cosinePairsSql("embeddings", "vec_id", "embedding",
+        minCosine = 0.35) + " ORDER BY id_a, id_b")),
+
+    // Same exact tier through the block-tiled route (no broadcast,
+    // upper-triangle tiles): same oracle as dedup_embedding_cosine —
+    // the gate proves route equivalence, the plan proves the scale
+    // story (shuffle B·|corpus|, bounded tiles, no M×N rows)
+    Q("dedup_embedding_blocked",
+      (s, dir) => EmbeddingDedup.cosinePairsBlocked(Tables.embeddings(s, dir),
+          col("vec_id"), col("embedding"), minCosine = 0.35, numBlocks = 8)
         .orderBy("id_a", "id_b"),
       Some(EmbeddingDedup.cosinePairsSql("embeddings", "vec_id", "embedding",
         minCosine = 0.35) + " ORDER BY id_a, id_b")),

@@ -62,10 +62,13 @@ object Components {
           least(col("component"),
             coalesce(col("n_component"), col("component"))).as("component"),
           (col("n_component") < col("component")).as("changed"))
-        .localCheckpoint()
-      converged = next.where(col("changed")).isEmpty
-      // next is materialized (localCheckpoint is eager); the previous
-      // round's blocks can go now
+        .localCheckpoint(eager = false)
+      // ONE job per round: the full-scan count() both materializes the
+      // lazy checkpoint (every partition computes → persists; lineage
+      // truncates at job end) and decides convergence — an eager
+      // checkpoint plus a separate isEmpty would run two jobs
+      converged = next.where(col("changed")).count() == 0L
+      // next is materialized; the previous round's blocks can go now
       retired.foreach(org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint)
       retired = List(labels)
       labels = next.select("id", "component")
@@ -80,6 +83,62 @@ object Components {
     // the returned frame is backed by the FINAL round's checkpoint
     // only — bounded, and still readable by the caller
     labels
+  }
+
+  /** Incremental label maintenance: fold a DELTA edge batch into an
+    * existing `(id, component)` labeling WITHOUT re-propagating over
+    * the full graph — the streaming-ingest counterpart of
+    * [[connectedComponents]] (new documents arrive, near-dup pairs
+    * against the corpus are mined incrementally, clusters must follow).
+    *
+    * Key property: a new edge can only MERGE existing components (or
+    * attach new nodes); it never splits one. So contract each previous
+    * component to a super-node (its label), run full propagation on
+    * the contracted delta graph — whose size is ∝ the delta, not the
+    * corpus — and apply the resulting relabel map back with one
+    * broadcast join over the big label table. Labels stay canonical
+    * (min member id): previous labels are the min of their sets, so
+    * the min over merged super-nodes is the global min.
+    *
+    * Scale shape: one pass over `deltaEdges` (two lookups against
+    * `prevLabels` — hash joins on id), one iterative pass over the
+    * contracted graph (delta-sized), one broadcast hash join over
+    * `prevLabels` (the relabel map is delta-sized — broadcastable by
+    * construction). The corpus-sized table is touched exactly once,
+    * shuffle-free on the broadcast side.
+    */
+  def incrementalComponents(prevLabels: DataFrame,
+                            deltaEdges: DataFrame,
+                            maxIters: Int = 20): DataFrame = {
+    val prev = prevLabels.select(col("id"), col("component"))
+    // map each delta endpoint to its super-node: its previous
+    // component, or itself when the node is new
+    val e = deltaEdges
+      .join(prev.select(col("id").as("id_a"), col("component").as("ca")),
+        Seq("id_a"), "left")
+      .join(prev.select(col("id").as("id_b"), col("component").as("cb")),
+        Seq("id_b"), "left")
+      .select(coalesce(col("ca"), col("id_a")).as("id_a"),
+        coalesce(col("cb"), col("id_b")).as("id_b"))
+    val contractedEdges = e.where(col("id_a") =!= col("id_b"))
+    val contractedNodes = e.select(col("id_a").as("id"))
+      .unionAll(e.select(col("id_b").as("id"))).distinct()
+    // (super, merged) for every super-node touched by the delta
+    val relabel = connectedComponents(contractedNodes, contractedEdges, maxIters)
+      .select(col("id").as("component"), col("component").as("merged"))
+    val updatedOld = prev
+      .join(broadcast(relabel), Seq("component"), "left")
+      .select(col("id"), coalesce(col("merged"), col("component")).as("component"))
+    // delta endpoints absent from prevLabels are NEW nodes: their
+    // super-node is their own id, so the relabel map already carries
+    // their final component
+    val newNodes = deltaEdges.select(col("id_a").as("id"))
+      .unionAll(deltaEdges.select(col("id_b").as("id"))).distinct()
+      .join(prev.select(col("id")), Seq("id"), "left_anti")
+      .join(broadcast(relabel.select(col("component").as("id"), col("merged"))),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("merged"), col("id")).as("component"))
+    updatedOld.unionAll(newNodes)
   }
 
   /** End-to-end duplicate-cluster collapse: near-dup pairs → connected

@@ -91,6 +91,18 @@ object EmbeddingDedup {
        | FROM $table l JOIN $table r ON l.$idExpr < r.$idExpr)
        |WHERE cosine >= $minCosine""".stripMargin
 
+  /** Exact cosine near-dup pairs via block-tiled distribution — same
+    * output contract as [[cosinePairs]] (id_a < id_b, 4dp-rounded
+    * cosine ≥ threshold), but no corpus broadcast: the route when the
+    * corpus outgrows a broadcast but the threshold is tight enough
+    * that exactness matters more than the LSH tier's speed. Delegates
+    * to [[graft.vector.BlockMatrix.cosinePairsAbove]] (upper-triangle
+    * tiles, fused loops, bounded per-task memory).
+    */
+  def cosinePairsBlocked(df: DataFrame, idCol: Column, embCol: Column,
+                         minCosine: Double, numBlocks: Int = 16): DataFrame =
+    graft.vector.BlockMatrix.cosinePairsAbove(df, idCol, embCol, minCosine, numBlocks)
+
   /** Approximate cosine near-dup pairs via hyperplane LSH. Plan shape
     * (identical skeleton to [[Dedup.minhashPairs]]): narrow signature
     * kernel → explode to (band_key, id) → shuffle on band_key →

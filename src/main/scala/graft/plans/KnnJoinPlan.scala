@@ -301,6 +301,16 @@ object BroadcastKnn {
     val budget = math.min(maxBroadcastRows, Int.MaxValue - 1L).toInt
     val smallEnough = right.limit(budget + 1).count() <= budget
     if (smallEnough) similarityJoin(left, right, k)
-    else graft.vector.BlockMatrix.l2Join(left, right, k)
+    else {
+      // committed to the tiled route: size the block count from data
+      // volume so one tile fits a task's heap (the per-task bound in
+      // BlockMatrix's doc), not from a core-count guess. The counts
+      // are two scans — noise next to the B² tile join they configure.
+      import org.apache.spark.sql.functions.{col, size => asize}
+      val rows = math.max(left.count(), right.count())
+      val dim = right.select(asize(col("embedding")).as("d")).head.getInt(0)
+      graft.vector.BlockMatrix.l2Join(left, right, k,
+        graft.vector.BlockMatrix.chooseNumBlocks(rows, dim))
+    }
   }
 }

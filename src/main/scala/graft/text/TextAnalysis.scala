@@ -138,6 +138,71 @@ object TextAnalysis {
        | ELSE ${Sql.lit(LangMarkers.last._1)} END""".stripMargin
   }
 
+  // ---- lexical ranking (BM25) ----------------------------------------
+
+  /** BM25 ranked retrieval over a document table (Robertson/Spärck
+    * Jones, public literature): for a fixed query-term set, score every
+    * matching document with Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b +
+    * b·dl/avgdl)), idf(t) = ln(1 + (N−df+0.5)/(df+0.5)). The lexical
+    * complement of the vector path ([[graft.vector.Knn]]): corpus
+    * statistics (N, avgdl, per-term df) are ONE tiny global aggregate
+    * broadcast back over the scan, term frequencies are per-row columnar
+    * expressions — two passes over the corpus, no per-document state,
+    * no shuffle beyond the single stats row. Scores round HALF_UP to
+    * 4dp (continuous value — cross-engine safe); output keeps only
+    * documents matching ≥ 1 term. Returns (id, score); rank with
+    * `orderBy(desc("score"), asc("id")).limit(k)` — that plans as
+    * TakeOrderedAndProject (per-partition heaps), never a global sort.
+    */
+  def bm25(docs: org.apache.spark.sql.DataFrame, idCol: Column, textCol: Column,
+           terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    val toks = split(lower(trim(textCol)), "\\s+")
+    val baseCols = Seq(idCol.as("id"), size(toks).cast("long").as("dl")) ++
+      terms.zipWithIndex.map { case (t, i) =>
+        size(filter(toks, x => x === t)).cast("long").as(s"tf_$i")
+      }
+    val base = docs.select(baseCols: _*)
+    val aggCols = Seq(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")) ++
+      terms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = base.agg(aggCols.head, aggCols.tail: _*)
+    val scored = base.crossJoin(broadcast(stats))
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf_$i").cast("double")
+      val idf = log(lit(1.0) + (col("n") - col(s"df_$i") + lit(0.5)) / (col(s"df_$i") + lit(0.5)))
+      idf * tf * (k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    scored
+      .where(terms.indices.map(i => col(s"tf_$i")).reduce(_ + _) > 0)
+      .select(col("id"), round(score, 4).as("score"))
+  }
+
+  /** DuckDB twin of [[bm25]] for the oracle gate. */
+  def bm25Sql(table: String, idExpr: String, textExpr: String,
+              terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): String = {
+    val toks = s"string_split_regex(lower(trim($textExpr)), '\\s+')"
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter($toks, x -> x = ${Sql.lit(t)})) AS tf_$i"
+    }.mkString(", ")
+    val dfCols = terms.indices.map(i =>
+      s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(", ")
+    val score = terms.indices.map { i =>
+      s"""(ln(1.0 + (n - df_$i + 0.5) / (df_$i + 0.5))
+         | * tf_$i * ${k1 + 1.0}
+         | / (tf_$i + $k1 * (${1.0 - b} + $b * dl / avgdl)))""".stripMargin
+    }.mkString(" + ")
+    val anyTf = terms.indices.map(i => s"tf_$i").mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT $idExpr AS id, len($toks) AS dl, $tfCols FROM $table
+       |), stats AS (
+       |  SELECT count(*) AS n, avg(dl) AS avgdl, $dfCols FROM base
+       |)
+       |SELECT id, round($score, 4) AS score
+       |FROM base, stats WHERE ($anyTf) > 0""".stripMargin
+  }
+
   // ---- fingerprinting -------------------------------------------------
 
   /** Whitespace-normalized md5 fingerprint — the exact-dedup key. */

@@ -115,6 +115,83 @@ object BlockMatrix {
     df.select(idCol.cast("long").as("id"), embCol.cast("array<float>").as("emb"))
       .where(col("id").isNotNull && col("emb").isNotNull)
 
+  /** Row-blocks by deterministic id residue; rows sorted by id inside
+    * each block so every loop order reproduces.
+    */
+  private def toBlocks(df: DataFrame, b: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.as[BlockRow]
+      .groupByKey(r => ((r.id % b) + b) % b)
+      .mapGroups((bid, it) => (bid, it.toArray.sortBy(_.id)))
+      .toDF("bid", "rows")
+  }
+
+  /** All pairs (id_a < id_b) with 4dp-rounded cosine ≥ `minCosine` —
+    * the tiled scale route for [[graft.dedup.EmbeddingDedup]]'s exact
+    * tier. Identical output contract to `cosinePairs` (same rounding,
+    * same threshold-on-rounded comparison), but no broadcast and no
+    * M×N row materialization: only the B(B+1)/2 UPPER-TRIANGLE block
+    * pairs are computed (cosine is symmetric — tile (j,i) would repeat
+    * tile (i,j) with the ids swapped), each as one fused loop over its
+    * tile, emitting only qualifying pairs. No merge stage exists —
+    * a threshold join has no cross-tile state at all, so the output
+    * stream is pure map-side work after the tile join.
+    *
+    * Per-task memory bound and `numBlocks` sizing as per the class
+    * doc / [[chooseNumBlocks]]. The OUTPUT can still be quadratic if
+    * the threshold is loose — that is the problem's nature, not the
+    * plan's; the compute and shuffle are tiled regardless.
+    */
+  def cosinePairsAbove(df: DataFrame, idCol: Column, embCol: Column,
+                       minCosine: Double, numBlocks: Int = 16): DataFrame = {
+    require(numBlocks > 0, "numBlocks must be positive")
+    val base = prep(df, idCol, embCol)
+    val spark = base.sparkSession
+    import spark.implicits._
+    val b = numBlocks
+    // upper triangle: block i is the LEFT of tiles (i, j≥i); block j is
+    // the RIGHT of tiles (i≤j, j)
+    val lrep = toBlocks(base, b).select(col("bid").as("lb"),
+      col("rows").as("lrows"),
+      explode(sequence(col("bid"), lit(b - 1L))).as("rb"))
+    val rrep = toBlocks(base, b).select(col("bid").as("rb"),
+      col("rows").as("rrows"),
+      explode(sequence(lit(0L), col("bid"))).as("lb"))
+    val tiles = lrep.join(rrep, Seq("lb", "rb"))
+      .select(col("lb") === col("rb"), col("lrows"), col("rrows"))
+      .as[(Boolean, Array[BlockRow], Array[BlockRow])]
+    val thr = minCosine
+    val out = tiles.flatMap { case (diagonal, lrows, rrows) =>
+      // hoisted norms, same sequential accumulation as the fused kernel
+      val nls = lrows.map(r => math.sqrt(sumSq(r.emb)))
+      val nrs = if (diagonal) nls else rrows.map(r => math.sqrt(sumSq(r.emb)))
+      lrows.iterator.zipWithIndex.flatMap { case (l, li) =>
+        val lemb = l.emb
+        val nl = nls(li)
+        rrows.iterator.zipWithIndex.flatMap { case (rr, ri) =>
+          // diagonal tiles hold the SAME rows on both sides: the sorted
+          // order makes ri > li equivalent to id_a < id_b exactly once
+          if ((diagonal && ri <= li) || nl == 0.0 || nrs(ri) == 0.0) Iterator.empty
+          else {
+            val remb = rr.emb
+            val d = math.min(lemb.length, remb.length)
+            var dot = 0.0
+            var i = 0
+            while (i < d) { dot += lemb(i).toDouble * remb(i).toDouble; i += 1 }
+            val s = round4dp(dot / (nl * nrs(ri)))
+            if (s >= thr && !s.isNaN) {
+              val (a, bId) = if (l.id < rr.id) (l.id, rr.id) else (rr.id, l.id)
+              Iterator.single(Partial(a, bId, s))
+            } else Iterator.empty
+          }
+        }
+      }
+    }
+    out.toDF().select(col("left_id").as("id_a"), col("right_id").as("id_b"),
+      col("score").as("cosine"))
+  }
+
   /** Shared SUMMA core. `cosineMetric`: cosine descending vs L2
     * ascending; both round HALF_UP to 4dp before the heap decides.
     */

@@ -51,6 +51,37 @@ class ComponentsSpec extends AnyFunSuite with SparkSpec {
     assert(leaked <= 1, s"$leaked checkpointed RDDs left cached; expected <= 1")
   }
 
+  test("incrementalComponents equals full recompute: merges, attaches, new clusters") {
+    import spark.implicits._
+    // old graph: {1,2,3} and {10,11}; 20 isolated via self-edge-free node
+    val oldEdges = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    val oldNodes = Seq(1L, 2L, 3L, 10L, 11L, 20L)
+    val prev = Components.connectedComponents(
+      oldNodes.toDF("id"), oldEdges.toDF("id_a", "id_b"))
+    // delta: merge the two clusters via 3-10, attach new node 30 to 20,
+    // and a brand-new cluster {40,41}
+    val delta = Seq((3L, 10L), (30L, 20L), (40L, 41L)).toDF("id_a", "id_b")
+    val inc = Components.incrementalComponents(prev, delta)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = cc(oldEdges ++ Seq((3L, 10L), (30L, 20L), (40L, 41L)),
+      oldNodes ++ Seq(30L, 40L, 41L))
+    assert(inc == full, s"incremental $inc != full $full")
+  }
+
+  test("incrementalComponents with an empty or no-op delta is identity") {
+    import spark.implicits._
+    val prev = Components.connectedComponents(
+      Seq(1L, 2L, 3L).toDF("id"), Seq((1L, 2L)).toDF("id_a", "id_b"))
+    // a delta edge entirely inside an existing component changes nothing
+    val noop = Components.incrementalComponents(prev, Seq((2L, 1L)).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(noop == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+    val empty = Components.incrementalComponents(prev,
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(empty == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+
   test("dupClusters: planted dup classes collapse to one keeper each") {
     import spark.implicits._
     val docs = Seq(

@@ -36,6 +36,18 @@ class EmbeddingDedupSpec extends AnyFunSuite with SparkSpec {
     assert(c == 1.0)
   }
 
+  test("blocked route equals the broadcast exact tier, at any block count") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("cosine"))).toSet
+    val exact = rows(EmbeddingDedup.cosinePairs(vecs, col("id"), col("embedding"), 0.5))
+    for (b <- Seq(1, 3, 8)) {
+      val blocked = rows(EmbeddingDedup.cosinePairsBlocked(
+        vecs, col("id"), col("embedding"), 0.5, numBlocks = b))
+      assert(blocked == exact, s"numBlocks=$b diverged")
+    }
+  }
+
   test("LSH pairs are a subset of exact pairs with near-dup recall") {
     def pairSet(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet

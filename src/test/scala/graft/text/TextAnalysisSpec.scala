@@ -1,0 +1,50 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
+
+  test("bm25 matches the formula computed directly; non-matching docs drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hash join hash"),
+      (2L, "sort merge"),
+      (3L, "hash")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(docs, col("doc_id"), col("text"), Seq("hash"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // N=3, df=2, avgdl=2.0; idf = ln(1 + 1.5/2.5)
+    val idf = math.log(1.0 + 1.5 / 2.5)
+    def score(tf: Double, dl: Double) =
+      BigDecimal(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 2.0)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == Map(1L -> score(2, 3), 3L -> score(1, 1)), s"got $out")
+    // length normalization at work: the short exact hit outranks the
+    // longer doc despite its lower raw tf
+    assert(out(3L) > out(1L))
+  }
+
+  test("bm25 multi-term scores are additive over terms") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hash join"),
+      (2L, "hash hash"),
+      (3L, "other words here")
+    ).toDF("doc_id", "text")
+    def scores(terms: Seq[String]) =
+      TextAnalysis.bm25(docs, col("doc_id"), col("text"), terms)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val both = scores(Seq("hash", "join"))
+    val hashOnly = scores(Seq("hash"))
+    val joinOnly = scores(Seq("join"))
+    // doc 1 matches both terms: its combined score is the sum of its
+    // single-term scores (up to the final rounding step)
+    assert(math.abs(both(1L) - (hashOnly(1L) + joinOnly(1L))) < 2e-4,
+      s"${both(1L)} vs ${hashOnly(1L)} + ${joinOnly(1L)}")
+    assert(!both.contains(3L))
+  }
+}
