@@ -7,8 +7,9 @@ import org.apache.spark.sql.functions._
 import graft.api.{Enrich, Pipelines}
 import graft.classify.{Cascades, CaseMetadata, Conclusion}
 import graft.dedup.{Components, Dedup, EmbeddingDedup}
-import graft.operators.Skew
+import graft.operators.{Skew, Splits}
 import graft.oracle.Sql
+import graft.search.Hybrid
 import graft.sources.Tables
 import graft.stats.WinStats
 import graft.text.{ChunkPacker, TextAnalysis}
@@ -698,6 +699,26 @@ object SparkEntry {
       Some(TextAnalysis.bm25Sql("documents", "doc_id", "text",
         Seq("hash", "join", "vector")) + " ORDER BY score DESC, id ASC LIMIT 20")),
 
+    // Deterministic train/val/test assignment, hash route: a pure
+    // projection of the id — no shuffle, streams at scan speed (the
+    // 100 TB path; proportions approximate)
+    Q("mldata_split_hash",
+      (s, dir) => Splits.assignByHash(Tables.documents(s, dir), col("doc_id"))
+        .select(col("doc_id"), col("lang"), col("split"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, lang, ${Splits.assignByHashSql("doc_id")} AS split
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Exact stratified split: per-stratum (lang) rank over the same
+    // hash → exact floor(n·pct) proportions within every stratum
+    Q("mldata_split_stratified",
+      (s, dir) => Splits.stratifiedExact(Tables.documents(s, dir),
+          col("doc_id"), col("lang"))
+        .select(col("doc_id"), col("lang"), col("split"))
+        .orderBy("doc_id"),
+      Some(Splits.stratifiedExactSql("documents", "doc_id", "lang",
+        Seq("doc_id", "lang")) + " ORDER BY doc_id")),
+
     Q("text_fingerprint",
       (s, dir) => Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -823,16 +844,21 @@ object SparkEntry {
     Q("dedup_clusters_incremental",
       (s, dir) => {
         val content = Enrich.dedupContent(col("text"), col("doc_id"))
-        val oldDocs = Tables.documents(s, dir).where(col("doc_id") < 250)
-        val oldEdges = Dedup.ngramJaccardPairsPrefix(oldDocs,
-          col("doc_id"), content, minJaccard = 0.5).select("id_a", "id_b")
+        // mine pairs ONCE: Jaccard is pairwise, so the old corpus's
+        // edge set is exactly the full edge set restricted to old
+        // endpoints — one checkpointed prefix join feeds both the
+        // "yesterday" state and the delta batch
+        val allEdges = Dedup.ngramJaccardPairsPrefix(
+            Tables.documents(s, dir), col("doc_id"), content,
+            minJaccard = 0.5)
+          .select("id_a", "id_b").localCheckpoint()
+        val oldEdges = allEdges
+          .where(col("id_a") < 250 && col("id_b") < 250)
         val oldNodes = oldEdges.select(col("id_a").as("id"))
           .unionAll(oldEdges.select(col("id_b").as("id"))).distinct()
         val prev = Components.connectedComponents(oldNodes, oldEdges)
-        val delta = Dedup.ngramJaccardPairsPrefix(Tables.documents(s, dir),
-            col("doc_id"), content, minJaccard = 0.5)
+        val delta = allEdges
           .where(col("id_a") >= 250 || col("id_b") >= 250)
-          .select("id_a", "id_b")
         Components.incrementalComponents(prev, delta)
           .select(col("id"), col("component").as("cluster_id"),
             (col("id") === col("component")).as("is_keeper"))
@@ -914,6 +940,43 @@ object SparkEntry {
               | ${Sql.cosine("e.embedding", "q.q_emb")} AS sim
               |FROM embeddings e, (${Sql.queryVector(0)}) q
               |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // Hybrid retrieval: reciprocal-rank fusion of the lexical (BM25)
+    // and vector (cosine) routes. Each route is a bounded top-50 via
+    // TakeOrderedAndProject; fusion touches ≤ 100 rows. Rank-based, so
+    // the incomparable score scales need no calibration.
+    Q("q_hybrid_rrf",
+      (s, dir) => {
+        val lexTop = TextAnalysis.bm25(Tables.documents(s, dir),
+            col("doc_id"), col("text"), Seq("hash", "join", "vector"))
+          .orderBy(col("score").desc, col("id").asc).limit(50)
+        val vecTop = Ann.cosineTopK(Tables.embeddings(s, dir),
+            Pipelines.queryVector(s, dir), col("embedding"), col("vec_id"), 50)
+          .select(col("vec_id").as("id"), col("sim"))
+        Hybrid.rrfFuse(Seq(
+            Hybrid.ranked(lexTop, col("id"),
+              Seq(col("score").desc, col("id").asc)),
+            Hybrid.ranked(vecTop, col("id"),
+              Seq(col("sim").desc, col("id").asc))))
+          .orderBy(col("rrf").desc, col("id").asc).limit(10)
+      },
+      Some(s"""WITH lex AS (
+              |  SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rank
+              |  FROM (${TextAnalysis.bm25Sql("documents", "doc_id", "text",
+                     Seq("hash", "join", "vector"))}
+              |        ORDER BY score DESC, id LIMIT 50)
+              |), vec AS (
+              |  SELECT vec_id AS id,
+              |         row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
+              |  FROM (SELECT e.vec_id, ${Sql.cosine("e.embedding", "q.q_emb")} AS sim
+              |        FROM embeddings e, (${Sql.queryVector(0)}) q
+              |        ORDER BY sim DESC, vec_id LIMIT 50)
+              |)
+              |SELECT COALESCE(l.id, v.id) AS id,
+              | round(coalesce(1.0 / (60 + l.rank), 0)
+              |   + coalesce(1.0 / (60 + v.rank), 0), 4) AS rrf
+              |FROM lex l FULL OUTER JOIN vec v ON l.id = v.id
+              |ORDER BY rrf DESC, id LIMIT 10""".stripMargin)),
 
     // Grouped top-k via the bounded-state aggregate (scale alternative
     // to window row_number): top-3 nearest per court level

@@ -29,9 +29,23 @@ object Components {
     * `component` is the minimum node id reachable. Nodes outside any
     * edge are their own components only if present in `nodes` (pass
     * the full corpus ids to include singletons).
+    *
+    * Route dispatch: the edge multiset is materialized once (the
+    * distributed loop needs that anyway for lineage truncation), and
+    * its now-cheap count picks the route. At or below
+    * `localEdgeLimit` integral-id edges, the component structure is
+    * solved by a driver union-find over edge ENDPOINTS only — the
+    * corpus-sized `nodes` frame never leaves the cluster; endpoint
+    * labels come back as one broadcast join and singletons label
+    * themselves. Above the limit (or for non-integral ids), the
+    * iterative min-label propagation runs. The local route is the
+    * common case for CONTRACTED graphs ([[incrementalComponents]])
+    * and near-dup graphs after thresholding, where edges ≪ corpus;
+    * the distributed route is the 100 TB guarantee.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-                          maxIters: Int = 20): DataFrame = {
+                          maxIters: Int = 20,
+                          localEdgeLimit: Long = 2000000L): DataFrame = {
     // localCheckpoint per round: an iterative dataframe loop otherwise
     // DOUBLES its logical plan every round (labels appears in both the
     // join and the convergence check) — planning itself OOMs long
@@ -40,6 +54,22 @@ object Components {
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
+    // long ids only: a cast would change the output schema vs the
+    // distributed route (which preserves the id type)
+    val longIds = sym.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && sym.count() <= 2L * localEdgeLimit) {
+      val spark = nodes.sparkSession
+      import spark.implicits._
+      val pairs = sym.where(col("src") < col("dst"))
+        .as[(Long, Long)].collect()
+      org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(sym)
+      val lblDf = unionFindMinLabels(pairs).toSeq.toDF("id", "__cc_label")
+      return nodes.select(col("id"))
+        .join(broadcast(lblDf), Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("__cc_label"), col("id")).as("component"))
+    }
     var labels = nodes.select(col("id"), col("id").as("component"))
       .localCheckpoint()
     // superseded checkpoints must be dropped as we go: each round's
@@ -83,6 +113,32 @@ object Components {
     // the returned frame is backed by the FINAL round's checkpoint
     // only — bounded, and still readable by the caller
     labels
+  }
+
+  /** Driver union-find over edge endpoints, labels = min member id.
+    * Unioning always hangs the LARGER root under the smaller, so every
+    * root IS its set's minimum — no relabel pass. Path compression
+    * keeps finds amortized near-constant at the sizes the dispatch
+    * admits. Result order never matters: the labeling is a pure
+    * function of the edge SET.
+    */
+  private def unionFindMinLabels(edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      if (!parent.contains(a)) parent(a) = a
+      if (!parent.contains(b)) parent(b) = b
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keysIterator.map(k => k -> find(k)).toMap
   }
 
   /** Incremental label maintenance: fold a DELTA edge batch into an

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic train/val/test splitting for training-data pipelines —
+  * §2.7 extension surface (the reference has no dataset-preparation
+  * step at all). Two routes with one contract: every row gets a
+  * `split` label in {train, val, test}, reproducibly — same corpus,
+  * same ids → same split, on any cluster, any partitioning, any day.
+  * `sample()`/`randomSplit()` cannot give that (seed × partitioning
+  * dependent), which is why splitting must be a FUNCTION OF THE ID.
+  *
+  *  - [[assignByHash]]: split = pure affine-hash of the id. A
+  *    projection — no shuffle, no state, streams at scan speed; THE
+  *    route at 100 TB. Proportions are approximate (each row is an
+  *    independent-ish Bernoulli draw; error O(1/√n) per stratum —
+  *    negligible exactly when the corpus is big).
+  *  - [[stratifiedExact]]: per-stratum rank over the same hash →
+  *    exact floor(n·pct/100) proportions per stratum. Needs a
+  *    per-stratum window (shuffle on stratum; each stratum must fit a
+  *    task), so it is the route for BOUNDED strata — eval suites,
+  *    per-language caps — not for corpus-sized ones.
+  *
+  * The hash is an affine map mod primes (identical arithmetic in
+  * Spark and DuckDB — same pattern as
+  * [[graft.api.Enrich.simhashContent]]): the id is first reduced mod
+  * 1000003 so the multiply never overflows a signed 64-bit value for
+  * ANY long id (ANSI mode throws on overflow; ids at 100 TB scale
+  * exceed the naive `id * a` bound). Ids congruent mod 1000003 share
+  * a bucket — harmless for splitting, which needs decorrelation from
+  * data order, not cryptographic strength.
+  */
+object Splits {
+
+  private val M = 1000003L  // pre-reduction modulus (prime)
+  private val A = 2654435761L
+  private val B = 40503L
+  private val P = 99991L    // hash range (prime)
+
+  /** The shared id hash, in [0, P). */
+  def idHash(idCol: Column): Column =
+    pmod(pmod(idCol, lit(M)) * lit(A) + lit(B), lit(P))
+
+  /** DuckDB twin of [[idHash]]. pmod vs `%`: both operands are
+    * non-negative by construction (inner `%` of a non-negative id),
+    * so `%` agrees with pmod — callers must pass non-negative ids.
+    */
+  def idHashSql(idExpr: String): String =
+    s"(((($idExpr) % $M) * $A + $B) % $P)"
+
+  /** Hash-split: `split` from the id alone. Pure projection. */
+  def assignByHash(df: DataFrame, idCol: Column,
+                   trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"bad split percents ($trainPct, $valPct)")
+    // hash → [0,100) bucket; thresholds at the percent marks
+    val bucket = pmod(idHash(idCol), lit(100L))
+    df.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** DuckDB twin of [[assignByHash]]'s split column. */
+  def assignByHashSql(idExpr: String, trainPct: Int = 80,
+                      valPct: Int = 10): String =
+    s"""CASE WHEN ${idHashSql(idExpr)} % 100 < $trainPct THEN 'train'
+       | WHEN ${idHashSql(idExpr)} % 100 < ${trainPct + valPct} THEN 'val'
+       | ELSE 'test' END""".stripMargin
+
+  /** Exact stratified split: within each stratum, rank rows by
+    * (hash, id) — a deterministic shuffle of the stratum — and cut at
+    * floor(n·pct/100). `n·pct` stays far inside 2^53, so the
+    * double-division floor is exact cross-engine.
+    */
+  def stratifiedExact(df: DataFrame, idCol: Column, stratumCol: Column,
+                      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"bad split percents ($trainPct, $valPct)")
+    val part = Window.partitionBy(stratumCol)
+    val w = part.orderBy(idHash(idCol).asc, idCol.asc)
+    val r = row_number().over(w).cast("long")
+    val n = count(lit(1)).over(part)
+    df.withColumn("split",
+      when(r <= floor(n * trainPct / 100), "train")
+        .when(r <= floor(n * (trainPct + valPct) / 100), "val")
+        .otherwise("test"))
+  }
+
+  /** DuckDB twin of [[stratifiedExact]]: emits a full SELECT over
+    * `table` with the given output columns plus `split`.
+    */
+  def stratifiedExactSql(table: String, idExpr: String, stratumExpr: String,
+                         outCols: Seq[String], trainPct: Int = 80,
+                         valPct: Int = 10): String =
+    s"""SELECT ${outCols.mkString(", ")},
+       | CASE WHEN r <= floor(n * $trainPct / 100) THEN 'train'
+       |      WHEN r <= floor(n * ${trainPct + valPct} / 100) THEN 'val'
+       |      ELSE 'test' END AS split
+       |FROM (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY $stratumExpr
+       |      ORDER BY ${idHashSql(idExpr)}, $idExpr) AS r,
+       |    count(*) OVER (PARTITION BY $stratumExpr) AS n
+       |  FROM $table)""".stripMargin
+}

@@ -157,11 +157,13 @@ object TextAnalysis {
   def bm25(docs: org.apache.spark.sql.DataFrame, idCol: Column, textCol: Column,
            terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
-    val toks = split(lower(trim(textCol)), "\\s+")
-    val baseCols = Seq(idCol.as("id"), size(toks).cast("long").as("dl")) ++
-      terms.zipWithIndex.map { case (t, i) =>
-        size(filter(toks, x => x === t)).cast("long").as(s"tf_$i")
-      }
+    // ONE fused codegen scan per row yields [dl, tf_0, …]; the
+    // element_at projections below are CSE'd inside whole-stage
+    // codegen (no lambdas → eligible), so the document is tokenized
+    // once per pass — vs once per term for the interpreted HOF form
+    val ts = TextKernels.termStats(textCol, terms)
+    val baseCols = Seq(idCol.as("id"), element_at(ts, 1).as("dl")) ++
+      terms.indices.map(i => element_at(ts, i + 2).as(s"tf_$i"))
     val base = docs.select(baseCols: _*)
     val aggCols = Seq(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")) ++
       terms.indices.map(i =>

@@ -7,10 +7,14 @@ import graft.SparkSpec
 
 class ComponentsSpec extends AnyFunSuite with SparkSpec {
 
-  private def cc(edges: Seq[(Long, Long)], nodes: Seq[Long]): Map[Long, Long] = {
+  // localEdgeLimit = -1 forces the distributed propagation loop;
+  // Long.MaxValue forces the driver union-find route
+  private def cc(edges: Seq[(Long, Long)], nodes: Seq[Long],
+                 localEdgeLimit: Long = 2000000L): Map[Long, Long] = {
     import spark.implicits._
     Components.connectedComponents(
-        nodes.toDF("id"), edges.toDF("id_a", "id_b"))
+        nodes.toDF("id"), edges.toDF("id_a", "id_b"),
+        localEdgeLimit = localEdgeLimit)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -22,11 +26,20 @@ class ComponentsSpec extends AnyFunSuite with SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 99L -> 99L))
   }
 
-  test("a long path needs diameter rounds and still converges") {
+  test("a long path needs diameter rounds and still converges (distributed route)") {
     val n = 15
     val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong))
-    val labels = cc(edges, (1 to n).map(_.toLong))
+    val labels = cc(edges, (1 to n).map(_.toLong), localEdgeLimit = -1L)
     assert(labels.values.toSet == Set(1L))
+  }
+
+  test("both routes agree on chains + cliques + singletons + stars") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (50L, 60L), (50L, 70L), (50L, 80L), (7L, 4L))
+    val nodes = (edges.flatMap(e => Seq(e._1, e._2)) ++ Seq(99L, 100L)).distinct
+    val dist = cc(edges, nodes, localEdgeLimit = -1L)
+    val local = cc(edges, nodes, localEdgeLimit = Long.MaxValue)
+    assert(dist == local, s"distributed $dist != local $local")
   }
 
   test("non-convergence within maxIters raises instead of emitting partial clusters") {
@@ -34,7 +47,8 @@ class ComponentsSpec extends AnyFunSuite with SparkSpec {
     val edges = (1 until 10).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
     val nodes = (1 to 10).map(_.toLong).toDF("id")
     intercept[IllegalStateException] {
-      Components.connectedComponents(nodes, edges, maxIters = 2).collect()
+      Components.connectedComponents(nodes, edges, maxIters = 2,
+        localEdgeLimit = -1L).collect()
     }
   }
 
@@ -44,11 +58,21 @@ class ComponentsSpec extends AnyFunSuite with SparkSpec {
     // 15-node path → many propagation rounds → many retired checkpoints
     val edges = (1 until 15).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
     val nodes = (1 to 15).map(_.toLong).toDF("id")
-    Components.connectedComponents(nodes, edges).collect()
+    Components.connectedComponents(nodes, edges, localEdgeLimit = -1L).collect()
     val leaked = spark.sparkContext.getPersistentRDDs.size - before
     // only the FINAL round's checkpoint (the returned frame's backing
     // blocks) may remain
     assert(leaked <= 1, s"$leaked checkpointed RDDs left cached; expected <= 1")
+  }
+
+  test("local route leaves no cached blocks behind") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val edges = (1 until 15).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    val nodes = (1 to 15).map(_.toLong).toDF("id")
+    Components.connectedComponents(nodes, edges,
+      localEdgeLimit = Long.MaxValue).collect()
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
   }
 
   test("incrementalComponents equals full recompute: merges, attaches, new clusters") {

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class SplitsSpec extends AnyFunSuite with SparkSpec {
+
+  test("assignByHash is a pure function of the id: stable across repartitioning") {
+    import spark.implicits._
+    val ids = (0L until 1000L).toDF("id")
+    val once = Splits.assignByHash(ids, col("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val again = Splits.assignByHash(ids.repartition(13), col("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(once == again)
+    // roughly 80/10/10 (hash route is approximate)
+    val counts = once.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") - 800) < 80, counts.toString)
+    assert(counts.keySet == Set("train", "val", "test"))
+  }
+
+  test("stratifiedExact hits floor(n*pct/100) exactly in every stratum") {
+    import spark.implicits._
+    // deliberately unbalanced strata, including one too small for a val slice
+    val rows = (0L until 200L).map(i => (i, "en")) ++
+      (200L until 250L).map(i => (i, "de")) ++
+      (250L until 253L).map(i => (i, "fr"))
+    val out = Splits.stratifiedExact(rows.toDF("id", "lang"),
+        col("id"), col("lang"))
+      .groupBy("lang", "split").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out(("en", "train")) == 160 && out(("en", "val")) == 20 &&
+      out(("en", "test")) == 20, out.toString)
+    assert(out(("de", "train")) == 40 && out(("de", "val")) == 5 &&
+      out(("de", "test")) == 5, out.toString)
+    // n=3: floor(2.4)=2 train, floor(2.7)=2 → no val, 1 test
+    assert(out(("fr", "train")) == 2 && out(("fr", "test")) == 1 &&
+      !out.contains(("fr", "val")), out.toString)
+  }
+
+  test("large ids do not overflow under ANSI mode") {
+    import spark.implicits._
+    val ids = Seq(Long.MaxValue - 1, 9999999999999L, 0L).toDF("id")
+    val out = Splits.assignByHash(ids, col("id")).collect()
+    assert(out.length == 3)
+  }
+}

@@ -28,6 +28,29 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(out(3L) > out(1L))
   }
 
+  test("TermStats kernel equals the split/filter column form, including edge tokens") {
+    import spark.implicits._
+    val terms = Seq("hash", "join", "véc")
+    val docs = Seq(
+      "hash join hash vector",
+      "",                              // → [""] (dl 1)
+      "   ",                           // trim → "" (dl 1)
+      "\thash\t",                      // leading+trailing empty tokens (dl 3)
+      "HASH Join hash",                // lowercasing
+      "a  b\n\nc",                     // multi-separator runs
+      "VÉC véc unicode"                // non-ASCII lowercasing
+    ).toDF("text")
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val expectedCols = Seq(size(toks).cast("long").as("dl")) ++
+      terms.zipWithIndex.map { case (t, i) =>
+        size(filter(toks, x => x === t)).cast("long").as(s"tf_$i")
+      }
+    val expected = docs.select(array(expectedCols: _*)).as[Seq[Long]].collect()
+    val kernel = docs.select(TextKernels.termStats(col("text"), terms))
+      .as[Seq[Long]].collect()
+    assert(kernel.toSeq == expected.toSeq)
+  }
+
   test("bm25 multi-term scores are additive over terms") {
     import spark.implicits._
     val docs = Seq(
