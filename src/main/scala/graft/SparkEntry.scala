@@ -332,6 +332,27 @@ object SparkEntry {
              |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
              |ORDER BY 1, 2""".stripMargin)),
 
+    // PIVOT: decision counts spread to columns per court level. The
+    // value list is EXPLICIT — with it, pivot is a single two-phase
+    // aggregation (one shuffle); without it Spark must first run a
+    // distinct scan to discover columns. Empty cells coalesce to 0 so
+    // the frame matches the oracle's FILTER-count form.
+    Q("q_pivot_decisions",
+      (s, dir) => {
+        val decisions = Seq(WinStats.Won, WinStats.Lost, WinStats.Invalid)
+        val p = Pipelines.caseCorpus(s, dir)
+          .groupBy("court_level").pivot("case_decision", decisions).count()
+        p.select(col("court_level") +:
+            decisions.map(d => coalesce(col(s"`$d`"), lit(0L)).as(d)): _*)
+          .orderBy("court_level")
+      },
+      Some(s"""SELECT court_level,
+              | count(*) FILTER (WHERE case_decision = 'appellant_won') AS appellant_won,
+              | count(*) FILTER (WHERE case_decision = 'appellant_lost') AS appellant_lost,
+              | count(*) FILTER (WHERE case_decision = 'invalid') AS invalid
+              |FROM (${Sql.caseCorpus})
+              |GROUP BY court_level ORDER BY court_level""".stripMargin)),
+
     // General grouping sets (beyond rollup's prefix hierarchy): per-flag
     // and per-status marginals in one pass over the data — at scale ONE
     // shuffle instead of a union of independent aggregations. CUBE and
@@ -355,6 +376,32 @@ object SparkEntry {
              | CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
              |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
              |ORDER BY 1, 2""".stripMargin)),
+
+    // Semi/anti joins: existence tests without multiplying rows —
+    // customers with ≥1 high-value order (semi: no fan-out however
+    // many orders match) vs those with none (anti). Both stay on
+    // hash-join machinery; min/count aggregates avoid float-sum
+    // order effects.
+    Q("q_semi_anti_join",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir)
+          .where(col("o_totalprice") > 150000.0)
+          .select(col("o_custkey").as("c_custkey"))
+        val semi = c.join(o, Seq("c_custkey"), "left_semi")
+          .agg(count(lit(1)).as("n_with_big"))
+        val anti = c.join(o, Seq("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("n_without_big"),
+            min("c_custkey").as("min_without_key"))
+        semi.crossJoin(anti)
+      },
+      Some("""SELECT
+             | (SELECT count(*) FROM customer WHERE c_custkey IN
+             |   (SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0)) AS n_with_big,
+             | (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+             |   (SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0)) AS n_without_big,
+             | (SELECT min(c_custkey) FROM customer WHERE c_custkey NOT IN
+             |   (SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0)) AS min_without_key""".stripMargin)),
 
     // Set operations (union/intersect/except with set semantics)
     Q("q_set_ops",
@@ -713,6 +760,18 @@ object SparkEntry {
     // hash → exact floor(n·pct) proportions within every stratum
     Q("mldata_split_stratified",
       (s, dir) => Splits.stratifiedExact(Tables.documents(s, dir),
+          col("doc_id"), col("lang"))
+        .select(col("doc_id"), col("lang"), col("split"))
+        .orderBy("doc_id"),
+      Some(Splits.stratifiedExactSql("documents", "doc_id", "lang",
+        Seq("doc_id", "lang")) + " ORDER BY doc_id")),
+
+    // Same contract through the histogram route (bounded-cardinality
+    // window; only boundary hash-buckets ranked): same oracle as
+    // mldata_split_stratified — the gate proves route equivalence, the
+    // shape removes the per-stratum task bound
+    Q("mldata_split_scalable",
+      (s, dir) => Splits.stratifiedScalable(Tables.documents(s, dir),
           col("doc_id"), col("lang"))
         .select(col("doc_id"), col("lang"), col("split"))
         .orderBy("doc_id"),

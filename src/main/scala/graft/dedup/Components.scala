@@ -46,30 +46,35 @@ object Components {
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIters: Int = 20,
                           localEdgeLimit: Long = 2000000L): DataFrame = {
-    // localCheckpoint per round: an iterative dataframe loop otherwise
-    // DOUBLES its logical plan every round (labels appears in both the
-    // join and the convergence check) — planning itself OOMs long
-    // before the data does. Checkpointing truncates lineage to the
-    // materialized partitions, keeping round N's plan size constant.
-    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
+    // Materialize the edge set ONCE, before symmetrizing: edge mining
+    // is typically the expensive part (a similarity join), and a
+    // union's two branches would otherwise each recompute it. The
+    // checkpoint also provides the count that picks the route.
+    val e0 = edges.select(col("id_a"), col("id_b")).localCheckpoint()
     // long ids only: a cast would change the output schema vs the
     // distributed route (which preserves the id type)
-    val longIds = sym.schema.fields.forall(
+    val longIds = e0.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
-    if (longIds && sym.count() <= 2L * localEdgeLimit) {
+    if (longIds && e0.count() <= localEdgeLimit) {
       val spark = nodes.sparkSession
       import spark.implicits._
-      val pairs = sym.where(col("src") < col("dst"))
-        .as[(Long, Long)].collect()
-      org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(sym)
+      val pairs = e0.as[(Long, Long)].collect()
+      org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(e0)
       val lblDf = unionFindMinLabels(pairs).toSeq.toDF("id", "__cc_label")
       return nodes.select(col("id"))
         .join(broadcast(lblDf), Seq("id"), "left")
         .select(col("id"),
           coalesce(col("__cc_label"), col("id")).as("component"))
     }
+    // localCheckpoint per round: an iterative dataframe loop otherwise
+    // DOUBLES its logical plan every round (labels appears in both the
+    // join and the convergence check) — planning itself OOMs long
+    // before the data does. Checkpointing truncates lineage to the
+    // materialized partitions, keeping round N's plan size constant.
+    // sym is a cheap narrow union over the checkpointed e0; it is
+    // recomputed per round from e0's blocks, never from the mining plan.
+    val sym = e0.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(e0.select(col("id_b").as("src"), col("id_a").as("dst")))
     var labels = nodes.select(col("id"), col("id").as("component"))
       .localCheckpoint()
     // superseded checkpoints must be dropped as we go: each round's
@@ -104,7 +109,7 @@ object Components {
       labels = next.select("id", "component")
       it += 1
     }
-    org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(sym)
+    org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(e0)
     retired.foreach(org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint)
     if (!converged)
       throw new IllegalStateException(
@@ -169,6 +174,10 @@ object Components {
     val prev = prevLabels.select(col("id"), col("component"))
     // map each delta endpoint to its super-node: its previous
     // component, or itself when the node is new
+    // checkpointed: the contracted edge set is referenced by the node
+    // derivation, the propagation, and (via relabel) two downstream
+    // joins — without it each reference re-runs the prev-label joins.
+    // Delta-sized by construction.
     val e = deltaEdges
       .join(prev.select(col("id").as("id_a"), col("component").as("ca")),
         Seq("id_a"), "left")
@@ -176,6 +185,7 @@ object Components {
         Seq("id_b"), "left")
       .select(coalesce(col("ca"), col("id_a")).as("id_a"),
         coalesce(col("cb"), col("id_b")).as("id_b"))
+      .localCheckpoint()
     val contractedEdges = e.where(col("id_a") =!= col("id_b"))
     val contractedNodes = e.select(col("id_a").as("id"))
       .unionAll(e.select(col("id_b").as("id"))).distinct()
@@ -204,8 +214,13 @@ object Components {
     */
   def dupClusters(corpus: DataFrame, idCol: Column, textCol: Column,
                   minJaccard: Double = 0.5): DataFrame = {
+    // checkpoint the mined pairs HERE: both the node derivation below
+    // and connectedComponents reference the edge frame more than once,
+    // and each un-checkpointed reference would re-run the similarity
+    // join. The checkpoint is edge-sized and lives until the session
+    // drops it — the price of making the result frame reusable.
     val edges = Dedup.ngramJaccardPairsPrefix(corpus, idCol, textCol,
-      minJaccard = minJaccard)
+      minJaccard = minJaccard).select("id_a", "id_b").localCheckpoint()
     val nodes = edges.select(col("id_a").as("id"))
       .unionAll(edges.select(col("id_b").as("id"))).distinct()
     connectedComponents(nodes, edges)

@@ -89,6 +89,87 @@ object Splits {
         .otherwise("test"))
   }
 
+  /** Exact stratified split WITHOUT the per-stratum row window — the
+    * route when strata are corpus-sized. Produces BIT-IDENTICAL output
+    * to [[stratifiedExact]] (same (hash, id) order, same floor cuts)
+    * with this shape:
+    *
+    *  1. histogram: count per (stratum, hash) — one aggregation whose
+    *     cardinality is bounded by |strata|·P (P = 99991), NOT by the
+    *     corpus;
+    *  2. cumulative counts + the two percent thresholds per stratum —
+    *     a window over the HISTOGRAM (bounded), yielding for each
+    *     threshold its boundary bucket `hb` and the count `base` of
+    *     rows hashing strictly below it;
+    *  3. assignment: every row joins the 1-row-per-stratum bounds via
+    *     broadcast. Rows whose hash is not a boundary bucket are
+    *     labeled by pure comparison — a projection, no shuffle. Only
+    *     rows INSIDE a boundary bucket (expected n/P per stratum —
+    *     thousands, not billions) are ranked by id to decide which
+    *     side of the cut they fall on.
+    *
+    * So the corpus is touched twice (histogram, assignment), both
+    * embarrassingly parallel; nothing corpus-sized is ever sorted,
+    * windowed, or collected. Worst case: ids congruent mod M collapse
+    * into one hash bucket, growing the boundary-rank window toward a
+    * stratum's size — the same bound [[stratifiedExact]] always pays.
+    */
+  def stratifiedScalable(df: DataFrame, idCol: Column, stratumCol: Column,
+                         trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"bad split percents ($trainPct, $valPct)")
+    require(!df.columns.exists(_.startsWith("__")),
+      "input columns starting with __ collide with split helper columns")
+    val hist = df.groupBy(stratumCol.as("__s"), idHash(idCol).as("__h"))
+      .agg(count(lit(1)).as("__c"))
+    val wc = Window.partitionBy("__s").orderBy("__h")
+    val cum = hist.withColumn("__cum", sum("__c").over(wc))
+    val tot = cum.groupBy("__s").agg(max("__cum").as("__n"))
+      .withColumn("__t1", floor(col("__n") * trainPct / 100))
+      .withColumn("__t2", floor(col("__n") * (trainPct + valPct) / 100))
+    // boundary bucket for threshold t: the unique bucket with
+    // cum − c < t ≤ cum (absent when t = 0 — then no rows sit at or
+    // below t and the sentinel −1 matches no hash)
+    def boundary(t: Column, hb: String, base: String) =
+      cum.join(tot, "__s")
+        .where(col("__cum") - col("__c") < t && col("__cum") >= t)
+        .select(col("__s"), col("__h").as(hb),
+          (col("__cum") - col("__c")).as(base))
+    val bounds = tot
+      .join(boundary(col("__t1"), "__hb1", "__base1"), Seq("__s"), "left")
+      .join(boundary(col("__t2"), "__hb2", "__base2"), Seq("__s"), "left")
+      .select(col("__s"), col("__t1"), col("__t2"),
+        coalesce(col("__hb1"), lit(-1L)).as("__hb1"),
+        coalesce(col("__base1"), lit(0L)).as("__base1"),
+        coalesce(col("__hb2"), lit(-1L)).as("__hb2"),
+        coalesce(col("__base2"), lit(0L)).as("__base2"))
+    val rows = df.withColumn("__s", stratumCol).withColumn("__h", idHash(idCol))
+      .join(broadcast(bounds), "__s")
+    val isBoundary = col("__h") === col("__hb1") || col("__h") === col("__hb2")
+    val outCols = df.columns.map(col).toSeq :+ col("split")
+    // non-boundary: the bucket sits strictly inside one slice
+    val plain = rows.where(!isBoundary)
+      .withColumn("split",
+        when(col("__h") < col("__hb1"), "train")
+          .when(col("__hb2") >= 0 && col("__h") < col("__hb2")
+            && col("__h") > col("__hb1"), "val")
+          .otherwise("test"))
+      .select(outCols: _*)
+    // boundary: rank by id inside the bucket; global rank = base + r.
+    // The same ranked test covers hb1 = hb2 (both cuts in one bucket).
+    val wb = Window.partitionBy("__s", "__h").orderBy(idCol.asc)
+    val ranked = rows.where(isBoundary)
+      .withColumn("__rank",
+        when(col("__h") === col("__hb1"), col("__base1"))
+          .otherwise(col("__base2")) + row_number().over(wb).cast("long"))
+      .withColumn("split",
+        when(col("__rank") <= col("__t1"), "train")
+          .when(col("__rank") <= col("__t2"), "val")
+          .otherwise("test"))
+      .select(outCols: _*)
+    plain.unionAll(ranked)
+  }
+
   /** DuckDB twin of [[stratifiedExact]]: emits a full SELECT over
     * `table` with the given output columns plus `split`.
     */

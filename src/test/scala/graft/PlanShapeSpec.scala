@@ -6,7 +6,9 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.api.Pipelines
 import graft.dedup.Dedup
+import graft.operators.Splits
 import graft.sources.Tables
+import graft.text.TextAnalysis
 import graft.vector.{BlockMatrix, Knn}
 
 /** Scale-critical plan shapes, asserted so they cannot regress
@@ -60,6 +62,27 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       Dedup.ngramJaccardPairsPrefix(docs, col("doc_id"), col("text"), minJaccard = 0.8))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"similarity join degenerated to an all-pairs stage:\n$plan")
+  }
+
+  test("hash split is a pure projection: zero exchanges, zero aggregates") {
+    val df = Splits.assignByHash(Tables.documents(spark, dir), col("doc_id"))
+      .select("doc_id", "split")
+    val plan = executed(df)
+    assert(!plan.contains("Exchange") && !plan.contains("HashAggregate"),
+      s"hash split should stream at scan speed:\n$plan")
+  }
+
+  test("bm25 top-k: one broadcast stats row, ranked via TakeOrderedAndProject") {
+    val df = TextAnalysis.bm25(Tables.documents(spark, dir), col("doc_id"),
+        col("text"), Seq("hash", "join"))
+      .orderBy(col("score").desc, col("id").asc).limit(10)
+    val plan = executed(df)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"bm25 ranking must not global-sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in bm25:\n$plan")
+    // the stats row attaches as a 1-row broadcast, never a shuffle join
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-stats join must broadcast, not shuffle:\n$plan")
   }
 
   test("aggregation is two-phase (map-side partial before the exchange)") {

@@ -40,6 +40,26 @@ class SplitsSpec extends AnyFunSuite with SparkSpec {
       !out.contains(("fr", "val")), out.toString)
   }
 
+  test("stratifiedScalable is bit-identical to stratifiedExact, collisions included") {
+    import spark.implicits._
+    val m = 1000003L
+    // unbalanced strata; the +m ids collide with their base id's hash
+    // bucket, forcing multi-row boundary buckets
+    val rows = (0L until 300L).map(i => (i, "en")) ++
+      (0L until 40L).map(i => (i + m, "en")) ++
+      (300L until 347L).map(i => (i, "de")) ++
+      Seq((400L, "fr"), (400L + m, "fr"), (400L + 2 * m, "fr"))
+    val df = rows.toDF("id", "lang")
+    for ((tp, vp) <- Seq((80, 10), (50, 25), (99, 1), (34, 0))) {
+      val exact = Splits.stratifiedExact(df, col("id"), col("lang"), tp, vp)
+        .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+      val scalable = Splits.stratifiedScalable(df, col("id"), col("lang"), tp, vp)
+        .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+      assert(scalable == exact,
+        s"($tp,$vp): diff = ${(scalable.toSet diff exact.toSet).take(5)}")
+    }
+  }
+
   test("large ids do not overflow under ANSI mode") {
     import spark.implicits._
     val ids = Seq(Long.MaxValue - 1, 9999999999999L, 0L).toDF("id")
