@@ -120,31 +120,38 @@ object Splits {
       s"bad split percents ($trainPct, $valPct)")
     require(!df.columns.exists(_.startsWith("__")),
       "input columns starting with __ collide with split helper columns")
+    // Everything below groups/windows on __s directly (NULL is a
+    // legitimate stratum value; group-by and window partitions treat
+    // it as its own group, so no join can drop it)
     val hist = df.groupBy(stratumCol.as("__s"), idHash(idCol).as("__h"))
       .agg(count(lit(1)).as("__c"))
-    val wc = Window.partitionBy("__s").orderBy("__h")
-    val cum = hist.withColumn("__cum", sum("__c").over(wc))
-    val tot = cum.groupBy("__s").agg(max("__cum").as("__n"))
+    val part = Window.partitionBy("__s")
+    val cum = hist
+      .withColumn("__cum", sum("__c").over(part.orderBy("__h")))
+      .withColumn("__n", max("__cum").over(part))
       .withColumn("__t1", floor(col("__n") * trainPct / 100))
       .withColumn("__t2", floor(col("__n") * (trainPct + valPct) / 100))
     // boundary bucket for threshold t: the unique bucket with
     // cum − c < t ≤ cum (absent when t = 0 — then no rows sit at or
-    // below t and the sentinel −1 matches no hash)
-    def boundary(t: Column, hb: String, base: String) =
-      cum.join(tot, "__s")
-        .where(col("__cum") - col("__c") < t && col("__cum") >= t)
-        .select(col("__s"), col("__h").as(hb),
-          (col("__cum") - col("__c")).as(base))
-    val bounds = tot
-      .join(boundary(col("__t1"), "__hb1", "__base1"), Seq("__s"), "left")
-      .join(boundary(col("__t2"), "__hb2", "__base2"), Seq("__s"), "left")
-      .select(col("__s"), col("__t1"), col("__t2"),
-        coalesce(col("__hb1"), lit(-1L)).as("__hb1"),
-        coalesce(col("__base1"), lit(0L)).as("__base1"),
-        coalesce(col("__hb2"), lit(-1L)).as("__hb2"),
-        coalesce(col("__base2"), lit(0L)).as("__base2"))
-    val rows = df.withColumn("__s", stratumCol).withColumn("__h", idHash(idCol))
-      .join(broadcast(bounds), "__s")
+    // below t and the sentinel −1 matches no hash). Conditional
+    // aggregation — not a join — extracts it per stratum.
+    def pick(cond: Column, v: Column) = max(when(cond, v))
+    val b1 = col("__cum") - col("__c") < col("__t1") && col("__cum") >= col("__t1")
+    val b2 = col("__cum") - col("__c") < col("__t2") && col("__cum") >= col("__t2")
+    val bounds = cum.groupBy("__s").agg(
+      max("__t1").as("__t1"), max("__t2").as("__t2"),
+      coalesce(pick(b1, col("__h")), lit(-1L)).as("__hb1"),
+      coalesce(pick(b1, col("__cum") - col("__c")), lit(0L)).as("__base1"),
+      coalesce(pick(b2, col("__h")), lit(-1L)).as("__hb2"),
+      coalesce(pick(b2, col("__cum") - col("__c")), lit(0L)).as("__base2"))
+    // null-safe equality: a NULL stratum is a legitimate stratum (the
+    // window route partitions on it like any other value); a plain
+    // equi-join would silently drop those rows
+    val withKeys = df.withColumn("__s", stratumCol)
+      .withColumn("__h", idHash(idCol))
+    val rows = withKeys
+      .join(broadcast(bounds.withColumnRenamed("__s", "__bs")),
+        col("__s") <=> col("__bs"))
     val isBoundary = col("__h") === col("__hb1") || col("__h") === col("__hb2")
     val outCols = df.columns.map(col).toSeq :+ col("split")
     // non-boundary: the bucket sits strictly inside one slice

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+
+import graft.vector.{Distance, GroupedTopK}
+
+/** Streaming vector search: a stream of query embeddings, each answered
+  * with its exact top-k nearest corpus rows — the online counterpart of
+  * the reference's request-response search
+  * (`/root/reference/extract_and_search.py:104-110`), expressed as a
+  * continuous query instead of a Flask handler.
+  *
+  * Plan shape, per micro-batch:
+  *  1. stream-static broadcast hash join (constant key) fans each
+  *     arriving query out to the corpus — stateless, the static side
+  *     broadcast once, re-usable across batches;
+  *  2. the fused codegen L2 kernel scores every (query, corpus) pair —
+  *     narrow, no shuffle;
+  *  3. the bounded-state grouped top-k aggregate keyed by (event-time
+  *     window, query id) keeps ≤2k candidates per query in the state
+  *     store; the watermark closes windows and APPEND mode emits each
+  *     query's final ranking exactly once.
+  *
+  * State is bounded by in-horizon queries × O(k) — never by the corpus
+  * and never by time (expired windows are dropped). A query's id must
+  * not recur outside its window (recurrence within a window correctly
+  * merges into one ranking). At corpus sizes beyond broadcast, swap
+  * stage 1-2 for the IVF route ([[StreamingIvf]] maintains the
+  * cluster-partitioned layout; probe inside `foreachBatch`).
+  */
+object StreamingSearch {
+
+  /** `queries`: STREAMING frame with (query_id: long, q_emb:
+    * array<float>, ts: timestamp). `corpus`: static (id, embedding).
+    * Emits (window, query_id, corpus_id, score, rank) in append mode.
+    */
+  def knnPerQuery(queries: DataFrame, corpus: DataFrame, k: Int,
+                  windowDuration: String = "1 minute",
+                  watermarkDelay: String = "5 minutes"): DataFrame = {
+    val topk = udaf(new GroupedTopK.TopKAggregator(k),
+      ExpressionEncoder[GroupedTopK.Scored]())
+    val q = queries
+      .select(col("query_id"), col("q_emb"), col("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .withColumn("__one", lit(1))
+    val r = broadcast(corpus
+      .select(col("id").as("corpus_id"), col("embedding").as("c_emb"))
+      .withColumn("__one", lit(1)))
+    q.join(r, "__one")
+      .withColumn("score", round(Distance.l2(col("q_emb"), col("c_emb")), 4))
+      .groupBy(window(col("ts"), windowDuration), col("query_id"))
+      .agg(topk(col("score"), col("corpus_id")).as("top"))
+      .select(col("window"), col("query_id"), posexplode(col("top")))
+      .select(col("window"), col("query_id"),
+        col("col.id").as("corpus_id"), col("col.score").as("score"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+}

@@ -48,7 +48,8 @@ class SplitsSpec extends AnyFunSuite with SparkSpec {
     val rows = (0L until 300L).map(i => (i, "en")) ++
       (0L until 40L).map(i => (i + m, "en")) ++
       (300L until 347L).map(i => (i, "de")) ++
-      Seq((400L, "fr"), (400L + m, "fr"), (400L + 2 * m, "fr"))
+      Seq((400L, "fr"), (400L + m, "fr"), (400L + 2 * m, "fr")) ++
+      (500L until 530L).map(i => (i, null.asInstanceOf[String]))  // null stratum
     val df = rows.toDF("id", "lang")
     for ((tp, vp) <- Seq((80, 10), (50, 25), (99, 1), (34, 0))) {
       val exact = Splits.stratifiedExact(df, col("id"), col("lang"), tp, vp)
