@@ -734,7 +734,6 @@ object SparkEntry {
                 |FROM documents ORDER BY doc_id""".stripMargin)
       }),
 
-    // Document fingerprint (whitespace-normalized md5)
     // BM25 ranked retrieval: corpus stats (N, avgdl, per-term df) as
     // one broadcast aggregate row, tf as columnar expressions, top-20
     // via TakeOrderedAndProject — the lexical complement of the KNN
@@ -778,6 +777,7 @@ object SparkEntry {
       Some(Splits.stratifiedExactSql("documents", "doc_id", "lang",
         Seq("doc_id", "lang")) + " ORDER BY doc_id")),
 
+    // Document fingerprint (whitespace-normalized md5)
     Q("text_fingerprint",
       (s, dir) => Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -918,7 +918,7 @@ object SparkEntry {
         val prev = Components.connectedComponents(oldNodes, oldEdges)
         val delta = allEdges
           .where(col("id_a") >= 250 || col("id_b") >= 250)
-        Components.incrementalComponents(prev, delta)
+        Components.foldInto(prev, delta)
           .select(col("id"), col("component").as("cluster_id"),
             (col("id") === col("component")).as("is_keeper"))
           .orderBy("id")

@@ -26,9 +26,11 @@ object Components {
 
   /** Connected components of the undirected graph given by `edges`
     * (columns `id_a`, `id_b`). Returns (id, component) where
-    * `component` is the minimum node id reachable. Nodes outside any
-    * edge are their own components only if present in `nodes` (pass
-    * the full corpus ids to include singletons).
+    * `component` is the minimum node id reachable. The vertex set is
+    * `nodes` ∪ edge endpoints — endpoints are implicitly nodes (both
+    * routes propagate THROUGH them), but only ids present in `nodes`
+    * appear in the output (pass the full corpus ids to include
+    * singletons).
     *
     * Route dispatch: the edge multiset is materialized once (the
     * distributed loop needs that anyway for lineage truncation), and
@@ -75,7 +77,14 @@ object Components {
     // recomputed per round from e0's blocks, never from the mining plan.
     val sym = e0.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(e0.select(col("id_b").as("src"), col("id_a").as("dst")))
-    var labels = nodes.select(col("id"), col("id").as("component"))
+    // seed labels over nodes ∪ endpoints: propagation must pass
+    // THROUGH endpoints absent from `nodes` (the union-find route
+    // does so by construction; without this the routes would diverge)
+    var labels = nodes.select(col("id"))
+      .unionAll(e0.select(col("id_a").as("id")))
+      .unionAll(e0.select(col("id_b").as("id")))
+      .distinct()
+      .select(col("id"), col("id").as("component"))
       .localCheckpoint()
     // superseded checkpoints must be dropped as we go: each round's
     // blocks otherwise stay in the block manager for the session's
@@ -116,8 +125,10 @@ object Components {
         s"connectedComponents did not converge in $maxIters rounds " +
           "(graph diameter exceeds the bound); raise maxIters")
     // the returned frame is backed by the FINAL round's checkpoint
-    // only — bounded, and still readable by the caller
-    labels
+    // only — bounded, and still readable by the caller. Restrict the
+    // output to `nodes` (implicit endpoints carried labels internally
+    // but are not part of the caller's vertex set).
+    labels.join(nodes.select(col("id")), Seq("id"), "left_semi")
   }
 
   /** Driver union-find over edge endpoints, labels = min member id.
@@ -170,7 +181,30 @@ object Components {
     */
   def incrementalComponents(prevLabels: DataFrame,
                             deltaEdges: DataFrame,
-                            maxIters: Int = 20): DataFrame = {
+                            maxIters: Int = 20): DataFrame =
+    incrementalPlan(prevLabels, deltaEdges, maxIters)._1
+
+  /** [[incrementalComponents]], materialized: returns the new labels
+    * as an eager checkpoint and reclaims every intermediate checkpoint
+    * the fold created (the contracted edge set; the contracted
+    * propagation's backing blocks). The per-batch building block for
+    * [[graft.streaming.ClusterMaintainer]] — repeated folds leave
+    * exactly one labels table cached, regardless of batch count.
+    */
+  def foldInto(prevLabels: DataFrame, deltaEdges: DataFrame,
+               maxIters: Int = 20): DataFrame = {
+    val (res, temps) = incrementalPlan(prevLabels, deltaEdges, maxIters)
+    val out = res.localCheckpoint()
+    temps.foreach(org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint)
+    out
+  }
+
+  /** Shared fold plan: (result, intermediate checkpointed frames the
+    * caller may reclaim once the result is materialized).
+    */
+  private def incrementalPlan(prevLabels: DataFrame,
+                              deltaEdges: DataFrame,
+                              maxIters: Int): (DataFrame, List[DataFrame]) = {
     val prev = prevLabels.select(col("id"), col("component"))
     // map each delta endpoint to its super-node: its previous
     // component, or itself when the node is new
@@ -190,7 +224,8 @@ object Components {
     val contractedNodes = e.select(col("id_a").as("id"))
       .unionAll(e.select(col("id_b").as("id"))).distinct()
     // (super, merged) for every super-node touched by the delta
-    val relabel = connectedComponents(contractedNodes, contractedEdges, maxIters)
+    val ccLabels = connectedComponents(contractedNodes, contractedEdges, maxIters)
+    val relabel = ccLabels
       .select(col("id").as("component"), col("component").as("merged"))
     val updatedOld = prev
       .join(broadcast(relabel), Seq("component"), "left")
@@ -204,7 +239,10 @@ object Components {
       .join(broadcast(relabel.select(col("component").as("id"), col("merged"))),
         Seq("id"), "left")
       .select(col("id"), coalesce(col("merged"), col("id")).as("component"))
-    updatedOld.unionAll(newNodes)
+    // reclaimables: e's checkpoint, plus whatever backs the contracted
+    // propagation result (its plan reaches e and, on the distributed
+    // route, its own final-round checkpoint)
+    (updatedOld.unionAll(newNodes), List(e, ccLabels))
   }
 
   /** End-to-end duplicate-cluster collapse: near-dup pairs → connected

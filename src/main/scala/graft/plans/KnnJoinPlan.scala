@@ -308,9 +308,17 @@ object BroadcastKnn {
       // are two scans — noise next to the B² tile join they configure.
       import org.apache.spark.sql.functions.{col, size => asize}
       val rows = math.max(left.count(), right.count())
-      val dim = right.select(asize(col("embedding")).as("d")).head.getInt(0)
-      graft.vector.BlockMatrix.l2Join(left, right, k,
-        graft.vector.BlockMatrix.chooseNumBlocks(rows, dim))
+      // probe the dim from a VALID row — null/empty embeddings exist in
+      // the wild and l2Join itself just filters them out
+      val dim = right
+        .where(col("embedding").isNotNull && asize(col("embedding")) > 0)
+        .select(asize(col("embedding")).as("d")).head(1)
+        .headOption.map(_.getInt(0))
+      dim match {
+        case Some(d) => graft.vector.BlockMatrix.l2Join(left, right, k,
+          graft.vector.BlockMatrix.chooseNumBlocks(rows, d))
+        case None => graft.vector.BlockMatrix.l2Join(left, right, k)
+      }
     }
   }
 }

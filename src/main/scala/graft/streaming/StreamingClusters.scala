@@ -32,20 +32,12 @@ final class ClusterMaintainer(spark: SparkSession) {
   def labels: DataFrame = current
 
   /** Fold one edge batch (columns id_a, id_b) into the labeling.
-    * Every checkpoint the fold creates internally (the contracted
-    * edge set, sub-propagation rounds) is reclaimed here once `next`
-    * is materialized — only the live labels survive the batch.
+    * [[Components.foldInto]] materializes the new labels and reclaims
+    * its own intermediates; the superseded labels drop here — only
+    * the live table survives the batch.
     */
   def update(edgeBatch: DataFrame): Unit = synchronized {
-    val sc = spark.sparkContext
-    val before = sc.getPersistentRDDs.keySet
-    val next = Components.incrementalComponents(current, edgeBatch)
-      .localCheckpoint()
-    val keep = org.apache.spark.sql.GraftColumnBridge.checkpointRddIds(next)
-    sc.getPersistentRDDs.foreach { case (id, rdd) =>
-      if (!before.contains(id) && !keep.contains(id))
-        rdd.unpersist(blocking = false)
-    }
+    val next = Components.foldInto(current, edgeBatch)
     org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(current)
     current = next
   }

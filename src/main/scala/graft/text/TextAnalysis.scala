@@ -22,11 +22,18 @@ object TextAnalysis {
     when(length(trim(c)) === 0, lit(0L))
       .otherwise(size(split(trim(c), "\\s+")).cast("long"))
 
+  // DuckDB twins spell the whitespace class out: Java's `\s` includes
+  // vertical tab (0x0B), RE2's does not — a bare `\s` would tokenize
+  // VT-bearing text differently across the two engines
+  private val WsClassSql = "[ \\t\\n\\x0B\\f\\r]"
+
   def nTokensWsSql(t: String): String =
-    s"CASE WHEN length(trim($t)) = 0 THEN 0 ELSE len(string_split_regex(trim($t), '\\s+')) END"
+    s"CASE WHEN length(trim($t)) = 0 THEN 0 ELSE len(string_split_regex(trim($t), '$WsClassSql+')) END"
 
   /** BPE-ish tokens: letter runs, digit runs, single punctuation. */
-  val TokenRe = """[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"""
+  // the whitespace class is explicit for cross-engine parity (see
+  // WsClassSql): this one pattern string feeds BOTH Java regex and RE2
+  val TokenRe = """[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]"""
 
   def nTokensRe(c: Column): Column = regexp_count(c, lit(TokenRe)).cast("long")
   def nTokensReSql(t: String): String =
@@ -61,7 +68,7 @@ object TextAnalysis {
       .otherwise(floor4(length(regexp_replace(trim(c), "\\s+", "")) / nTokensWs(c)))
   def avgWordLenSql(t: String): String =
     s"""CASE WHEN (${nTokensWsSql(t)}) = 0 THEN 0.0
-       | ELSE ${floor4Sql(s"length(regexp_replace(trim($t), '\\s+', '', 'g')) / (${nTokensWsSql(t)})")} END""".stripMargin
+       | ELSE ${floor4Sql(s"length(regexp_replace(trim($t), '$WsClassSql+', '', 'g')) / (${nTokensWsSql(t)})")} END""".stripMargin
 
   val Stopwords = Seq("a", "the", "and", "of", "is")
 
@@ -70,7 +77,7 @@ object TextAnalysis {
       t => Stopwords.map(s => t === s).reduce(_ || _))).cast("long")
   def stopwordCountSql(t: String): String = {
     val set = Stopwords.map(Sql.lit).mkString(", ")
-    s"len(list_filter(string_split_regex(lower(trim($t)), '\\s+'), x -> x IN ($set)))"
+    s"len(list_filter(string_split_regex(lower(trim($t)), '$WsClassSql+'), x -> x IN ($set)))"
   }
 
   def stopwordRatio(c: Column): Column =
@@ -108,7 +115,7 @@ object TextAnalysis {
       t => markers.map(m => t === m).reduce(_ || _))).cast("long")
   def langScoreSql(t: String, markers: Seq[String]): String = {
     val set = markers.map(Sql.lit).mkString(", ")
-    s"len(list_filter(string_split_regex(lower(trim($t)), '\\s+'), x -> x IN ($set)))"
+    s"len(list_filter(string_split_regex(lower(trim($t)), '$WsClassSql+'), x -> x IN ($set)))"
   }
 
   /** Predicted language: highest marker count, ties to the earlier
@@ -181,10 +188,14 @@ object TextAnalysis {
       .select(col("id"), round(score, 4).as("score"))
   }
 
-  /** DuckDB twin of [[bm25]] for the oracle gate. */
+  /** DuckDB twin of [[bm25]] for the oracle gate. The separator class
+    * is written out explicitly: Java's `\s` includes vertical tab
+    * (0x0B) but RE2's (DuckDB's) does not, so a bare `\s+` here would
+    * tokenize VT-bearing text differently from the Spark side.
+    */
   def bm25Sql(table: String, idExpr: String, textExpr: String,
               terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): String = {
-    val toks = s"string_split_regex(lower(trim($textExpr)), '\\s+')"
+    val toks = s"string_split_regex(lower(trim($textExpr)), '$WsClassSql+')"
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       s"len(list_filter($toks, x -> x = ${Sql.lit(t)})) AS tf_$i"
     }.mkString(", ")

@@ -29,13 +29,18 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextKernels {
 
-  /** `array<long>` of length terms+1: `[dl, tf_0, …, tf_{n-1}]`. */
-  case class TermStats(child: Expression, terms: Array[String])
+  /** `array<long>` of length terms+1: `[dl, tf_0, …, tf_{n-1}]`.
+    * `terms` is a Seq, NOT an Array: case-class equality over an
+    * Array is reference equality, which would make two separately
+    * built TermStats never `semanticEquals` — silently defeating the
+    * subexpression elimination the kernel's one-scan design relies on.
+    */
+  case class TermStats(child: Expression, terms: Seq[String])
       extends UnaryExpression {
 
     private val numTerms = terms.length
     @transient private lazy val termBytes: Array[Array[Byte]] =
-      terms.map(_.getBytes("UTF-8"))
+      terms.map(_.getBytes("UTF-8")).toArray
 
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "term_stats"
@@ -120,5 +125,5 @@ object TextKernels {
   /** Term-stats column over a raw text column. */
   def termStats(text: Column, terms: Seq[String]): Column =
     GraftColumnBridge.column(TermStats(
-      GraftColumnBridge.expression(text), terms.toArray))
+      GraftColumnBridge.expression(text), terms.toList))
 }

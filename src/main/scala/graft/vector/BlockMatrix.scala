@@ -136,7 +136,7 @@ object BlockMatrix {
     * tile (i,j) with the ids swapped), each as one fused loop over its
     * tile, emitting only qualifying pairs. No merge stage exists —
     * a threshold join has no cross-tile state at all, so the output
-    * stream is pure map-side work after the tile join.
+    * stream is pure map-side work after the one tile-pairing shuffle.
     *
     * Per-task memory bound and `numBlocks` sizing as per the class
     * doc / [[chooseNumBlocks]]. The OUTPUT can still be quadratic if
@@ -149,45 +149,56 @@ object BlockMatrix {
     val base = prep(df, idCol, embCol)
     val spark = base.sparkSession
     import spark.implicits._
-    val b = numBlocks
-    // upper triangle: block i is the LEFT of tiles (i, j≥i); block j is
-    // the RIGHT of tiles (i≤j, j)
-    val lrep = toBlocks(base, b).select(col("bid").as("lb"),
-      col("rows").as("lrows"),
-      explode(sequence(col("bid"), lit(b - 1L))).as("rb"))
-    val rrep = toBlocks(base, b).select(col("bid").as("rb"),
-      col("rows").as("rrows"),
-      explode(sequence(lit(0L), col("bid"))).as("lb"))
-    val tiles = lrep.join(rrep, Seq("lb", "rb"))
-      .select(col("lb") === col("rb"), col("lrows"), col("rrows"))
-      .as[(Boolean, Array[BlockRow], Array[BlockRow])]
+    val b = numBlocks.toLong
     val thr = minCosine
-    val out = tiles.flatMap { case (diagonal, lrows, rrows) =>
-      // hoisted norms, same sequential accumulation as the fused kernel
-      val nls = lrows.map(r => math.sqrt(sumSq(r.emb)))
-      val nrs = if (diagonal) nls else rrows.map(r => math.sqrt(sumSq(r.emb)))
-      lrows.iterator.zipWithIndex.flatMap { case (l, li) =>
-        val lemb = l.emb
-        val nl = nls(li)
-        rrows.iterator.zipWithIndex.flatMap { case (rr, ri) =>
-          // diagonal tiles hold the SAME rows on both sides: the sorted
-          // order makes ri > li equivalent to id_a < id_b exactly once
-          if ((diagonal && ri <= li) || nl == 0.0 || nrs(ri) == 0.0) Iterator.empty
-          else {
-            val remb = rr.emb
-            val d = math.min(lemb.length, remb.length)
-            var dot = 0.0
-            var i = 0
-            while (i < d) { dot += lemb(i).toDouble * remb(i).toDouble; i += 1 }
-            val s = round4dp(dot / (nl * nrs(ri)))
-            if (s >= thr && !s.isNaN) {
-              val (a, bId) = if (l.id < rr.id) (l.id, rr.id) else (rr.id, l.id)
-              Iterator.single(Partial(a, bId, s))
-            } else Iterator.empty
+    // ONE blocking pass (the corpus is grouped into blocks exactly
+    // once — a self-join on the blocked frame would evaluate that
+    // shuffle+sort on both sides): each block replicates itself to
+    // every upper-triangle tile it participates in, tagged LEFT of
+    // tiles (bid, j ≥ bid) / RIGHT of tiles (i < bid, bid); one
+    // grouping shuffle then pairs each tile's two sides. A diagonal
+    // tile carries its block once, as the LEFT.
+    val tagged = toBlocks(base, numBlocks).as[(Long, Array[BlockRow])]
+      .flatMap { case (bid, rows) =>
+        (bid until b).iterator.map(j => (bid, j, 0, rows)) ++
+          (0L until bid).iterator.map(i => (i, bid, 1, rows))
+      }
+    val out = tagged.groupByKey(t => (t._1, t._2))
+      .flatMapGroups { (key: (Long, Long),
+                        it: Iterator[(Long, Long, Int, Array[BlockRow])]) =>
+        var lrows: Array[BlockRow] = null
+        var rrows: Array[BlockRow] = null
+        it.foreach(t => if (t._3 == 0) lrows = t._4 else rrows = t._4)
+        val diagonal = key._1 == key._2
+        if (diagonal) rrows = lrows
+        if (lrows == null || rrows == null) Iterator.empty
+        else {
+          // hoisted norms, same sequential accumulation as the fused kernel
+          val nls = lrows.map(r => math.sqrt(sumSq(r.emb)))
+          val nrs = if (diagonal) nls else rrows.map(r => math.sqrt(sumSq(r.emb)))
+          lrows.iterator.zipWithIndex.flatMap { case (l, li) =>
+            val lemb = l.emb
+            val nl = nls(li)
+            rrows.iterator.zipWithIndex.flatMap { case (rr, ri) =>
+              // diagonal tiles hold the SAME rows on both sides: the sorted
+              // order makes ri > li equivalent to id_a < id_b exactly once
+              if ((diagonal && ri <= li) || nl == 0.0 || nrs(ri) == 0.0) Iterator.empty
+              else {
+                val remb = rr.emb
+                val d = math.min(lemb.length, remb.length)
+                var dot = 0.0
+                var i = 0
+                while (i < d) { dot += lemb(i).toDouble * remb(i).toDouble; i += 1 }
+                val s = round4dp(dot / (nl * nrs(ri)))
+                if (s >= thr && !s.isNaN) {
+                  val (a, bId) = if (l.id < rr.id) (l.id, rr.id) else (rr.id, l.id)
+                  Iterator.single(Partial(a, bId, s))
+                } else Iterator.empty
+              }
+            }
           }
         }
       }
-    }
     out.toDF().select(col("left_id").as("id_a"), col("right_id").as("id_b"),
       col("score").as("cosine"))
   }

@@ -37,19 +37,6 @@ object GraftColumnBridge {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking = false)
       case _ =>
     }
-
-  /** Ids of the persisted RDDs backing a checkpointed DataFrame — the
-    * set a caller must NOT reclaim while the frame is still readable.
-    */
-  def checkpointRddIds(df: Dataset[_]): Set[Int] = {
-    val ids = scala.collection.mutable.Set.empty[Int]
-    df.queryExecution.analyzed.foreach {
-      case l: org.apache.spark.sql.execution.LogicalRDD => ids += l.rdd.id
-      case _ =>
-    }
-    ids.toSet
-  }
-
   /** Idempotently add an extra planner strategy to a live session.
     * Synchronized: `extraStrategies` is a plain var, so a concurrent
     * check-then-append from two threads could lose one strategy.

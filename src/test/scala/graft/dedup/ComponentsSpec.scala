@@ -42,6 +42,17 @@ class ComponentsSpec extends AnyFunSuite with SparkSpec {
     assert(dist == local, s"distributed $dist != local $local")
   }
 
+  test("both routes propagate through edge endpoints absent from nodes") {
+    // node 2 links 1 and 3 but is not in the output vertex set: both
+    // routes must still connect 1-3, and neither may emit node 2
+    val edges = Seq((1L, 2L), (2L, 3L))
+    val nodes = Seq(1L, 3L)
+    val dist = cc(edges, nodes, localEdgeLimit = -1L)
+    val local = cc(edges, nodes, localEdgeLimit = Long.MaxValue)
+    assert(dist == Map(1L -> 1L, 3L -> 1L), s"distributed: $dist")
+    assert(local == Map(1L -> 1L, 3L -> 1L), s"local: $local")
+  }
+
   test("non-convergence within maxIters raises instead of emitting partial clusters") {
     import spark.implicits._
     val edges = (1 until 10).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
