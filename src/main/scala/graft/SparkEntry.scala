@@ -1054,6 +1054,27 @@ object SparkEntry {
               | FROM (${Sql.caseCorpus}) c, (${Sql.queryVector(0)}) q)
               |WHERE rn <= 3 ORDER BY court_level, rank""".stripMargin)),
 
+    // IVF KNN join at full probe: the M×N probe path (codegen per-row
+    // probe lists → explode → cluster equi-join → bounded top-k) under
+    // the brute-force oracle — nprobe = nlist makes the index machinery
+    // exactly equal to the exhaustive join, so the whole route is
+    // hash-gated; partial probe is the same plan with a smaller scan
+    Q("knn_ivf_join_full_probe",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+          .select(col("vec_id").as("id"), col("embedding"))
+        val idx = Ann.buildIvf(Tables.embeddings(s, dir), nlist = 8)
+        Ann.ivfKnnJoin(emb.where(col("id") < 20), idx, k = 3, nprobe = 8)
+          .orderBy("left_id", "rank")
+      },
+      Some(s"""SELECT left_id, right_id, score, CAST(rn AS INTEGER) AS rank FROM (
+              | SELECT l.vec_id AS left_id, r.vec_id AS right_id,
+              |  ${Sql.l2("l.embedding", "r.embedding")} AS score,
+              |  row_number() OVER (PARTITION BY l.vec_id
+              |    ORDER BY ${Sql.l2("l.embedding", "r.embedding")}, r.vec_id) AS rn
+              | FROM (SELECT * FROM embeddings WHERE vec_id < 20) l, embeddings r)
+              |WHERE rn <= 3 ORDER BY left_id, rank""".stripMargin)),
+
     // Similarity join: top-3 neighbors for each of the first 20 vectors
     // (M×N generalization of the reference's 1×N search)
     Q("sim_join_topk",

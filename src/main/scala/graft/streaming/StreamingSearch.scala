@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
 
-import graft.vector.{Distance, GroupedTopK}
+import graft.vector.{Ann, Distance, GroupedTopK, VectorKernels}
 
 /** Streaming vector search: a stream of query embeddings, each answered
   * with its exact top-k nearest corpus rows — the online counterpart of
@@ -49,6 +49,42 @@ object StreamingSearch {
       .select(col("id").as("corpus_id"), col("embedding").as("c_emb"))
       .withColumn("__one", lit(1)))
     q.join(r, "__one")
+      .withColumn("score", round(Distance.l2(col("q_emb"), col("c_emb")), 4))
+      .groupBy(window(col("ts"), windowDuration), col("query_id"))
+      .agg(topk(col("score"), col("corpus_id")).as("top"))
+      .select(col("window"), col("query_id"), posexplode(col("top")))
+      .select(col("window"), col("query_id"),
+        col("col.id").as("corpus_id"), col("col.score").as("score"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** IVF-routed variant for corpora beyond broadcast: each arriving
+    * query computes its `nprobe` probe list with the codegen
+    * [[VectorKernels.nearestCentroids]] kernel and equi-joins the
+    * cluster-keyed corpus on `cluster_id` — candidates are
+    * nprobe/nlist of the cross product instead of all of it, and with
+    * the corpus stored cluster-partitioned
+    * ([[StreamingIvf.assignAndWrite]]) the static side prunes at scan.
+    * Same windowed bounded-state ranking and output contract as
+    * [[knnPerQuery]]; results equal [[Ann.ivfKnnJoin]] at the same
+    * probe setting (exact at nprobe = nlist).
+    */
+  def ivfKnnPerQuery(queries: DataFrame, index: Ann.IvfIndex, k: Int,
+                     nprobe: Int,
+                     windowDuration: String = "1 minute",
+                     watermarkDelay: String = "5 minutes"): DataFrame = {
+    val topk = udaf(new GroupedTopK.TopKAggregator(k),
+      ExpressionEncoder[GroupedTopK.Scored]())
+    val q = queries
+      .select(col("query_id"), col("q_emb"), col("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .withColumn("cluster_id",
+        explode(VectorKernels.nearestCentroids(col("q_emb"),
+          index.centroids, nprobe)))
+    val r = index.assigned
+      .select(col("vec_id").as("corpus_id"), col("embedding").as("c_emb"),
+        col("cluster_id"))
+    q.join(r, "cluster_id")
       .withColumn("score", round(Distance.l2(col("q_emb"), col("c_emb")), 4))
       .groupBy(window(col("ts"), windowDuration), col("query_id"))
       .agg(topk(col("score"), col("corpus_id")).as("top"))

@@ -76,6 +76,40 @@ object Ann {
     }
   }
 
+  /** IVF KNN JOIN: top-k L2 neighbors for EVERY query row, probing
+    * only each query's `nprobe` nearest clusters — the M×N scale path
+    * when neither side broadcasts and exactness can trade for the
+    * probe dial. Same output contract as
+    * [[graft.vector.Knn.similarityJoin]] (left_id, right_id, score,
+    * rank; 4dp rounding, id tie-breaks), and EXACTLY equal to it when
+    * `nprobe ≥ nlist` (full probe degenerates to brute force — the
+    * oracle gate).
+    *
+    * Plan shape: a codegen per-row probe list (no driver loop, unlike
+    * the 1-query [[IvfIndex.searchL2]]), explode to (query,
+    * cluster_id), one equi-join against the cluster-keyed corpus —
+    * when the corpus is WRITTEN partitioned by cluster_id the join's
+    * scan prunes to probed clusters — then the bounded-state grouped
+    * top-k. Shuffle ∝ candidates (nprobe/nlist of the cross product),
+    * never M×N.
+    */
+  def ivfKnnJoin(queries: DataFrame, index: IvfIndex, k: Int,
+                 nprobe: Int, emb: String = "embedding",
+                 id: String = "vec_id"): DataFrame = {
+    val probes = queries.select(col("id").as("left_id"),
+      col("embedding").as("q_emb"),
+      explode(VectorKernels.nearestCentroids(col("embedding"),
+        index.centroids, nprobe)).as("cluster_id"))
+    val cands = probes
+      .join(index.assigned.select(col(id).as("__rid"), col(emb).as("r_emb"),
+        col("cluster_id")), Seq("cluster_id"))
+      .select(col("left_id"), col("__rid").as("id"),
+        round(Distance.l2(col("q_emb"), col("r_emb")), 4).as("score"))
+    GroupedTopK.topKPerGroup(cands, col("left_id"), k)
+      .select(col("left_id"), col("id").as("right_id"), col("score"),
+        col("rank"))
+  }
+
   /** Build the IVF coarse quantizer: seeded Lloyd's k-means over a
     * bounded driver-side sample of the embedding column, then a codegen
     * nearest-centroid map assigning each corpus row its cluster id.

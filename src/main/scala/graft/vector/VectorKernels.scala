@@ -178,6 +178,92 @@ object VectorKernels {
       copy(child = newChild)
   }
 
+  /** The `nprobe` nearest centroids (ascending distance, ties to the
+    * lower cluster index) as `array<int>` — the multi-probe variant of
+    * [[NearestCentroid]] for IVF KNN JOINS: explode the array and
+    * equi-join candidates on `cluster_id`. Insertion into two fixed
+    * nprobe-sized arrays; nlist and nprobe are index constants, so the
+    * generated loop nest is k·(dim + nprobe) per row.
+    */
+  case class NearestCentroids(child: Expression, centroids: Array[Double],
+                              dim: Int, nprobe: Int)
+      extends UnaryExpression {
+
+    require(dim > 0 && centroids.length % dim == 0, "centroids must be k × dim")
+    private val k = centroids.length / dim
+    private val np = math.min(nprobe, k)
+    require(np > 0, "nprobe must be positive")
+
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, containsNull = false)
+    override def prettyName: String = "nearest_centroids"
+
+    override def nullSafeEval(input: Any): Any = {
+      val x = input.asInstanceOf[ArrayData]
+      val n = math.min(dim, x.numElements())
+      val bestIdx = new Array[Int](np)
+      val bestD = Array.fill(np)(Double.MaxValue)
+      var c = 0
+      while (c < k) {
+        var d = 0.0
+        val off = c * dim
+        var j = 0
+        while (j < n) {
+          val t = x.getFloat(j).toDouble - centroids(off + j)
+          d += t * t; j += 1
+        }
+        // strict < keeps equal-distance earlier (lower) indices in place
+        var p = np - 1
+        if (d < bestD(p)) {
+          while (p > 0 && d < bestD(p - 1)) {
+            bestD(p) = bestD(p - 1); bestIdx(p) = bestIdx(p - 1); p -= 1
+          }
+          bestD(p) = d; bestIdx(p) = c
+        }
+        c += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(bestIdx)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, input => {
+        val cents = ctx.addReferenceObj("centroids", centroids, "double[]")
+        val n = ctx.freshName("n")
+        val bi = ctx.freshName("bi")
+        val bd = ctx.freshName("bd")
+        val c = ctx.freshName("c")
+        val d = ctx.freshName("d")
+        val off = ctx.freshName("off")
+        val j = ctx.freshName("j")
+        val t = ctx.freshName("t")
+        val p = ctx.freshName("p")
+        s"""int $n = Math.min($dim, $input.numElements());
+           |int[] $bi = new int[$np];
+           |double[] $bd = new double[$np];
+           |java.util.Arrays.fill($bd, Double.MAX_VALUE);
+           |for (int $c = 0; $c < $k; $c++) {
+           |  double $d = 0.0;
+           |  int $off = $c * $dim;
+           |  for (int $j = 0; $j < $n; $j++) {
+           |    double $t = (double) $input.getFloat($j) - $cents[$off + $j];
+           |    $d += $t * $t;
+           |  }
+           |  int $p = $np - 1;
+           |  if ($d < $bd[$p]) {
+           |    while ($p > 0 && $d < $bd[$p - 1]) {
+           |      $bd[$p] = $bd[$p - 1]; $bi[$p] = $bi[$p - 1]; $p--;
+           |    }
+           |    $bd[$p] = $d; $bi[$p] = $c;
+           |  }
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($bi);""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Random-hyperplane LSH band keys for an `array<float>` embedding —
     * the signature step of cosine near-dup bucketing (sign-random-
     * projection LSH, public literature: Charikar's SimHash for angular
@@ -263,6 +349,13 @@ object VectorKernels {
     val dim = centroids.head.length
     GraftColumnBridge.column(NearestCentroid(
       GraftColumnBridge.expression(emb), centroids.flatten, dim))
+  }
+
+  def nearestCentroids(emb: Column, centroids: Array[Array[Double]],
+                       nprobe: Int): Column = {
+    val dim = centroids.head.length
+    GraftColumnBridge.column(NearestCentroids(
+      GraftColumnBridge.expression(emb), centroids.flatten, dim, nprobe))
   }
 
   def l2(a: Column, b: Column): Column =

@@ -1,0 +1,100 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Components
+import graft.operators.Splits
+import graft.text.TextKernels
+import graft.vector.BlockMatrix
+import graft.dedup.EmbeddingDedup
+
+/** Randomized route-equality invariants (seeded — deterministic across
+  * runs). Fixed fixtures prove the cases we thought of; these sweep
+  * the cases we didn't: every dual-route operator must agree with its
+  * sibling on arbitrary inputs, not just planted ones.
+  */
+class PropertyInvariantsSpec extends AnyFunSuite with SparkSpec {
+
+  test("connected components: local and distributed routes agree on random graphs") {
+    import spark.implicits._
+    val rnd = new Random(42)
+    for (trial <- 1 to 4) {
+      val n = 20 + rnd.nextInt(40)
+      val ids = (0 until n).map(_ => rnd.nextLong(1000)).distinct
+      val edges = (0 until n).map { _ =>
+        (ids(rnd.nextInt(ids.size)), ids(rnd.nextInt(ids.size)))
+      }.filter(e => e._1 != e._2)
+      val nodesDf = ids.toDF("id")
+      val edgesDf = edges.toDF("id_a", "id_b")
+      val local = Components.connectedComponents(nodesDf, edgesDf,
+          localEdgeLimit = Long.MaxValue)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = Components.connectedComponents(nodesDf, edgesDf,
+          localEdgeLimit = -1L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local == dist, s"trial $trial: routes diverged")
+      // canonical labels: every component labeled by its min member
+      local.groupBy(_._2).foreach { case (lbl, members) =>
+        assert(members.keys.min == lbl,
+          s"trial $trial: component $lbl not labeled by min member")
+      }
+    }
+  }
+
+  test("TermStats kernel equals the split/filter column form on random text") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    val alphabet = "ab \t\n\f\rÉé"
+    val terms = Seq("a", "ab", "é")
+    val docs = (1 to 60).map { _ =>
+      val len = rnd.nextInt(24)
+      (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }.toDF("text")
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val expectedCols = Seq(size(toks).cast("long").as("dl")) ++
+      terms.zipWithIndex.map { case (t, i) =>
+        size(filter(toks, x => x === t)).cast("long").as(s"tf_$i")
+      }
+    val expected = docs.select(array(expectedCols: _*)).as[Seq[Long]].collect()
+    val kernel = docs.select(TextKernels.termStats(col("text"), terms))
+      .as[Seq[Long]].collect()
+    assert(kernel.toSeq == expected.toSeq)
+  }
+
+  test("stratified split routes agree on random strata and percents") {
+    import spark.implicits._
+    val rnd = new Random(11)
+    for (trial <- 1 to 3) {
+      val rows = (0 until 150 + rnd.nextInt(100)).map { i =>
+        val stratum = if (rnd.nextInt(10) == 0) null
+          else s"s${rnd.nextInt(4)}"
+        (rnd.nextLong(1000000L), stratum)
+      }.distinctBy(_._1)
+      val df = rows.toDF("id", "lang")
+      val tp = 10 + rnd.nextInt(80)
+      val vp = rnd.nextInt(100 - tp)
+      val exact = Splits.stratifiedExact(df, col("id"), col("lang"), tp, vp)
+        .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+      val scalable = Splits.stratifiedScalable(df, col("id"), col("lang"), tp, vp)
+        .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+      assert(scalable == exact, s"trial $trial ($tp,$vp): routes diverged")
+    }
+  }
+
+  test("blocked cosine pairs equal the broadcast exact tier on random vectors") {
+    import spark.implicits._
+    val rnd = new Random(23)
+    val vecs = (0L until 40L).map { i =>
+      (i, Seq.fill(6)(rnd.nextFloat() * 2f - 1f))
+    }.toDF("id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = rows(EmbeddingDedup.cosinePairs(vecs, col("id"), col("embedding"), 0.2))
+    val blocked = rows(BlockMatrix.cosinePairsAbove(vecs, col("id"),
+      col("embedding"), 0.2, numBlocks = 5))
+    assert(blocked == exact)
+  }
+}

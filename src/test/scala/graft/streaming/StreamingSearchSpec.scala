@@ -53,6 +53,41 @@ class StreamingSearchSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("IVF-routed streaming search equals the batch ivfKnnJoin at the same probes") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = (0L until 40L).map { i =>
+      (i, Seq(math.cos(i * 0.7).toFloat, math.sin(i * 0.7).toFloat,
+        (i % 5).toFloat / 5f))
+    }.toDF("vec_id", "embedding")
+    val idx = graft.vector.Ann.buildIvf(corpus, nlist = 4)
+    val queries = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.2f)),
+      (2L, Seq(-0.8f, 0.5f, 0.6f)))
+    val ms = MemoryStream[(Long, Seq[Float], Timestamp)]
+    val out = StreamingSearch.ivfKnnPerQuery(
+      ms.toDS().toDF("query_id", "q_emb", "ts"), idx, k = 3, nprobe = 2,
+      windowDuration = "1 minute", watermarkDelay = "1 minute")
+    val q = out.writeStream.format("memory").queryName("ivfsearch")
+      .outputMode("append").start()
+    try {
+      ms.addData(queries.map { case (id, e) => (id, e, ts(0)) }: _*)
+      q.processAllAvailable()
+      ms.addData((99L, Seq(0.0f, 0.0f, 0.0f), ts(30)))
+      q.processAllAvailable()
+      val got = spark.table("ivfsearch")
+        .where(col("query_id") < 99)
+        .select("query_id", "corpus_id", "score", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+      val expected = graft.vector.Ann.ivfKnnJoin(
+          queries.toDF("id", "embedding"), idx, k = 3, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+      assert(got == expected, s"stream $got != batch $expected")
+    } finally q.stop()
+  }
+
   test("a query recurring within its window merges into one ranking") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -40,6 +40,37 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.5, s"recall@10 = $recall")
   }
 
+  test("ivfKnnJoin at full probe equals the brute-force similarity join") {
+    val emb = corpus.select(col("vec_id").as("id"), col("embedding"))
+    val idx = Ann.buildIvf(corpus, nlist = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    val full = rows(Ann.ivfKnnJoin(emb.where(col("id") < 15), idx,
+      k = 4, nprobe = 8))
+    val brute = rows(Knn.similarityJoin(emb.where(col("id") < 15), emb, k = 4))
+    assert(full == brute)
+  }
+
+  test("ivfKnnJoin partial probe: per-query candidates come only from probed clusters") {
+    val emb = corpus.select(col("vec_id").as("id"), col("embedding"))
+    val idx = Ann.buildIvf(corpus, nlist = 8)
+    val partial = Ann.ivfKnnJoin(emb.where(col("id") < 15), idx,
+      k = 4, nprobe = 3)
+    // every reported neighbor must live in one of its query's 3 probes
+    val probeMap = emb.where(col("id") < 15)
+      .select(col("id"), VectorKernels.nearestCentroids(col("embedding"),
+        idx.centroids, 3).as("probes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSet).toMap
+    val clusterOf = idx.assigned.select(col("vec_id"), col("cluster_id"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    partial.collect().foreach { r =>
+      val (q, n) = (r.getLong(0), r.getLong(1))
+      assert(probeMap(q).contains(clusterOf(n)),
+        s"neighbor $n of query $q came from an unprobed cluster")
+    }
+  }
+
   test("cluster_id write partitioning makes IVF probes partition-prunable") {
     val idx = Ann.buildIvf(corpus, nlist = 4)
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
