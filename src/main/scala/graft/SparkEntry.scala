@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.api.{Enrich, Pipelines}
 import graft.classify.{Cascades, CaseMetadata, Conclusion}
 import graft.dedup.{Components, Dedup, EmbeddingDedup}
-import graft.operators.{Skew, Splits}
+import graft.operators.{GapFill, Skew, Splits}
 import graft.oracle.Sql
 import graft.search.Hybrid
 import graft.sources.Tables
@@ -269,6 +269,57 @@ object SparkEntry {
         .orderBy("bucket", "event_type"),
       Some("""SELECT epoch_ns(ts) // 600000000000 AS bucket, event_type, count(*) AS n
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Gap-fill / resample: densify hourly per-type buckets to each
+    // type's full span — zero-filled counts, forward-filled max. Grid
+    // rows ∝ span, window sort span-bounded (operators/GapFill)
+    Q("q_events_gapfill",
+      (s, dir) => {
+        val obs = Tables.events(s, dir)
+          .select(col("event_type"), expr("ts div 3600000000000").as("bucket"),
+            col("value"))
+          .groupBy("event_type", "bucket")
+          .agg(count(lit(1)).as("n"), round(max("value"), 4).as("mx"))
+        GapFill.dense(obs, "event_type", "bucket",
+            zeroFill = Seq("n"), carryForward = Seq("mx"))
+          .select(col("event_type"), col("bucket"), col("n"),
+            col("mx").as("filled_max"))
+          .orderBy("event_type", "bucket")
+      },
+      Some("""WITH obs AS (
+             |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS bucket,
+             |    count(*) AS n, round(max(value), 4) AS mx
+             |  FROM events GROUP BY 1, 2
+             |), spans AS (
+             |  SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+             |  FROM obs GROUP BY 1
+             |), grid AS (
+             |  SELECT event_type, unnest(range(lo, hi + 1)) AS bucket FROM spans
+             |)
+             |SELECT g.event_type, g.bucket, coalesce(o.n, 0) AS n,
+             |  last_value(o.mx IGNORE NULLS) OVER (PARTITION BY g.event_type
+             |    ORDER BY g.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS filled_max
+             |FROM grid g LEFT JOIN obs o USING (event_type, bucket)
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Second-moment aggregate family: population stddev/variance,
+    // covariance and correlation per group, 4dp — the FP partial-merge
+    // noise (~1e-12) sits eight orders below the rounding grid
+    Q("q_stats_moments",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(round(stddev_pop(col("l_quantity")), 4).as("sd_qty"),
+          round(var_pop(col("l_quantity")), 4).as("var_qty"),
+          round(covar_pop(col("l_quantity"), col("l_extendedprice")), 4).as("cov_qp"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             | round(stddev_pop(l_quantity), 4) AS sd_qty,
+             | round(var_pop(l_quantity), 4) AS var_qty,
+             | round(covar_pop(l_quantity, l_extendedprice), 4) AS cov_qp,
+             | round(corr(l_quantity, l_extendedprice), 4) AS corr_qp
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Hierarchical rollup (grouping-sets family — beyond the reference
     // surface, SURVEY §2.7). Grouping-null rows are marked explicitly
