@@ -39,8 +39,6 @@ object StreamingSearch {
   def knnPerQuery(queries: DataFrame, corpus: DataFrame, k: Int,
                   windowDuration: String = "1 minute",
                   watermarkDelay: String = "5 minutes"): DataFrame = {
-    val topk = udaf(new GroupedTopK.TopKAggregator(k),
-      ExpressionEncoder[GroupedTopK.Scored]())
     val q = queries
       .select(col("query_id"), col("q_emb"), col("ts"))
       .withWatermark("ts", watermarkDelay)
@@ -48,7 +46,18 @@ object StreamingSearch {
     val r = broadcast(corpus
       .select(col("id").as("corpus_id"), col("embedding").as("c_emb"))
       .withColumn("__one", lit(1)))
-    q.join(r, "__one")
+    windowedTopK(q.join(r, "__one"), k, windowDuration)
+  }
+
+  /** Shared ranking tail: candidates (query_id, ts, q_emb, corpus_id,
+    * c_emb) → per-(window, query) top-k in append mode. One place owns
+    * the scoring/rounding/rank contract for both routes.
+    */
+  private def windowedTopK(candidates: DataFrame, k: Int,
+                           windowDuration: String): DataFrame = {
+    val topk = udaf(new GroupedTopK.TopKAggregator(k),
+      ExpressionEncoder[GroupedTopK.Scored]())
+    candidates
       .withColumn("score", round(Distance.l2(col("q_emb"), col("c_emb")), 4))
       .groupBy(window(col("ts"), windowDuration), col("query_id"))
       .agg(topk(col("score"), col("corpus_id")).as("top"))
@@ -72,25 +81,21 @@ object StreamingSearch {
   def ivfKnnPerQuery(queries: DataFrame, index: Ann.IvfIndex, k: Int,
                      nprobe: Int,
                      windowDuration: String = "1 minute",
-                     watermarkDelay: String = "5 minutes"): DataFrame = {
-    val topk = udaf(new GroupedTopK.TopKAggregator(k),
-      ExpressionEncoder[GroupedTopK.Scored]())
+                     watermarkDelay: String = "5 minutes",
+                     emb: String = "embedding",
+                     id: String = "vec_id"): DataFrame = {
     val q = queries
       .select(col("query_id"), col("q_emb"), col("ts"))
       .withWatermark("ts", watermarkDelay)
       .withColumn("cluster_id",
         explode(VectorKernels.nearestCentroids(col("q_emb"),
           index.centroids, nprobe)))
+    // emb/id name the INDEX side's columns, mirroring Ann.ivfKnnJoin —
+    // an index built over differently-named corpus columns works on
+    // both routes
     val r = index.assigned
-      .select(col("vec_id").as("corpus_id"), col("embedding").as("c_emb"),
+      .select(col(id).as("corpus_id"), col(emb).as("c_emb"),
         col("cluster_id"))
-    q.join(r, "cluster_id")
-      .withColumn("score", round(Distance.l2(col("q_emb"), col("c_emb")), 4))
-      .groupBy(window(col("ts"), windowDuration), col("query_id"))
-      .agg(topk(col("score"), col("corpus_id")).as("top"))
-      .select(col("window"), col("query_id"), posexplode(col("top")))
-      .select(col("window"), col("query_id"),
-        col("col.id").as("corpus_id"), col("col.score").as("score"),
-        (col("pos") + 1).cast("int").as("rank"))
+    windowedTopK(q.join(r, "cluster_id"), k, windowDuration)
   }
 }

@@ -79,11 +79,14 @@ object Ann {
   /** IVF KNN JOIN: top-k L2 neighbors for EVERY query row, probing
     * only each query's `nprobe` nearest clusters — the M×N scale path
     * when neither side broadcasts and exactness can trade for the
-    * probe dial. Same output contract as
-    * [[graft.vector.Knn.similarityJoin]] (left_id, right_id, score,
-    * rank; 4dp rounding, id tie-breaks), and EXACTLY equal to it when
-    * `nprobe ≥ nlist` (full probe degenerates to brute force — the
-    * oracle gate).
+    * probe dial. `queries` must carry `(id, embedding)` columns (the
+    * [[graft.vector.Knn.similarityJoin]] contract); `emb`/`id` name
+    * the INDEX side's columns. Same output contract as similarityJoin
+    * (left_id, right_id, score, rank; 4dp rounding, id tie-breaks),
+    * and EXACTLY equal to it when `nprobe ≥ nlist` for null-free
+    * embeddings — rows with null embeddings are DROPPED on both sides
+    * here (null probe lists and null cluster ids never join), whereas
+    * the brute-force join ranks their null scores.
     *
     * Plan shape: a codegen per-row probe list (no driver loop, unlike
     * the 1-query [[IvfIndex.searchL2]]), explode to (query,

@@ -204,6 +204,7 @@ object VectorKernels {
       val n = math.min(dim, x.numElements())
       val bestIdx = new Array[Int](np)
       val bestD = Array.fill(np)(Double.MaxValue)
+      var filled = 0
       var c = 0
       while (c < k) {
         var d = 0.0
@@ -213,9 +214,11 @@ object VectorKernels {
           val t = x.getFloat(j).toDouble - centroids(off + j)
           d += t * t; j += 1
         }
-        // strict < keeps equal-distance earlier (lower) indices in place
+        // strict < keeps equal-distance earlier (lower) indices in
+        // place; a NaN distance (NaN input element) never inserts
         var p = np - 1
         if (d < bestD(p)) {
+          if (filled < np) filled += 1
           while (p > 0 && d < bestD(p - 1)) {
             bestD(p) = bestD(p - 1); bestIdx(p) = bestIdx(p - 1); p -= 1
           }
@@ -223,7 +226,11 @@ object VectorKernels {
         }
         c += 1
       }
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(bestIdx)
+      // truncate to actually-inserted probes: an all-NaN query yields
+      // an EMPTY probe list (no candidates), never phantom cluster-0
+      // duplicates from the array's default zeros
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        if (filled == np) bestIdx else java.util.Arrays.copyOf(bestIdx, filled))
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -238,10 +245,12 @@ object VectorKernels {
         val j = ctx.freshName("j")
         val t = ctx.freshName("t")
         val p = ctx.freshName("p")
+        val filled = ctx.freshName("filled")
         s"""int $n = Math.min($dim, $input.numElements());
            |int[] $bi = new int[$np];
            |double[] $bd = new double[$np];
            |java.util.Arrays.fill($bd, Double.MAX_VALUE);
+           |int $filled = 0;
            |for (int $c = 0; $c < $k; $c++) {
            |  double $d = 0.0;
            |  int $off = $c * $dim;
@@ -251,13 +260,15 @@ object VectorKernels {
            |  }
            |  int $p = $np - 1;
            |  if ($d < $bd[$p]) {
+           |    if ($filled < $np) $filled++;
            |    while ($p > 0 && $d < $bd[$p - 1]) {
            |      $bd[$p] = $bd[$p - 1]; $bi[$p] = $bi[$p - 1]; $p--;
            |    }
            |    $bd[$p] = $d; $bi[$p] = $c;
            |  }
            |}
-           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($bi);""".stripMargin
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+           |  $filled == $np ? $bi : java.util.Arrays.copyOf($bi, $filled));""".stripMargin
       })
 
     override protected def withNewChildInternal(newChild: Expression): Expression =

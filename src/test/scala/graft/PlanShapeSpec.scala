@@ -85,6 +85,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"corpus-stats join must broadcast, not shuffle:\n$plan")
   }
 
+  test("ivfKnnJoin candidates flow through a cluster equi-join, never a cross product") {
+    val corpus = Tables.embeddings(spark, dir)
+    val emb = corpus.select(col("vec_id").as("id"), col("embedding"))
+    val idx = graft.vector.Ann.buildIvf(corpus, nlist = 4)
+    val plan = executed(graft.vector.Ann.ivfKnnJoin(
+      emb.where(col("id") < 10), idx, k = 3, nprobe = 2))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"IVF candidate generation degenerated to a cross product:\n$plan")
+  }
+
   test("aggregation is two-phase (map-side partial before the exchange)") {
     // the pre-AQE physical plan shows both phases in one tree (the
     // adaptive form elides finished query-stage subtrees)

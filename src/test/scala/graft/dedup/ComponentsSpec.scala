@@ -83,7 +83,10 @@ class ComponentsSpec extends AnyFunSuite with SparkSpec {
     val nodes = (1 to 15).map(_.toLong).toDF("id")
     Components.connectedComponents(nodes, edges,
       localEdgeLimit = Long.MaxValue).collect()
-    assert(spark.sparkContext.getPersistentRDDs.size == before)
+    // upper bound, not equality: unpersists are async (blocking=false),
+    // so blocks pending removal from EARLIER tests may disappear
+    // between the two counts — the local route must only add nothing
+    assert(spark.sparkContext.getPersistentRDDs.size <= before)
   }
 
   test("incrementalComponents equals full recompute: merges, attaches, new clusters") {

@@ -71,6 +71,23 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("an all-NaN query yields an empty probe list, not phantom cluster-0 probes") {
+    import spark.implicits._
+    val idx = Ann.buildIvf(corpus, nlist = 4)
+    val probes = Seq(Tuple1(Seq(Float.NaN, Float.NaN)))
+      .toDF("embedding")
+      .select(VectorKernels.nearestCentroids(col("embedding"),
+        idx.centroids, 2).as("p"))
+      .head.getSeq[Int](0)
+    assert(probes.isEmpty, s"NaN query produced probes $probes")
+    // and a normal query still gets exactly nprobe distinct probes
+    val ok = corpus.limit(1)
+      .select(VectorKernels.nearestCentroids(col("embedding"),
+        idx.centroids, 2).as("p"))
+      .head.getSeq[Int](0)
+    assert(ok.size == 2 && ok.distinct.size == 2, s"got $ok")
+  }
+
   test("cluster_id write partitioning makes IVF probes partition-prunable") {
     val idx = Ann.buildIvf(corpus, nlist = 4)
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
