@@ -828,6 +828,25 @@ object SparkEntry {
       Some(Splits.stratifiedExactSql("documents", "doc_id", "lang",
         Seq("doc_id", "lang")) + " ORDER BY doc_id")),
 
+    // Per-query BM25 retrieval join: terms as DATA through an inverted
+    // index (postings ∝ queried tokens, never M×N); token-sorted left
+    // fold keeps the float score shuffle-order-free
+    Q("q_bm25_join",
+      (s, dir) => {
+        import s.implicits._
+        val queries = Seq(
+          (1L, Seq("hash", "join")),
+          (2L, Seq("vector", "scan")),
+          (3L, Seq("merge", "sort", "window"))).toDF("query_id", "terms")
+        TextAnalysis.bm25Join(Tables.documents(s, dir), col("doc_id"),
+            col("text"), queries, k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(TextAnalysis.bm25JoinSql("documents", "doc_id", "text",
+        Seq((1L, "hash"), (1L, "join"), (2L, "vector"), (2L, "scan"),
+          (3L, "merge"), (3L, "sort"), (3L, "window")), k = 5)
+        + " ORDER BY query_id, rank")),
+
     // Document fingerprint (whitespace-normalized md5)
     Q("text_fingerprint",
       (s, dir) => Tables.documents(s, dir)

@@ -188,6 +188,95 @@ object TextAnalysis {
       .select(col("id"), round(score, 4).as("score"))
   }
 
+  /** Per-query BM25 retrieval JOIN — M queries × corpus through an
+    * inverted index, the lexical sibling of
+    * [[graft.vector.Ann.ivfKnnJoin]]: where [[bm25]] compiles a FIXED
+    * term set into columnar expressions, this takes terms as DATA
+    * (`queries`: (query_id, terms array<string>)) and turns retrieval
+    * into joins — tokenize once into (doc, token, tf) postings, derive
+    * per-token document frequencies, hash-join query terms to
+    * postings, and top-k per query with the bounded-state aggregate.
+    * Candidates ∝ postings of the queried tokens, never M×N.
+    *
+    * Determinism: the per-(query, doc) score is a LEFT FOLD over
+    * token-SORTED contributions (float addition is not associative; a
+    * plain SUM aggregate would be shuffle-order-dependent) — DuckDB's
+    * `list_sum(list(x ORDER BY token))` left-folds identically.
+    * Output (query_id, id, score, rank), score 4dp, ties by id.
+    */
+  def bm25Join(docs: org.apache.spark.sql.DataFrame, idCol: Column,
+               textCol: Column, queries: org.apache.spark.sql.DataFrame,
+               k: Int, k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    val toks = split(lower(trim(textCol)), "\\s+")
+    // tokenization is the multi-second stage: spread a narrow source
+    // (one parquet file = one task) before it, and materialize the
+    // inverted index ONCE — postings feed the term join, the df
+    // derivation, and nothing else re-tokenizes. The checkpoint is the
+    // index build; a production pipeline would persist it as a table.
+    val spark = docs.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val src = if (docs.rdd.getNumPartitions < par) docs.repartition(par)
+      else docs
+    val stats = src.agg(count(lit(1)).as("n"),
+      avg(size(toks).cast("long")).as("avgdl"))
+    val postings = src
+      .select(idCol.as("id"), size(toks).cast("long").as("dl"),
+        explode(toks).as("token"))
+      .groupBy("id", "dl", "token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dfs = postings.groupBy("token").agg(count(lit(1)).as("df"))
+    val qTerms = queries.select(col("query_id"),
+      explode(array_distinct(col("terms"))).as("token"))
+    val contrib = {
+      val tf = col("tf").cast("double")
+      val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      idf * tf * (k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    }
+    val scored = qTerms
+      .join(postings, "token").join(dfs, "token")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("id"), col("token"), contrib.as("contrib"))
+      .groupBy("query_id", "id")
+      .agg(sort_array(collect_list(struct(col("token"), col("contrib")))).as("cs"))
+      .select(col("query_id"), col("id"),
+        (-round(aggregate(col("cs"), lit(0.0),
+          (acc, x) => acc + x("contrib")), 4)).as("score"))
+    graft.vector.GroupedTopK.topKPerGroup(scored, col("query_id"), k)
+      .select(col("query_id"), col("id"), (-col("score")).as("score"),
+        col("rank"))
+  }
+
+  /** DuckDB twin of [[bm25Join]]: `qtValues` are the exploded
+    * (query_id, token) pairs as SQL VALUES rows.
+    */
+  def bm25JoinSql(table: String, idExpr: String, textExpr: String,
+                  qtValues: Seq[(Long, String)], k: Int,
+                  k1: Double = 1.2, b: Double = 0.75): String = {
+    val toksExpr = s"string_split_regex(lower(trim($textExpr)), '$WsClassSql+')"
+    val vals = qtValues.map { case (q, t) => s"($q, ${Sql.lit(t)})" }.mkString(", ")
+    s"""WITH qt(query_id, token) AS (VALUES $vals),
+       |docs0 AS (SELECT $idExpr AS id, $toksExpr AS toks FROM $table),
+       |stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM docs0),
+       |base AS (SELECT id, len(toks) AS dl, unnest(toks) AS token FROM docs0),
+       |tfs AS (SELECT id, dl, token, count(*) AS tf FROM base GROUP BY 1, 2, 3),
+       |dfs AS (SELECT token, count(*) AS df FROM tfs GROUP BY 1),
+       |matched AS (
+       |  SELECT q.query_id, t.id, t.token,
+       |    ln(1.0 + (n - df + 0.5) / (df + 0.5))
+       |      * tf * ${k1 + 1.0}
+       |      / (tf + $k1 * (${1.0 - b} + $b * dl / avgdl)) AS contrib
+       |  FROM qt q JOIN tfs t USING (token) JOIN dfs USING (token), stats),
+       |scored AS (
+       |  SELECT query_id, id,
+       |    round(list_sum(list(contrib ORDER BY token)), 4) AS score
+       |  FROM matched GROUP BY 1, 2)
+       |SELECT query_id, id, score, CAST(rn AS INTEGER) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, id) AS rn FROM scored)
+       |WHERE rn <= $k""".stripMargin
+  }
+
   /** DuckDB twin of [[bm25]] for the oracle gate. The separator class
     * is written out explicitly: Java's `\s` includes vertical tab
     * (0x0B) but RE2's (DuckDB's) does not, so a bare `\s+` here would

@@ -51,6 +51,30 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(kernel.toSeq == expected.toSeq)
   }
 
+  test("bm25Join agrees with the fixed-terms bm25 for a single query") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hash join hash scan"),
+      (2L, "sort merge join"),
+      (3L, "hash"),
+      (4L, "unrelated words entirely")
+    ).toDF("doc_id", "text")
+    // terms sorted so both routes fold contributions in the same order
+    val terms = Seq("hash", "join")
+    val fixed = TextAnalysis.bm25(docs, col("doc_id"), col("text"), terms)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val joined = TextAnalysis.bm25Join(docs, col("doc_id"), col("text"),
+        Seq((7L, terms)).toDF("query_id", "terms"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3)))
+    assert(joined.forall(_._1 == 7L))
+    assert(joined.map(x => x._2 -> x._3).toMap == fixed,
+      s"join ${joined.toSeq} vs fixed $fixed")
+    // ranks descend by score
+    val byRank = joined.sortBy(_._4).map(_._3).toSeq
+    assert(byRank == byRank.sorted.reverse, s"ranks not score-descending: $byRank")
+  }
+
   test("bm25 multi-term scores are additive over terms") {
     import spark.implicits._
     val docs = Seq(
