@@ -225,6 +225,17 @@ object TextAnalysis {
       .groupBy("id", "dl", "token").agg(count(lit(1)).as("tf"))
       .localCheckpoint()
     val dfs = postings.groupBy("token").agg(count(lit(1)).as("df"))
+    scoreAndRank(postings, dfs, stats, queries, k, k1, b)
+  }
+
+  /** Shared bm25Join tail: postings (id, dl, token, tf) + per-token
+    * dfs + 1-row stats → ranked (query_id, id, score, rank).
+    */
+  private def scoreAndRank(postings: org.apache.spark.sql.DataFrame,
+                           dfs: org.apache.spark.sql.DataFrame,
+                           stats: org.apache.spark.sql.DataFrame,
+                           queries: org.apache.spark.sql.DataFrame,
+                           k: Int, k1: Double, b: Double): org.apache.spark.sql.DataFrame = {
     val qTerms = queries.select(col("query_id"),
       explode(array_distinct(col("terms"))).as("token"))
     val contrib = {
@@ -233,9 +244,9 @@ object TextAnalysis {
       idf * tf * (k1 + 1.0) /
         (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
     }
-    val scored = qTerms
-      .join(postings, "token").join(dfs, "token")
-      .crossJoin(broadcast(stats))
+    val scored = broadcast(qTerms)
+      .join(postings, "token")
+      .join(broadcast(dfs.crossJoin(broadcast(stats))), "token")
       .select(col("query_id"), col("id"), col("token"), contrib.as("contrib"))
       .groupBy("query_id", "id")
       .agg(sort_array(collect_list(struct(col("token"), col("contrib")))).as("cs"))
@@ -245,6 +256,41 @@ object TextAnalysis {
     graft.vector.GroupedTopK.topKPerGroup(scored, col("query_id"), k)
       .select(col("query_id"), col("id"), (-col("score")).as("score"),
         col("rank"))
+  }
+
+  /** Materialize the bm25Join inverted index as a token-bucketed
+    * catalog table plus a 1-row stats side table — the build-once /
+    * query-many serving layout: subsequent [[bm25JoinIndexed]] calls
+    * never re-tokenize the corpus, and the postings side of the term
+    * join and the df aggregation both run WITHOUT an exchange (the
+    * bucketing fixed the hash distribution at write time).
+    */
+  def buildBm25Index(docs: org.apache.spark.sql.DataFrame, idCol: Column,
+                     textCol: Column, table: String, path: String,
+                     numBuckets: Int = 32): Unit = {
+    val toks = split(lower(trim(textCol)), "\\s+")
+    val postings = docs
+      .select(idCol.as("id"), size(toks).cast("long").as("dl"),
+        explode(toks).as("token"))
+      .groupBy("id", "dl", "token").agg(count(lit(1)).as("tf"))
+    graft.sources.Bucketing.writeBucketed(postings, table, path,
+      key = "token", numBuckets = numBuckets)
+    docs.agg(count(lit(1)).as("n"), avg(size(toks).cast("long")).as("avgdl"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").option("path", s"$path/__stats")
+      .saveAsTable(s"${table}_stats")
+  }
+
+  /** [[bm25Join]] served from a [[buildBm25Index]] table: same output
+    * contract, zero corpus-side exchanges per query batch.
+    */
+  def bm25JoinIndexed(spark: org.apache.spark.sql.SparkSession,
+                      table: String, queries: org.apache.spark.sql.DataFrame,
+                      k: Int, k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    val postings = spark.table(table)
+    val dfs = postings.groupBy("token").agg(count(lit(1)).as("df"))
+    scoreAndRank(postings, dfs, spark.table(s"${table}_stats"),
+      queries, k, k1, b)
   }
 
   /** DuckDB twin of [[bm25Join]]: `qtValues` are the exploded

@@ -75,6 +75,40 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(byRank == byRank.sorted.reverse, s"ranks not score-descending: $byRank")
   }
 
+  test("indexed bm25 serves identical results with no postings-side exchange") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hash join hash scan"),
+      (2L, "sort merge join"),
+      (3L, "hash vector"),
+      (4L, "scan scan scan")
+    ).toDF("doc_id", "text")
+    val queries = Seq((1L, Seq("hash", "join")), (2L, Seq("scan")))
+      .toDF("query_id", "terms")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25idx").toString
+    try {
+      TextAnalysis.buildBm25Index(docs, col("doc_id"), col("text"),
+        "bm25_test_idx", dir, numBuckets = 4)
+      val direct = TextAnalysis.bm25Join(docs, col("doc_id"), col("text"),
+          queries, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+      val served = TextAnalysis.bm25JoinIndexed(spark, "bm25_test_idx",
+        queries, k = 5)
+      val got = served.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSet
+      assert(got == direct, s"indexed $got != direct $direct")
+      // the bucketed layout must keep the postings scan exchange-free:
+      // the only hash exchange left is the final per-query grouping
+      val plan = served.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning(token"),
+        s"postings side re-shuffled on token:\n$plan")
+    } finally {
+      graft.sources.Bucketing.dropTable(spark, "bm25_test_idx")
+      graft.sources.Bucketing.dropTable(spark, "bm25_test_idx_stats")
+    }
+  }
+
   test("bm25 multi-term scores are additive over terms") {
     import spark.implicits._
     val docs = Seq(
