@@ -238,12 +238,7 @@ object TextAnalysis {
                            k: Int, k1: Double, b: Double): org.apache.spark.sql.DataFrame = {
     val qTerms = queries.select(col("query_id"),
       explode(array_distinct(col("terms"))).as("token"))
-    val contrib = {
-      val tf = col("tf").cast("double")
-      val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-      idf * tf * (k1 + 1.0) /
-        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
-    }
+    val contrib = bm25Contrib(k1, b)
     val scored = broadcast(qTerms)
       .join(postings, "token")
       .join(broadcast(dfs.crossJoin(broadcast(stats))), "token")
@@ -256,6 +251,17 @@ object TextAnalysis {
     graft.vector.GroupedTopK.topKPerGroup(scored, col("query_id"), k)
       .select(col("query_id"), col("id"), (-col("score")).as("score"),
         col("rank"))
+  }
+
+  /** One matched term's BM25 contribution, over columns
+    * (tf, df, dl, n, avgdl) — shared by the batch join tail and the
+    * streaming hybrid's lexical route.
+    */
+  private[graft] def bm25Contrib(k1: Double, b: Double): Column = {
+    val tf = col("tf").cast("double")
+    val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    idf * tf * (k1 + 1.0) /
+      (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
   }
 
   /** Materialize the bm25Join inverted index as a token-bucketed

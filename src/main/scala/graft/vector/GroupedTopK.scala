@@ -26,8 +26,12 @@ object GroupedTopK {
   case class Scored(score: Double, id: Long)
 
   class TopKAggregator(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+    // distinct first: scores are deterministic per id, so an id seen
+    // twice (e.g. a streaming query recurring within its window fans
+    // its candidates out once per arrival) is the SAME candidate — it
+    // must not occupy two ranks
     private def trim(s: Seq[Scored]): Seq[Scored] =
-      s.sortBy(x => (x.score, x.id)).take(k)
+      s.distinct.sortBy(x => (x.score, x.id)).take(k)
 
     def zero: Seq[Scored] = Nil
     def reduce(buf: Seq[Scored], a: Scored): Seq[Scored] = {

@@ -108,8 +108,13 @@ class StreamingSearchSpec extends AnyFunSuite with SparkSpec {
       ms.addData((99L, Seq(0.0f, 0.0f, 0.0f), ts(60)))
       q.processAllAvailable()
       val rows = spark.table("ssearch2").where(col("query_id") === 5)
-        .select("rank").collect().map(_.getInt(0)).sorted.toSeq
-      assert(rows == Seq(1, 2, 3), s"expected one merged ranking, got $rows")
+        .select("corpus_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._2).toSeq
+      assert(rows.map(_._2) == Seq(1, 2, 3),
+        s"expected one merged ranking, got $rows")
+      // the duplicated arrivals must NOT place the same doc at two ranks
+      assert(rows.map(_._1).distinct.size == 3,
+        s"duplicate docs across ranks: $rows")
     } finally q.stop()
   }
 }
