@@ -847,6 +847,30 @@ object SparkEntry {
           (3L, "merge"), (3L, "sort"), (3L, "window")), k = 5)
         + " ORDER BY query_id, rank")),
 
+    // Same retrieval through the PERSISTED index: build the
+    // token-bucketed postings table, then serve the query batch from
+    // it — same oracle as q_bm25_join, so the whole build+serve path
+    // (write layout included) sits under the hash gate
+    Q("q_bm25_indexed",
+      (s, dir) => {
+        import s.implicits._
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-bm25-serve").toString
+        TextAnalysis.buildBm25Index(Tables.documents(s, dir),
+          col("doc_id"), col("text"), "graft_bm25_serving", tmp,
+          numBuckets = 8)
+        val queries = Seq(
+          (1L, Seq("hash", "join")),
+          (2L, Seq("vector", "scan")),
+          (3L, Seq("merge", "sort", "window"))).toDF("query_id", "terms")
+        TextAnalysis.bm25JoinIndexed(s, "graft_bm25_serving", queries, k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(TextAnalysis.bm25JoinSql("documents", "doc_id", "text",
+        Seq((1L, "hash"), (1L, "join"), (2L, "vector"), (2L, "scan"),
+          (3L, "merge"), (3L, "sort"), (3L, "window")), k = 5)
+        + " ORDER BY query_id, rank")),
+
     // Document fingerprint (whitespace-normalized md5)
     Q("text_fingerprint",
       (s, dir) => Tables.documents(s, dir)

@@ -275,13 +275,18 @@ object TextAnalysis {
                      textCol: Column, table: String, path: String,
                      numBuckets: Int = 32): Unit = {
     val toks = split(lower(trim(textCol)), "\\s+")
-    val postings = docs
+    // spread a narrow source before the tokenize stage (same rationale
+    // as bm25Join: one parquet file = one task otherwise)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val src = if (docs.rdd.getNumPartitions < par) docs.repartition(par)
+      else docs
+    val postings = src
       .select(idCol.as("id"), size(toks).cast("long").as("dl"),
         explode(toks).as("token"))
       .groupBy("id", "dl", "token").agg(count(lit(1)).as("tf"))
     graft.sources.Bucketing.writeBucketed(postings, table, path,
       key = "token", numBuckets = numBuckets)
-    docs.agg(count(lit(1)).as("n"), avg(size(toks).cast("long")).as("avgdl"))
+    src.agg(count(lit(1)).as("n"), avg(size(toks).cast("long")).as("avgdl"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .format("parquet").option("path", s"$path/__stats")
       .saveAsTable(s"${table}_stats")
