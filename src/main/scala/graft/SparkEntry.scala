@@ -576,6 +576,57 @@ object SparkEntry {
              | CAST(sum(CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT)) AS BIGINT) AS sum_k,
              | round(sum(value), 2) AS sum_value
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Deterministic content-hash sample: 100 orders by sha256 rank —
+    // reproducible on any engine/partitioning (vs rand()); plans as
+    // TakeOrderedAndProject, no corpus shuffle
+    Q("q_sample_hash",
+      (s, dir) => graft.operators.Sampling.sampleN(
+          Tables.orders(s, dir), col("o_orderkey"), n = 100, salt = "s1")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .orderBy("o_orderkey"),
+      Some(s"""SELECT o_orderkey, o_orderpriority FROM orders
+              |ORDER BY ${graft.operators.Sampling.hashKeySql("o_orderkey", "s1")}, o_orderkey
+              |LIMIT 100""".stripMargin)),
+
+    // Stratified deterministic downsample: exactly 5 orders per
+    // priority stratum by per-group sha256 rank
+    Q("q_sample_stratified",
+      (s, dir) => graft.operators.Sampling.sampleNPerGroup(
+          Tables.orders(s, dir), col("o_orderpriority"), col("o_orderkey"),
+          nPer = 5, salt = "s2")
+        .select(col("o_orderpriority"), col("o_orderkey"))
+        .orderBy("o_orderpriority", "o_orderkey"),
+      Some(s"""SELECT o_orderpriority, o_orderkey FROM (
+              |  SELECT o_orderpriority, o_orderkey,
+              |    row_number() OVER (PARTITION BY o_orderpriority
+              |      ORDER BY ${graft.operators.Sampling.hashKeySql("o_orderkey", "s2")}, o_orderkey) AS rn
+              |  FROM orders)
+              |WHERE rn <= 5 ORDER BY o_orderpriority, o_orderkey""".stripMargin)),
+
+    // FULL OUTER join: per-customer counts of open vs finished orders —
+    // customers with only one kind populate exactly one side
+    Q("q_full_outer",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val open = o.where(col("o_orderstatus") === "O")
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_open"))
+        val done = o.where(col("o_orderstatus") === "F")
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_done"))
+        open.join(done, Seq("o_custkey"), "full_outer")
+          .select(col("o_custkey"),
+            coalesce(col("n_open"), lit(0L)).as("n_open"),
+            coalesce(col("n_done"), lit(0L)).as("n_done"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+             | COALESCE(a.n_open, 0) AS n_open, COALESCE(b.n_done, 0) AS n_done
+             |FROM (SELECT o_custkey, count(*) AS n_open FROM orders
+             |      WHERE o_orderstatus = 'O' GROUP BY 1) a
+             |FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_done FROM orders
+             |      WHERE o_orderstatus = 'F' GROUP BY 1) b
+             |ON a.o_custkey = b.o_custkey
+             |ORDER BY 1""".stripMargin)),
   )
 
   // ---------------------------------------------------------------- //
@@ -879,6 +930,24 @@ object SparkEntry {
         .orderBy("doc_id"),
       Some(s"""SELECT doc_id, ${TextAnalysis.fingerprintSql("text")} AS fingerprint
               |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Vocabulary build: per-token df/cf, top 50 by df — the LM-pipeline
+    // vocabulary step; ranking + limit plans as TakeOrderedAndProject
+    Q("text_vocab_topk",
+      (s, dir) => TextAnalysis.vocab(Tables.documents(s, dir),
+          col("doc_id"), col("text"))
+        .orderBy(desc("df"), desc("cf"), asc("token")).limit(50),
+      Some(TextAnalysis.vocabSql("documents", "doc_id", "text") +
+        " ORDER BY df DESC, cf DESC, token LIMIT 50")),
+
+    // Bigram counts, top 50 — n-gram LM statistics / contamination
+    // screens; ties at the limit boundary broken by the ngram itself
+    Q("text_bigram_counts",
+      (s, dir) => TextAnalysis.ngramCounts(Tables.documents(s, dir),
+          col("text"), n = 2)
+        .orderBy(desc("cnt"), asc("ngram")).limit(50),
+      Some(TextAnalysis.ngramCountsSql("documents", "text", n = 2) +
+        " ORDER BY cnt DESC, ngram LIMIT 50")),
   )
 
   // ---------------------------------------------------------------- //
@@ -1258,6 +1327,38 @@ object SparkEntry {
   // ---------------------------------------------------------------- //
 
   private val pipelineSpecs: Seq[Q] = Seq(
+    // C4-style curation pass composed from the text-analysis operators:
+    // quality floor + token-count band, then exact-dedup keeper
+    // selection (min doc_id per normalized fingerprint) — the one-query
+    // form of a training-data cleaning stage. All narrow except the
+    // keeper aggregation (one shuffle on the fingerprint).
+    Q("pipeline_curation",
+      (s, dir) => {
+        val scored = Tables.documents(s, dir).select(col("doc_id"),
+          TextAnalysis.langId(col("text")).as("lang"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          TextAnalysis.nTokensWs(col("text")).as("ntok"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        val kept = scored.where(col("quality") >= 0.5 &&
+          col("ntok").between(5, 2000))
+        val keepers = kept.groupBy("fp").agg(min("doc_id").as("doc_id"))
+        kept.join(keepers, Seq("fp", "doc_id"), "left_semi")
+          .select(col("doc_id"), col("lang"), col("quality"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH scored AS (
+              |  SELECT doc_id, ${TextAnalysis.langIdSql("text")} AS lang,
+              |    ${TextAnalysis.qualityScoreSql("text")} AS quality,
+              |    ${TextAnalysis.nTokensWsSql("text")} AS ntok,
+              |    ${TextAnalysis.fingerprintSql("text")} AS fp
+              |  FROM documents),
+              |kept AS (SELECT * FROM scored
+              |         WHERE quality >= 0.5 AND ntok BETWEEN 5 AND 2000)
+              |SELECT k.doc_id, k.lang, k.quality FROM kept k
+              |JOIN (SELECT fp, min(doc_id) AS doc_id FROM kept GROUP BY 1) g
+              |  ON k.fp = g.fp AND k.doc_id = g.doc_id
+              |ORDER BY k.doc_id""".stripMargin)),
+
     // §3.2 ingest: documents → classify → chunk → embed → chunk table.
     // chunk_id (partition-dependent auto-id) is excluded from the
     // output so the result is deterministic under any parallelism.

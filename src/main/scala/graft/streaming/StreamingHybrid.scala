@@ -89,22 +89,73 @@ object StreamingHybrid {
                   windowDuration: String = "1 minute",
                   watermarkDelay: String = "5 minutes",
                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val q = queries.select(col("query_id"), col("q_emb"), col("terms"), col("ts"))
-      .withWatermark("ts", watermarkDelay)
+    val q = watermarked(queries, watermarkDelay)
     val vecCands = q.withColumn("__one", lit(1))
       .join(broadcast(corpus.select(col("id").as("doc"),
         col("embedding").as("c_emb")).withColumn("__one", lit(1))), "__one")
       .select(col("query_id"), col("ts"), lit(0).as("route"), col("doc"),
         lit("").as("token"),
         round(Distance.l2(col("q_emb"), col("c_emb")), 4).as("value"))
-    val lexCands = q
-      .select(col("query_id"), col("ts"),
+    fuse(vecCands, lexCands(q, postings, dfs, stats, k1, b),
+      k, k0, windowDuration)
+  }
+
+  /** IVF-routed variant for beyond-broadcast corpora: the vector route
+    * explodes each query to its `nprobe` nearest-centroid probe list
+    * (codegen [[VectorKernels.nearestCentroids]]) and equi-joins the
+    * cluster-assigned corpus on `cluster_id` — a shuffle/partition-
+    * pruned join instead of a corpus broadcast, the same scale shape as
+    * [[StreamingSearch.ivfKnnPerQuery]]. The vector candidate set is
+    * the probed clusters' rows, so fusion output equals
+    * [[rrfPerQuery]] exactly at `nprobe = nlist` (full probe ⇒ every
+    * cluster ⇒ the whole corpus) and is the IVF approximation below
+    * it — RRF ranks shift only where the un-probed clusters held
+    * vector-route candidates. Lexical route and the single stateful
+    * fusion aggregate are identical.
+    */
+  def rrfPerQueryIvf(queries: DataFrame, index: graft.vector.Ann.IvfIndex,
+                     postings: DataFrame, dfs: DataFrame, stats: DataFrame,
+                     k: Int, nprobe: Int, k0: Int = 60,
+                     windowDuration: String = "1 minute",
+                     watermarkDelay: String = "5 minutes",
+                     k1: Double = 1.2, b: Double = 0.75,
+                     emb: String = "embedding",
+                     id: String = "vec_id"): DataFrame = {
+    val q = watermarked(queries, watermarkDelay)
+    val probed = q.withColumn("cluster_id",
+      explode(graft.vector.VectorKernels.nearestCentroids(
+        col("q_emb"), index.centroids, nprobe)))
+    // each corpus row lives in exactly ONE cluster, so the equi-join
+    // emits every (query, probed-cluster row) pair exactly once — no
+    // dedup needed before the fusion aggregate
+    val vecCands = probed
+      .join(index.assigned.select(col(id).as("doc"), col(emb).as("c_emb"),
+        col("cluster_id")), "cluster_id")
+      .select(col("query_id"), col("ts"), lit(0).as("route"), col("doc"),
+        lit("").as("token"),
+        round(Distance.l2(col("q_emb"), col("c_emb")), 4).as("value"))
+    fuse(vecCands, lexCands(q, postings, dfs, stats, k1, b),
+      k, k0, windowDuration)
+  }
+
+  private def watermarked(queries: DataFrame, watermarkDelay: String): DataFrame =
+    queries.select(col("query_id"), col("q_emb"), col("terms"), col("ts"))
+      .withWatermark("ts", watermarkDelay)
+
+  /** Lexical route: per-token postings equi-join, stateless. */
+  private def lexCands(q: DataFrame, postings: DataFrame, dfs: DataFrame,
+                       stats: DataFrame, k1: Double, b: Double): DataFrame =
+    q.select(col("query_id"), col("ts"),
         explode(array_distinct(col("terms"))).as("token"))
       .join(postings, "token")
       .join(broadcast(dfs.crossJoin(broadcast(stats))), "token")
       .select(col("query_id"), col("ts"), lit(1).as("route"),
         col("id").as("doc"), col("token"),
         TextAnalysis.bm25Contrib(k1, b).as("value"))
+
+  /** Union both routes into the ONE windowed fusion aggregate. */
+  private def fuse(vecCands: DataFrame, lexCands: DataFrame,
+                   k: Int, k0: Int, windowDuration: String): DataFrame = {
     val rrf = udaf(new RrfAggregator(k, k0), ExpressionEncoder[Cand]())
     vecCands.unionAll(lexCands)
       .groupBy(window(col("ts"), windowDuration), col("query_id"))

@@ -362,6 +362,67 @@ object TextAnalysis {
        |FROM base, stats WHERE ($anyTf) > 0""".stripMargin
   }
 
+  // ---- vocabulary / n-gram statistics ---------------------------------
+
+  /** Corpus vocabulary: per-token document frequency (`df`) and
+    * collection frequency (`cf`) — the vocabulary-build step of an LM
+    * data pipeline (and the raw input to a BPE trainer's word counts).
+    * Two-phase shape chosen for scale: per-(doc, token) counts first
+    * (map-side partial aggregation collapses each document's repeats
+    * before the shuffle), then per-token (count, sum) — no
+    * `count_distinct` machinery, every aggregate partial-merges. Top-N
+    * consumers should rank `(df desc, cf desc, token)` + limit, which
+    * plans as TakeOrderedAndProject, never a global sort.
+    */
+  def vocab(docs: org.apache.spark.sql.DataFrame, idCol: Column,
+            textCol: Column): org.apache.spark.sql.DataFrame = {
+    val toks = split(lower(trim(textCol)), "\\s+")
+    docs.select(idCol.as("id"), explode(toks).as("token"))
+      .groupBy("id", "token").agg(count(lit(1)).as("tf"))
+      .groupBy("token").agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+  }
+
+  /** DuckDB twin of [[vocab]] (sum→HUGEINT cast back to BIGINT). */
+  def vocabSql(table: String, idExpr: String, textExpr: String): String =
+    s"""SELECT token, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+       |FROM (
+       |  SELECT id, token, count(*) AS tf FROM (
+       |    SELECT $idExpr AS id,
+       |      unnest(string_split_regex(lower(trim($textExpr)), '$WsClassSql+')) AS token
+       |    FROM $table)
+       |  GROUP BY 1, 2)
+       |GROUP BY token""".stripMargin
+
+  /** Word n-gram counts over the corpus — LM training-data statistics
+    * (bigram/trigram tables, contamination screens). Pure columnar:
+    * tokenize once, window the token array with `transform(sequence)`
+    * + `slice` (all codegen HOFs), explode, one partial-aggregated
+    * count. Documents shorter than `n` contribute nothing.
+    */
+  def ngramCounts(docs: org.apache.spark.sql.DataFrame, textCol: Column,
+                  n: Int): org.apache.spark.sql.DataFrame = {
+    require(n >= 2, "n must be at least 2 (token counts cover n = 1)")
+    val toks = split(lower(trim(textCol)), "\\s+")
+    val grams = when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    docs.select(explode(grams).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** DuckDB twin of [[ngramCounts]]: 1-based inclusive list slicing,
+    * `range(a, b)` half-open.
+    */
+  def ngramCountsSql(table: String, textExpr: String, n: Int): String =
+    s"""SELECT ngram, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |  SELECT unnest(list_transform(range(1, len(t) - ${n - 2}),
+       |    i -> array_to_string(t[i:i+${n - 1}], ' '))) AS ngram
+       |  FROM (SELECT string_split_regex(lower(trim($textExpr)), '$WsClassSql+') AS t
+       |        FROM $table)
+       |  WHERE len(t) >= $n)
+       |GROUP BY ngram""".stripMargin
+
   // ---- fingerprinting -------------------------------------------------
 
   /** Whitespace-normalized md5 fingerprint — the exact-dedup key. */
