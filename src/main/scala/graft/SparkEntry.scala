@@ -786,12 +786,15 @@ object SparkEntry {
 
     // Token counting: whitespace + BPE-ish regex tokens
     Q("text_token_stats",
-      (s, dir) => Tables.documents(s, dir)
-        .select(col("doc_id"),
-          TextAnalysis.nTokensWs(col("text")).as("n_tokens_ws"),
-          TextAnalysis.nTokensRe(Enrich.withHeader(col("text"), col("doc_id"))).as("n_tokens_re"),
-          TextAnalysis.avgWordLen(col("text")).as("avg_word_len"))
-        .orderBy("doc_id"),
+      (s, dir) => {
+        val d = TextAnalysis.docStats(col("text"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            TextAnalysis.nTokensWsF(d).as("n_tokens_ws"),
+            TextAnalysis.nTokensRe(Enrich.withHeader(col("text"), col("doc_id"))).as("n_tokens_re"),
+            TextAnalysis.avgWordLenF(d).as("avg_word_len"))
+          .orderBy("doc_id")
+      },
       Some(s"""SELECT doc_id,
               | ${TextAnalysis.nTokensWsSql("text")} AS n_tokens_ws,
               | ${TextAnalysis.nTokensReSql(Enrich.withHeaderSql("text", "doc_id"))} AS n_tokens_re,
@@ -802,12 +805,14 @@ object SparkEntry {
     Q("text_quality",
       (s, dir) => {
         val t = Enrich.withHeader(col("text"), col("doc_id"))
+        val d = TextAnalysis.docStats(t)
+        val len = length(t)
         Tables.documents(s, dir)
           .select(col("doc_id"),
-            TextAnalysis.punctRatio(t).as("punct_ratio"),
-            TextAnalysis.alphaRatio(t).as("alpha_ratio"),
-            TextAnalysis.stopwordRatio(t).as("stopword_ratio"),
-            TextAnalysis.qualityScore(t).as("quality_score"))
+            TextAnalysis.punctRatioF(d, len).as("punct_ratio"),
+            TextAnalysis.alphaRatioF(d, len).as("alpha_ratio"),
+            TextAnalysis.stopwordRatioF(d).as("stopword_ratio"),
+            TextAnalysis.qualityScoreF(d, len).as("quality_score"))
           .orderBy("doc_id")
       },
       {
@@ -826,7 +831,7 @@ object SparkEntry {
         val t = Enrich.withLangMarkers(col("text"), col("lang"), TextAnalysis.LangMarkers)
         Tables.documents(s, dir)
           .select(col("doc_id"), col("lang"),
-            TextAnalysis.langId(t).as("lang_pred"))
+            TextAnalysis.langIdF(TextAnalysis.docStats(t)).as("lang_pred"))
           .orderBy("doc_id")
       },
       {
@@ -1334,10 +1339,11 @@ object SparkEntry {
     // keeper aggregation (one shuffle on the fingerprint).
     Q("pipeline_curation",
       (s, dir) => {
+        val d = TextAnalysis.docStats(col("text"))
         val scored = Tables.documents(s, dir).select(col("doc_id"),
-          TextAnalysis.langId(col("text")).as("lang"),
-          TextAnalysis.qualityScore(col("text")).as("quality"),
-          TextAnalysis.nTokensWs(col("text")).as("ntok"),
+          TextAnalysis.langIdF(d).as("lang"),
+          TextAnalysis.qualityScoreF(d, length(col("text"))).as("quality"),
+          TextAnalysis.nTokensWsF(d).as("ntok"),
           TextAnalysis.fingerprint(col("text")).as("fp"))
         val kept = scored.where(col("quality") >= 0.5 &&
           col("ntok").between(5, 2000))

@@ -121,8 +121,13 @@ object TextAnalysis {
   /** Predicted language: highest marker count, ties to the earlier
     * language in [[LangMarkers]]; `und` when nothing matches.
     */
-  def langId(c: Column): Column = {
-    val scores = LangMarkers.map { case (lang, ms) => lang -> langScore(c, ms) }
+  def langId(c: Column): Column =
+    langPick(LangMarkers.map { case (lang, ms) => lang -> langScore(c, ms) })
+
+  /** The marker-count → label cascade, shared by the HOF and fused
+    * score forms (identical expression shape keeps them bit-equal).
+    */
+  private def langPick(scores: Seq[(String, Column)]): Column = {
     val allZero = scores.map(_._2 === 0L).reduce(_ && _)
     val picked = scores.zipWithIndex.map { case ((lang, s), i) =>
       val rest = scores.drop(i + 1).map(_._2)
@@ -132,6 +137,44 @@ object TextAnalysis {
     }
     when(allZero, lit("und")).otherwise(picked)
   }
+
+  // ---- fused doc-stats forms ------------------------------------------
+  //
+  // One codegen DocStats scan per document feeds every statistic below
+  // (subexpression elimination collapses the repeated docStats(c) calls
+  // within a projection — same-child instances semanticEqual). The
+  // arithmetic REPLAYS the column forms' expression shapes exactly
+  // (same operand types, same order, same floor4 wrappers), so each
+  // fused column is bit-identical to its HOF/regex twin and sits under
+  // the same DuckDB oracle.
+
+  /** The group layout [[docStats]] uses: stopwords, then one group per
+    * [[LangMarkers]] language.
+    */
+  private val DocStatsGroups: Seq[Seq[String]] =
+    Stopwords +: LangMarkers.map(_._2)
+
+  /** `[ntok_ws, non_ws_chars, alpha, punct, stop_hits, lang_0 …]`. */
+  def docStats(c: Column): Column = TextKernels.docStats(c, DocStatsGroups)
+
+  def nTokensWsF(d: Column): Column = element_at(d, 1)
+  def punctRatioF(d: Column, rawLen: Column): Column =
+    floor4(element_at(d, 4) / greatest(rawLen, lit(1)))
+  def alphaRatioF(d: Column, rawLen: Column): Column =
+    floor4(element_at(d, 3) / greatest(rawLen, lit(1)))
+  def avgWordLenF(d: Column): Column =
+    when(nTokensWsF(d) === 0, lit(0.0))
+      .otherwise(floor4(element_at(d, 2) / nTokensWsF(d)))
+  def stopwordRatioF(d: Column): Column =
+    floor4(element_at(d, 5) / greatest(nTokensWsF(d), lit(1L)))
+  def qualityScoreF(d: Column, rawLen: Column): Column =
+    floor4(alphaRatioF(d, rawLen) * 0.5
+      + least(nTokensWsF(d) / lit(100.0), lit(1.0)) * 0.3
+      + least(stopwordRatioF(d) * lit(5.0), lit(1.0)) * 0.2)
+  def langIdF(d: Column): Column =
+    langPick(LangMarkers.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> element_at(d, 6 + i)
+    })
 
   def langIdSql(t: String): String = {
     val scoreExprs = LangMarkers.map { case (lang, ms) => lang -> langScoreSql(t, ms) }

@@ -126,4 +126,161 @@ object TextKernels {
   def termStats(text: Column, terms: Seq[String]): Column =
     GraftColumnBridge.column(TermStats(
       GraftColumnBridge.expression(text), terms.toList))
+
+  /** [[DocStats]] fuses EVERY per-document statistic the quality /
+    * language-ID / curation path needs into one expression evaluating
+    * its input once: `[ntok_ws, non_ws_chars, alpha_chars, punct_chars,
+    * hits_group_0, …]`. Replaces one regex or higher-order-function
+    * pass PER statistic (none of which enter whole-stage codegen, and
+    * each of which re-materializes `split(lower(trim(text)))`).
+    *
+    * Two byte scans over the one evaluated child:
+    *  - char scan on `trim(input)` (0x20-only trim, same as Spark's
+    *    `trim`): code points = non-continuation bytes; `alpha` counts
+    *    bytes in `[A-Za-z]` (exact for `regexp_count(c, "[A-Za-z]")` on
+    *    the UNTRIMMED input — 0x20 is not alpha, and ASCII bytes never
+    *    occur inside multi-byte UTF-8 chars); `punct` = code points −
+    *    alpha − digits − ws chars, the char count of
+    *    `[^A-Za-z0-9\s]` (any non-ASCII code point is punct — also
+    *    trim-invariant since trim removes equal counts from the cp and
+    *    ws terms); `non_ws_chars` = code points − ws chars, the length
+    *    of `regexp_replace(trim(c), "\\s+", "")`.
+    *  - token scan on `lower(trim(input))` with the exact [[TermStats]]
+    *    tokenization contract, EXCEPT the empty string yields
+    *    `ntok_ws = 0` ([[TextAnalysis.nTokensWs]]'s guard), not the
+    *    `[""]` singleton; `hits_group_g` counts tokens byte-equal to
+    *    any of group g's terms (groups are distinct-string sets, so
+    *    this equals `size(filter(tokens, _ ∈ set))`).
+    */
+  case class DocStats(child: Expression, groups: Seq[Seq[String]])
+      extends UnaryExpression {
+
+    private val numGroups = groups.length
+    // flattened (group index, term bytes) pairs for the match loop
+    @transient private lazy val termGroup: Array[Int] =
+      groups.zipWithIndex.flatMap { case (g, i) => g.map(_ => i) }.toArray
+    @transient private lazy val termBytes: Array[Array[Byte]] =
+      groups.flatten.map(_.getBytes("UTF-8")).toArray
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "doc_stats"
+
+    override def nullSafeEval(input: Any): Any = {
+      val raw = input.asInstanceOf[UTF8String]
+      val out = new Array[Long](4 + numGroups)
+      def ws(b: Byte): Boolean =
+        b == 32 || b == 9 || b == 10 || b == 11 || b == 12 || b == 13
+      // char scan over trim(input)
+      val cs = raw.trim.getBytes
+      var cp = 0L; var wsc = 0L; var alpha = 0L; var digit = 0L
+      var i = 0
+      while (i < cs.length) {
+        val b = cs(i)
+        if ((b & 0xC0) != 0x80) cp += 1L
+        if (ws(b)) wsc += 1L
+        else if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')) alpha += 1L
+        else if (b >= '0' && b <= '9') digit += 1L
+        i += 1
+      }
+      out(1) = cp - wsc
+      out(2) = alpha
+      out(3) = cp - wsc - alpha - digit
+      // token scan over lower(trim(input))
+      val bs = raw.toLowerCase.trim.getBytes
+      val n = bs.length
+      if (n > 0) {
+        if (ws(bs(0))) out(0) += 1L
+        i = 0
+        while (i < n) {
+          while (i < n && ws(bs(i))) i += 1
+          if (i < n) {
+            val start = i
+            while (i < n && !ws(bs(i))) i += 1
+            out(0) += 1L
+            var p = 0
+            while (p < termBytes.length) {
+              val tb = termBytes(p)
+              if (tb.length == i - start) {
+                var j = 0
+                while (j < tb.length && tb(j) == bs(start + j)) j += 1
+                if (j == tb.length) out(4 + termGroup(p)) += 1L
+              }
+              p += 1
+            }
+          }
+        }
+        if (ws(bs(n - 1))) out(0) += 1L
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, input => {
+        val tRef = ctx.addReferenceObj("docStatsTerms", termBytes, "byte[][]")
+        val gRef = ctx.addReferenceObj("docStatsGroups", termGroup, "int[]")
+        val cs = ctx.freshName("cs")
+        val bs = ctx.freshName("bs")
+        val out = ctx.freshName("out")
+        val cp = ctx.freshName("cp")
+        val wsc = ctx.freshName("wsc")
+        val alpha = ctx.freshName("alpha")
+        val digit = ctx.freshName("digit")
+        val b = ctx.freshName("b")
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val p = ctx.freshName("p")
+        val start = ctx.freshName("start")
+        val tb = ctx.freshName("tb")
+        def ws(x: String) = s"($x == 32 || ($x >= 9 && $x <= 13))"
+        s"""long[] $out = new long[${4 + numGroups}];
+           |byte[] $cs = $input.trim().getBytes();
+           |long $cp = 0L; long $wsc = 0L; long $alpha = 0L; long $digit = 0L;
+           |for (int $i = 0; $i < $cs.length; $i++) {
+           |  byte $b = $cs[$i];
+           |  if (($b & 0xC0) != 0x80) $cp++;
+           |  if (${ws(s"$b")}) $wsc++;
+           |  else if (($b >= 'A' && $b <= 'Z') || ($b >= 'a' && $b <= 'z')) $alpha++;
+           |  else if ($b >= '0' && $b <= '9') $digit++;
+           |}
+           |$out[1] = $cp - $wsc;
+           |$out[2] = $alpha;
+           |$out[3] = $cp - $wsc - $alpha - $digit;
+           |byte[] $bs = $input.toLowerCase().trim().getBytes();
+           |int $n = $bs.length;
+           |if ($n > 0) {
+           |  if (${ws(s"$bs[0]")}) $out[0]++;
+           |  int $i = 0;
+           |  while ($i < $n) {
+           |    while ($i < $n && ${ws(s"$bs[$i]")}) $i++;
+           |    if ($i < $n) {
+           |      int $start = $i;
+           |      while ($i < $n && !${ws(s"$bs[$i]")}) $i++;
+           |      $out[0]++;
+           |      for (int $p = 0; $p < ${termBytes.length}; $p++) {
+           |        byte[] $tb = $tRef[$p];
+           |        if ($tb.length == $i - $start) {
+           |          int $j = 0;
+           |          while ($j < $tb.length && $tb[$j] == $bs[$start + $j]) $j++;
+           |          if ($j == $tb.length) $out[4 + $gRef[$p]]++;
+           |        }
+           |      }
+           |    }
+           |  }
+           |  if (${ws(s"$bs[$n - 1]")}) $out[0]++;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Doc-stats column: groups as Lists so separately built instances
+    * `semanticEquals` (CSE across a projection's output columns relies
+    * on it — the whole point is ONE scan feeding every statistic).
+    */
+  def docStats(text: Column, groups: Seq[Seq[String]]): Column =
+    GraftColumnBridge.column(DocStats(
+      GraftColumnBridge.expression(text), groups.map(_.toList).toList))
 }

@@ -64,6 +64,35 @@ class PropertyInvariantsSpec extends AnyFunSuite with SparkSpec {
     assert(kernel.toSeq == expected.toSeq)
   }
 
+  test("DocStats fused forms equal the column forms on random text") {
+    import spark.implicits._
+    val rnd = new Random(13)
+    // stopwords + lang markers + digits + punct + multi-byte + all ws
+    val words = Seq("the", "and", "of", "is", "der", "und", "el", "que",
+      "le", "wo", "ni", "x9", "42", "a!b", "naïve", "€", "K")
+    val seps = Seq(" ", "  ", "\t", "\n", "", "\f", "\r", "\n\n")
+    val docs = (1 to 80).map { _ =>
+      val len = rnd.nextInt(12)
+      (1 to len).map(_ => words(rnd.nextInt(words.length)))
+        .mkString(seps(rnd.nextInt(seps.length)),
+          seps(rnd.nextInt(seps.length)), seps(rnd.nextInt(seps.length)))
+    }.toDF("text")
+    val t = col("text")
+    val d = graft.text.TextAnalysis.docStats(t)
+    val len = length(t)
+    val fused = docs.select(
+      graft.text.TextAnalysis.nTokensWsF(d), graft.text.TextAnalysis.avgWordLenF(d),
+      graft.text.TextAnalysis.punctRatioF(d, len), graft.text.TextAnalysis.alphaRatioF(d, len),
+      graft.text.TextAnalysis.stopwordRatioF(d), graft.text.TextAnalysis.qualityScoreF(d, len),
+      graft.text.TextAnalysis.langIdF(d)).collect().map(_.toSeq).toSeq
+    val cols = docs.select(
+      graft.text.TextAnalysis.nTokensWs(t), graft.text.TextAnalysis.avgWordLen(t),
+      graft.text.TextAnalysis.punctRatio(t), graft.text.TextAnalysis.alphaRatio(t),
+      graft.text.TextAnalysis.stopwordRatio(t), graft.text.TextAnalysis.qualityScore(t),
+      graft.text.TextAnalysis.langId(t)).collect().map(_.toSeq).toSeq
+    assert(fused == cols)
+  }
+
   test("stratified split routes agree on random strata and percents") {
     import spark.implicits._
     val rnd = new Random(11)

@@ -51,6 +51,36 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(kernel.toSeq == expected.toSeq)
   }
 
+  test("DocStats fused forms equal the HOF/regex column forms on adversarial text") {
+    import spark.implicits._
+    val docs = Seq(
+      "the cat and the hat is A thing of beauty",
+      "",                               // empty → ntok 0
+      "   ",                            // trim → empty
+      "\tder und die\t",                // de markers + edge tokens
+      "El los que por con 42 !!",       // es markers (case), digits, punct
+      "a  b\n\nc\u000Bd",           // separator runs incl VT
+      "naïve café — cost: €5.99",       // multi-byte chars count as punct
+      "K KELVIN sign lowercases to k",  // U+212A: lowercase maps to ASCII k
+      "wo ni ta men hao wo ni",         // zh beats en
+      "and und and und"                 // tie → earlier language wins
+    ).toDF("text")
+    val t = col("text")
+    val d = TextAnalysis.docStats(t)
+    val len = length(t)
+    val fused = docs.select(
+      TextAnalysis.nTokensWsF(d), TextAnalysis.avgWordLenF(d),
+      TextAnalysis.punctRatioF(d, len), TextAnalysis.alphaRatioF(d, len),
+      TextAnalysis.stopwordRatioF(d), TextAnalysis.qualityScoreF(d, len),
+      TextAnalysis.langIdF(d)).collect().map(_.toSeq).toSeq
+    val cols = docs.select(
+      TextAnalysis.nTokensWs(t), TextAnalysis.avgWordLen(t),
+      TextAnalysis.punctRatio(t), TextAnalysis.alphaRatio(t),
+      TextAnalysis.stopwordRatio(t), TextAnalysis.qualityScore(t),
+      TextAnalysis.langId(t)).collect().map(_.toSeq).toSeq
+    assert(fused == cols)
+  }
+
   test("bm25Join agrees with the fixed-terms bm25 for a single query") {
     import spark.implicits._
     val docs = Seq(
