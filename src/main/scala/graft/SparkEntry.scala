@@ -1392,6 +1392,36 @@ object SparkEntry {
         meta.join(feats, "media_id").orderBy("media_id")
       },
       None),
+
+    // Multimodal: thumbnail pass — per-partition resize, no shuffle;
+    // emitted dims + payload size are the deterministic surface
+    Q("mm_resize",
+      (s, dir) => {
+        val media = Tables.documents(s, dir)
+          .select(col("doc_id"), encode(col("text"), "utf-8").as("data"))
+        graft.multimodal.Multimodal.resize(s, media, "doc_id", "data",
+            targetW = 64, targetH = 48).toDF()
+          .select(col("media_id"), col("width"), col("height"),
+            length(col("data")).as("out_bytes"),
+            crc32(col("data")).as("payload_crc"))
+          .orderBy("media_id")
+      },
+      None),
+
+    // Multimodal: video frame sampling — bounded fan-out flatMap
+    // (stride everyN, cap maxFrames), one frame live per task at a time
+    Q("mm_frame_sample",
+      (s, dir) => {
+        val media = Tables.documents(s, dir)
+          .select(col("doc_id"), encode(col("text"), "utf-8").as("data"))
+        graft.multimodal.Multimodal.sampleFrames(s, media, "doc_id", "data",
+            everyN = 7, maxFrames = 5).toDF()
+          .select(col("media_id"), col("frame_idx"),
+            length(col("frame")).as("frame_bytes"),
+            crc32(col("frame")).as("frame_crc"))
+          .orderBy("media_id", "frame_idx")
+      },
+      None),
   )
 
   private def specs: Seq[Q] =

@@ -115,4 +115,87 @@ object Multimodal {
         }
       }
   }
+
+  /** One resized image row: new dimensions + re-encoded payload. */
+  final case class ResizedMedia(media_id: Long, width: Int, height: Int,
+                                data: Array[Byte])
+
+  /** STUB resample — deterministic fake "resized" payload whose length
+    * scales with the target pixel count (a real implementation decodes,
+    * resamples, re-encodes here). Deterministic in (bytes, w, h).
+    */
+  private[multimodal] def resizeStub(data: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val outLen = math.max(1, math.min(data.length, (w.toLong * h / 8L).toInt))
+    val out = new Array[Byte](outLen)
+    var i = 0
+    while (i < outLen) {
+      out(i) = (data(((i.toLong * data.length) / outLen).toInt) ^ (w + 31 * h)).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Resize every image to `(targetW, targetH)` — narrow per-partition
+    * map, codec init amortized per task, output rows strictly smaller
+    * than or equal to input rows in bytes (resize-down); at 100 TB this
+    * is the classic "thumbnail pass" whose cost is the scan itself.
+    */
+  def resize(spark: SparkSession, media: DataFrame,
+             idCol: String, dataCol: String,
+             targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    require(targetW > 0 && targetH > 0, "target dimensions must be positive")
+    import spark.implicits._
+    media.selectExpr(s"CAST($idCol AS BIGINT)", dataCol).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, data) =>
+          ResizedMedia(id, targetW, targetH, resizeStub(data, targetW, targetH))
+        }
+      }
+  }
+
+  /** One sampled video frame. */
+  final case class SampledFrame(media_id: Long, frame_idx: Int,
+                                frame: Array[Byte])
+
+  /** STUB frame extraction — a deterministic fake frame payload per
+    * index (a real implementation seeks the container and decodes the
+    * frame here — crucially WITHOUT materializing all frames first).
+    */
+  private[multimodal] def frameStub(data: Array[Byte], idx: Int): Array[Byte] = {
+    val len = math.max(1, data.length / 4)
+    val out = new Array[Byte](len)
+    var i = 0
+    while (i < len) {
+      out(i) = (data((i + idx * 7) % data.length) + idx).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Sample every `everyN`-th frame (0, everyN, 2·everyN, …, capped at
+    * `maxFrames` samples per video) — the video-curation fan-out.
+    * Frame count comes from the (stubbed) container metadata; frames
+    * stream out of a lazy iterator, so task memory holds ONE frame at
+    * a time, never a decoded video. The fan-out multiplies rows by up
+    * to `maxFrames`: size upstream partitions by bytes × that factor
+    * (`spark.sql.files.maxPartitionBytes` down, or repartition first).
+    */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+                   idCol: String, dataCol: String,
+                   everyN: Int, maxFrames: Int = 16): Dataset[SampledFrame] = {
+    require(everyN > 0, "everyN must be positive")
+    require(maxFrames > 0, "maxFrames must be positive")
+    import spark.implicits._
+    media.selectExpr(s"CAST($idCol AS BIGINT)", dataCol).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, data) =>
+          val meta = decodeStub(id, data)
+          // videos stub as multi-frame: derive a deterministic frame
+          // count from the metadata the decode pass already computed
+          val nFrames = math.max(1, math.floorMod(meta.width * 31 + meta.height, 120))
+          Iterator.range(0, nFrames, everyN).take(maxFrames)
+            .map(idx => SampledFrame(id, idx, frameStub(data, idx)))
+        }
+      }
+  }
 }

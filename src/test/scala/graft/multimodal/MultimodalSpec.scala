@@ -54,4 +54,43 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       assert(b.media_id == r.media_id && b.features.sameElements(r.features))
     }
   }
+
+  test("resize: deterministic, bounded payload, dimension stamped") {
+    val r1 = Multimodal.resize(spark, media, "media_id", "data", 32, 24)
+      .collect().sortBy(_.media_id)
+    val r2 = Multimodal.resize(spark, media, "media_id", "data", 32, 24)
+      .collect().sortBy(_.media_id)
+    assert(r1.map(_.media_id).toSeq == Seq(1L, 2L))
+    r1.zip(r2).foreach { case (a, b) => assert(a.data.sameElements(b.data)) }
+    assert(r1.forall(r => r.width == 32 && r.height == 24))
+    // resize-down contract: output never larger than input payload
+    val inLens = media.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).length).toMap
+    assert(r1.forall(r => r.data.length <= inLens(r.media_id) &&
+      r.data.length <= math.max(1, 32 * 24 / 8)))
+    // different target dims → different payloads
+    val other = Multimodal.resize(spark, media, "media_id", "data", 8, 8)
+      .collect().sortBy(_.media_id)
+    assert(!other(1).data.sameElements(r1(1).data))
+  }
+
+  test("frame sampling: stride/cap respected, deterministic frames") {
+    val f = Multimodal.sampleFrames(spark, media, "media_id", "data",
+        everyN = 5, maxFrames = 4)
+      .collect().sortBy(f => (f.media_id, f.frame_idx))
+    assert(f.nonEmpty)
+    // per-media: indexes are 0,5,10,... and at most maxFrames of them
+    f.groupBy(_.media_id).foreach { case (_, frames) =>
+      assert(frames.length <= 4)
+      assert(frames.map(_.frame_idx).toSeq ==
+        frames.indices.map(_ * 5).toSeq)
+    }
+    // deterministic
+    val g = Multimodal.sampleFrames(spark, media, "media_id", "data",
+        everyN = 5, maxFrames = 4)
+      .collect().sortBy(f => (f.media_id, f.frame_idx))
+    f.zip(g).foreach { case (a, b) =>
+      assert(a.media_id == b.media_id && a.frame_idx == b.frame_idx &&
+        a.frame.sameElements(b.frame))
+    }
+  }
 }
