@@ -21,11 +21,61 @@ object Bench {
     // so every measured number is steady-state engine cost.
     locally {
       import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
       spark.range(100).count()
-      val warm = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
-        .select(col("doc_id"),
-          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("f"))
-      warm.groupBy("f").count().orderBy("f").count()
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
+        .localCheckpoint()  // also warms the checkpoint/block-manager path
+      // hash + regex + groupBy + sort machinery
+      docs.select(col("doc_id"),
+          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("f"),
+          crc32(encode(col("text"), "utf-8")).as("c"),
+          sha2(col("text"), 256).as("s"),
+          xxhash64(col("doc_id")).as("x"))
+        .groupBy("f").count().orderBy("f").count()
+      // tokenize + explode + higher-order functions (n-gram/vocab path)
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      docs.select(explode(when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1),
+            i => array_join(slice(toks, i, lit(2)), " ")))
+          .otherwise(array().cast("array<string>"))).as("g"))
+        .groupBy("g").agg(count(lit(1))).count()
+      // window functions + struct collect + sort_array (top-k/BM25 path)
+      docs.select(col("doc_id"), explode(toks).as("t"))
+        .groupBy("t").agg(sort_array(collect_list(struct(col("doc_id")))).as("cs"),
+          count(lit(1)).as("n"))
+        .select(col("t"), col("n"),
+          row_number().over(Window.partitionBy(lit(1)).orderBy(desc("n"), asc("t"))).as("r"))
+        .where(col("r") <= 5).count()
+      // join machinery: one broadcast, one shuffled equi-join
+      val ids = docs.select(col("doc_id"))
+      ids.join(broadcast(ids.limit(10)), "doc_id").count()
+      ids.repartition(col("doc_id"))
+        .join(ids.repartition(col("doc_id")), "doc_id").count()
+      // float-vector kernels over the embeddings table (ANN/dedup path)
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(100)
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("e"))
+      emb.crossJoin(broadcast(emb.limit(2).select(col("e").as("q"))))
+        .select(aggregate(zip_with(col("e"), col("q"), (a, b) => a * b),
+          lit(0.0d), (s, v) => s + v).as("dot"))
+        .agg(sum("dot")).count()
+      // json + timestamp bucketing (events path)
+      spark.range(50)
+        .select(get_json_object(
+            concat(lit("""{"k":"""), col("id").cast("string"), lit("}")), "$.k"),
+          date_trunc("hour", current_timestamp()))
+        .count()
+      // write path: committer + parquet writer + catalog init (first
+      // bucketed saveAsTable otherwise costs ~8s inside a measured query)
+      val wtmp = java.nio.file.Files.createTempDirectory("graft-warm-tbl")
+      ids.limit(10).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .format("parquet").option("path", s"$wtmp/bucketed")
+        .bucketBy(2, "doc_id").sortBy("doc_id").saveAsTable("graft_warm_tbl")
+      spark.table("graft_warm_tbl").count()
+      spark.sql("DROP TABLE IF EXISTS graft_warm_tbl")
+      docs.select(col("doc_id"), pmod(col("doc_id"), lit(2)).as("p"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("p").parquet(s"$wtmp/part")
+      spark.read.parquet(s"$wtmp/part").count()
     }
     // dev aid: SPARK_GRAFT_ONLY=q1,q2 restricts the benchmarked set
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

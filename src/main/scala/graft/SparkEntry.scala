@@ -715,6 +715,48 @@ object SparkEntry {
                 | trim(regexp_extract($page, ${Sql.lit(CaseMetadata.partiesPattern)}, 2)) AS respondent
                 |FROM documents ORDER BY doc_id""".stripMargin)
       }),
+
+    // S6: JSON response sink — the engine-side `jsonify`
+    // (/root/reference/extract_and_search_v2.py:361-376); the oracle
+    // reconstructs Spark's exact `to_json` rendering by concatenation
+    Q("s6_json_sink",
+      (s, dir) => graft.sources.BinaryDocs.jsonResponse(
+        Pipelines.similarCases(s, dir)
+          .select("file_id", "vec_id", "case_decision", "score")),
+      Some(s"""SELECT '{"file_id":' || CAST(file_id AS VARCHAR)
+              | || ',"vec_id":' || CAST(vec_id AS VARCHAR)
+              | || ',"case_decision":"' || case_decision
+              | || '","score":' || CAST(score AS VARCHAR) || '}' AS response
+              |FROM (${Sql.top5AtLevel(3)})""".stripMargin)),
+
+    // X1 + X2: int cast with error handling (ANSI-safe try_cast) and
+    // the .pdf extension predicate, over a fixture mixing valid levels,
+    // an unparsable level, and mixed-case/wrong extensions
+    Q("x_validate",
+      (s, dir) => {
+        val fileName = concat(lit("doc_"), col("doc_id").cast("string"),
+          when(pmod(col("doc_id"), lit(3)) === 0, ".pdf")
+            .when(pmod(col("doc_id"), lit(3)) === 1, ".PDF")
+            .otherwise(".txt"))
+        val levelStr = when(pmod(col("doc_id"), lit(5)) === 4, lit("seven"))
+          .otherwise(pmod(col("doc_id"), lit(4)).cast("string"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), fileName.as("file_name"), levelStr.as("__lvl"))
+          .select(col("doc_id"), col("file_name"),
+            expr("try_cast(__lvl AS INT)").as("court_level"),
+            lower(col("file_name")).endsWith(".pdf").as("is_pdf"))
+          .withColumn("accepted", col("is_pdf") && col("court_level").isNotNull)
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             | 'doc_' || CAST(doc_id AS VARCHAR) ||
+             |   (CASE doc_id % 3 WHEN 0 THEN '.pdf' WHEN 1 THEN '.PDF' ELSE '.txt' END) AS file_name,
+             | TRY_CAST((CASE WHEN doc_id % 5 = 4 THEN 'seven'
+             |   ELSE CAST(doc_id % 4 AS VARCHAR) END) AS INTEGER) AS court_level,
+             | (CASE doc_id % 3 WHEN 0 THEN true WHEN 1 THEN true ELSE false END) AS is_pdf,
+             | ((CASE doc_id % 3 WHEN 0 THEN true WHEN 1 THEN true ELSE false END)
+             |   AND doc_id % 5 <> 4) AS accepted
+             |FROM documents ORDER BY doc_id""".stripMargin)),
   )
 
   // ---------------------------------------------------------------- //
@@ -953,6 +995,54 @@ object SparkEntry {
         .orderBy(desc("cnt"), asc("ngram")).limit(50),
       Some(TextAnalysis.ngramCountsSql("documents", "text", n = 2) +
         " ORDER BY cnt DESC, ngram LIMIT 50")),
+
+    // PII-style scrub: email/URL/digit-run redaction with pre-scrub
+    // audit counts; fixture phrases injected per doc_id (incl. an
+    // ordering probe and a must-not-redact short digit run)
+    Q("text_scrub",
+      (s, dir) => {
+        val t = Enrich.inject(col("text"), col("doc_id"), Enrich.piiPhrases)
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            TextAnalysis.patternCount(t, TextAnalysis.EmailRe).as("n_emails"),
+            TextAnalysis.patternCount(t, TextAnalysis.UrlRe).as("n_urls"),
+            TextAnalysis.patternCount(t, TextAnalysis.LongDigitsRe).as("n_digit_runs"),
+            md5(TextAnalysis.scrub(t)).as("scrubbed_md5"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val t = Enrich.injectSql("text", "doc_id", Enrich.piiPhrases)
+        s"""SELECT doc_id,
+           | ${TextAnalysis.patternCountSql(t, TextAnalysis.EmailRe)} AS n_emails,
+           | ${TextAnalysis.patternCountSql(t, TextAnalysis.UrlRe)} AS n_urls,
+           | ${TextAnalysis.patternCountSql(t, TextAnalysis.LongDigitsRe)} AS n_digit_runs,
+           | md5(${TextAnalysis.scrubSql(t)}) AS scrubbed_md5
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
+    // Repetition signals (Gopher-style): distinct-token ratio and
+    // most-repeated-token share per document
+    Q("text_repetition",
+      (s, dir) => {
+        val r = TextAnalysis.repetitionStats(col("text"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), r.getField("n_tokens").as("n_tokens"),
+            r.getField("n_distinct").as("n_distinct"),
+            r.getField("distinct_ratio").as("distinct_ratio"),
+            r.getField("top_share").as("top_share"))
+          .orderBy("doc_id")
+      },
+      Some(TextAnalysis.repetitionSqlFrom("documents", "doc_id", "text")
+        + " ORDER BY doc_id")),
+
+    // Benchmark-contamination screen: docs sharing any 3-gram with the
+    // probe set (doc_id 0-4 stand in for an eval benchmark)
+    Q("text_decontaminate",
+      (s, dir) => TextAnalysis.contaminationHits(Tables.documents(s, dir),
+          col("doc_id"), col("text"), probeIds = Seq(0L, 1L, 2L, 3L, 4L))
+        .orderBy("doc_id"),
+      Some(TextAnalysis.contaminationSql("documents", "doc_id", "text",
+        probeIds = Seq(0L, 1L, 2L, 3L, 4L)) + " ORDER BY doc_id")),
   )
 
   // ---------------------------------------------------------------- //
@@ -1167,6 +1257,23 @@ object SparkEntry {
               | ${Sql.cosine("e.embedding", "q.q_emb")} AS sim
               |FROM embeddings e, (${Sql.queryVector(0)}) q
               |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // Int8 scalar quantization — the 4×-smaller storage form of the
+    // vector corpus; per-vector symmetric scale, bounded recon error
+    Q("v_quantize_int8",
+      (s, dir) => {
+        val q = graft.vector.Quantize.int8(col("embedding").cast("array<float>"))
+        Tables.embeddings(s, dir)
+          .select(col("vec_id"), q.getField("scale").as("scale"),
+            q.getField("codes").as("codes"),
+            q.getField("recon_err").as("recon_err"))
+          .orderBy("vec_id")
+      },
+      Some {
+        val (scale, codes, err) = graft.vector.Quantize.int8Sql("embedding")
+        s"""SELECT vec_id, $scale AS scale, $codes AS codes, $err AS recon_err
+           |FROM embeddings ORDER BY vec_id""".stripMargin
+      }),
 
     // Hybrid retrieval: reciprocal-rank fusion of the lexical (BM25)
     // and vector (cosine) routes. Each route is a bounded top-50 via

@@ -47,6 +47,21 @@ object Enrich {
     "in the high court cestat matter",
     "")
 
+  /** Scrub-pass fixture (the word-salad corpus contains no emails,
+    * URLs, or digit runs): one phrase per redaction class, one mixing
+    * all three (ordering probe — the email's digits and the URL's
+    * digits must survive as part of their placeholders, not become
+    * `<NUM>`), one with a SHORT digit run that must NOT be redacted,
+    * and a no-op slot.
+    */
+  val piiPhrases: Seq[String] = Seq(
+    "contact alice.smith+tag@example-mail.com for details",
+    "see https://example.com/path?q=123456789 and report back",
+    "account 9876543210 was flagged",
+    "mail bob99@test.org or visit http://foo.example/y8k then cite 112233445566",
+    "only 12345 here",
+    "")
+
   /** Covers C3 branches. */
   val docContextPhrases: Seq[String] = Seq(
     "central excise duty dispute",

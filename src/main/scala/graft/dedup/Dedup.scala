@@ -28,14 +28,17 @@ object Dedup {
   // ---- shingling ------------------------------------------------------
 
   /** Word n-gram shingles. Texts shorter than n words yield one shingle
-    * (their full token run).
+    * (their full token run). The token array is bound to a lambda
+    * variable first — slicing the `split` expression directly inside
+    * the windowing lambda would re-run the tokenizer once per window
+    * position (O(tokens²) regex work; see [[graft.text.TextAnalysis.ngramCounts]]).
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val tokens = split(trim(text), "\\s+")
-    transform(
-      sequence(lit(1), greatest(size(tokens) - (n - 1), lit(1))),
-      i => array_join(slice(tokens, i, lit(n)), " "))
-  }
+  def shingles(text: Column, n: Int = 3): Column =
+    element_at(
+      transform(array(split(trim(text), "\\s+")), tokens =>
+        transform(
+          sequence(lit(1), greatest(size(tokens) - (n - 1), lit(1))),
+          i => array_join(slice(tokens, i, lit(n)), " "))), 1)
 
   def shinglesSql(t: String, n: Int = 3): String = {
     val tokens = s"string_split_regex(trim($t), '\\s+')"

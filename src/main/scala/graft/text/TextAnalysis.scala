@@ -439,17 +439,25 @@ object TextAnalysis {
   /** Word n-gram counts over the corpus — LM training-data statistics
     * (bigram/trigram tables, contamination screens). Pure columnar:
     * tokenize once, window the token array with `transform(sequence)`
-    * + `slice` (all codegen HOFs), explode, one partial-aggregated
-    * count. Documents shorter than `n` contribute nothing.
+    * + `slice`, explode, one partial-aggregated count. Documents
+    * shorter than `n` contribute nothing.
+    *
+    * The token array is BOUND to a lambda variable (via a one-element
+    * `transform`) before the windowing lambda touches it: referencing
+    * the `split` expression directly inside `slice(toks, i, n)` would
+    * re-run the regex tokenizer once per window position — O(tokens²)
+    * regex work per document (measured 10× slowdown at sf0.1).
     */
   def ngramCounts(docs: org.apache.spark.sql.DataFrame, textCol: Column,
                   n: Int): org.apache.spark.sql.DataFrame = {
     require(n >= 2, "n must be at least 2 (token counts cover n = 1)")
     val toks = split(lower(trim(textCol)), "\\s+")
-    val grams = when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => array_join(slice(toks, i, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
+    val grams = element_at(
+      transform(array(toks), t =>
+        when(size(t) >= n,
+          transform(sequence(lit(1), size(t) - (n - 1)),
+            i => array_join(slice(t, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))), 1)
     docs.select(explode(grams).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("cnt"))
   }
@@ -473,4 +481,115 @@ object TextAnalysis {
     md5(regexp_replace(lower(trim(c)), "\\s+", " "))
   def fingerprintSql(t: String): String =
     s"md5(regexp_replace(lower(trim($t)), '\\s+', ' ', 'g'))"
+
+  // ---- scrubbing (PII-style redaction) --------------------------------
+
+  // One pattern string each for BOTH Java regex and RE2 — no
+  // constructs the dialects disagree on (no backrefs, no lookaround,
+  // explicit character classes only).
+  val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val UrlRe = """https?://[^ \t\n\x0B\f\r]+"""
+  val LongDigitsRe = """[0-9]{6,}"""
+
+  /** Redact emails, URLs, and 6+-digit runs to typed placeholders —
+    * the standard pre-training scrub pass. Order matters and is fixed:
+    * emails first (an email is not left for the URL pass to mangle),
+    * then URLs, then digit runs (which would otherwise match digits
+    * inside a not-yet-redacted URL). Narrow codegen'd map over the
+    * scan — constant cost per row at any corpus size.
+    */
+  def scrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        UrlRe, "<URL>"),
+      LongDigitsRe, "<NUM>")
+
+  def scrubSql(t: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace($t,
+       | ${Sql.lit(EmailRe)}, '<EMAIL>', 'g'),
+       | ${Sql.lit(UrlRe)}, '<URL>', 'g'),
+       | ${Sql.lit(LongDigitsRe)}, '<NUM>', 'g')""".stripMargin
+
+  /** Occurrences of `pattern` in `text` (pre-scrub audit counts). */
+  def patternCount(text: Column, pattern: String): Column =
+    regexp_count(text, lit(pattern)).cast("long")
+  def patternCountSql(t: String, pattern: String): String =
+    s"len(regexp_extract_all($t, ${Sql.lit(pattern)}))"
+
+  // ---- repetition signals (Gopher-style curation) ---------------------
+
+  /** Per-document repetition stats over whitespace tokens:
+    * `(n_tokens, n_distinct, distinct_ratio 4dp, top_share 4dp)` as a
+    * struct. `top_share` is the corpus-frequency share of the most
+    * repeated token within the document — the "stuck-in-a-loop"
+    * generation signal. The token array is bound once via the
+    * one-element-transform trick (see [[ngramCounts]]); the inner
+    * count loop is O(distinct × tokens) per row, bounded and
+    * shuffle-free.
+    */
+  def repetitionStats(text: Column): Column = {
+    val stats = transform(array(split(lower(trim(text)), "\\s+")), t => {
+      val counts = transform(array_distinct(t),
+        u => size(filter(t, x => x === u)))
+      struct(
+        size(t).cast("long").as("n_tokens"),
+        size(array_distinct(t)).cast("long").as("n_distinct"),
+        round(size(array_distinct(t)).cast("double") / size(t), 4).as("distinct_ratio"),
+        round(array_max(counts).cast("double") / size(t), 4).as("top_share"))
+    })
+    element_at(stats, 1)
+  }
+
+  /** DuckDB twin of [[repetitionStats]], flattened to select-list
+    * expressions over an alias `t` bound in a subquery.
+    */
+  def repetitionSqlFrom(table: String, idExpr: String, textExpr: String): String =
+    s"""SELECT id AS doc_id,
+       | CAST(len(t) AS BIGINT) AS n_tokens,
+       | CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+       | round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 4) AS distinct_ratio,
+       | round(CAST(list_max(list_transform(list_distinct(t),
+       |   u -> len(list_filter(t, x -> x = u)))) AS DOUBLE) / len(t), 4) AS top_share
+       |FROM (SELECT $idExpr AS id,
+       |  string_split_regex(lower(trim($textExpr)), '$WsClassSql+') AS t
+       |  FROM $table)""".stripMargin
+
+  // ---- contamination screen -------------------------------------------
+
+  /** Benchmark-contamination screen: flag corpus documents sharing any
+    * word `n`-gram with a probe ("benchmark") document set, with the
+    * shared-shingle count per flagged document. The probe side is tiny
+    * by construction (a benchmark, not a corpus) — broadcast to the
+    * corpus-side shingle stream, so the only exchange is the final
+    * per-document count aggregation. Output: (doc_id, n_hits), probe
+    * documents excluded.
+    */
+  def contaminationHits(docs: org.apache.spark.sql.DataFrame, idCol: Column,
+                        textCol: Column, probeIds: Seq[Long],
+                        n: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(probeIds.nonEmpty, "probe set must be non-empty")
+    val sh = docs.select(idCol.cast("long").as("id"),
+      explode(array_distinct(graft.dedup.Dedup.shingles(textCol, n))).as("shingle"))
+    val probes = sh.where(col("id").isin(probeIds: _*))
+      .select("shingle").distinct()
+    sh.where(!col("id").isin(probeIds: _*))
+      .join(broadcast(probes), "shingle")
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** DuckDB twin of [[contaminationHits]]. */
+  def contaminationSql(table: String, idExpr: String, textExpr: String,
+                       probeIds: Seq[Long], n: Int = 3): String = {
+    val ids = probeIds.mkString(", ")
+    s"""WITH sh AS (
+       |  SELECT id, unnest(list_distinct(${graft.dedup.Dedup.shinglesSql(textExpr, n)})) AS shingle
+       |  FROM (SELECT $idExpr AS id, $textExpr FROM $table)),
+       |probes AS (SELECT DISTINCT shingle FROM sh WHERE id IN ($ids))
+       |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_hits
+       |FROM sh JOIN probes USING (shingle)
+       |WHERE id NOT IN ($ids)
+       |GROUP BY 1""".stripMargin
+  }
 }
