@@ -105,4 +105,33 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     val aggs = "HashAggregate".r.findAllIn(plan).size
     assert(aggs >= 2, s"expected partial+final HashAggregate pair:\n$plan")
   }
+
+  test("curation column passes are shuffle-free narrow maps over the scan") {
+    // scrub, repetition, and quantization must stay single-stage:
+    // a shuffle in a per-row column op would be pure overhead at 100 TB
+    val scrub = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.scrub(col("text")))
+    val rep = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.repetitionStats(col("text")))
+    val quant = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        graft.vector.Quantize.int8(col("embedding").cast("array<float>")))
+    Seq("scrub" -> scrub, "repetition" -> rep, "quantize" -> quant)
+      .foreach { case (name, df) =>
+        val plan = executed(df)
+        assert(!plan.contains("Exchange"),
+          s"$name introduced a shuffle:\n$plan")
+      }
+  }
+
+  test("contamination screen: probe side broadcasts, corpus side never exchanges pre-join") {
+    val df = TextAnalysis.contaminationHits(
+      Tables.documents(spark, dir), col("doc_id"), col("text"),
+      probeIds = Seq(0L, 1L, 2L))
+    val plan = executed(df)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"probe set must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side shuffle join defeats the broadcast design:\n$plan")
+  }
 }
