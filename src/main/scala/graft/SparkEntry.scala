@@ -1472,6 +1472,49 @@ object SparkEntry {
               |  ON k.fp = g.fp AND k.doc_id = g.doc_id
               |ORDER BY k.doc_id""".stripMargin)),
 
+    // The full training-data preparation pipeline as ONE declarative
+    // plan: scrub-fingerprint dedup keeper + quality floor + token
+    // band + repetition gates + deterministic hash split. Narrow maps
+    // throughout except the fingerprint keeper aggregation — the
+    // composed 100 TB curation job a training run actually submits.
+    Q("pipeline_training_data",
+      (s, dir) => {
+        val d = TextAnalysis.docStats(col("text"))
+        val r = TextAnalysis.repetitionStats(col("text"))
+        val scored = Tables.documents(s, dir).select(col("doc_id"),
+          TextAnalysis.qualityScoreF(d, length(col("text"))).as("quality"),
+          TextAnalysis.nTokensWsF(d).as("ntok"),
+          r.getField("distinct_ratio").as("distinct_ratio"),
+          r.getField("top_share").as("top_share"),
+          TextAnalysis.fingerprint(TextAnalysis.scrub(col("text"))).as("fp"))
+        val kept = scored.where(col("quality") >= 0.5 &&
+          col("ntok").between(5, 2000) &&
+          col("distinct_ratio") >= 0.35 && col("top_share") <= 0.25)
+        val keepers = kept.groupBy("fp").agg(min("doc_id").as("doc_id"))
+        Splits.assignByHash(
+            kept.join(keepers, Seq("fp", "doc_id"), "left_semi"),
+            col("doc_id"))
+          .select("doc_id", "split", "quality", "distinct_ratio", "ntok")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH rep AS (${TextAnalysis.repetitionSqlFrom("documents", "doc_id", "text")}),
+              |scored AS (
+              |  SELECT d.doc_id,
+              |    ${TextAnalysis.qualityScoreSql("d.text")} AS quality,
+              |    ${TextAnalysis.nTokensWsSql("d.text")} AS ntok,
+              |    r.distinct_ratio, r.top_share,
+              |    ${TextAnalysis.fingerprintSql(TextAnalysis.scrubSql("d.text"))} AS fp
+              |  FROM documents d JOIN rep r USING (doc_id)),
+              |kept AS (SELECT * FROM scored
+              |  WHERE quality >= 0.5 AND ntok BETWEEN 5 AND 2000
+              |    AND distinct_ratio >= 0.35 AND top_share <= 0.25)
+              |SELECT k.doc_id, ${Splits.assignByHashSql("k.doc_id")} AS split,
+              |  k.quality, k.distinct_ratio, k.ntok
+              |FROM kept k
+              |JOIN (SELECT fp, min(doc_id) AS doc_id FROM kept GROUP BY 1) g
+              |  ON k.fp = g.fp AND k.doc_id = g.doc_id
+              |ORDER BY k.doc_id""".stripMargin)),
+
     // §3.2 ingest: documents → classify → chunk → embed → chunk table.
     // chunk_id (partition-dependent auto-id) is excluded from the
     // output so the result is deterministic under any parallelism.

@@ -43,10 +43,24 @@ object BinaryDocs {
     }.mkString("\n")
   }
 
+  /** The (stubbed) parser entry point shared by the batch scan and the
+    * streaming drop-directory source ([[graft.streaming.StreamingIngest.pdfStream]]).
+    */
+  def extractText(data: Array[Byte]): String = extractStub(data)
+
+  /** One extracted row: reference file key (F3,
+    * `extract_and_embed.py:95` — `sha256(file_name)`) + stub-parsed text.
+    */
+  def toDoc(name: String, len: Long, bytes: Array[Byte]): ExtractedDoc =
+    ExtractedDoc(name,
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(name.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString,
+      len, extractText(bytes))
+
   /** Scan a directory of PDFs into extracted-document rows.
-    * `file_id = sha256(file_name)` reproduces the reference's document
-    * key (F3, `extract_and_embed.py:95`). Zero-length files yield no
-    * row (binaryFile emits no split for them).
+    * Zero-length files yield no row (binaryFile emits no split for
+    * them).
     */
   def scanPdfDir(spark: SparkSession, dir: String,
                  glob: String = "*.pdf"): Dataset[ExtractedDoc] = {
@@ -61,13 +75,7 @@ object BinaryDocs {
       .as[(String, Long, Array[Byte])]
       .mapPartitions { rows =>
         // a real parser initializes HERE, once per task
-        rows.map { case (name, len, bytes) =>
-          ExtractedDoc(name,
-            java.security.MessageDigest.getInstance("SHA-256")
-              .digest(name.getBytes("UTF-8"))
-              .map("%02x".format(_)).mkString,
-            len, extractStub(bytes))
-        }
+        rows.map { case (name, len, bytes) => toDoc(name, len, bytes) }
       }
   }
 

@@ -23,6 +23,39 @@ object StreamingIngest {
                      schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(inputDir)
 
+  /** Streaming source over a drop directory of PDFs — the reference's
+    * upload endpoint (S3) as a tailed directory of binary files. Each
+    * new file becomes one extracted-document row via the same
+    * per-partition (stubbed) extractor as the batch
+    * [[graft.sources.BinaryDocs]] scan; `maxFilesPerTrigger` bounds
+    * per-batch work so a backlogged drop directory drains in steady
+    * increments instead of one giant micro-batch.
+    */
+  def pdfStream(spark: SparkSession, inputDir: String,
+                maxFilesPerTrigger: Int = 100): DataFrame = {
+    import spark.implicits._
+    // binaryFile's schema is fixed by the format, but the streaming
+    // source requires it stated explicitly
+    val binarySchema = StructType.fromDDL(
+      "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+    spark.readStream.format("binaryFile")
+      .schema(binarySchema)
+      .option("pathGlobFilter", "*.pdf")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(inputDir)
+      .select(
+        element_at(split(col("path"), "/"), -1).as("file_name"),
+        col("length").as("n_bytes"),
+        col("content"))
+      .as[(String, Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (name, len, bytes) =>
+          graft.sources.BinaryDocs.toDoc(name, len, bytes)
+        }
+      }
+      .toDF()
+  }
+
   /** One streamed chunk row carrying its document-level attributes. */
   final case class StreamChunk(key: String, chunk_idx: Int, chunk_text: String,
                                court_level: Int, case_decision: String)

@@ -37,6 +37,33 @@ class StreamingIngestSpec extends AnyFunSuite with SparkSpec {
     assert(result.select("embedding").collect().forall(_.getSeq[Float](0).length == 8))
   }
 
+  test("pdf drop directory streams extracted docs, batch == stream extraction") {
+    import spark.implicits._
+    val in  = Files.createTempDirectory("graft-pdf-stream-in")
+    val out = Files.createTempDirectory("graft-pdf-stream-out").toString
+    val ckp = Files.createTempDirectory("graft-pdf-stream-ckp").toString
+    Files.write(in.resolve("u1.pdf"), Array.fill[Byte](300)(3))
+    Files.write(in.resolve("u2.pdf"), "tiny".getBytes("UTF-8"))
+    Files.write(in.resolve("skip.txt"), "nope".getBytes("UTF-8"))
+
+    val q = StreamingIngest.pdfStream(spark, in.toString)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+
+    val streamed = spark.read.parquet(out)
+      .select("file_name", "file_id", "n_bytes", "text")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    val batch = graft.sources.BinaryDocs.scanPdfDir(spark, in.toString)
+      .collect().map(d => (d.file_name, d.file_id, d.n_bytes, d.text))
+      .sortBy(_._1)
+    assert(streamed.map(_._1).toSeq == Seq("u1.pdf", "u2.pdf"))
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("watermarked windowed counts bucket events into 10-minute windows") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
