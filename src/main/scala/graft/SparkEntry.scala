@@ -604,6 +604,26 @@ object SparkEntry {
               |  FROM orders)
               |WHERE rn <= 5 ORDER BY o_orderpriority, o_orderkey""".stripMargin)),
 
+    // Domain-mixture downsampling: per-source keep rates decided by
+    // each row's own hash — pure filter, no shuffle, the 100 TB
+    // recipe-mixing route; unlisted sources drop to rate 0
+    Q("q_sample_mixture",
+      (s, dir) => {
+        val rates = Map("src0" -> 100, "src1" -> 60, "src2" -> 30,
+          "src3" -> 0, "src4" -> 85)
+        graft.operators.Sampling.mixtureSample(Tables.documents(s, dir),
+            col("source"), col("doc_id"), rates, salt = "mix1")
+          .select(col("doc_id"), col("source"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val rates = Map("src0" -> 100, "src1" -> 60, "src2" -> 30,
+          "src3" -> 0, "src4" -> 85)
+        s"""SELECT doc_id, source FROM documents
+           |WHERE ${graft.operators.Sampling.mixtureSampleSql("source", "doc_id", rates, "mix1")}
+           |ORDER BY doc_id""".stripMargin
+      }),
+
     // FULL OUTER join: per-customer counts of open vs finished orders —
     // customers with only one kind populate exactly one side
     Q("q_full_outer",

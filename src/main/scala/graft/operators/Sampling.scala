@@ -60,4 +60,42 @@ object Sampling {
       .where(col("__rn") <= nPer)
       .drop("__rn")
   }
+
+  /** Deterministic DOMAIN-MIXTURE downsampling: keep each row with its
+    * group's rate (percent, 0–100), decided by the row's own hash —
+    * the "mix web at 30%, books at 100%, code at 60%" pass of a
+    * training-data recipe. A pure per-row projection + filter: no
+    * window, no shuffle, no per-group state — THE mixture route at
+    * 100 TB (rates are approximate per group, error O(1/√n); use
+    * [[sampleNPerGroup]] when a stratum needs an exact count).
+    *
+    * The decision reuses the first 8 hex chars of the sha256 rank key
+    * as a uniform draw in [0, 2^32): `draw * 100 < rate * 2^32` keeps
+    * exactly the rate fraction of hash space, with no float rounding
+    * at the boundary. Unknown groups (no rate given) default to 0 —
+    * curation recipes enumerate their domains explicitly.
+    */
+  def mixtureSample(df: DataFrame, groupCol: Column, idCol: Column,
+                    ratesPct: Map[String, Int],
+                    salt: String = "graft"): DataFrame = {
+    require(ratesPct.nonEmpty, "ratesPct must be non-empty")
+    require(ratesPct.values.forall(r => r >= 0 && r <= 100),
+      s"rates must be 0..100 percent: $ratesPct")
+    val rate = ratesPct.foldLeft(lit(0): Column) { case (acc, (g, r)) =>
+      when(groupCol === g, lit(r)).otherwise(acc)
+    }
+    val draw = conv(substring(hashKey(idCol, salt), 1, 8), 16, 10).cast("long")
+    df.where(draw * 100L < rate.cast("long") * 4294967296L)
+  }
+
+  /** DuckDB twin of [[mixtureSample]]'s keep-predicate. */
+  def mixtureSampleSql(groupExpr: String, idExpr: String,
+                       ratesPct: Map[String, Int],
+                       salt: String = "graft"): String = {
+    val cases = ratesPct.map { case (g, r) =>
+      s"WHEN ${graft.oracle.Sql.lit(g)} THEN $r"
+    }.mkString(" ")
+    s"""(CAST(('0x' || substring(${hashKeySql(idExpr, salt)}, 1, 8)) AS UBIGINT) * 100
+       | < (CASE $groupExpr $cases ELSE 0 END) * 4294967296)""".stripMargin
+  }
 }

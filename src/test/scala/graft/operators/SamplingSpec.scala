@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class SamplingSpec extends AnyFunSuite with SparkSpec {
+
+  private def corpus = {
+    import spark.implicits._
+    (0L until 1000L).map(i => (i, s"g${i % 4}")).toDF("id", "grp")
+  }
+
+  test("sampleN: deterministic, partitioning-independent") {
+    val a = Sampling.sampleN(corpus, col("id"), 50).collect().map(_.getLong(0)).sorted
+    val b = Sampling.sampleN(corpus.repartition(13), col("id"), 50)
+      .collect().map(_.getLong(0)).sorted
+    assert(a.length == 50 && a.sameElements(b))
+    // a different salt redraws the sample
+    val c = Sampling.sampleN(corpus, col("id"), 50, salt = "other")
+      .collect().map(_.getLong(0)).sorted
+    assert(!a.sameElements(c))
+  }
+
+  test("sampleNPerGroup: exact per-group counts, short groups kept whole") {
+    import spark.implicits._
+    val withTiny = corpus.union(Seq((9999L, "tiny")).toDF("id", "grp"))
+    val out = Sampling.sampleNPerGroup(withTiny, col("grp"), col("id"), nPer = 7)
+      .groupBy("grp").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("g0" -> 7L, "g1" -> 7L, "g2" -> 7L, "g3" -> 7L, "tiny" -> 1L))
+  }
+
+  test("mixtureSample: rates respected within tolerance, zero/unknown drop") {
+    val rates = Map("g0" -> 100, "g1" -> 50, "g2" -> 0)
+    val kept = Sampling.mixtureSample(corpus, col("grp"), col("id"), rates)
+      .groupBy("grp").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("g0") == 250L)                    // rate 100 keeps all
+    assert(!kept.contains("g2"))                  // rate 0 drops all
+    assert(!kept.contains("g3"))                  // unlisted defaults to 0
+    // 250 rows at 50%: binomial(250, .5) stays within ±4σ ≈ ±32
+    assert(math.abs(kept("g1") - 125L) <= 32, s"g1 kept ${kept("g1")}")
+  }
+
+  test("mixtureSample: deterministic and a pure narrow filter (no shuffle)") {
+    val rates = Map("g0" -> 40, "g1" -> 70)
+    val df = Sampling.mixtureSample(corpus, col("grp"), col("id"), rates)
+    val a = df.collect().map(_.getLong(0)).sorted
+    val b = Sampling.mixtureSample(corpus.repartition(7), col("grp"), col("id"), rates)
+      .collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b))
+    df.collect()
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+      "mixture sampling must not shuffle")
+  }
+}
