@@ -216,6 +216,37 @@ object Dedup {
        |WHERE jaccard >= $minJaccard""".stripMargin
   }
 
+  /** Inverted-index twin of [[ngramJaccardPairsSql]]: identical output
+    * for any `minJaccard > 0` (pairs sharing no shingle have Jaccard 0
+    * and cannot pass), identical floor-truncated-4dp rounding, but the
+    * join fans out per shared shingle instead of materializing all
+    * O(n²) pairs — minutes-to-subsecond on the sf0.01 oracle corpus.
+    * The ALL-PAIRS form stays the oracle for `dedup_ngram_jaccard`
+    * itself (it independently validates this very rewrite); queries
+    * that only consume the edge set (clustering, MinHash-verified)
+    * use this one.
+    */
+  def ngramJaccardPairsIndexedSql(table: String, idExpr: String,
+                                  textExpr: String, n: Int = 3,
+                                  minJaccard: Double = 0.5): String = {
+    require(minJaccard > 0.0,
+      "indexed form requires a positive threshold (zero-overlap pairs are never generated)")
+    val sh = shinglesSql(textExpr, n)
+    s"""SELECT id_a, id_b, jaccard FROM (
+       | SELECT id_a, id_b,
+       |   (floor((c / greatest(na + nb - c, 1)::DOUBLE) * 10000.0) / 10000.0) AS jaccard
+       | FROM (
+       |   SELECT a.id AS id_a, b.id AS id_b,
+       |     any_value(a.n) AS na, any_value(b.n) AS nb, count(*) AS c
+       |   FROM (SELECT id, len(sh) AS n, unnest(sh) AS shingle
+       |         FROM (SELECT $idExpr AS id, list_distinct($sh) AS sh FROM $table)) a
+       |   JOIN (SELECT id, len(sh) AS n, unnest(sh) AS shingle
+       |         FROM (SELECT $idExpr AS id, list_distinct($sh) AS sh FROM $table)) b
+       |     ON a.shingle = b.shingle AND a.id < b.id
+       |   GROUP BY 1, 2))
+       |WHERE jaccard >= $minJaccard""".stripMargin
+  }
+
   /** Exact n-gram Jaccard pairs with prefix filtering (the PPJoin
     * family's position-free prefix filter, public literature): order
     * each document's shingles by ascending global document frequency
