@@ -26,10 +26,19 @@ object Bucketing {
   /** Write `df` as an external parquet table bucketed and sorted by
     * `key`. The table name lands in the session catalog; data lives
     * under `path`.
+    *
+    * The pre-write `repartition(numBuckets, key)` uses the SAME
+    * Murmur3-mod-buckets assignment as the bucketed writer, so each
+    * task holds exactly one bucket and each bucket lands as ONE file.
+    * Without it every upstream task writes a sliver of every bucket —
+    * tasks × buckets small files, metadata-bound at any scale (the
+    * small-file problem). Size `numBuckets` so one bucket ≈ 100 MB–1 GB
+    * and this repartition is also the right write parallelism.
     */
   def writeBucketed(df: DataFrame, table: String, path: String,
                     key: String, numBuckets: Int): Unit =
-    df.write.mode(SaveMode.Overwrite)
+    df.repartition(numBuckets, org.apache.spark.sql.functions.col(key))
+      .write.mode(SaveMode.Overwrite)
       .format("parquet")
       .option("path", path)
       .bucketBy(numBuckets, key)
