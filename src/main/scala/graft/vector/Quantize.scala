@@ -25,6 +25,11 @@ object Quantize {
     * float-array column. The input array is bound to a lambda variable
     * (and the derived scale to an inner one) so each is evaluated once
     * per row regardless of how many lambdas reference it.
+    *
+    * The emitted scale is rounded to 8dp for cross-engine float
+    * stability, which floors the usable magnitude: a vector whose
+    * max |x| is below ~1.3e-6 stores scale 0. Embedding vectors are
+    * unit-order; renormalize first if quantizing raw activations.
     */
   def int8(emb: Column): Column =
     element_at(

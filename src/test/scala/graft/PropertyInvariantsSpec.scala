@@ -126,4 +126,36 @@ class PropertyInvariantsSpec extends AnyFunSuite with SparkSpec {
       col("embedding"), 0.2, numBlocks = 5))
     assert(blocked == exact)
   }
+
+  test("mixture sampling is monotone in the rate: raising a rate only adds rows") {
+    import spark.implicits._
+    val rnd = new Random(31)
+    val docs = (0L until 400L).map(i => (i, s"d${rnd.nextInt(3)}")).toDF("id", "grp")
+    def kept(rate: Int): Set[Long] =
+      graft.operators.Sampling.mixtureSample(docs, col("grp"), col("id"),
+        Map("d0" -> rate, "d1" -> 50, "d2" -> 50))
+        .where(col("grp") === "d0").collect().map(_.getLong(0)).toSet
+    val samples = Seq(0, 20, 40, 60, 80, 100).map(kept)
+    samples.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(lo.subsetOf(hi), "raising the rate must only add rows")
+    }
+    assert(samples.head.isEmpty && samples.last.size == docs
+      .where(col("grp") === "d0").count())
+  }
+
+  test("int8 quantization on random vectors: round-trip error within scale/2 at any magnitude") {
+    import spark.implicits._
+    val rnd = new Random(77)
+    // magnitudes spanning 6 orders — the per-vector scale must adapt
+    val vecs = (0 until 40).map { i =>
+      val mag = math.pow(10.0, (i % 7) - 3).toFloat
+      Seq.fill(12)((rnd.nextFloat() * 2 - 1) * mag)
+    }.toDF("e")
+    val rows = vecs.select(graft.vector.Quantize.int8(
+        col("e").cast("array<float>")).as("q"))
+      .select("q.scale", "q.recon_err").collect()
+    rows.foreach { r =>
+      assert(r.getDouble(1) <= r.getDouble(0) / 2 + 5e-7)
+    }
+  }
 }
