@@ -647,6 +647,29 @@ object SparkEntry {
              |      WHERE o_orderstatus = 'F' GROUP BY 1) b
              |ON a.o_custkey = b.o_custkey
              |ORDER BY 1""".stripMargin)),
+
+    // Global running total + global row number WITHOUT the
+    // single-partition window (operators/Prefix.scala: range-partition
+    // → per-bucket partials → tiny exclusive prefix → broadcast
+    // offsets back). The oracle computes the same totals with the
+    // serial window form — route equivalence. Integer values keep the
+    // two-phase re-association exact.
+    Q("q_cumsum_scalable",
+      (s, dir) => {
+        val base = Tables.orders(s, dir).select(col("o_orderkey"),
+          floor(col("o_totalprice")).cast("long").as("price_i"))
+        graft.operators.Prefix.withRowNumber(
+            graft.operators.Prefix.withCumSum(base,
+              col("price_i"), "cum_price", col("o_orderkey")),
+            "gidx", col("o_orderkey"))
+          .select(col("o_orderkey"), col("price_i"), col("cum_price"), col("gidx"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) AS price_i,
+             | CAST(sum(CAST(floor(o_totalprice) AS BIGINT))
+             |   OVER (ORDER BY o_orderkey) AS BIGINT) AS cum_price,
+             | CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS gidx
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
   )
 
   // ---------------------------------------------------------------- //
@@ -1063,6 +1086,24 @@ object SparkEntry {
         .orderBy("doc_id"),
       Some(TextAnalysis.contaminationSql("documents", "doc_id", "text",
         probeIds = Seq(0L, 1L, 2L, 3L, 4L)) + " ORDER BY doc_id")),
+
+    // Paragraph-level corpus dedup (CCNet-style): corpus-wide repeated
+    // paragraphs dropped, first occurrence kept, documents reassembled
+    // in paragraph order. Fixture plants a universal header, per-block
+    // shared footers, and all-boilerplate documents (doc_id % 11 == 0,
+    // whose clean_text must come back empty).
+    Q("text_paragraph_dedup",
+      (s, dir) => TextAnalysis.paragraphDedup(Tables.documents(s, dir),
+          col("doc_id"), Enrich.boilerplated(col("text"), col("doc_id")))
+        .select(col("id").as("doc_id"), col("n_paras"), col("n_kept"),
+          length(col("clean_text")).as("clean_len"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT id AS doc_id, n_paras, n_kept,
+              | length(clean_text) AS clean_len, md5(clean_text) AS clean_md5
+              |FROM (${TextAnalysis.paragraphDedupSql("documents", "doc_id",
+                 Enrich.boilerplatedSql("text", "doc_id"))})
+              |ORDER BY doc_id""".stripMargin)),
   )
 
   // ---------------------------------------------------------------- //
@@ -1537,6 +1578,39 @@ object SparkEntry {
               |JOIN (SELECT fp, min(doc_id) AS doc_id FROM kept GROUP BY 1) g
               |  ON k.fp = g.fp AND k.doc_id = g.doc_id
               |ORDER BY k.doc_id""".stripMargin)),
+
+    // Token-budget sequence packing for a pre-training loader:
+    // documents shuffled deterministically (sha256 mix key), laid out
+    // by cumulative token offset, and cut into 2048-token sequences —
+    // all through the scalable two-phase prefix sum (no global
+    // window). The oracle recomputes the layout with the serial
+    // window-cumsum form; integer token counts make both exact.
+    Q("pipeline_seq_pack",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"),
+          TextAnalysis.nTokensWs(col("text")).as("ntok"),
+          sha2(concat(lit("pack:"), col("doc_id").cast("string")), 256).as("mix"))
+        graft.operators.Prefix.packSequences(docs, col("ntok"),
+            budget = 2048L, col("mix"), col("doc_id"))
+          .groupBy("seq_id")
+          .agg(count(lit(1)).as("n_docs"), sum("ntok").as("seq_tokens"),
+            min("start_off").as("first_off"))
+          .orderBy("seq_id")
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, ${TextAnalysis.nTokensWsSql("text")} AS ntok,
+              |    sha256('pack:' || CAST(doc_id AS VARCHAR)) AS mix
+              |  FROM documents),
+              |laid AS (
+              |  SELECT doc_id, ntok,
+              |    CAST(sum(ntok) OVER (ORDER BY mix, doc_id) AS BIGINT) - ntok
+              |      AS start_off
+              |  FROM toks)
+              |SELECT CAST(floor(start_off / 2048) AS BIGINT) AS seq_id,
+              |  CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(ntok) AS BIGINT) AS seq_tokens,
+              |  min(start_off) AS first_off
+              |FROM laid GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // §3.2 ingest: documents → classify → chunk → embed → chunk table.
     // chunk_id (partition-dependent auto-id) is excluded from the

@@ -105,6 +105,33 @@ object Enrich {
   private def blockIdSql(keyExpr: String): String =
     s"CAST(floor(($keyExpr) / 70.0) AS BIGINT)"
 
+  /** Paragraph-dedup fixture: lays every document out as four
+    * paragraphs — a corpus-wide boilerplate header (duplicated in
+    * EVERY document: the nav-bar/cookie-banner case), a unique body
+    * slice, a per-block shared footer (duplicated within each ~70-doc
+    * [[blockId]] block), and a second unique body slice. Documents
+    * `key % 11 == 0` additionally consist ONLY of boilerplate (header
+    * + footer), exercising the every-paragraph-dropped branch.
+    */
+  def boilerplated(text: Column, key: Column): Column = {
+    val header = lit("subscribe to our newsletter for the latest updates")
+    val footer = concat(lit("shared footer block "), blockId(key).cast("string"))
+    when(pmod(key, lit(11)) === 0, concat_ws("\n\n", header, footer))
+      .otherwise(concat_ws("\n\n",
+        header, substring(text, 1, 150), footer,
+        substring(text, 151, 100000)))
+  }
+
+  def boilerplatedSql(textExpr: String, keyExpr: String): String = {
+    val sep = "chr(10)||chr(10)"
+    val header = "'subscribe to our newsletter for the latest updates'"
+    val footer = s"'shared footer block ' || CAST(${blockIdSql(keyExpr)} AS VARCHAR)"
+    s"""CASE WHEN ($keyExpr) % 11 = 0
+       | THEN concat_ws($sep, $header, $footer)
+       | ELSE concat_ws($sep, $header, substr($textExpr, 1, 150), $footer,
+       |        substr($textExpr, 151, 100000)) END""".stripMargin
+  }
+
   def dedupContent(text: Column, key: Column): Column =
     when(pmod(key, lit(7)) === 0,
       concat(lit("dup block exact "), blockId(key).cast("string"),

@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Training-shard export layout — the sink end of a data pipeline.
+  *
+  * A pre-training loader consumes the corpus as a flat list of shard
+  * files and streams each shard sequentially; what matters at 100 TB
+  * is (a) shards of bounded, roughly-equal size (loader parallelism =
+  * shard count; one 2 TB straggler file serializes the epoch tail),
+  * (b) a deterministic global document order baked into the layout
+  * (reshuffling 100 TB per epoch is not an option — the mix order is
+  * decided once, at export), and (c) no driver-side choke point in the
+  * writer. The reference has no batch export at all (its sink is a
+  * per-request Milvus insert, /root/reference/extract_and_embed.py:121);
+  * this is north-star extension surface.
+  */
+object Layout {
+
+  /** Write `df` as `numShards` range-partitioned parquet shards laid
+    * out in global `order` (pass a sha256 mix key for a deterministic
+    * shuffle, or a curriculum score for ordered training). Each output
+    * task writes one contiguous slice of the global order, rows sorted
+    * within it, and `maxRecordsPerFile` caps file size so a skewed
+    * range boundary degrades into extra files, never a straggler.
+    *
+    * Entirely executor-side: one range exchange, then parallel writes
+    * — nothing but boundary sampling ever touches the driver.
+    */
+  def writeShards(df: DataFrame, path: String, numShards: Int,
+                  maxRecordsPerFile: Long, order: Column*): Unit = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    require(maxRecordsPerFile > 0,
+      s"maxRecordsPerFile must be positive, got $maxRecordsPerFile")
+    df.repartitionByRange(numShards, order: _*)
+      .sortWithinPartitions(order: _*)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+  }
+
+  /** Shard manifest for the written layout: one row per file with its
+    * row count — what a loader uses to plan an epoch (and the export
+    * job's audit trail). Derived from the files themselves, so it is
+    * correct even after `maxRecordsPerFile` splits a range partition.
+    */
+  def manifest(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"))
+}

@@ -482,6 +482,73 @@ object TextAnalysis {
   def fingerprintSql(t: String): String =
     s"md5(regexp_replace(lower(trim($t)), '\\s+', ' ', 'g'))"
 
+  // ---- paragraph-level corpus dedup (CCNet-style) ----------------------
+
+  /** Drop repeated paragraphs corpus-wide, keeping each paragraph's
+    * globally-first occurrence — the CCNet/Gopher boilerplate pass
+    * (nav bars, cookie banners, shared footers appear in thousands of
+    * documents; document-level dedup never sees them). Paragraphs
+    * follow the reference's F1 semantics (split on blank line, trim,
+    * drop empties — /root/reference/extract_and_embed.py:63); the
+    * dedup key is the whitespace-normalized [[fingerprint]]; "first"
+    * is the global (id, paragraph-index) order, so the output is
+    * deterministic under any partitioning.
+    *
+    * Returns one row per document: `id`, `n_paras` (non-empty
+    * paragraphs in), `n_kept`, and `clean_text` (the kept paragraphs
+    * re-joined with blank lines in original order; empty string when
+    * every paragraph was a repeat).
+    *
+    * Scale shape: one shuffle on the paragraph fingerprint (the
+    * first-occurrence window — parallel across fingerprints) and one
+    * on the document id (the reassembly aggregate). Both keys are
+    * high-cardinality, so neither collapses; no corpus-sized state
+    * anywhere.
+    */
+  def paragraphDedup(docs: org.apache.spark.sql.DataFrame, id: Column,
+                     text: Column): org.apache.spark.sql.DataFrame = {
+    val paras = docs
+      .select(id.as("id"), posexplode(split(text, "\n\n")).as(Seq("idx", "para0")))
+      .select(col("id"), col("idx"), trim(col("para0")).as("para"))
+      .where(length(col("para")) > 0)
+      .withColumn("fp", fingerprint(col("para")))
+    val firstSeen = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("id"), col("idx"))
+    paras.withColumn("__rn", row_number().over(firstSeen))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__rn") === 1,
+              struct(col("idx"), col("para"))))),
+            x => x.getField("para")),
+          "\n\n").as("clean_text"))
+  }
+
+  /** DuckDB twin of [[paragraphDedup]]: lockstep unnest for the
+    * paragraph index, the same first-occurrence window, ordered
+    * string_agg for the reassembly.
+    */
+  def paragraphDedupSql(table: String, idExpr: String, textExpr: String): String =
+    s"""WITH exploded AS (
+       |  SELECT id, unnest(range(0, len(ps))) AS idx, unnest(ps) AS para0
+       |  FROM (SELECT $idExpr AS id,
+       |          string_split($textExpr, chr(10)||chr(10)) AS ps
+       |        FROM $table)),
+       |paras AS (
+       |  SELECT id, idx, trim(para0) AS para,
+       |    ${fingerprintSql("trim(para0)")} AS fp
+       |  FROM exploded WHERE length(trim(para0)) > 0),
+       |flagged AS (
+       |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY id, idx) AS rn
+       |  FROM paras)
+       |SELECT id, CAST(count(*) AS BIGINT) AS n_paras,
+       |  CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+       |  coalesce(string_agg(para, chr(10)||chr(10) ORDER BY idx)
+       |             FILTER (WHERE rn = 1), '') AS clean_text
+       |FROM flagged GROUP BY id""".stripMargin
+
   // ---- scrubbing (PII-style redaction) --------------------------------
 
   // One pattern string each for BOTH Java regex and RE2 — no

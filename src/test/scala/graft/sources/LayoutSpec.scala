@@ -1,0 +1,73 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class LayoutSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def freshDir() =
+    Files.createTempDirectory("graft-layout").toString
+
+  private val docs = (0L until 1000L)
+    .map(i => (i, s"doc body $i", sha256Hex(s"mix:$i")))
+    .toDF("doc_id", "text", "mix")
+
+  private def sha256Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("round-trip preserves content exactly") {
+    val dir = freshDir()
+    Layout.writeShards(docs, dir, numShards = 4,
+      maxRecordsPerFile = 1000L, col("mix"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 1000L)
+    assert(back.orderBy("doc_id").collect().toSeq ===
+      docs.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("maxRecordsPerFile bounds every file; manifest counts add up") {
+    val dir = freshDir()
+    Layout.writeShards(docs, dir, numShards = 3,
+      maxRecordsPerFile = 100L, col("mix"))
+    val m = Layout.manifest(spark, dir).collect()
+    assert(m.map(_.getAs[Long]("n_rows")).sum === 1000L)
+    assert(m.forall(_.getAs[Long]("n_rows") <= 100L),
+      s"oversized shard in ${m.mkString(", ")}")
+    // 1000 rows / 100-row cap → at least 10 files
+    assert(m.length >= 10)
+  }
+
+  test("shards tile the global mix order: file key ranges are disjoint") {
+    val dir = freshDir()
+    Layout.writeShards(docs, dir, numShards = 5,
+      maxRecordsPerFile = 1000L, col("mix"))
+    val ranges = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(min("mix").as("lo"), max("mix").as("hi"))
+      .collect()
+      .map(r => (r.getAs[String]("lo"), r.getAs[String]("hi")))
+      .sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hiA), (loB, _)) =>
+        assert(hiA < loB, s"overlapping shard ranges: $hiA vs $loB")
+      case _ =>
+    }
+  }
+
+  test("invalid arguments are rejected") {
+    intercept[IllegalArgumentException] {
+      Layout.writeShards(docs, freshDir(), numShards = 0,
+        maxRecordsPerFile = 10L, col("mix"))
+    }
+    intercept[IllegalArgumentException] {
+      Layout.writeShards(docs, freshDir(), numShards = 1,
+        maxRecordsPerFile = 0L, col("mix"))
+    }
+  }
+}
