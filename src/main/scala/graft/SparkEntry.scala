@@ -910,6 +910,40 @@ object SparkEntry {
                 |FROM documents ORDER BY doc_id""".stripMargin)
       }),
 
+    // Gopher quality rules (Rae et al. 2021 §A1.1) over a fixture that
+    // exercises each rule's failure mode (api/Enrich.gopherContent):
+    // word-count band, mean word length, symbol ratio, bullet/ellipsis
+    // line fractions, alpha-word fraction, required stopwords. Pure
+    // narrow columnar pass — the 100 TB shape is a filter on `keep`.
+    Q("text_gopher_rules",
+      (s, dir) => {
+        val t = Enrich.gopherContent(col("text"), col("doc_id"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            TextAnalysis.nTokensWs(t).as("word_count"),
+            TextAnalysis.avgWordLen(t).as("mean_word_len"),
+            TextAnalysis.gopherSymbolRatio(t).as("symbol_ratio"),
+            TextAnalysis.gopherBulletFrac(t).as("bullet_frac"),
+            TextAnalysis.gopherEllipsisFrac(t).as("ellipsis_frac"),
+            TextAnalysis.gopherAlphaWordFrac(t).as("alpha_word_frac"),
+            TextAnalysis.gopherReqStopwordCount(t).as("n_req_stopwords"),
+            TextAnalysis.gopherKeep(t).as("keep"))
+          .orderBy("doc_id")
+      },
+      {
+        val t = Enrich.gopherContentSql("text", "doc_id")
+        Some(s"""SELECT doc_id,
+                | ${TextAnalysis.nTokensWsSql(t)} AS word_count,
+                | ${TextAnalysis.avgWordLenSql(t)} AS mean_word_len,
+                | ${TextAnalysis.gopherSymbolRatioSql(t)} AS symbol_ratio,
+                | ${TextAnalysis.gopherBulletFracSql(t)} AS bullet_frac,
+                | ${TextAnalysis.gopherEllipsisFracSql(t)} AS ellipsis_frac,
+                | ${TextAnalysis.gopherAlphaWordFracSql(t)} AS alpha_word_frac,
+                | ${TextAnalysis.gopherReqStopwordCountSql(t)} AS n_req_stopwords,
+                | ${TextAnalysis.gopherKeepSql(t)} AS keep
+                |FROM documents ORDER BY doc_id""".stripMargin)
+      }),
+
     // Language ID over marker-injected text — recovers the lang label
     Q("text_langid",
       (s, dir) => {

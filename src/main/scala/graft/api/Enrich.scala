@@ -132,6 +132,55 @@ object Enrich {
        |        substr($textExpr, 151, 100000)) END""".stripMargin
   }
 
+  // ---- Gopher-rule fixture --------------------------------------------
+
+  // building blocks shared by the Column and SQL renderings — each
+  // variant targets ONE rule (the others hold at their thresholds)
+  private val gStopPack = "the be to of and that have with"
+  private val gPad: String = (0 until 60).map(i => "pad" + i).mkString(" ")
+  private val gSymbolDoc: String =
+    ((0 until 53).map(i => "pad" + i) ++ Seq.fill(7)("#")).mkString(" ") +
+      " " + gStopPack // 7/68 symbols > 0.1; alpha 61/68 ≥ 0.8 still passes
+  private val gLongDoc: String =
+    Seq.fill(60)("abcdefghijklmnop").mkString(" ") + " " + gStopPack
+  private val gNumericDoc: String =
+    ((0 until 40).map(i => "pad" + i) ++ Seq.fill(15)("12345")).mkString(" ") +
+      " " + gStopPack // alpha 48/63 < 0.8; symbol ratio stays 0
+  private val gTinyDoc = "tiny doc of the and"
+
+  /** Gopher-rule fixture: the word-salad corpus is single-line
+    * all-alpha text whose only required stopword is `the`, so untouched
+    * it exercises exactly one failure mode. Variants keyed on
+    * `key % 8`: 0 passes every rule; 1 fails min word count; 2 fails
+    * the bullet-line rule; 3 the ellipsis-line rule; 4 the symbol
+    * ratio; 5 the mean-word-length cap; 6 the alpha-word fraction;
+    * 7 the required-stopword floor (base text + padding only).
+    */
+  def gopherContent(text: Column, key: Column): Column = {
+    val passing = concat(text, lit(" " + gStopPack + " " + gPad))
+    when(pmod(key, lit(8)) === 0, passing)
+      .when(pmod(key, lit(8)) === 1, lit(gTinyDoc))
+      .when(pmod(key, lit(8)) === 2, concat(lit("- "), passing))
+      .when(pmod(key, lit(8)) === 3, concat(passing, lit(" trailing off...")))
+      .when(pmod(key, lit(8)) === 4, lit(gSymbolDoc))
+      .when(pmod(key, lit(8)) === 5, lit(gLongDoc))
+      .when(pmod(key, lit(8)) === 6, lit(gNumericDoc))
+      .otherwise(concat(text, lit(" " + gPad)))
+  }
+
+  def gopherContentSql(textExpr: String, keyExpr: String): String = {
+    val passing = s"($textExpr || ${Sql.lit(" " + gStopPack + " " + gPad)})"
+    s"""CASE ($keyExpr) % 8
+       | WHEN 0 THEN $passing
+       | WHEN 1 THEN ${Sql.lit(gTinyDoc)}
+       | WHEN 2 THEN '- ' || $passing
+       | WHEN 3 THEN $passing || ' trailing off...'
+       | WHEN 4 THEN ${Sql.lit(gSymbolDoc)}
+       | WHEN 5 THEN ${Sql.lit(gLongDoc)}
+       | WHEN 6 THEN ${Sql.lit(gNumericDoc)}
+       | ELSE ($textExpr || ${Sql.lit(" " + gPad)}) END""".stripMargin
+  }
+
   def dedupContent(text: Column, key: Column): Column =
     when(pmod(key, lit(7)) === 0,
       concat(lit("dup block exact "), blockId(key).cast("string"),

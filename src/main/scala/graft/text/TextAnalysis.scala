@@ -97,6 +97,100 @@ object TextAnalysis {
        | + least((${nTokensWsSql(t)}) / 100.0, 1.0) * 0.3
        | + least((${stopwordRatioSql(t)}) * 5.0, 1.0) * 0.2""".stripMargin)
 
+  // ---- Gopher-style quality rules -------------------------------------
+
+  /** The Gopher paper's required-stopword set (Rae et al. 2021 §A1.1):
+    * a kept document must contain at least [[GopherMinReqStopwords]]
+    * distinct members.
+    */
+  val GopherReqStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  val GopherMinReqStopwords = 2
+
+  private def gopherToks(c: Column): Column = split(lower(trim(c)), "\\s+")
+  private def gopherToksSql(t: String): String =
+    s"string_split_regex(lower(trim($t)), '$WsClassSql+')"
+  private def gopherLines(c: Column): Column = split(c, "\n")
+  private def gopherLinesSql(t: String): String = s"string_split($t, chr(10))"
+
+  /** Fraction of whitespace tokens carrying a symbol marker (`#` or
+    * `...`) — the paper's symbol-to-word ratio, rule threshold ≤ 0.1.
+    */
+  def gopherSymbolRatio(c: Column): Column =
+    floor4(size(filter(gopherToks(c),
+        t => t.contains("#") || t.contains("..."))).cast("long")
+      / greatest(nTokensWs(c), lit(1L)))
+  def gopherSymbolRatioSql(t: String): String =
+    floor4Sql(s"""len(list_filter(${gopherToksSql(t)},
+      | x -> contains(x, '#') OR contains(x, '...')))
+      | / greatest(${nTokensWsSql(t)}, 1)""".stripMargin)
+
+  /** Fraction of lines starting with a bullet marker, threshold ≤ 0.9. */
+  def gopherBulletFrac(c: Column): Column =
+    floor4(size(filter(gopherLines(c),
+        l => l.startsWith("- ") || l.startsWith("* ") || l.startsWith("• ")))
+        .cast("long")
+      / greatest(size(gopherLines(c)), lit(1)))
+  def gopherBulletFracSql(t: String): String =
+    floor4Sql(s"""len(list_filter(${gopherLinesSql(t)},
+      | x -> starts_with(x, '- ') OR starts_with(x, '* ')
+      |   OR starts_with(x, '• ')))
+      | / greatest(len(${gopherLinesSql(t)}), 1)""".stripMargin)
+
+  /** Fraction of lines ending with an ellipsis, threshold ≤ 0.3. */
+  def gopherEllipsisFrac(c: Column): Column =
+    floor4(size(filter(gopherLines(c),
+        l => l.endsWith("...") || l.endsWith("…"))).cast("long")
+      / greatest(size(gopherLines(c)), lit(1)))
+  def gopherEllipsisFracSql(t: String): String =
+    floor4Sql(s"""len(list_filter(${gopherLinesSql(t)},
+      | x -> ends_with(x, '...') OR ends_with(x, '…')))
+      | / greatest(len(${gopherLinesSql(t)}), 1)""".stripMargin)
+
+  /** Fraction of tokens containing at least one alphabetic character,
+    * threshold ≥ 0.8.
+    */
+  def gopherAlphaWordFrac(c: Column): Column =
+    floor4(size(filter(gopherToks(c), t => t.rlike("[a-z]"))).cast("long")
+      / greatest(nTokensWs(c), lit(1L)))
+  def gopherAlphaWordFracSql(t: String): String =
+    floor4Sql(s"""len(list_filter(${gopherToksSql(t)},
+      | x -> regexp_matches(x, '[a-z]')))
+      | / greatest(${nTokensWsSql(t)}, 1)""".stripMargin)
+
+  /** Distinct required stopwords present (of [[GopherReqStopwords]]). */
+  def gopherReqStopwordCount(c: Column): Column =
+    size(array_intersect(array_distinct(gopherToks(c)),
+      array(GopherReqStopwords.map(lit): _*))).cast("long")
+  def gopherReqStopwordCountSql(t: String): String = {
+    val set = GopherReqStopwords.map(Sql.lit).mkString(", ")
+    s"len(list_intersect(list_distinct(${gopherToksSql(t)}), [$set]))"
+  }
+
+  /** The conjunction of all Gopher rules at the paper's thresholds.
+    * Every operand is either an integer count or a [[floor4]]-truncated
+    * ratio computed by identical IEEE arithmetic on both engines, so
+    * the boolean is cross-engine deterministic.
+    */
+  def gopherKeep(c: Column, minWords: Long = 50L,
+                 maxWords: Long = 100000L): Column =
+    nTokensWs(c).between(minWords, maxWords) &&
+      avgWordLen(c).between(3.0, 10.0) &&
+      gopherSymbolRatio(c) <= 0.1 &&
+      gopherBulletFrac(c) <= 0.9 &&
+      gopherEllipsisFrac(c) <= 0.3 &&
+      gopherAlphaWordFrac(c) >= 0.8 &&
+      gopherReqStopwordCount(c) >= GopherMinReqStopwords
+  def gopherKeepSql(t: String, minWords: Long = 50L,
+                    maxWords: Long = 100000L): String =
+    s"""((${nTokensWsSql(t)}) BETWEEN $minWords AND $maxWords
+       | AND (${avgWordLenSql(t)}) BETWEEN 3.0 AND 10.0
+       | AND (${gopherSymbolRatioSql(t)}) <= 0.1
+       | AND (${gopherBulletFracSql(t)}) <= 0.9
+       | AND (${gopherEllipsisFracSql(t)}) <= 0.3
+       | AND (${gopherAlphaWordFracSql(t)}) >= 0.8
+       | AND (${gopherReqStopwordCountSql(t)}) >= $GopherMinReqStopwords)""".stripMargin
+
   // ---- language identification ---------------------------------------
 
   /** Disjoint per-language stopword markers (n-gram-free heuristic:
@@ -329,7 +423,15 @@ object TextAnalysis {
       .groupBy("id", "dl", "token").agg(count(lit(1)).as("tf"))
     graft.sources.Bucketing.writeBucketed(postings, table, path,
       key = "token", numBuckets = numBuckets)
-    src.agg(count(lit(1)).as("n"), avg(size(toks).cast("long")).as("avgdl"))
+    // corpus stats from the postings table just written, NOT a second
+    // source scan: parquet pruning reads only (id, dl) — at scale the
+    // text column dwarfs everything else, and re-tokenizing it would
+    // double the build's corpus reads. Every doc appears in postings
+    // (an empty text still yields the "" token), so the distinct
+    // (id, dl) set is exactly the doc set.
+    docs.sparkSession.table(table)
+      .select(col("id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .format("parquet").option("path", s"$path/__stats")
       .saveAsTable(s"${table}_stats")
