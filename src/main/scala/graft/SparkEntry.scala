@@ -13,7 +13,7 @@ import graft.search.Hybrid
 import graft.sources.Tables
 import graft.stats.WinStats
 import graft.text.{ChunkPacker, TextAnalysis}
-import graft.vector.{Ann, BlockMatrix, Distance, GroupedTopK, Knn}
+import graft.vector.{Ann, BlockMatrix, Distance, GroupedTopK, Knn, Quantize}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -214,6 +214,43 @@ object SparkEntry {
              |   ELSE 0 END AS new_session
              | FROM events)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // The same sessionization through Spark's NATIVE session_window
+    // operator (MergingSessions aggregation — no per-user window sort
+    // dragging every event through one task per user; sessions merge
+    // inside the aggregate). Emits one row per session with its
+    // merged bounds; end = last event + gap by definition. The oracle
+    // reconstructs identical sessions with the lag/cumsum rewrite.
+    Q("q_session_window",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("user_id"),
+          timestamp_micros(expr("ts div 1000")).as("tsc"))
+        ev.groupBy(col("user_id"), session_window(col("tsc"), "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            unix_micros(col("w.start")).as("session_start_us"),
+            unix_micros(col("w.end")).as("session_end_us"),
+            col("n_events"))
+          .orderBy("user_id", "session_start_us")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
+             |flg AS (
+             |  SELECT user_id, us,
+             |    CASE WHEN lag(us) OVER w IS NULL THEN 1
+             |         WHEN us - lag(us) OVER w >= 1800000000 THEN 1
+             |         ELSE 0 END AS new_s
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+             |sess AS (
+             |  SELECT user_id, us,
+             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+             |      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM flg)
+             |SELECT user_id, min(us) AS session_start_us,
+             |  max(us) + 1800000000 AS session_end_us,
+             |  CAST(count(*) AS BIGINT) AS n_events
+             |FROM sess GROUP BY user_id, sid
+             |ORDER BY user_id, session_start_us""".stripMargin)),
 
     // Pure non-equi temporal range join via the binned rewrite (bin
     // equi-key + residual filter — no nested loop): clicks within
@@ -1126,6 +1163,18 @@ object SparkEntry {
     // in paragraph order. Fixture plants a universal header, per-block
     // shared footers, and all-boilerplate documents (doc_id % 11 == 0,
     // whose clean_text must come back empty).
+    // Span-level duplication signals (Lee et al. exact-substring dedup
+    // summary): 5-gram positions occurring elsewhere in the corpus /
+    // not globally first. The boilerplated fixture plants corpus-wide
+    // header spans and per-block footer spans inside otherwise-unique
+    // documents.
+    Q("text_repeated_spans",
+      (s, dir) => TextAnalysis.repeatedSpans(Tables.documents(s, dir),
+          col("doc_id"), Enrich.boilerplated(col("text"), col("doc_id")), n = 5)
+        .orderBy("id"),
+      Some(TextAnalysis.repeatedSpansSql("documents", "doc_id",
+        Enrich.boilerplatedSql("text", "doc_id"), n = 5) + " ORDER BY id")),
+
     Q("text_paragraph_dedup",
       (s, dir) => TextAnalysis.paragraphDedup(Tables.documents(s, dir),
           col("doc_id"), Enrich.boilerplated(col("text"), col("doc_id")))
@@ -1513,6 +1562,39 @@ object SparkEntry {
               | ${Sql.l2("e.embedding", "q.q_emb")} AS score
               |FROM embeddings e, (${Sql.queryVector(0)}) q
               |ORDER BY score, vec_id LIMIT 10""".stripMargin)),
+
+    // Product quantization under the exact-degradation gate: with
+    // ksub ≥ the distinct subvector count, train→encode→decode is an
+    // identity, so the ADC scan (L2 against reconstructions) must
+    // reproduce the brute-force ranking bit-for-bit — the PQ analog of
+    // the IVF full-probe gate. Fixed 500-vector slice keeps the
+    // codebook bounded at any sf; lossy-setting behavior is bounded in
+    // QuantizeSpec instead.
+    Q("ann_pq_full_codebook",
+      (s, dir) => {
+        val sub = Tables.embeddings(s, dir).where(col("vec_id") < 500)
+        val model = Quantize.trainPq(sub, m = 8, ksub = 1 << 20)
+        val recon = sub.select(col("vec_id"),
+          Quantize.pqDecode(model,
+            Quantize.pqEncode(model, col("embedding"))).as("rvec"))
+        val queries = sub.where(col("vec_id") < 3)
+          .select(col("vec_id").as("left_id"), col("embedding").as("q_emb"))
+        val cands = recon.crossJoin(broadcast(queries))
+          .select(col("left_id"), col("vec_id").as("id"),
+            round(Distance.l2(col("q_emb"), col("rvec")), 4).as("score"))
+        GroupedTopK.topKPerGroup(cands, col("left_id"), 10)
+          .select(col("left_id"), col("id").as("right_id"), col("score"),
+            col("rank"))
+          .orderBy("left_id", "rank")
+      },
+      Some(s"""SELECT left_id, right_id, score, CAST(rn AS INTEGER) AS rank FROM (
+              | SELECT q.vec_id AS left_id, e.vec_id AS right_id,
+              |  ${Sql.l2("e.embedding", "q.embedding")} AS score,
+              |  row_number() OVER (PARTITION BY q.vec_id
+              |    ORDER BY ${Sql.l2("e.embedding", "q.embedding")}, e.vec_id) AS rn
+              | FROM (SELECT * FROM embeddings WHERE vec_id < 500) e,
+              |      (SELECT * FROM embeddings WHERE vec_id < 3) q)
+              |WHERE rn <= 10 ORDER BY left_id, rank""".stripMargin)),
 
     // All-pairs exact cosine top-k via block-GEMM ([[BlockMatrix]]):
     // every document's 5 nearest neighbors over the whole corpus in

@@ -576,6 +576,71 @@ object TextAnalysis {
        |  WHERE len(t) >= $n)
        |GROUP BY ngram""".stripMargin
 
+  /** Span-level duplication signals: for every token n-gram POSITION in
+    * every document, whether that n-gram occurs elsewhere in the corpus
+    * and whether this position is its globally-first occurrence — the
+    * per-document summary of Lee et al.'s exact-substring dedup
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * 2022): `n_nonfirst` is exactly the span mass that pass would
+    * remove. Document-level dedup misses these (a doc sharing one
+    * boilerplate span with thousands of others is otherwise unique).
+    *
+    * Returns (id, n_shingles, n_repeated, n_nonfirst, repeated_frac);
+    * documents shorter than `n` tokens contribute no rows.
+    *
+    * Scale shape: one shuffle on the gram (the count/first-occurrence
+    * window — parallel across the corpus's distinct grams, no
+    * corpus-sized state) and one on the doc id for the summary; the
+    * token array is lambda-bound once (see [[ngramCounts]]).
+    */
+  def repeatedSpans(docs: org.apache.spark.sql.DataFrame, idCol: Column,
+                    textCol: Column, n: Int): org.apache.spark.sql.DataFrame = {
+    require(n >= 2, "n must be at least 2")
+    val toks = split(lower(trim(textCol)), "\\s+")
+    val grams = element_at(
+      transform(array(toks), t =>
+        when(size(t) >= n,
+          transform(sequence(lit(1), size(t) - (n - 1)),
+            i => array_join(slice(t, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))), 1)
+    val pos = docs.select(idCol.as("id"), posexplode(grams).as(Seq("idx", "gram")))
+    val byGram = org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))
+    pos
+      .withColumn("cnt", count(lit(1)).over(byGram))
+      .withColumn("rn", row_number().over(byGram.orderBy(col("id"), col("idx"))))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_repeated"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_nonfirst"))
+      .withColumn("repeated_frac",
+        floor(col("n_repeated") / col("n_shingles") * 10000.0) / 10000.0)
+  }
+
+  /** DuckDB twin of [[repeatedSpans]]. */
+  def repeatedSpansSql(table: String, idExpr: String, textExpr: String,
+                       n: Int): String =
+    s"""WITH t AS (
+       |  SELECT $idExpr AS id,
+       |    string_split_regex(lower(trim($textExpr)), '$WsClassSql+') AS toks
+       |  FROM $table),
+       |exploded AS (
+       |  SELECT id, unnest(range(1, len(toks) - ${n - 2})) AS idx, toks
+       |  FROM t WHERE len(toks) >= $n),
+       |grams AS (
+       |  SELECT id, idx, array_to_string(toks[idx:idx+${n - 1}], ' ') AS gram
+       |  FROM exploded),
+       |flagged AS (
+       |  SELECT id,
+       |    count(*) OVER (PARTITION BY gram) AS cnt,
+       |    row_number() OVER (PARTITION BY gram ORDER BY id, idx) AS rn
+       |  FROM grams)
+       |SELECT id, CAST(count(*) AS BIGINT) AS n_shingles,
+       |  CAST(count(*) FILTER (WHERE cnt > 1) AS BIGINT) AS n_repeated,
+       |  CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_nonfirst,
+       |  floor((count(*) FILTER (WHERE cnt > 1) / count(*)) * 10000.0) / 10000.0
+       |    AS repeated_frac
+       |FROM flagged GROUP BY id""".stripMargin
+
   // ---- fingerprinting -------------------------------------------------
 
   /** Whitespace-normalized md5 fingerprint — the exact-dedup key. */

@@ -144,9 +144,19 @@ object Ann {
     require(points.nonEmpty, "empty training sample")
     val n = points.length
     val dim = points.head.length
-    val kk = math.min(k, n)
+    // init candidates = first index of each DISTINCT point: duplicated
+    // sample points must not spend two seeds on one location (and with
+    // k ≥ #distinct this makes every distinct point a centroid — the
+    // exactness property the PQ full-codebook gate relies on). On a
+    // duplicate-free sample this is `points.indices` and the seeded
+    // shuffle picks the same init as ever.
+    val distinctIdx = {
+      val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
+      points.indices.filter(i => seen.add(points(i).toSeq)).toVector
+    }
+    val kk = math.min(k, distinctIdx.length)
     val rnd = new scala.util.Random(seed)
-    val centroids = rnd.shuffle(points.indices.toVector).take(kk)
+    val centroids = rnd.shuffle(distinctIdx).take(kk)
       .map(points(_).clone).toArray
     val assign = Array.fill(n)(-1)
     var iter = 0

@@ -47,6 +47,86 @@ object Quantize {
               round(err, 6).as("recon_err"))
           }), 1)), 1)
 
+  // ---- product quantization ------------------------------------------
+
+  /** Trained PQ codebooks: `m` contiguous subspaces of `dim / m` dims,
+    * `codebooks(s)` = that subspace's centroid list (≤ ksub entries —
+    * capped at the sample's distinct subvector count).
+    */
+  final case class PqModel(dim: Int, m: Int,
+                           codebooks: Array[Array[Array[Double]]]) {
+    def dsub: Int = dim / m
+    def ksub: Int = codebooks.map(_.length).max
+  }
+
+  /** Product quantization (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", 2011): the embedding is split into `m`
+    * contiguous subvectors, each quantized independently against its
+    * own `ksub`-entry codebook, so a vector stores as `m` small codes —
+    * `m·log2(ksub)` bits instead of `dim × 32` — while distances remain
+    * computable per subspace. Training mirrors [[graft.vector.Ann
+    * .buildIvf]]: a deterministic hash-ordered driver-side sample, then
+    * seeded Lloyd's per subspace (subspace `s` uses `seed + s`).
+    * Codebooks train concurrently — they are independent.
+    *
+    * With `ksub` ≥ the number of distinct subvectors, every distinct
+    * subvector becomes its own centroid (distinct-point init + one
+    * Lloyd round is a fixed point), so encode→decode is EXACT — the
+    * degradation gate that puts the whole train/encode/decode path
+    * under the brute-force oracle (`ann_pq_full_codebook`), the same
+    * trick as the IVF full-probe gate.
+    */
+  def trainPq(corpus: org.apache.spark.sql.DataFrame, emb: String = "embedding",
+              m: Int = 8, ksub: Int = 256, seed: Long = 42L,
+              maxIter: Int = 10, maxTrainRows: Int = 100000): PqModel = {
+    require(m > 0 && ksub > 0, "m and ksub must be positive")
+    val sample = corpus.select(col(emb))
+      .orderBy(xxhash64(col(emb)), col(emb))
+      .limit(maxTrainRows)
+      .collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim is not divisible by m $m")
+    val dsub = dim / m
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val codebooks = Await.result(
+      Future.sequence((0 until m).toVector.map(s => Future {
+        Ann.lloyd(sample.map(_.slice(s * dsub, s * dsub + dsub)),
+          ksub, maxIter, seed + s)
+      })), scala.concurrent.duration.Duration.Inf).toArray
+    PqModel(dim, m, codebooks)
+  }
+
+  /** PQ codes (`array<int>`, length m) for a float-array column — one
+    * codegen nearest-centroid kernel per subspace over an array slice;
+    * a narrow map, the 100 TB encode shape.
+    */
+  def pqEncode(model: PqModel, emb: Column): Column = {
+    val d = model.dsub
+    array((0 until model.m).map(s =>
+      VectorKernels.nearestCentroid(slice(emb, s * d + 1, d),
+        model.codebooks(s))): _*)
+  }
+
+  /** Reconstruction from PQ codes: per-subspace codebook lookup
+    * (codebooks ride along as ONE nested array literal, not an
+    * expression tree), concatenated back to a float array. L2 against
+    * a reconstruction is exactly the ADC distance `Σ_s ‖q_s − c_s‖²`,
+    * so decode + the existing distance kernels ARE the ADC scan.
+    * Floats out: centroids are means of float-valued doubles, so the
+    * cast loses nothing at full codebook (and one rounding step at
+    * lossy settings, bounded by QuantizeSpec).
+    */
+  def pqDecode(model: PqModel, codes: Column): Column = {
+    val lut = typedLit(model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    flatten(transform(sequence(lit(0), lit(model.m - 1)),
+      s => element_at(element_at(lut, s + 1),
+        element_at(codes, s + 1) + 1)))
+      .cast("array<float>")
+  }
+
   /** DuckDB twin of [[int8]]'s fields, given a DOUBLE[]-castable
     * array expression; emits (scale, codes, recon_err) select items.
     */
