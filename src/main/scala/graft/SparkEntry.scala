@@ -511,6 +511,57 @@ object SparkEntry {
              | (SELECT count(*) FROM (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
              |   EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0)) AS n_except""".stripMargin)),
 
+    // Multiset (ALL) set-operation semantics — EXCEPT ALL / INTERSECT
+    // ALL keep duplicate multiplicities (hash-agg on counts, not
+    // dedup); the distinct variants above can't distinguish a key
+    // appearing 5 times from once
+    Q("q_set_ops_all",
+      (s, dir) => {
+        val a = Tables.orders(s, dir).where(col("o_orderstatus") === "O")
+          .select(col("o_custkey").as("k"))
+        val b = Tables.orders(s, dir).where(col("o_totalprice") > 100000.0)
+          .select(col("o_custkey").as("k"))
+        val nUnionAll     = a.unionAll(b).agg(count(lit(1)).as("n_union_all"))
+        val nIntersectAll = a.intersectAll(b).agg(count(lit(1)).as("n_intersect_all"))
+        val nExceptAll    = a.exceptAll(b).agg(count(lit(1)).as("n_except_all"))
+        nUnionAll.crossJoin(nIntersectAll).crossJoin(nExceptAll)
+      },
+      Some("""SELECT
+             | (SELECT count(*) FROM (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+             |   UNION ALL SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0)) AS n_union_all,
+             | (SELECT count(*) FROM (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+             |   INTERSECT ALL SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0)) AS n_intersect_all,
+             | (SELECT count(*) FROM (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+             |   EXCEPT ALL SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0)) AS n_except_all""".stripMargin)),
+
+    // RANGE window frame (value-based, not row-based): per-customer
+    // rolling 30-day order totals. The frame is over a numeric day
+    // number so both engines bound it identically; integer sums keep
+    // the varying-frame accumulation exact.
+    Q("q_window_range_frame",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("day_nr"))
+          .rangeBetween(-30, Window.currentRow)
+        Tables.orders(s, dir).where(col("o_custkey") < 300)
+          .select(col("o_custkey"), col("o_orderkey"),
+            expr("unix_timestamp(o_orderdate) div 86400").as("day_nr"),
+            floor(col("o_totalprice")).cast("long").as("price_i"))
+          .select(col("o_custkey"), col("o_orderkey"), col("day_nr"),
+            sum("price_i").over(w).as("sum_price_30d"),
+            count(lit(1)).over(w).as("n_orders_30d"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, day_nr,
+             | CAST(sum(price_i) OVER w AS BIGINT) AS sum_price_30d,
+             | CAST(count(*) OVER w AS BIGINT) AS n_orders_30d
+             |FROM (SELECT o_custkey, o_orderkey,
+             |    CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS day_nr,
+             |    CAST(floor(o_totalprice) AS BIGINT) AS price_i
+             |  FROM orders WHERE o_custkey < 300)
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY day_nr
+             |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
     // Exact distinct cardinalities per group
     Q("q_count_distinct",
       (s, dir) => Tables.lineitem(s, dir)

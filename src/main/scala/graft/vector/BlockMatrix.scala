@@ -24,15 +24,19 @@ import org.apache.spark.sql.functions._
   * corpus-sized broadcast), with B² join keys so every core owns whole
   * tiles.
   *
-  * Per-task memory bound (the REAL sizing constraint): one task holds
-  * one left block + one right block fully in heap —
-  * `2 · (rows/B) · (4·dim + ~40)` bytes — so B must be sized from
-  * CORPUS BYTES, not core count: `B ≥ corpusBytes / targetTileBytes`
-  * ([[chooseNumBlocks]] computes this; a few hundred MB per tile is
-  * the sweet spot). With that bound satisfied, B ≈ √(cluster cores) is
-  * the parallelism floor — take the max of the two. The final merge is
-  * the bounded-state [[GroupedTopK.TopKAggregator]], so no group ever
-  * sorts in full.
+  * Per-task memory bound (the REAL sizing constraint): a top-k tile
+  * task buffers its LEFT block (it owns the per-row k-heaps) and
+  * STREAMS the right side off the shuffle iterator — so the bound is
+  * `(rows/B) · (4·dim + ~40)` bytes plus `(rows/B)·k` heap slots, and
+  * the right extent of a tile is unbounded at fixed heap. B must be
+  * sized from CORPUS BYTES, not core count:
+  * `B ≥ corpusBytes / targetTileBytes` ([[chooseNumBlocks]] computes
+  * this; a few hundred MB per tile is the sweet spot). With that bound
+  * satisfied, B ≈ √(cluster cores) is the parallelism floor — take the
+  * max of the two. ([[cosinePairsAbove]] still buffers both sides of a
+  * tile: its diagonal-tile/upper-triangle sharing needs random access;
+  * size B for 2× there.) The final merge is the bounded-state
+  * [[GroupedTopK.TopKAggregator]], so no group ever sorts in full.
   *
   * Determinism contract (matches [[VectorKernels]] and the DuckDB
   * oracle): distances accumulated sequentially in doubles, rounded
@@ -48,11 +52,12 @@ object BlockMatrix {
   /** Per-tile top-k candidate (public: encoder codegen needs the ctor). */
   final case class Partial(left_id: Long, right_id: Long, score: Double)
 
-  /** Block count honoring the per-task heap bound: each task
-    * materializes one left + one right row-block, so a block must fit
-    * a task's working heap. `B = max(ceil(sideBytes / targetTileBytes),
-    * parallelismFloor)`, where `sideBytes ≈ rows · (4·dim + 40)` (float
-    * payload + JVM row overhead). Defaults: 256 MB tiles, floor 16.
+  /** Block count honoring the per-task heap bound: a top-k tile task
+    * materializes one left row-block (the streamed right side costs
+    * one row), so a block must fit a task's working heap.
+    * `B = max(ceil(sideBytes / targetTileBytes), parallelismFloor)`,
+    * where `sideBytes ≈ rows · (4·dim + 40)` (float payload + JVM row
+    * overhead). Defaults: 256 MB tiles, floor 16.
     */
   def chooseNumBlocks(rows: Long, dim: Int,
                       targetTileBytes: Long = 256L << 20,
@@ -214,118 +219,130 @@ object BlockMatrix {
     val spark = leftBase.sparkSession
     import spark.implicits._
 
-    // Row-blocks per side: deterministic residue assignment; rows
-    // sorted by id inside each block so every loop order reproduces.
+    // SUMMA-style tile distribution as ONE shuffle of flat rows: each
+    // left row replicates to its row-block's B tiles, each right row to
+    // its column-block's B tiles, and a cogroup on the tile key hands
+    // every tile its two sides as separate iterators. The left side is
+    // buffered (it carries the per-row k-heaps); the RIGHT side is
+    // STREAMED straight off the sorted shuffle run — it never
+    // materializes. Per-task memory is therefore ONE left block plus
+    // m·k heap slots, not two blocks (the second tiling level: the
+    // right extent of a tile is unbounded at fixed heap). Shuffle
+    // volume is B·(|L|+|R|) rows either way; a cross join of
+    // whole-corpus rows would instead broadcast a corpus to every task
+    // — fine at spec scale, fatal at 100 TB.
+    //
+    // The tile result is loop-order independent — scores are per-pair
+    // (no cross-pair accumulation) and the heap keeps the top k of a
+    // TOTAL order (score, then right id) — so no within-tile sort is
+    // needed for determinism.
     val b = numBlocks
-    def blocks(df: DataFrame) = df.as[BlockRow]
-      .groupByKey(r => ((r.id % b) + b) % b)
-      .mapGroups((bid, it) => (bid, it.toArray.sortBy(_.id)))
-      .toDF("bid", "rows")
-
-    // All B² ordered block pairs, SUMMA-style: replicate each block B
-    // ways and equi-join on the (left-block, right-block) key. A cross
-    // join of whole-corpus block rows would instead BROADCAST a corpus
-    // to every task — fine at spec scale, fatal at 100 TB; the
-    // co-partitioned join keeps everything in bounded shuffle streams
-    // and spreads the B² tiles over all cores.
-    val allBlockIds = array((0 until b).map(i => lit(i.toLong)): _*)
-    val lrep = blocks(leftBase).select(col("bid").as("lb"),
-      col("rows").as("lrows"), explode(allBlockIds).as("rb"))
-    val rrep = blocks(rightBase).select(col("bid").as("rb"),
-      col("rows").as("rrows"), explode(allBlockIds).as("lb"))
-    val pairs = lrep.join(rrep, Seq("lb", "rb"))
-      .select(col("lrows"), col("rrows"))
-      .as[(Array[BlockRow], Array[BlockRow])]
+    def residue(id: Long): Int = (((id % b) + b) % b).toInt
+    val lkv = leftBase.as[BlockRow]
+      .flatMap { r =>
+        val lb = residue(r.id); (0 until b).iterator.map(j => (lb * b + j, r))
+      }
+      .groupByKey(_._1)
+    val rkv = rightBase.as[BlockRow]
+      .flatMap { r =>
+        val rb = residue(r.id); (0 until b).iterator.map(i => (i * b + rb, r))
+      }
+      .groupByKey(_._1)
 
     val kk = k
     val cos = cosineMetric
     val noSelf = excludeSelf
-    val partials = pairs.flatMap { case (lrows, rrows) =>
-      // Cosine norms hoisted out of the pair loop: the fused kernel's
-      // na/nb accumulate independently of dot, so per-row
-      // precomputation in the same sequential order is bit-identical
-      // while cutting the inner loop to the dot product alone.
-      val nbs = if (cos) {
-        val a = new Array[Double](rrows.length)
-        var j = 0
-        while (j < rrows.length) { a(j) = sumSq(rrows(j).emb); j += 1 }
-        a
-      } else null
-      lrows.iterator.flatMap { l =>
-        val sqrtNa = if (cos) math.sqrt(sumSq(l.emb)) else 0.0
-        // bounded selection: worst-of-k at the root, evicted by better
-        // candidates; "better" = nearer (higher cosine / lower L2),
-        // then lower right id
-        val hS = new Array[Double](kk)
-        val hI = new Array[Long](kk)
-        var size = 0
+    val partials = lkv.cogroup(rkv) { (_, lit, rit) =>
+      val lrows = lit.map(_._2).toArray
+      if (lrows.isEmpty || rit.isEmpty) Iterator.empty
+      else {
+        val m = lrows.length
+        // per-left-row bounded selection: worst-of-k at the root,
+        // evicted by better candidates; "better" = nearer (higher
+        // cosine / lower L2), then lower right id
+        val hS = Array.ofDim[Double](m, kk)
+        val hI = Array.ofDim[Long](m, kk)
+        val sizes = new Array[Int](m)
+        // cosine left norms hoisted once per tile, same sequential
+        // accumulation as the fused kernel (bit-identical)
+        val sqrtNas = if (cos) lrows.map(l => math.sqrt(sumSq(l.emb))) else null
         def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
           if (cos) s1 < s2 || (s1 == s2 && i1 > i2)
           else s1 > s2 || (s1 == s2 && i1 > i2)
-        def siftDown(): Unit = {
+        def siftDown(li: Int): Unit = {
+          val s = hS(li); val ids = hI(li); val size = sizes(li)
           var p = 0
           var cont = true
           while (cont) {
-            val lc = 2 * p + 1; val rc = lc + 1; var m = p
-            if (lc < size && worse(hS(lc), hI(lc), hS(m), hI(m))) m = lc
-            if (rc < size && worse(hS(rc), hI(rc), hS(m), hI(m))) m = rc
-            if (m == p) cont = false
+            val lc = 2 * p + 1; val rc = lc + 1; var mi = p
+            if (lc < size && worse(s(lc), ids(lc), s(mi), ids(mi))) mi = lc
+            if (rc < size && worse(s(rc), ids(rc), s(mi), ids(mi))) mi = rc
+            if (mi == p) cont = false
             else {
-              val ts = hS(p); hS(p) = hS(m); hS(m) = ts
-              val ti = hI(p); hI(p) = hI(m); hI(m) = ti
-              p = m
+              val ts = s(p); s(p) = s(mi); s(mi) = ts
+              val ti = ids(p); ids(p) = ids(mi); ids(mi) = ti
+              p = mi
             }
           }
         }
-        val lemb = l.emb
-        var r = 0
-        while (r < rrows.length) {
-          val rr = rrows(r)
-          val usable =
-            if (cos) (!noSelf || rr.id != l.id) && nbs(r) > 0.0 && sqrtNa > 0.0
-            else !noSelf || rr.id != l.id
-          if (usable) {
-            val remb = rr.emb
-            val d = math.min(lemb.length, remb.length)
-            var raw = 0.0
-            if (cos) {
-              var dot = 0.0
-              var i = 0
-              while (i < d) { dot += lemb(i).toDouble * remb(i).toDouble; i += 1 }
-              raw = dot / (sqrtNa * math.sqrt(nbs(r)))
-            } else {
-              var acc = 0.0
-              var i = 0
-              while (i < d) {
-                val t = lemb(i).toDouble - remb(i).toDouble
-                acc += t * t; i += 1
-              }
-              raw = math.sqrt(acc)
-            }
-            // hot-path cut: most pairs sit far on the wrong side of the
-            // current worst; only possible entrants pay the decimal
-            // rounding
-            val mayEnter = size < kk ||
-              (if (cos) raw + RoundMargin >= hS(0) else raw - RoundMargin <= hS(0))
-            if (!raw.isNaN && mayEnter) {
-              val s = round4dp(raw)
-              if (size < kk) {
-                hS(size) = s; hI(size) = rr.id; size += 1
-                var c = size - 1
-                while (c > 0 && worse(hS(c), hI(c), hS((c - 1) / 2), hI((c - 1) / 2))) {
-                  val p = (c - 1) / 2
-                  val ts = hS(p); hS(p) = hS(c); hS(c) = ts
-                  val ti = hI(p); hI(p) = hI(c); hI(c) = ti
-                  c = p
+        rit.foreach { case (_, rr) =>
+          val remb = rr.emb
+          val sqrtNb = if (cos) math.sqrt(sumSq(remb)) else 0.0
+          if (!cos || sqrtNb > 0.0) {
+            var li = 0
+            while (li < m) {
+              val l = lrows(li)
+              val usable =
+                if (cos) (!noSelf || rr.id != l.id) && sqrtNas(li) > 0.0
+                else !noSelf || rr.id != l.id
+              if (usable) {
+                val lemb = l.emb
+                val d = math.min(lemb.length, remb.length)
+                var raw = 0.0
+                if (cos) {
+                  var dot = 0.0
+                  var i = 0
+                  while (i < d) { dot += lemb(i).toDouble * remb(i).toDouble; i += 1 }
+                  raw = dot / (sqrtNas(li) * sqrtNb)
+                } else {
+                  var acc = 0.0
+                  var i = 0
+                  while (i < d) {
+                    val t = lemb(i).toDouble - remb(i).toDouble
+                    acc += t * t; i += 1
+                  }
+                  raw = math.sqrt(acc)
                 }
-              } else if (worse(hS(0), hI(0), s, rr.id)) {
-                hS(0) = s; hI(0) = rr.id; siftDown()
+                // hot-path cut: most pairs sit far on the wrong side of
+                // the current worst; only possible entrants pay the
+                // decimal rounding
+                val size = sizes(li)
+                val mayEnter = size < kk ||
+                  (if (cos) raw + RoundMargin >= hS(li)(0)
+                   else raw - RoundMargin <= hS(li)(0))
+                if (!raw.isNaN && mayEnter) {
+                  val s = round4dp(raw)
+                  if (size < kk) {
+                    hS(li)(size) = s; hI(li)(size) = rr.id; sizes(li) = size + 1
+                    var c = size
+                    while (c > 0 && worse(hS(li)(c), hI(li)(c),
+                        hS(li)((c - 1) / 2), hI(li)((c - 1) / 2))) {
+                      val p = (c - 1) / 2
+                      val ts = hS(li)(p); hS(li)(p) = hS(li)(c); hS(li)(c) = ts
+                      val ti = hI(li)(p); hI(li)(p) = hI(li)(c); hI(li)(c) = ti
+                      c = p
+                    }
+                  } else if (worse(hS(li)(0), hI(li)(0), s, rr.id)) {
+                    hS(li)(0) = s; hI(li)(0) = rr.id; siftDown(li)
+                  }
+                }
               }
+              li += 1
             }
           }
-          r += 1
         }
-        (0 until size).map(i => Partial(l.id, hI(i), hS(i)))
+        (0 until m).iterator.flatMap(li =>
+          (0 until sizes(li)).map(i => Partial(lrows(li).id, hI(li)(i), hS(li)(i))))
       }
     }
 
