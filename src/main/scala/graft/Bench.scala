@@ -76,6 +76,11 @@ object Bench {
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("p").parquet(s"$wtmp/part")
       spark.read.parquet(s"$wtmp/part").count()
+      // DataFrame↔RDD round trip (Row conversion, range partitioner,
+      // createDataFrame re-entry — the Prefix two-phase scan path)
+      graft.operators.Prefix.withCumSum(
+        spark.range(100).select(col("id"), (col("id") % 7).as("v")),
+        col("v"), "cum", col("id")).count()
     }
     // dev aid: SPARK_GRAFT_ONLY=q1,q2 restricts the benchmarked set
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
