@@ -1548,6 +1548,30 @@ object SparkEntry {
               | FROM (SELECT * FROM embeddings WHERE vec_id < 20) l, embeddings r)
               |WHERE rn <= 3 ORDER BY left_id, rank""".stripMargin)),
 
+    // IVF-PQ serving layout under BOTH degradation dials at their
+    // exact settings: full probe (routing exhaustive) + full codebook
+    // (codes decode to the identity) ⇒ the compressed-corpus ADC join
+    // must equal brute force. 500-row slice bounds the codebook at any
+    // sf; lossy recall behavior lives in PqSpec/AnnSpec.
+    Q("knn_ivfpq_full_exact",
+      (s, dir) => {
+        val sub = Tables.embeddings(s, dir).where(col("vec_id") < 500)
+        val idx = Ann.buildIvf(sub, nlist = 8)
+        val pq = Quantize.trainPq(sub, m = 8, ksub = 1 << 20)
+        val queries = sub.select(col("vec_id").as("id"), col("embedding"))
+          .where(col("id") < 3)
+        Ann.ivfPqKnnJoin(queries, idx, pq, k = 10, nprobe = 8)
+          .orderBy("left_id", "rank")
+      },
+      Some(s"""SELECT left_id, right_id, score, CAST(rn AS INTEGER) AS rank FROM (
+              | SELECT q.vec_id AS left_id, e.vec_id AS right_id,
+              |  ${Sql.l2("e.embedding", "q.embedding")} AS score,
+              |  row_number() OVER (PARTITION BY q.vec_id
+              |    ORDER BY ${Sql.l2("e.embedding", "q.embedding")}, e.vec_id) AS rn
+              | FROM (SELECT * FROM embeddings WHERE vec_id < 500) e,
+              |      (SELECT * FROM embeddings WHERE vec_id < 3) q)
+              |WHERE rn <= 10 ORDER BY left_id, rank""".stripMargin)),
+
     // Similarity join: top-3 neighbors for each of the first 20 vectors
     // (M×N generalization of the reference's 1×N search)
     Q("sim_join_topk",

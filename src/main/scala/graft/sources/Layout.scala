@@ -49,4 +49,33 @@ object Layout {
     spark.read.parquet(path)
       .groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("n_rows"))
+
+  /** Small-file compaction: rewrite a parquet directory as
+    * `ceil(totalBytes / targetFileBytes)` files. The small-files
+    * problem is endemic to incremental pipelines (every streaming
+    * micro-batch and every over-parallel write leaves file-per-task
+    * litter; a 100 TB table fragmented into KB-scale files is
+    * listing-bound before a byte is read). `coalesce` keeps the
+    * rewrite NARROW — no shuffle, each output task concatenates a set
+    * of input files — so cost is one parallel read+write of the data.
+    * Returns the output file count. Writes to a separate `dest`:
+    * overwriting the directory being read is not a safe operation to
+    * offer.
+    */
+  def compactTo(spark: org.apache.spark.sql.SparkSession, src: String,
+                dest: String, targetFileBytes: Long): Int = {
+    require(targetFileBytes > 0,
+      s"targetFileBytes must be positive, got $targetFileBytes")
+    require(src != dest, "dest must differ from src")
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(new org.apache.hadoop.fs.Path(src))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val n = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes)
+      .min(Int.MaxValue).toInt
+    spark.read.parquet(src).coalesce(n)
+      .write.mode(SaveMode.Overwrite).parquet(dest)
+    n
+  }
 }

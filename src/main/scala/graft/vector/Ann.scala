@@ -113,6 +113,44 @@ object Ann {
         col("rank"))
   }
 
+  /** IVF-PQ KNN join: IVF routing over a PQ-COMPRESSED corpus — the
+    * canonical billion-vector serving layout (FAISS `IVFx,PQy`; this is
+    * the `by_residual=false` variant: codes quantize the raw vector,
+    * the cluster only routes). Storage per corpus row is a cluster id
+    * plus `m` codes (`m·log2(ksub)` bits, 16–32× under float32), and a
+    * query decodes only the candidates its probed clusters yield —
+    * `L2(q, decode(codes))` IS the ADC distance (see
+    * [[Quantize.pqDecode]]), so the scan never touches a float vector.
+    *
+    * Same output contract as [[ivfKnnJoin]]. With `nprobe ≥ nlist` AND
+    * a full codebook (ksub ≥ distinct subvectors) this is EXACTLY the
+    * brute-force join — both degradation dials sit under one oracle
+    * gate. The residual variant (`by_residual=true`, PQ over
+    * `x − centroid`) improves lossy-setting recall but its round-trip
+    * `(x−c)+c` is not FP-bit-exact, so it cannot sit under a
+    * bit-identical gate; at full codebook the two variants coincide
+    * in storage cost and this one stays provable.
+    */
+  def ivfPqKnnJoin(queries: DataFrame, index: IvfIndex,
+                   pq: Quantize.PqModel, k: Int, nprobe: Int,
+                   emb: String = "embedding",
+                   id: String = "vec_id"): DataFrame = {
+    // the stored serving form: routing key + codes, no float payload
+    val codes = index.assigned.select(col(id).as("__rid"),
+      col("cluster_id"), Quantize.pqEncode(pq, col(emb)).as("__codes"))
+    val probes = queries.select(col("id").as("left_id"),
+      col("embedding").as("q_emb"),
+      explode(VectorKernels.nearestCentroids(col("embedding"),
+        index.centroids, nprobe)).as("cluster_id"))
+    val cands = probes.join(codes, Seq("cluster_id"))
+      .select(col("left_id"), col("__rid").as("id"),
+        round(Distance.l2(col("q_emb"),
+          Quantize.pqDecode(pq, col("__codes"))), 4).as("score"))
+    GroupedTopK.topKPerGroup(cands, col("left_id"), k)
+      .select(col("left_id"), col("id").as("right_id"), col("score"),
+        col("rank"))
+  }
+
   /** Build the IVF coarse quantizer: seeded Lloyd's k-means over a
     * bounded driver-side sample of the embedding column, then a codegen
     * nearest-centroid map assigning each corpus row its cluster id.

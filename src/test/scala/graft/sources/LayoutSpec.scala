@@ -60,6 +60,25 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("compactTo merges fragmented files, sizes output from bytes, keeps content") {
+    val src = freshDir()
+    // fragment: 50 files of 20 rows each
+    docs.repartition(50).write.mode("overwrite").parquet(src)
+    val files = new java.io.File(src).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files === 50)
+    val totalBytes = new java.io.File(src).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val dest = freshDir() + "/out"
+    // target of half the total → exactly 2 output files
+    val n = Layout.compactTo(spark, src, dest, (totalBytes + 1) / 2)
+    assert(n === 2)
+    val outFiles = new java.io.File(dest).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(outFiles === 2)
+    assert(spark.read.parquet(dest).orderBy("doc_id").collect().toSeq ===
+      docs.orderBy("doc_id").collect().toSeq)
+  }
+
   test("invalid arguments are rejected") {
     intercept[IllegalArgumentException] {
       Layout.writeShards(docs, freshDir(), numShards = 0,
@@ -68,6 +87,9 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException] {
       Layout.writeShards(docs, freshDir(), numShards = 1,
         maxRecordsPerFile = 0L, col("mix"))
+    }
+    intercept[IllegalArgumentException] {
+      Layout.compactTo(spark, "/tmp/a", "/tmp/a", 100L)
     }
   }
 }

@@ -63,6 +63,40 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     assert(maxErr(1 << 20) === 0.0)
   }
 
+  test("ivfPqKnnJoin at full probe + full codebook equals the brute-force join") {
+    val rows = corpus(50, 16)
+    val d = df(rows)
+    val idx = Ann.buildIvf(d, nlist = 4)
+    val pq = Quantize.trainPq(d, m = 4, ksub = 1 << 20)
+    val queries = d.select(col("vec_id").as("id"), col("embedding"))
+      .where(col("id") < 5)
+    val got = Ann.ivfPqKnnJoin(queries, idx, pq, k = 3, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val want = Knn.similarityJoin(queries,
+        d.select(col("vec_id").as("id"), col("embedding")), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.sorted.toSeq === want.sorted.toSeq)
+  }
+
+  test("ivfPqKnnJoin partial probe returns candidates only from probed clusters") {
+    val rows = corpus(60, 8)
+    val d = df(rows)
+    val idx = Ann.buildIvf(d, nlist = 6)
+    val pq = Quantize.trainPq(d, m = 4, ksub = 16)
+    val queries = d.select(col("vec_id").as("id"), col("embedding"))
+      .where(col("id") < 4)
+    val out = Ann.ivfPqKnnJoin(queries, idx, pq, k = 5, nprobe = 2)
+    // every returned right id must live in one of its query's 2 probed clusters
+    val assignments = idx.assigned.select(col("vec_id"), col("cluster_id"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val probed = queries.select(col("id"),
+        VectorKernels.nearestCentroids(col("embedding"), idx.centroids, 2).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSet).toMap
+    out.collect().foreach { r =>
+      assert(probed(r.getLong(0)).contains(assignments(r.getLong(1))))
+    }
+  }
+
   test("invalid geometry is rejected") {
     val d = df(corpus(10, 10))
     intercept[IllegalArgumentException] {
