@@ -712,6 +712,35 @@ object SparkEntry {
            |ORDER BY doc_id""".stripMargin
       }),
 
+    // Quality-weighted per-row sampling: keep probability proportional
+    // to a per-document weight (here a length-derived ppm, clamped) —
+    // the weighted generalization of the mixture pass; still a pure
+    // narrow filter with an integer hash-space decision
+    Q("q_sample_weighted",
+      (s, dir) => graft.operators.Sampling.weightedSample(
+          Tables.documents(s, dir), col("doc_id"),
+          col("n_chars") * 2000L, salt = "wq1")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, n_chars FROM documents
+              |WHERE ${graft.operators.Sampling.weightedSampleSql(
+                 "doc_id", "n_chars * 2000", "wq1")}
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Z-order (Morton) clustering key — the multi-dimensional layout
+    // sort: interleaved bits keep per-file min/max boxes small on BOTH
+    // dimensions (ZOrderSpec proves the pruning-locality property;
+    // here the integer arithmetic sits under the hash gate)
+    Q("q_zorder_key",
+      (s, dir) => Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          graft.operators.ZOrder.zValue(col("o_custkey"), col("o_orderkey"))
+            .as("z"))
+        .orderBy("o_orderkey"),
+      Some(s"""SELECT o_orderkey,
+              | ${graft.operators.ZOrder.zValueSql("o_custkey", "o_orderkey")} AS z
+              |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
     // FULL OUTER join: per-customer counts of open vs finished orders —
     // customers with only one kind populate exactly one side
     Q("q_full_outer",

@@ -88,6 +88,28 @@ object Sampling {
     df.where(draw * 100L < rate.cast("long") * 4294967296L)
   }
 
+  /** Per-row WEIGHTED Bernoulli keep: each row survives with
+    * probability `wPpm / 1e6`, where `wPpm` is any integer expression
+    * in parts-per-million (out-of-range values clamp to [0, 1e6]) —
+    * the quality-weighted generalization of [[mixtureSample]] ("keep
+    * documents in proportion to their quality score"). Same integer
+    * hash-space cut (`draw · 1e6 < wPpm · 2^32`, both under 2^53 so
+    * the longs are exact), same scale shape: a pure narrow filter,
+    * reproducible across engines, partitionings, and retries.
+    */
+  def weightedSample(df: DataFrame, idCol: Column, wPpm: Column,
+                     salt: String = "graft"): DataFrame = {
+    val w = least(greatest(wPpm.cast("long"), lit(0L)), lit(1000000L))
+    val draw = conv(substring(hashKey(idCol, salt), 1, 8), 16, 10).cast("long")
+    df.where(draw * 1000000L < w * 4294967296L)
+  }
+
+  /** DuckDB twin of [[weightedSample]]'s keep-predicate. */
+  def weightedSampleSql(idExpr: String, wPpmExpr: String,
+                        salt: String = "graft"): String =
+    s"""(CAST(('0x' || substring(${hashKeySql(idExpr, salt)}, 1, 8)) AS UBIGINT) * 1000000
+       | < least(greatest(CAST($wPpmExpr AS BIGINT), 0), 1000000) * 4294967296)""".stripMargin
+
   /** DuckDB twin of [[mixtureSample]]'s keep-predicate. */
   def mixtureSampleSql(groupExpr: String, idExpr: String,
                        ratesPct: Map[String, Int],

@@ -53,4 +53,29 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
       "mixture sampling must not shuffle")
   }
+
+  test("weightedSample: keep rate tracks the per-row weight; clamps; deterministic") {
+    import spark.implicits._
+    // four weight bands: 0 ppm, 250k, 750k, and an over-range 2e6 (clamps to 1e6)
+    val rows = (0L until 4000L).map(i => (i, (i % 4) match {
+      case 0 => 0L
+      case 1 => 250000L
+      case 2 => 750000L
+      case _ => 2000000L
+    })).toDF("id", "ppm")
+    val kept = Sampling.weightedSample(rows, col("id"), col("ppm"))
+      .groupBy("ppm").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!kept.contains(0L), "zero weight must drop everything")
+    assert(kept(2000000L) === 1000L, "over-range weight clamps to keep-all")
+    // 1000 draws per band, expect p*1000 ± 4σ (σ = sqrt(1000·p·(1-p)))
+    assert(math.abs(kept(250000L) - 250.0) < 4 * math.sqrt(1000 * 0.25 * 0.75))
+    assert(math.abs(kept(750000L) - 750.0) < 4 * math.sqrt(1000 * 0.75 * 0.25))
+    // partitioning invariance
+    val a = Sampling.weightedSample(rows, col("id"), col("ppm"))
+      .collect().map(_.getLong(0)).sorted
+    val b = Sampling.weightedSample(rows.repartition(11), col("id"), col("ppm"))
+      .collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b))
+  }
 }
