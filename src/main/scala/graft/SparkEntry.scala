@@ -562,6 +562,70 @@ object SparkEntry {
              |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
              |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
+    // Date/time function breadth over o_orderdate: component extraction
+    // (ISO week/dow keep both engines on the same calendar), month
+    // bounds, clamped month arithmetic, day offsets, epoch-day deltas.
+    // All outputs are DATEs or integers — no timestamp rendering drift.
+    Q("q_date_functions",
+      (s, dir) => Tables.orders(s, dir)
+        .where(col("o_custkey") < 500)
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("d"))
+        .select(col("o_orderkey"), col("d"),
+          year(col("d")).cast("long").as("yr"),
+          quarter(col("d")).cast("long").as("qtr"),
+          month(col("d")).cast("long").as("mth"),
+          dayofmonth(col("d")).cast("long").as("dom"),
+          dayofyear(col("d")).cast("long").as("doy"),
+          (weekday(col("d")) + 1).cast("long").as("isodow"),
+          weekofyear(col("d")).cast("long").as("iso_week"),
+          trunc(col("d"), "month").as("month_start"),
+          last_day(col("d")).as("month_end"),
+          add_months(col("d"), 3).as("plus3m"),
+          date_add(col("d"), 45).as("plus45d"),
+          datediff(col("d"), to_date(lit("1995-01-01"))).cast("long").as("days_since_95"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, d,
+             | CAST(year(d) AS BIGINT) AS yr,
+             | CAST(quarter(d) AS BIGINT) AS qtr,
+             | CAST(month(d) AS BIGINT) AS mth,
+             | CAST(day(d) AS BIGINT) AS dom,
+             | CAST(dayofyear(d) AS BIGINT) AS doy,
+             | CAST(isodow(d) AS BIGINT) AS isodow,
+             | CAST(weekofyear(d) AS BIGINT) AS iso_week,
+             | date_trunc('month', d) AS month_start,
+             | last_day(d) AS month_end,
+             | CAST(d + INTERVAL 3 MONTH AS DATE) AS plus3m,
+             | d + 45 AS plus45d,
+             | CAST(date_diff('day', DATE '1995-01-01', d) AS BIGINT) AS days_since_95
+             |FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+             |  FROM orders WHERE o_custkey < 500)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // UNPIVOT / melt: wide per-group measures to long (measure, value)
+    // rows — the layout flip feature-store exports need. Spark's
+    // unpivot is a zero-shuffle projection (each input row fans out
+    // locally); the aggregation before it is the only exchange.
+    Q("q_unpivot",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          round(sum(col("l_discount")), 4).as("sum_disc"))
+        .unpivot(
+          Array(col("l_returnflag"), col("l_linestatus")),
+          Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+          "measure", "value")
+        .orderBy("l_returnflag", "l_linestatus", "measure"),
+      Some("""UNPIVOT (
+             | SELECT l_returnflag, l_linestatus,
+             |   round(sum(l_quantity), 4) AS sum_qty,
+             |   round(sum(l_extendedprice), 2) AS sum_price,
+             |   round(sum(l_discount), 4) AS sum_disc
+             | FROM lineitem GROUP BY 1, 2)
+             |ON sum_qty, sum_price, sum_disc INTO NAME measure VALUE value
+             |ORDER BY l_returnflag, l_linestatus, measure""".stripMargin)),
+
     // Exact distinct cardinalities per group
     Q("q_count_distinct",
       (s, dir) => Tables.lineitem(s, dir)
@@ -1292,6 +1356,38 @@ object SparkEntry {
         .orderBy("id_a", "id_b"),
       Some(Dedup.ngramJaccardPairsSql("documents", "doc_id",
         Enrich.dedupContentSql("text", "doc_id")) + " ORDER BY id_a, id_b")),
+
+    // Character-level verify tier over the Jaccard candidates: join
+    // text back, keep pairs with Levenshtein ≤ 5% of the longer doc.
+    // Set-level tiers admit reorderings; this is the order-sensitive
+    // check, run on candidates only (O(len²) per pair). Integer
+    // permille comparison + same metric in DuckDB → full hash gate.
+    Q("dedup_edit_verified",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val t = Enrich.dedupContent(col("text"), col("doc_id"))
+        Dedup.editVerifiedPairs(docs, col("doc_id"), t,
+            Dedup.ngramJaccardPairsPrefix(docs, col("doc_id"), t),
+            maxRelPermille = 50)
+          .orderBy("id_a", "id_b")
+      },
+      Some(Dedup.editVerifiedPairsSql("documents", "doc_id",
+        Enrich.dedupContentSql("text", "doc_id"),
+        Dedup.ngramJaccardPairsIndexedSql("documents", "doc_id",
+          Enrich.dedupContentSql("text", "doc_id")),
+        maxRelPermille = 50) + " ORDER BY id_a, id_b")),
+
+    // Asymmetric containment pairs over a planted core/extended fixture:
+    // the short-doc-embedded-in-long-doc shape symmetric Jaccard misses
+    // (core-side containment 1.0 vs Jaccard ≈ 0.29).
+    Q("dedup_containment",
+      (s, dir) => Dedup.containmentPairs(Tables.documents(s, dir),
+          col("doc_id"), Enrich.containmentContent(col("doc_id")),
+          minContainment = 0.8)
+        .orderBy("id_a", "id_b"),
+      Some(Dedup.containmentPairsSql("documents", "doc_id",
+        Enrich.containmentContentSql("doc_id"),
+        minContainment = 0.8) + " ORDER BY id_a, id_b")),
 
     // MinHash+LSH near-dup pairs — the sub-quadratic scale path
     // (xxhash64 signatures have no DuckDB twin → rows-only; recall vs the

@@ -237,6 +237,40 @@ object Enrich {
     s"CASE WHEN ($keyExpr) % 7 = 0 THEN $dup ELSE $uniq END"
   }
 
+  /** Containment fixture: `key % 7 == 0` documents are a 12-token
+    * "core" run seeded by the block id; `key % 7 == 1` documents are
+    * that SAME core followed by 24 key-salted unique tokens. Within a
+    * block, (core, extended) pairs have core-side containment exactly
+    * 1.0 — every core shingle reappears verbatim in the extension —
+    * while Jaccard sits near 10/34 ≈ 0.29, the asymmetric-duplicate
+    * shape a symmetric threshold can never pass. All other documents
+    * are 16 high-entropy tokens (distinct prefix namespaces keep the
+    * classes shingle-disjoint), so the qualifying pair set is exactly
+    * the planted one on both engines.
+    */
+  def containmentContent(key: Column): Column = {
+    def tok(prefix: String, seed: Column, i: Int, a: Long, b: Long, p: Long) =
+      concat(lit(if (i == 0) prefix else " " + prefix),
+        pmod(seed * a + lit(i * b), lit(p)).cast("string"))
+    val core = (0 until 12).map(i => tok("c", blockId(key), i, 7919L, 104729L, 99991L))
+    val ext  = (0 until 24).map(i => tok("u", key, i, 2654435761L, 40503L, 100003L))
+    val salad = (0 until 16).map(i => tok("w", key, i, 1299709L, 15485863L, 100003L))
+    when(pmod(key, lit(7)) === 0, concat(core: _*))
+      .when(pmod(key, lit(7)) === 1, concat(concat(core: _*), lit(" "), concat(ext: _*)))
+      .otherwise(concat(salad: _*))
+  }
+
+  def containmentContentSql(keyExpr: String): String = {
+    def tok(prefix: String, seed: String, i: Int, a: Long, b: Long, p: Long) =
+      s"'${if (i == 0) prefix else " " + prefix}' || CAST((($seed) * $a + ${i.toLong * b}) % $p AS VARCHAR)"
+    val core = (0 until 12).map(i => tok("c", blockIdSql(keyExpr), i, 7919L, 104729L, 99991L)).mkString(" || ")
+    val ext  = (0 until 24).map(i => tok("u", keyExpr, i, 2654435761L, 40503L, 100003L)).mkString(" || ")
+    val salad = (0 until 16).map(i => tok("w", keyExpr, i, 1299709L, 15485863L, 100003L)).mkString(" || ")
+    s"""CASE WHEN ($keyExpr) % 7 = 0 THEN $core
+       | WHEN ($keyExpr) % 7 = 1 THEN $core || ' ' || $ext
+       | ELSE $salad END""".stripMargin
+  }
+
   /** S2 fixture: a first-page-style header (case number, parties, two
     * date formats, mixed case) prepended to the document text.
     */

@@ -389,4 +389,126 @@ object Dedup {
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
+
+  /** Character-level verify tier: join document text back onto a
+    * CANDIDATE edge set (from any of the set-level tiers) and keep
+    * pairs whose Levenshtein distance is at most `maxRelPermille`/1000
+    * of the longer text. Shingle/MinHash tiers are set-of-ngrams
+    * measures — they admit bag-identical reorderings and heavy
+    * transposition noise; edit distance is the order-sensitive check.
+    * The per-pair threshold `floor(maxRelPermille·max_len/1000)` is
+    * passed INTO Spark's banded `levenshtein(l, r, threshold)` — the
+    * DP explores only a 2·threshold+1 diagonal band and bails out
+    * early with -1, so cost is O(len·threshold) per pair instead of
+    * O(len²); at a 5% band that is a 10× kernel saving on large
+    * documents, and it still belongs after candidate generation —
+    * never on the corpus cross product. A pair over threshold yields
+    * -1, which the `edit_dist >= 0` guard drops; kept rows carry the
+    * true distance, so the full-DP DuckDB twin (no threshold arg
+    * there) keeps and values exactly the same rows. The permille
+    * comparison is pure integer arithmetic (no float boundary), and
+    * both engines count distance in unicode code points, so the tier
+    * is oracle-gateable end to end.
+    *
+    * `candidates` must carry (id_a, id_b); extra columns ride along.
+    */
+  def editVerifiedPairs(df: DataFrame, idCol: Column, textCol: Column,
+                        candidates: DataFrame,
+                        maxRelPermille: Int): DataFrame = {
+    require(maxRelPermille >= 0 && maxRelPermille <= 1000,
+      s"maxRelPermille must be 0..1000, got $maxRelPermille")
+    val texts = df.select(idCol.as("__eid"), textCol.as("__etext"))
+    candidates
+      .join(texts.select(col("__eid").as("id_a"), col("__etext").as("__ta")), "id_a")
+      .join(texts.select(col("__eid").as("id_b"), col("__etext").as("__tb")), "id_b")
+      .withColumn("max_len",
+        greatest(length(col("__ta")), length(col("__tb"))).cast("long"))
+      // d*1000 <= p*max_len  ⟺  d <= floor(p*max_len/1000) for integer d,
+      // so the banded threshold loses nothing vs the full predicate.
+      .withColumn("edit_dist",
+        call_function("levenshtein", col("__ta"), col("__tb"),
+          (lit(maxRelPermille.toLong) * col("max_len") / 1000L)
+            .cast("int")).cast("long"))
+      .where(col("edit_dist") >= 0L &&
+        col("edit_dist") * 1000L <= lit(maxRelPermille.toLong) * col("max_len"))
+      .select(candidates.columns.map(col).toIndexedSeq
+        :+ col("edit_dist") :+ col("max_len"): _*)
+  }
+
+  /** Asymmetric near-superset pairs: containment C(A→B) = |A∩B| / |A|
+    * over word-shingle sets, emitted when EITHER direction reaches
+    * `minContainment`. The measure that catches a short document
+    * embedded in a longer one — quote-plus-commentary, article-plus-
+    * boilerplate, excerpt corpora — where symmetric Jaccard is diluted
+    * by the larger side's size and never crosses its threshold
+    * (Broder's resemblance-vs-containment distinction).
+    *
+    * Same inverted-index plan as [[ngramJaccardPairs]]: explode
+    * distinct shingle hashes, hash self-join on the shingle, count
+    * shared per pair, derive both directional ratios from the shared
+    * count and the two set sizes — codegen joins + partial aggs, no
+    * all-pairs stage. Candidate generation is lossless for any
+    * `minContainment > 0` (a qualifying pair shares ≥ 1 shingle).
+    * Ratios are floor-truncated to 4dp (cross-engine deterministic).
+    */
+  def containmentPairs(df: DataFrame, idCol: Column, textCol: Column,
+                       n: Int = 3, minContainment: Double = 0.8): DataFrame = {
+    require(minContainment > 0.0 && minContainment <= 1.0,
+      s"minContainment must be in (0, 1], got $minContainment")
+    def floor4(c: Column): Column = floor(c * 10000.0) / 10000.0
+    val base  = df.select(idCol.as("id"), shingleHashes(textCol, n).as("sh"))
+    val sizes = base.select(col("id"), size(col("sh")).as("n_sh"))
+    val inv   = base.select(col("id"), explode(col("sh")).as("shingle"))
+    inv.as("l")
+      .join(inv.as("r"), col("l.shingle") === col("r.shingle")
+        && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(broadcast(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a"))), "id_a")
+      .join(broadcast(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b"))), "id_b")
+      .select(col("id_a"), col("id_b"),
+        floor4(col("shared") / greatest(col("n_a"), lit(1)).cast("double")).as("cont_a"),
+        floor4(col("shared") / greatest(col("n_b"), lit(1)).cast("double")).as("cont_b"))
+      .where(greatest(col("cont_a"), col("cont_b")) >= minContainment)
+  }
+
+  /** DuckDB twin of [[containmentPairs]] — inverted-index form (the
+    * all-pairs form would be O(n²); identical output since zero-overlap
+    * pairs cannot qualify at a positive threshold).
+    */
+  def containmentPairsSql(table: String, idExpr: String, textExpr: String,
+                          n: Int = 3, minContainment: Double = 0.8): String = {
+    val sh = shinglesSql(textExpr, n)
+    s"""SELECT id_a, id_b, cont_a, cont_b FROM (
+       | SELECT id_a, id_b,
+       |   (floor((c / greatest(na, 1)::DOUBLE) * 10000.0) / 10000.0) AS cont_a,
+       |   (floor((c / greatest(nb, 1)::DOUBLE) * 10000.0) / 10000.0) AS cont_b
+       | FROM (
+       |   SELECT a.id AS id_a, b.id AS id_b,
+       |     any_value(a.n) AS na, any_value(b.n) AS nb, count(*) AS c
+       |   FROM (SELECT id, len(sh) AS n, unnest(sh) AS shingle
+       |         FROM (SELECT $idExpr AS id, list_distinct($sh) AS sh FROM $table)) a
+       |   JOIN (SELECT id, len(sh) AS n, unnest(sh) AS shingle
+       |         FROM (SELECT $idExpr AS id, list_distinct($sh) AS sh FROM $table)) b
+       |     ON a.shingle = b.shingle AND a.id < b.id
+       |   GROUP BY 1, 2))
+       |WHERE greatest(cont_a, cont_b) >= $minContainment""".stripMargin
+  }
+
+  /** DuckDB twin of [[editVerifiedPairs]] over a candidate subquery
+    * producing (id_a, id_b, jaccard).
+    */
+  def editVerifiedPairsSql(table: String, idExpr: String, textExpr: String,
+                           candidatesSql: String,
+                           maxRelPermille: Int): String =
+    s"""SELECT c.id_a, c.id_b, c.jaccard,
+       | CAST(levenshtein(a.__etext, b.__etext) AS BIGINT) AS edit_dist,
+       | CAST(greatest(length(a.__etext), length(b.__etext)) AS BIGINT) AS max_len
+       |FROM ($candidatesSql) c
+       |JOIN (SELECT $idExpr AS __eid, $textExpr AS __etext FROM $table) a
+       |  ON c.id_a = a.__eid
+       |JOIN (SELECT $idExpr AS __eid, $textExpr AS __etext FROM $table) b
+       |  ON c.id_b = b.__eid
+       |WHERE CAST(levenshtein(a.__etext, b.__etext) AS BIGINT) * 1000
+       |  <= $maxRelPermille * CAST(greatest(length(a.__etext), length(b.__etext)) AS BIGINT)""".stripMargin
 }

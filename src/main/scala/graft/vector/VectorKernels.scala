@@ -24,20 +24,29 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 object VectorKernels {
 
   sealed abstract class FusedVectorOp(name: String) {
-    /** Java statements computing `resultVar` from two ArrayData vars. */
-    def gen(a: String, b: String, n: String, result: String): String
+    /** Java statements computing `resultVar` from two ArrayData vars.
+      * Every local MUST come from `ctx.freshName`: with non-nullable
+      * children, `nullSafeCodeGen` inlines this block into the shared
+      * projection scope, so two kernels in one projection would
+      * redefine fixed names and kick the whole projection to the
+      * interpreted fallback (janino "Redefinition of local variable").
+      */
+    def gen(ctx: CodegenContext, a: String, b: String, n: String, result: String): String
     /** Interpreted twin (same op order). */
     def eval(a: ArrayData, b: ArrayData, n: Int): Double
   }
 
   case object L2 extends FusedVectorOp("graft_l2") {
-    def gen(a: String, b: String, n: String, result: String): String =
-      s"""double acc = 0.0;
-         |for (int i = 0; i < $n; i++) {
-         |  double d = (double) $a.getFloat(i) - (double) $b.getFloat(i);
-         |  acc += d * d;
+    def gen(ctx: CodegenContext, a: String, b: String, n: String, result: String): String = {
+      val acc = ctx.freshName("acc"); val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      s"""double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |  $acc += $d * $d;
          |}
-         |$result = Math.sqrt(acc);""".stripMargin
+         |$result = Math.sqrt($acc);""".stripMargin
+    }
     def eval(a: ArrayData, b: ArrayData, n: Int): Double = {
       var acc = 0.0; var i = 0
       while (i < n) {
@@ -49,12 +58,14 @@ object VectorKernels {
   }
 
   case object Dot extends FusedVectorOp("graft_dot") {
-    def gen(a: String, b: String, n: String, result: String): String =
-      s"""double acc = 0.0;
-         |for (int i = 0; i < $n; i++) {
-         |  acc += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+    def gen(ctx: CodegenContext, a: String, b: String, n: String, result: String): String = {
+      val acc = ctx.freshName("acc"); val i = ctx.freshName("i")
+      s"""double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
-         |$result = acc;""".stripMargin
+         |$result = $acc;""".stripMargin
+    }
     def eval(a: ArrayData, b: ArrayData, n: Int): Double = {
       var acc = 0.0; var i = 0
       while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
@@ -68,14 +79,18 @@ object VectorKernels {
     * built-in form).
     */
   case object Cosine extends FusedVectorOp("graft_cosine") {
-    def gen(a: String, b: String, n: String, result: String): String =
-      s"""double dot = 0.0; double na = 0.0; double nb = 0.0;
-         |for (int i = 0; i < $n; i++) {
-         |  double x = (double) $a.getFloat(i);
-         |  double y = (double) $b.getFloat(i);
-         |  dot += x * y; na += x * x; nb += y * y;
+    def gen(ctx: CodegenContext, a: String, b: String, n: String, result: String): String = {
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val i = ctx.freshName("i")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $a.getFloat($i);
+         |  double $y = (double) $b.getFloat($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |$result = dot / (Math.sqrt(na) * Math.sqrt(nb));""".stripMargin
+         |$result = $dot / (Math.sqrt($na) * Math.sqrt($nb));""".stripMargin
+    }
     def eval(a: ArrayData, b: ArrayData, n: Int): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < n) {
@@ -106,7 +121,7 @@ object VectorKernels {
       nullSafeCodeGen(ctx, ev, (a, b) => {
         val n = ctx.freshName("n")
         s"""int $n = Math.min($a.numElements(), $b.numElements());
-           |${op.gen(a, b, n, ev.value)}""".stripMargin
+           |${op.gen(ctx, a, b, n, ev.value)}""".stripMargin
       })
 
     override protected def withNewChildrenInternal(newLeft: Expression,

@@ -140,4 +140,60 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((21L, 22L)))
   }
+
+  test("edit-distance tier keeps small edits, drops rotations Jaccard can't see") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // one-word edit of 1: high jaccard AND small edit distance -> kept
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappaX"),
+      // rotation of 1: most 3-grams survive (high jaccard) but half the
+      // characters moved -> edit distance far above 15% of length
+      (3L, "zeta eta theta iota kappa alpha beta gamma delta epsilon"),
+      (4L, "unrelated content entirely different words here now")
+    ).toDF("id", "text")
+    val cands = Dedup.ngramJaccardPairsPrefix(d, col("id"), col("text"),
+      minJaccard = 0.5)
+    val candSet = cands.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(candSet.contains((1L, 2L)) && candSet.contains((1L, 3L)),
+      s"expected both the edit pair and the rotation among candidates: $candSet")
+    val kept = Dedup.editVerifiedPairs(d, col("id"), col("text"), cands,
+        maxRelPermille = 150)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept.contains((1L, 2L)))
+    assert(!kept.contains((1L, 3L)), "rotation must fail the character-level tier")
+  }
+
+  test("containment catches a near-superset pair that Jaccard misses") {
+    import spark.implicits._
+    val core = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val d = Seq(
+      (1L, core),
+      (2L, core + " " + (0 until 24).map(i => s"ext$i").mkString(" ")),
+      (3L, "totally different words with no shared trigrams at all here")
+    ).toDF("id", "text")
+    val pairs = Dedup.containmentPairs(d, col("id"), col("text"),
+        minContainment = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    val (_, _, contA, contB) = pairs.head
+    assert(contA == 1.0, s"core fully contained, got $contA")
+    assert(contB < 0.5, s"reverse direction must be dilute, got $contB")
+    // the same pair is invisible to symmetric Jaccard at any usual threshold
+    val jac = Dedup.ngramJaccardPairs(d, col("id"), col("text"), minJaccard = 0.5)
+    assert(jac.count() == 0)
+  }
+
+  test("containmentPairs rejects non-positive thresholds") {
+    intercept[IllegalArgumentException] {
+      Dedup.containmentPairs(docs, col("id"), col("text"), minContainment = 0.0)
+    }
+  }
+
+  test("editVerifiedPairs rejects out-of-range thresholds") {
+    intercept[IllegalArgumentException] {
+      Dedup.editVerifiedPairs(docs, col("id"), col("text"),
+        docs.select(col("id").as("id_a"), col("id").as("id_b")), 1001)
+    }
+  }
 }
