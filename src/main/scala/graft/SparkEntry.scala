@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.api.{Enrich, Pipelines}
 import graft.classify.{Cascades, CaseMetadata, Conclusion}
 import graft.dedup.{Components, Dedup, EmbeddingDedup}
-import graft.operators.{GapFill, Skew, Splits}
+import graft.operators.{GapFill, PageRank, Skew, Splits}
 import graft.oracle.Sql
 import graft.search.Hybrid
 import graft.sources.Tables
@@ -1184,6 +1184,41 @@ object SparkEntry {
       Some(Splits.stratifiedExactSql("documents", "doc_id", "lang",
         Seq("doc_id", "lang")) + " ORDER BY doc_id")),
 
+    // Leakage-safe split: hash on the duplicate-cluster representative
+    // so a near-dup cluster never straddles train/test (train-test
+    // contamination guard). Oracle recomputes the clusters with the
+    // recursive-CTE reclustering and applies the same affine hash to
+    // the representative.
+    Q("mldata_split_leakage_safe",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val t = Enrich.dedupContent(col("text"), col("doc_id"))
+        val labels = Components.dupClusters(docs, col("doc_id"), t,
+            minJaccard = 0.5)
+          .select(col("id"), col("cluster_id"))
+        Splits.assignByClusterHash(docs, col("doc_id"), labels)
+          .select(col("doc_id"), col("split"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE edges AS MATERIALIZED (
+              |  ${Dedup.ngramJaccardPairsIndexedSql("documents", "doc_id",
+                   Enrich.dedupContentSql("text", "doc_id"))}
+              |), sym AS (
+              |  SELECT id_a AS src, id_b AS dst FROM edges
+              |  UNION ALL
+              |  SELECT id_b, id_a FROM edges
+              |), reach AS (
+              |  SELECT src AS id, src AS r FROM sym
+              |  UNION
+              |  SELECT sym.src, reach.r FROM sym JOIN reach ON sym.dst = reach.id
+              |), labels AS (
+              |  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+              |)
+              |SELECT d.doc_id,
+              | ${Splits.assignByHashSql("coalesce(l.cluster_id, d.doc_id)")} AS split
+              |FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
+              |ORDER BY d.doc_id""".stripMargin)),
+
     // Per-query BM25 retrieval join: terms as DATA through an inverted
     // index (postings ∝ queried tokens, never M×N); token-sorted left
     // fold keeps the float score shuffle-order-free
@@ -1472,6 +1507,23 @@ object SparkEntry {
               |)
               |SELECT id, min(r) AS cluster_id, (id = min(r)) AS is_keeper
               |FROM reach GROUP BY id ORDER BY id""".stripMargin)),
+
+    // Scaled-integer PageRank over the near-dup graph: which document
+    // is the hub of a template family. Long arithmetic end to end —
+    // bit-identical under any shuffle order, so the full hash gate
+    // applies (the DuckDB twin unrolls the iterations as chained CTEs).
+    Q("dedup_pagerank",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val t = Enrich.dedupContent(col("text"), col("doc_id"))
+        PageRank.pagerank(
+            Dedup.ngramJaccardPairsPrefix(docs, col("doc_id"), t)
+              .select("id_a", "id_b"))
+          .orderBy("id")
+      },
+      Some(PageRank.pagerankSql(
+        Dedup.ngramJaccardPairsIndexedSql("documents", "doc_id",
+          Enrich.dedupContentSql("text", "doc_id"))) + " ORDER BY id")),
 
     // Incremental re-clustering: labels computed on "yesterday's"
     // corpus (doc_id < 250), then the delta edge batch (any pair

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic PageRank over an undirected edge set — graph
+  * centrality for duplicate/similarity graphs (which document is the
+  * HUB of a template family; which node best represents a cluster).
+  * Extension surface beyond the reference (which has no graph ops at
+  * all); the edge input is typically a near-dup pair set from
+  * [[graft.dedup.Dedup]].
+  *
+  * All arithmetic is SCALED-INTEGER (rank in millionths, damping in
+  * permille): every per-edge contribution is an exact long, and long
+  * addition is commutative — so the per-key sums are bit-identical
+  * under ANY shuffle order, partitioning, or engine. Floating-point
+  * PageRank cannot make that promise (float addition does not
+  * commute), which is what keeps this variant under the DuckDB hash
+  * gate with NO rounding tolerance.
+  *
+  * Update rule (non-normalized classic variant, damping d = 0.85):
+  *   r₀(v)    = 1_000_000
+  *   rₜ₊₁(v) = 150_000 + Σ_{u∼v} ⌊ rₜ(u)·850 / (deg(u)·1000) ⌋
+  * Symmetrized edges mean no dangling nodes (every node has degree
+  * ≥ 1), so no dangling-mass term is needed.
+  *
+  * Plan shape per iteration: one equi-join of the degree-annotated
+  * edge list with the current ranks (shuffle on src) and one partial
+  * aggregation onto dst — the standard distributed PageRank step.
+  * The degree join is folded into the edge list ONCE up front and
+  * `localCheckpoint`ed: it is read `iters` times, and each read would
+  * otherwise re-run the (possibly expensive) edge-mining plan; the
+  * checkpoint also truncates the growing per-iteration lineage at its
+  * root. At 100 TB scale, also checkpoint `ranks` every ~5 rounds —
+  * iteration count here is small and fixed, so per-round rank
+  * checkpoints are not worth their materialization cost.
+  */
+object PageRank {
+
+  /** @param edges undirected pair set with columns (id_a, id_b);
+    *              self-loops and duplicate pairs are counted as given.
+    * @return (id, rank) for every node incident to an edge, rank in
+    *         millionths (long).
+    */
+  def pagerank(edges: DataFrame, iters: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be 1..50, got $iters")
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    // materialize (src, dst, deg) once; re-read per iteration
+    val symDeg = sym.join(deg, "src").localCheckpoint()
+    var ranks = deg.select(col("src").as("id"), lit(1000000L).as("rank"))
+    for (_ <- 1 to iters) {
+      ranks = symDeg
+        .join(ranks, symDeg("src") === ranks("id"))
+        .select(col("dst"),
+          expr("rank * 850 div (deg * 1000)").as("contrib"))
+        .groupBy("dst")
+        .agg((lit(150000L) + sum(col("contrib"))).as("rank"))
+        .select(col("dst").as("id"), col("rank"))
+    }
+    ranks
+  }
+
+  /** DuckDB twin of [[pagerank]]: the iterations UNROLLED as chained
+    * CTEs (standard SQL bars grouping over a recursive reference, and
+    * the iteration count is a fixed constant anyway). `//` is integer
+    * division on BIGINT and `sum(BIGINT)` widens to HUGEINT — cast
+    * back. `edgesSql` must produce (id_a, id_b).
+    */
+  def pagerankSql(edgesSql: String, iters: Int = 5): String = {
+    require(iters >= 1 && iters <= 50, s"iters must be 1..50, got $iters")
+    val steps = (1 to iters).map { t =>
+      s"""pr$t AS (
+         |  SELECT s.dst AS id,
+         |    CAST(150000 + sum((p.rank * 850) // (s.deg * 1000)) AS BIGINT) AS rank
+         |  FROM symdeg s JOIN pr${t - 1} p ON s.src = p.id
+         |  GROUP BY s.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED ($edgesSql),
+       |sym AS (
+       |  SELECT id_a AS src, id_b AS dst FROM edges
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM edges
+       |), deg AS (
+       |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY src
+       |), symdeg AS (
+       |  SELECT sym.src, sym.dst, deg.deg FROM sym JOIN deg ON sym.src = deg.src
+       |), pr0 AS (
+       |  SELECT src AS id, CAST(1000000 AS BIGINT) AS rank FROM deg
+       |),
+       |$steps
+       |SELECT id, rank FROM pr$iters""".stripMargin
+  }
+}

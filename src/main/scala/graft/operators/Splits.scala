@@ -70,6 +70,43 @@ object Splits {
        | WHEN ${idHashSql(idExpr)} % 100 < ${trainPct + valPct} THEN 'val'
        | ELSE 'test' END""".stripMargin
 
+  /** Leakage-safe split: hash on the row's duplicate-CLUSTER
+    * representative instead of its own id, so an entire near-duplicate
+    * cluster always lands in ONE split. Splitting by row id leaks:
+    * two near-identical documents can straddle train and test, and the
+    * model is then evaluated on (a copy of) its training data — the
+    * standard contamination failure that motivates cluster-aware
+    * splitting in dataset curation.
+    *
+    * `clusterLabels` is `(id, cluster_id)` for CLUSTERED rows only
+    * (e.g. [[graft.dedup.Components.dupClusters]]'s output — singleton
+    * documents may be absent; they fall back to their own id, which is
+    * exactly [[assignByHash]]'s behavior). One equi-join on the id —
+    * broadcast when the clustered subset is small, shuffle otherwise
+    * (AQE decides); the split itself stays a pure projection of the
+    * representative, so the route inherits [[assignByHash]]'s
+    * reproducibility contract.
+    */
+  def assignByClusterHash(df: DataFrame, idCol: Column,
+                          clusterLabels: DataFrame,
+                          trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"bad split percents ($trainPct, $valPct)")
+    val reserved = Seq("__ls_id", "__ls_rep")
+    reserved.foreach { c =>
+      require(!df.columns.contains(c), s"input must not carry reserved column $c")
+    }
+    val labels = clusterLabels.select(col("id").as("__ls_id"),
+      col("cluster_id").as("__ls_rep"))
+    val bucket = pmod(idHash(coalesce(col("__ls_rep"), idCol)), lit(100L))
+    df.join(labels, idCol === col("__ls_id"), "left")
+      .withColumn("split",
+        when(bucket < trainPct, "train")
+          .when(bucket < trainPct + valPct, "val")
+          .otherwise("test"))
+      .drop("__ls_id", "__ls_rep")
+  }
+
   /** Exact stratified split: within each stratum, rank rows by
     * (hash, id) — a deterministic shuffle of the stratum — and cut at
     * floor(n·pct/100). `n·pct` stays far inside 2^53, so the

@@ -61,6 +61,37 @@ class SplitsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("assignByClusterHash keeps every cluster in one split, singletons match assignByHash") {
+    import spark.implicits._
+    val ids = (0L until 300L).toDF("id")
+    // clusters: {0..9} -> rep 0, {100..104} -> rep 100; rest singleton
+    val labels = ((0L until 10L).map(i => (i, 0L)) ++
+      (100L until 105L).map(i => (i, 100L))).toDF("id", "cluster_id")
+    val out = Splits.assignByClusterHash(ids, col("id"), labels)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // each cluster entirely in one split (the representative's)
+    assert((0L until 10L).map(out).toSet.size == 1)
+    assert((100L until 105L).map(out).toSet.size == 1)
+    // non-clustered rows agree with the plain hash route
+    val plain = Splits.assignByHash(ids, col("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    ((10L until 100L) ++ (105L until 300L)).foreach { i =>
+      assert(out(i) == plain(i), s"singleton $i diverged")
+    }
+    // and clustered rows got their representative's plain label
+    assert((0L until 10L).forall(i => out(i) == plain(0L)))
+    assert((100L until 105L).forall(i => out(i) == plain(100L)))
+  }
+
+  test("assignByClusterHash rejects reserved column names") {
+    import spark.implicits._
+    val ids = Seq(1L).toDF("id").withColumn("__ls_rep", lit(1L))
+    intercept[IllegalArgumentException] {
+      Splits.assignByClusterHash(ids, col("id"),
+        Seq((1L, 1L)).toDF("id", "cluster_id"))
+    }
+  }
+
   test("large ids do not overflow under ANSI mode") {
     import spark.implicits._
     val ids = Seq(Long.MaxValue - 1, 9999999999999L, 0L).toDF("id")
