@@ -1634,19 +1634,23 @@ object SparkEntry {
               |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)),
 
     // Int8 scalar quantization — the 4×-smaller storage form of the
-    // vector corpus; per-vector symmetric scale, bounded recon error
+    // vector corpus; per-vector symmetric scale, bounded recon error.
+    // The codes array is compared as a comma-joined string: the driver
+    // harness sorts/hashes compare columns and cannot order raw array
+    // payloads, and integer CSV is bit-identical across both engines.
     Q("v_quantize_int8",
       (s, dir) => {
         val q = graft.vector.Quantize.int8(col("embedding").cast("array<float>"))
         Tables.embeddings(s, dir)
           .select(col("vec_id"), q.getField("scale").as("scale"),
-            q.getField("codes").as("codes"),
+            concat_ws(",", q.getField("codes")).as("codes_csv"),
             q.getField("recon_err").as("recon_err"))
           .orderBy("vec_id")
       },
       Some {
         val (scale, codes, err) = graft.vector.Quantize.int8Sql("embedding")
-        s"""SELECT vec_id, $scale AS scale, $codes AS codes, $err AS recon_err
+        s"""SELECT vec_id, $scale AS scale,
+           | array_to_string($codes, ',') AS codes_csv, $err AS recon_err
            |FROM embeddings ORDER BY vec_id""".stripMargin
       }),
 

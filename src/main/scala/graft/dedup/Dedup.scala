@@ -406,9 +406,18 @@ object Dedup {
     * -1, which the `edit_dist >= 0` guard drops; kept rows carry the
     * true distance, so the full-DP DuckDB twin (no threshold arg
     * there) keeps and values exactly the same rows. The permille
-    * comparison is pure integer arithmetic (no float boundary), and
-    * both engines count distance in unicode code points, so the tier
-    * is oracle-gateable end to end.
+    * comparison is pure integer arithmetic (no float boundary).
+    *
+    * UNIT-OF-DISTANCE CONTRACT: Spark's `levenshtein` counts unicode
+    * code points; DuckDB's counts BYTES of the UTF-8 encoding (e.g.
+    * DuckDB levenshtein('日本','本') = 3 where the code-point answer is
+    * 1), and `length`/`max_len` diverge the same way. The engine
+    * semantics here are code-point (the Spark side is authoritative);
+    * the SQL twin in [[editVerifiedPairsSql]] agrees with it only on
+    * ASCII text, so the oracle gate runs on an ASCII fixture by
+    * contract. Multibyte corpora are fully supported by this operator
+    * — only the DuckDB cross-check is ASCII-scoped. Pinned by the
+    * non-ASCII case in DedupSpec.
     *
     * `candidates` must carry (id_a, id_b); extra columns ride along.
     */
@@ -464,8 +473,12 @@ object Dedup {
         && col("l.id") < col("r.id"))
       .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .agg(count(lit(1)).as("shared"))
-      .join(broadcast(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a"))), "id_a")
-      .join(broadcast(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b"))), "id_b")
+      // No broadcast hint on the size table: it is corpus-cardinality
+      // (one row per document), so forcing a broadcast contradicts the
+      // no-corpus-sized-state contract at 100 TB. The pair set is
+      // already shuffled on the join key; let AQE pick the strategy.
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         floor4(col("shared") / greatest(col("n_a"), lit(1)).cast("double")).as("cont_a"),
         floor4(col("shared") / greatest(col("n_b"), lit(1)).cast("double")).as("cont_b"))

@@ -67,11 +67,26 @@ object Layout {
     require(targetFileBytes > 0,
       s"targetFileBytes must be positive, got $targetFileBytes")
     require(src != dest, "dest must differ from src")
-    val fs = new org.apache.hadoop.fs.Path(src)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.listStatus(new org.apache.hadoop.fs.Path(src))
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
+    val srcPath = new org.apache.hadoop.fs.Path(src)
+    val fs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Recursive walk: partitioned layouts nest data files under
+    // key=value directories, and a non-recursive list would size them
+    // at 0 bytes → everything coalesced into one task (ADVICE r4).
+    // Data files are anything that isn't a _SUCCESS/.crc-style marker;
+    // sizing must not depend on a ".parquet" suffix convention.
+    var totalBytes = 0L
+    var dataFiles = 0
+    val it = fs.listFiles(srcPath, true)
+    while (it.hasNext) {
+      val s = it.next()
+      val name = s.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        totalBytes += s.getLen
+        dataFiles += 1
+      }
+    }
+    require(dataFiles > 0, s"no data files found under $src — refusing " +
+      "to compact an empty or marker-only directory")
     val n = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes)
       .min(Int.MaxValue).toInt
     spark.read.parquet(src).coalesce(n)

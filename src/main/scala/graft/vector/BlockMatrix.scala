@@ -238,14 +238,17 @@ object BlockMatrix {
     // needed for determinism.
     val b = numBlocks
     def residue(id: Long): Int = (((id % b) + b) % b).toInt
+    // Tile keys are Long: Int `lb * b + j` overflows at b > 46340 —
+    // and chooseNumBlocks crosses that around ~11 TB per side, silently
+    // colliding distinct tiles in the cogroup (ADVICE r4).
     val lkv = leftBase.as[BlockRow]
       .flatMap { r =>
-        val lb = residue(r.id); (0 until b).iterator.map(j => (lb * b + j, r))
+        val lb = residue(r.id); (0 until b).iterator.map(j => (lb.toLong * b + j, r))
       }
       .groupByKey(_._1)
     val rkv = rightBase.as[BlockRow]
       .flatMap { r =>
-        val rb = residue(r.id); (0 until b).iterator.map(i => (i * b + rb, r))
+        val rb = residue(r.id); (0 until b).iterator.map(i => (i.toLong * b + rb, r))
       }
       .groupByKey(_._1)
 

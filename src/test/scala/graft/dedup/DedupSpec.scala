@@ -164,6 +164,27 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(!kept.contains((1L, 3L)), "rotation must fail the character-level tier")
   }
 
+  test("editVerifiedPairs counts distance in code points, not UTF-8 bytes") {
+    import spark.implicits._
+    // One CJK substitution: code-point distance 1 (what this engine
+    // commits to), UTF-8 byte distance 3 (what DuckDB's levenshtein
+    // would report — which is why the oracle gate's fixture is ASCII
+    // by contract; see the editVerifiedPairs docstring).
+    val d = Seq(
+      (1L, "最高裁判所は上告を棄却する判決を言い渡した"),
+      (2L, "最高裁判所は上告を棄却する判決を言い渡しだ")
+    ).toDF("id", "text")
+    val cands = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val rows = Dedup.editVerifiedPairs(d, col("id"), col("text"), cands,
+      maxRelPermille = 150).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("edit_dist") == 1L,
+      s"code-point distance expected 1, got ${r.getAs[Long]("edit_dist")}")
+    assert(r.getAs[Long]("max_len") == 21L,
+      s"code-point length expected 21, got ${r.getAs[Long]("max_len")}")
+  }
+
   test("containment catches a near-superset pair that Jaccard misses") {
     import spark.implicits._
     val core = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
