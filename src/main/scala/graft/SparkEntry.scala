@@ -1012,8 +1012,12 @@ object SparkEntry {
               | FROM documents)
               |WHERE length(para) > 0 ORDER BY doc_id, para""".stripMargin)),
 
-    // F2: greedy chunk packing — stateful per-document fold, not
-    // SQL-expressible (rows-only check; semantics pinned by ChunkPackerSpec)
+    // F2: greedy chunk packing — a stateful per-document fold. Not
+    // expressible as one SQL pass, but it IS expressible as a DuckDB
+    // RECURSIVE CTE that replays the fold paragraph by paragraph (the
+    // oracle runs once at sf0.01; O(chunk²) word recounts are fine
+    // there), which upgrades this from rows-only to a full hash gate.
+    // ChunkPackerSpec still pins the Python-fold parity bit for bit.
     Q("f2_chunk_pack",
       (s, dir) => {
         val big = Tables.documents(s, dir)
@@ -1028,10 +1032,47 @@ object SparkEntry {
             md5(col("chunk_text")).as("chunk_md5"))
           .orderBy("source", "chunk_idx")
       },
-      None),
+      // The fold state is (cur buffer, emit count); each recursion step
+      // advances every source by one paragraph. `emit` is NULL when the
+      // paragraph was appended and the flushed chunk otherwise ('' is a
+      // real emission — the first-paragraph-over-budget quirk). The
+      // strip set mirrors java.lang.String#strip over the fixture's
+      // whitespace alphabet.
+      Some {
+        val ws = "' ' || chr(10) || chr(9) || chr(13)"
+        s"""WITH RECURSIVE paras AS (
+           |  SELECT source, CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS INT) AS i,
+           |         trim(text, $ws) AS para
+           |  FROM documents WHERE length(trim(text, $ws)) > 0
+           |), counts AS (SELECT source, max(i) AS n FROM paras GROUP BY source),
+           |step AS (
+           |  SELECT source, 0 AS i, '' AS cur, CAST(NULL AS VARCHAR) AS emit, 0 AS n_emitted FROM counts
+           |  UNION ALL
+           |  SELECT s.source, p.i,
+           |    CASE WHEN len(regexp_extract_all(s.cur || p.para, '\\S+')) < 400
+           |         THEN s.cur || chr(10) || p.para ELSE p.para END,
+           |    CASE WHEN len(regexp_extract_all(s.cur || p.para, '\\S+')) < 400
+           |         THEN CAST(NULL AS VARCHAR) ELSE trim(s.cur, $ws) END,
+           |    s.n_emitted + CASE WHEN len(regexp_extract_all(s.cur || p.para, '\\S+')) < 400 THEN 0 ELSE 1 END
+           |  FROM step s JOIN paras p ON p.source = s.source AND p.i = s.i + 1
+           |), emitted AS (
+           |  SELECT source, n_emitted - 1 AS chunk_idx, emit AS chunk FROM step WHERE emit IS NOT NULL
+           |  UNION ALL
+           |  SELECT s.source, s.n_emitted AS chunk_idx, trim(s.cur, $ws) AS chunk
+           |  FROM step s JOIN counts c ON s.source = c.source AND s.i = c.n
+           |  WHERE s.cur <> ''
+           |)
+           |SELECT source, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           |  CAST(len(regexp_extract_all(chunk, '\\S+')) AS BIGINT) AS n_words,
+           |  md5(chunk) AS chunk_md5
+           |FROM emitted ORDER BY source, chunk_idx""".stripMargin
+      }),
 
-    // F7: conclusion-section extraction — doc-type-aware tail slicing
-    // (rows-only; branch semantics pinned by ConclusionSpec)
+    // F7: conclusion-section extraction — doc-type-aware tail slicing.
+    // Oracle-gated via Conclusion.extractSql (DuckDB replays the
+    // last-match slicing through regexp_extract_all/string_split_regex
+    // interleaving); branch semantics additionally pinned by
+    // ConclusionSpec.
     Q("f7_conclusion_extract",
       (s, dir) => {
         val base = Enrich.inject(col("text"), col("doc_id"), Enrich.docTypePhrases)
@@ -1048,7 +1089,20 @@ object SparkEntry {
             md5(col("conclusion")).as("conclusion_md5"))
           .orderBy("doc_id")
       },
-      None),
+      Some {
+        val lengthened =
+          s"(${Enrich.injectSql("text", "doc_id", Enrich.docTypePhrases)} || " +
+            "repeat(' ' || text, CAST((doc_id % 4) * 7 AS INT)) || " +
+            "CASE WHEN doc_id % 5 = 0 THEN ' CONCLUSION the appeal is allowed thereafter' ELSE '' END)"
+        s"""WITH L AS (SELECT doc_id, $lengthened AS t FROM documents),
+           |D AS (SELECT doc_id, t, ${Cascades.docTypeSql("t")} AS document_type FROM L),
+           |C AS (SELECT doc_id, document_type,
+           |        ${Conclusion.extractSql("t", "document_type")} AS conclusion FROM D)
+           |SELECT doc_id, document_type,
+           |  CAST(length(conclusion) AS INTEGER) AS conclusion_len,
+           |  md5(conclusion) AS conclusion_md5
+           |FROM C ORDER BY doc_id""".stripMargin
+      }),
 
     // Token counting: whitespace + BPE-ish regex tokens
     Q("text_token_stats",
@@ -1986,7 +2040,12 @@ object SparkEntry {
 
     // §3.2 ingest: documents → classify → chunk → embed → chunk table.
     // chunk_id (partition-dependent auto-id) is excluded from the
-    // output so the result is deterministic under any parallelism.
+    // output so the result is deterministic under any parallelism, and
+    // the embedding column is excluded from the COMPARE surface only:
+    // DeterministicEmbedder is xxhash64-based, which DuckDB cannot
+    // replay (the embedder is pinned by IngestSpec instead). Everything
+    // else — chunk fold, sha256 file key, doc-type + decision-with-
+    // retry cascades over S2 metadata — is hash-gated end to end.
     Q("ingest_chunk_table",
       (s, dir) => graft.api.Ingest.chunkTable(s,
           Tables.documents(s, dir), col("doc_id"), col("text"),
@@ -1994,12 +2053,60 @@ object SparkEntry {
           graft.embed.DeterministicEmbedder(dim = 16))
         .select(col("doc_key"), col("chunk_idx"), col("n_words"),
           col("file_name"), col("file_id"), col("court_level"),
-          col("case_decision"), col("document_type"),
-          round(Distance.norm(col("embedding")), 4).as("emb_norm"))
+          col("case_decision"), col("document_type"))
         .orderBy(col("doc_key"), col("chunk_idx")),
-      None),
+      Some {
+        val ws = "' ' || chr(10) || chr(9) || chr(13)"
+        val fileName = "'doc_' || CAST(doc_id AS VARCHAR) || '.pdf'"
+        val meta = "trim(concat_ws(' ', " +
+          s"regexp_extract(text, ${Sql.lit(CaseMetadata.caseNumberPattern)}, 1), " +
+          s"trim(regexp_extract(text, ${Sql.lit(CaseMetadata.partiesPattern)}, 1)), " +
+          s"trim(regexp_extract(text, ${Sql.lit(CaseMetadata.partiesPattern)}, 2))))"
+        s"""WITH RECURSIVE paras AS (
+           |  SELECT CAST(doc_id AS VARCHAR) AS key, CAST(1 AS INT) AS i, trim(text, $ws) AS para
+           |  FROM documents WHERE length(trim(text, $ws)) > 0
+           |), counts AS (SELECT key, max(i) AS n FROM paras GROUP BY key),
+           |step AS (
+           |  SELECT key, 0 AS i, '' AS cur, CAST(NULL AS VARCHAR) AS emit, 0 AS n_emitted FROM counts
+           |  UNION ALL
+           |  SELECT s.key, p.i,
+           |    CASE WHEN len(regexp_extract_all(s.cur || p.para, '\\S+')) < 400
+           |         THEN s.cur || chr(10) || p.para ELSE p.para END,
+           |    CASE WHEN len(regexp_extract_all(s.cur || p.para, '\\S+')) < 400
+           |         THEN CAST(NULL AS VARCHAR) ELSE trim(s.cur, $ws) END,
+           |    s.n_emitted + CASE WHEN len(regexp_extract_all(s.cur || p.para, '\\S+')) < 400 THEN 0 ELSE 1 END
+           |  FROM step s JOIN paras p ON p.key = s.key AND p.i = s.i + 1
+           |), emitted AS (
+           |  SELECT key, n_emitted - 1 AS chunk_idx, emit AS chunk FROM step WHERE emit IS NOT NULL
+           |  UNION ALL
+           |  SELECT s.key, s.n_emitted AS chunk_idx, trim(s.cur, $ws) AS chunk
+           |  FROM step s JOIN counts c ON s.key = c.key AND s.i = c.n
+           |  WHERE s.cur <> ''
+           |), attrs AS (
+           |  SELECT CAST(doc_id AS VARCHAR) AS key,
+           |    $fileName AS file_name,
+           |    sha256($fileName) AS file_id,
+           |    CAST(doc_id % 10 AS INTEGER) AS court_level,
+           |    ${Cascades.docTypeSql("text")} AS document_type,
+           |    ${Cascades.decisionWithRetrySql("text", meta)} AS case_decision
+           |  FROM documents
+           |)
+           |SELECT e.key AS doc_key, CAST(e.chunk_idx AS INTEGER) AS chunk_idx,
+           |  CAST(len(regexp_extract_all(e.chunk, '\\S+')) AS BIGINT) AS n_words,
+           |  a.file_name, a.file_id, a.court_level, a.case_decision, a.document_type
+           |FROM emitted e JOIN attrs a ON e.key = a.key
+           |ORDER BY doc_key, chunk_idx""".stripMargin
+      }),
 
-    // Multimodal: binary columns + per-partition decode/featurize stubs
+    // Multimodal: binary columns + per-partition decode/featurize stubs.
+    // The stubs are deterministic integer functions of the payload
+    // bytes, and the fixture payload is ASCII text — so the DuckDB
+    // oracle replays the exact Java hash arithmetic over code points
+    // (Multimodal.h32Sql / f0MillionthsSql) and the whole decode +
+    // featurize surface is hash-gated, not rows-only. Feature 0 is
+    // compared in integer MILLIONTHS: round(f0·1e6) on the float
+    // recovers the stub's integer losslessly, sidestepping any
+    // float-division formatting drift between engines.
     Q("mm_media_features",
       (s, dir) => {
         val media = Tables.documents(s, dir)
@@ -2007,40 +2114,86 @@ object SparkEntry {
         val meta  = graft.multimodal.Multimodal.decodeMeta(s, media, "doc_id", "data").toDF()
         val feats = graft.multimodal.Multimodal.extractFeatures(s, media, "doc_id", "data", dim = 8)
           .toDF()
-          .select(col("media_id"), round(element_at(col("features"), 1), 4).as("f0"))
+          .select(col("media_id"),
+            round(element_at(col("features"), 1) * 1000000.0d).cast("long").as("f0_millionths"))
         meta.join(feats, "media_id").orderBy("media_id")
       },
-      None),
+      Some {
+        val mm = graft.multimodal.Multimodal
+        s"""WITH b AS (SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes,
+           |             ${mm.codesSql("text")} AS codes FROM documents),
+           |h AS (SELECT media_id, n_bytes, codes, ${mm.h32Sql("codes")} AS h32 FROM b)
+           |SELECT media_id, n_bytes, ${mm.formatSql("h32")} AS format,
+           |  CAST(${mm.widthSql("h32")} AS INTEGER) AS width,
+           |  CAST(${mm.heightSql("h32")} AS INTEGER) AS height,
+           |  1 AS n_frames,
+           |  ${mm.f0MillionthsSql("codes")} AS f0_millionths
+           |FROM h ORDER BY media_id""".stripMargin
+      }),
 
     // Multimodal: thumbnail pass — per-partition resize, no shuffle;
-    // emitted dims + payload size are the deterministic surface
+    // dims + payload size + unsigned byte sum are the compare surface
+    // (the stub payload is an integer function of the input bytes the
+    // oracle can replay; a crc is not DuckDB-expressible)
     Q("mm_resize",
       (s, dir) => {
+        import s.implicits._
         val media = Tables.documents(s, dir)
           .select(col("doc_id"), encode(col("text"), "utf-8").as("data"))
         graft.multimodal.Multimodal.resize(s, media, "doc_id", "data",
-            targetW = 64, targetH = 48).toDF()
-          .select(col("media_id"), col("width"), col("height"),
-            length(col("data")).as("out_bytes"),
-            crc32(col("data")).as("payload_crc"))
+            targetW = 64, targetH = 48)
+          .map(r => (r.media_id, r.width, r.height, r.data.length,
+            graft.multimodal.Multimodal.byteSumUnsigned(r.data)))
+          .toDF("media_id", "width", "height", "out_bytes", "payload_sum")
           .orderBy("media_id")
       },
-      None),
+      // resizeStub: out_len = max(1, min(len, 64·48/8 = 384));
+      // out[i] = data[(i·len)/out_len] XOR ((64 + 31·48) & 0xFF = 16)
+      Some(s"""WITH b AS (SELECT doc_id AS media_id,
+              |  ${graft.multimodal.Multimodal.codesSql("text")} AS codes,
+              |  CAST(length(text) AS BIGINT) AS len FROM documents),
+              |o AS (SELECT media_id, codes, len, greatest(1, least(len, 384)) AS out_len FROM b)
+              |SELECT media_id, 64 AS width, 48 AS height,
+              |  CAST(out_len AS INTEGER) AS out_bytes,
+              |  CAST(list_sum(list_transform(range(0, out_len),
+              |    i -> xor(codes[CAST((i * len) // out_len AS INT) + 1], 16))) AS BIGINT) AS payload_sum
+              |FROM o ORDER BY media_id""".stripMargin)),
 
     // Multimodal: video frame sampling — bounded fan-out flatMap
-    // (stride everyN, cap maxFrames), one frame live per task at a time
+    // (stride everyN, cap maxFrames), one frame live per task at a
+    // time; frame index set + per-frame byte sums are the surface
     Q("mm_frame_sample",
       (s, dir) => {
+        import s.implicits._
         val media = Tables.documents(s, dir)
           .select(col("doc_id"), encode(col("text"), "utf-8").as("data"))
         graft.multimodal.Multimodal.sampleFrames(s, media, "doc_id", "data",
-            everyN = 7, maxFrames = 5).toDF()
-          .select(col("media_id"), col("frame_idx"),
-            length(col("frame")).as("frame_bytes"),
-            crc32(col("frame")).as("frame_crc"))
+            everyN = 7, maxFrames = 5)
+          .map(f => (f.media_id, f.frame_idx, f.frame.length,
+            graft.multimodal.Multimodal.byteSumUnsigned(f.frame)))
+          .toDF("media_id", "frame_idx", "frame_bytes", "frame_sum")
           .orderBy("media_id", "frame_idx")
       },
-      None),
+      // frameStub: flen = max(1, len/4); out[i] = data[(i + idx·7) % len] + idx
+      // (mod 256 unsigned); n_frames = max(1, floorMod(31·w + h, 120))
+      Some {
+        val mm = graft.multimodal.Multimodal
+        s"""WITH b AS (SELECT doc_id AS media_id, ${mm.codesSql("text")} AS codes,
+           |             CAST(length(text) AS BIGINT) AS len FROM documents),
+           |h AS (SELECT media_id, codes, len, ${mm.h32Sql("codes")} AS h32 FROM b),
+           |m AS (SELECT media_id, codes, len, ${mm.widthSql("h32")} AS w,
+           |        ${mm.heightSql("h32")} AS ht FROM h),
+           |f AS (SELECT media_id, codes, len,
+           |        greatest(1, ((w * 31 + ht) % 120 + 120) % 120) AS n_frames FROM m),
+           |x AS (SELECT media_id, codes, len,
+           |        CAST(unnest(array_slice(range(0, n_frames, 7), 1, 5)) AS INT) AS frame_idx
+           |      FROM f)
+           |SELECT media_id, frame_idx,
+           |  CAST(greatest(1, len // 4) AS INTEGER) AS frame_bytes,
+           |  CAST(list_sum(list_transform(range(0, greatest(1, len // 4)),
+           |    i -> (codes[CAST((i + frame_idx * 7) % len AS INT) + 1] + frame_idx) % 256)) AS BIGINT) AS frame_sum
+           |FROM x ORDER BY media_id, frame_idx""".stripMargin
+      }),
   )
 
   private def specs: Seq[Q] =

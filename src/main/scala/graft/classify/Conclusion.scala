@@ -89,4 +89,69 @@ object Conclusion {
     if (text == null) null else extract(text, if (docType == null) "generic_legal_document" else docType))
 
   def extractCol(text: Column, docType: Column): Column = extractUdf(text, docType)
+
+  // ---- DuckDB oracle twin -------------------------------------------
+
+  /** DuckDB rendering of [[extract]] over a text expression `t` and a
+    * document-type expression `dt`.
+    *
+    * "Position of the last regex match" has no DuckDB built-in either,
+    * so positions are RECONSTRUCTED from the two lists DuckDB does
+    * give: with `m = regexp_extract_all(t, p)` (the matches, in order)
+    * and `s = string_split_regex(t, p)` (the text between them),
+    * `t = s[1] ‖ m[1] ‖ s[2] ‖ … ‖ m[n] ‖ s[n+1]`, so the suffix from
+    * the start of the k-th-from-last match is just the tail of that
+    * interleaving — list ops, no positions needed. First-match offsets
+    * (the ±500-context branch) come from `length(s[1])`. Both engines
+    * run leftmost-first alternation (Java regex; RE2 non-POSIX), and
+    * case-insensitivity travels as an inline `(?i)` group, so match
+    * boundaries agree; offsets agree in ASCII (the fixture contract —
+    * DuckDB counts code points in `length`/`substr` too, so this also
+    * holds for non-ASCII, unlike levenshtein).
+    */
+  def extractSql(t: String, dt: String): String = {
+    import graft.oracle.Sql.lit
+    def ci(pats: Seq[String]): String = "(?i)(?:" + pats.mkString("|") + ")"
+    val num = """\n\s*\d+\.\s+"""
+
+    def lastSuffix(p: String): String =
+      s"(list_last(regexp_extract_all($t, ${lit(p)})) || list_last(string_split_regex($t, ${lit(p)})))"
+
+    def positional: String =
+      s"CASE WHEN length($t) > 5000 THEN substr($t, CAST(trunc(length($t) * 0.8) AS BIGINT) + 1) " +
+        s"WHEN length($t) > 1000 THEN substr($t, length($t) - 999) ELSE $t END"
+
+    def ctx(p: String): String = {
+      val start0 = s"length(list_extract(string_split_regex($t, ${lit(p)}), 1))"
+      val m0len  = s"length(regexp_extract($t, ${lit(p)}))"
+      val st     = s"greatest(0, $start0 - 500)"
+      val en     = s"least(length($t), $start0 + $m0len + 500)"
+      s"substr($t, $st + 1, $en - ($st))"
+    }
+
+    val phraseChain = {
+      val whens = orderPhrases.map { p =>
+        val cp = ci(Seq(p))
+        s"WHEN regexp_matches($t, ${lit(cp)}) THEN ${ctx(cp)}"
+      }
+      s"CASE ${whens.mkString(" ")} ELSE $positional END"
+    }
+
+    def indicatorChain(pats: Seq[String]): String = {
+      val p = ci(pats)
+      s"CASE WHEN regexp_matches($t, ${lit(p)}) THEN substr(${lastSuffix(p)}, 1, 2000) " +
+        s"ELSE $phraseChain END"
+    }
+
+    val tribunal3 = {
+      val m = s"regexp_extract_all($t, ${lit(num)})"
+      val s2 = s"string_split_regex($t, ${lit(num)})"
+      val suffix = s"($m[-3] || $s2[-3] || $m[-2] || $s2[-2] || $m[-1] || $s2[-1])"
+      s"CASE WHEN len($m) > 2 THEN $suffix ELSE ${indicatorChain(tribunalIndicators)} END"
+    }
+
+    s"CASE WHEN $dt = 'appellate_tribunal' THEN $tribunal3 " +
+      s"WHEN $dt = 'order_in_original' THEN ${indicatorChain(orderInOriginalIndicators)} " +
+      s"ELSE ${indicatorChain(genericIndicators)} END"
+  }
 }

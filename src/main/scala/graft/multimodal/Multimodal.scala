@@ -54,6 +54,63 @@ object Multimodal {
     out
   }
 
+  /** Sum of the payload's UNSIGNED byte values — the scalar compare
+    * surface for binary outputs: the differential harness cannot
+    * sort/hash raw binary columns, and (unlike a crc) an unsigned byte
+    * sum is reproducible in the DuckDB oracle with pure integer
+    * arithmetic over the fixture text's code points.
+    */
+  def byteSumUnsigned(data: Array[Byte]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < data.length) { s += data(i) & 0xFF; i += 1 }
+    s
+  }
+
+  // ---- DuckDB oracle twins of the stub codecs ------------------------
+  //
+  // The fixture media payload is the UTF-8 bytes of ASCII `documents
+  // .text`, so every stub above is a deterministic integer function of
+  // the text's code points — which DuckDB can replay exactly:
+  // `java.util.Arrays.hashCode` is a 31-polynomial over signed bytes in
+  // wrapping Int32 (list_reduce mod 2^32, re-signed), the featurize
+  // hash is the same shape in wrapping Int64 (HUGEINT mod 2^64), and
+  // Java's `>>` on the signed hash is floor division by 4 / 4096.
+
+  /** Code points of an ASCII text expression, as a DuckDB list. */
+  def codesSql(t: String): String =
+    s"list_transform(string_split($t, ''), c -> unicode(c))"
+
+  /** Signed Int32 `Arrays.hashCode` over a codes-list expression. */
+  def h32Sql(codes: String): String = {
+    val u = s"list_reduce(list_prepend(CAST(1 AS BIGINT), $codes), (a, x) -> (a * 31 + x) % 4294967296)"
+    s"(CASE WHEN $u >= 2147483648 THEN $u - 4294967296 ELSE $u END)"
+  }
+
+  /** [[decodeStub]] width from a signed-h32 expression. */
+  def widthSql(h32: String): String =
+    s"(64 + ((CAST(floor($h32 / 4.0) AS BIGINT) % 1024) + 1024) % 1024)"
+
+  /** [[decodeStub]] height from a signed-h32 expression. */
+  def heightSql(h32: String): String =
+    s"(64 + ((CAST(floor($h32 / 4096.0) AS BIGINT) % 1024) + 1024) % 1024)"
+
+  /** [[decodeStub]] format label from a signed-h32 expression. */
+  def formatSql(h32: String): String =
+    s"(CASE (($h32 % 3) + 3) % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END)"
+
+  /** [[featurizeStub]] feature 0 in integer millionths (the exact
+    * surface: `round(features[0] * 1e6)` on the Spark side recovers
+    * this integer losslessly from the float).
+    */
+  def f0MillionthsSql(codes: String): String = {
+    val h64u = s"list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT), $codes), " +
+      "(a, x) -> (a * 31 + x) % 18446744073709551616)"
+    val vU = s"(($h64u * 40503) % 18446744073709551616)"
+    val vS = s"(CASE WHEN $vU >= 9223372036854775808 THEN $vU - 18446744073709551616 ELSE $vU END)"
+    s"CAST((($vS % 2000001 + 2000001) % 2000001 - 1000000) AS BIGINT)"
+  }
+
   /** Decode metadata for a (id, binary) DataFrame — per-partition map,
     * no shuffle; decoder init amortized per task.
     */
