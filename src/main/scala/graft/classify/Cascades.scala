@@ -61,14 +61,42 @@ object Cascades {
   def docContextSql(textExpr: String): String =
     sql(textExpr, DecisionRules.docContextCascade, DecisionRules.GenericDocContext)
 
+  /** C1 + F7/F8 tail: the full embed-service decision shape
+    * (`extract_and_embed_v2.py:87-159`) — regex cascade first; only
+    * when every rule misses, extract the conclusion section (F7), let
+    * the configured [[DecisionFallback]] decide from it and the C3
+    * context, and validate the answer against the three-label enum
+    * (out-of-enum → `invalid`, mirroring `:295-297`). With
+    * [[NoFallback]] this IS the search-service copy
+    * (`extract_and_search_v2.py:173-232`) and the conclusion/context
+    * columns are never built.
+    */
+  def decisionWithFallback(text: Column, fallback: DecisionFallback): Column = {
+    val initial = decision(text)
+    if (fallback.isNoop) initial
+    else {
+      val conclusion = Conclusion.extractCol(text, docType(text))
+      val raw = fallback.decide(conclusion, docContext(text))
+      val validated = when(
+        raw.isin(DecisionRules.Won, DecisionRules.Lost, DecisionRules.Invalid),
+        raw).otherwise(lit(DecisionRules.Invalid))
+      when(initial === DecisionRules.Invalid, validated).otherwise(initial)
+    }
+  }
+
   /** C4: metadata-enriched retry (`extract_and_embed_v2.py:340-343`) —
     * when the first pass is `invalid` and metadata exists, re-run the
-    * cascade on `metadata + "\n\n" + text`.
+    * cascade on `metadata + "\n\n" + text`. The `fallback` parameter
+    * selects the service variant: the ingest service retries through
+    * the F7/F8 tail as well (its retry re-enters the full
+    * `determine_case_decision`), the search service (default,
+    * [[NoFallback]]) stays regex-only.
     */
-  def decisionWithRetry(text: Column, metadata: Column): Column = {
-    val initial = decision(text)
+  def decisionWithRetry(text: Column, metadata: Column,
+                        fallback: DecisionFallback = NoFallback): Column = {
+    val initial = decisionWithFallback(text, fallback)
     when(initial === DecisionRules.Invalid && length(metadata) > 0,
-      decision(concat(metadata, lit("\n\n"), text)))
+      decisionWithFallback(concat(metadata, lit("\n\n"), text), fallback))
       .otherwise(initial)
   }
   def decisionWithRetrySql(textExpr: String, metaExpr: String): String = {

@@ -43,10 +43,18 @@ object BinaryDocs {
     }.mkString("\n")
   }
 
-  /** The (stubbed) parser entry point shared by the batch scan and the
-    * streaming drop-directory source ([[graft.streaming.StreamingIngest.pdfStream]]).
+  /** Parser entry point shared by the batch scan and the streaming
+    * drop-directory source ([[graft.streaming.StreamingIngest.pdfStream]]).
+    * Real PDF payloads (`%PDF-` magic) go through
+    * [[PdfTextExtractor]] — PDFBox when the deployment ships it,
+    * otherwise the built-in dependency-free parser; anything else
+    * (including the harness's synthetic fixtures) keeps the
+    * deterministic stub, so spec fixtures and oracle gates are
+    * unchanged by the presence of the real path.
     */
-  def extractText(data: Array[Byte]): String = extractStub(data)
+  def extractText(data: Array[Byte]): String =
+    if (PdfTextExtractor.looksLikePdf(data)) PdfTextExtractor.extract(data)
+    else extractStub(data)
 
   /** One extracted row: reference file key (F3,
     * `extract_and_embed.py:95` — `sha256(file_name)`) + stub-parsed text.

@@ -58,4 +58,65 @@ class CascadesSpec extends AnyFunSuite with SparkSpec {
       .as[String].collect().toSeq
     assert(out == Seq("appellant_won", "invalid", "appellant_lost"))
   }
+
+  // ---- F8 fallback configurations (embed-v2 vs search-v2 asymmetry) ---
+
+  /** Deterministic stand-in for the GPT-4o call: decides from the
+    * conclusion text like the model would, including one answer
+    * OUTSIDE the label enum to exercise the response validation.
+    */
+  private object RuleFallback extends DecisionFallback {
+    def decide(conclusion: org.apache.spark.sql.Column,
+               docContext: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.functions._
+      // "unfavorable" first — it contains "favorable" as a substring
+      when(conclusion.contains("unfavorable outcome"), lit(DecisionRules.Lost))
+        .when(conclusion.contains("favorable outcome"), lit(DecisionRules.Won))
+        .when(conclusion.contains("gibberish"), lit("not_a_label"))
+        .otherwise(lit(DecisionRules.Invalid))
+    }
+  }
+
+  test("search-v2 configuration (NoFallback): unmatched text stays invalid") {
+    import spark.implicits._
+    val out = Seq("favorable outcome but no rule phrase").toDF("text")
+      .select(Cascades.decisionWithFallback(col("text"), NoFallback))
+      .as[String].collect().toSeq
+    assert(out == Seq("invalid"))
+  }
+
+  test("embed-v2 configuration: fallback decides only when the cascade misses") {
+    import spark.implicits._
+    val out = Seq(
+      "favorable outcome but no rule phrase",    // cascade miss → fallback → won
+      "unfavorable outcome described herein",    // cascade miss → fallback → lost
+      "appeal dismissed; favorable outcome",     // cascade hit wins; fallback never consulted
+      "nothing conclusive"                       // both miss → invalid
+    ).toDF("text")
+      .select(Cascades.decisionWithFallback(col("text"), RuleFallback))
+      .as[String].collect().toSeq
+    assert(out == Seq("appellant_won", "appellant_lost", "appellant_lost", "invalid"))
+  }
+
+  test("out-of-enum fallback answers are coerced to invalid (emb_v2:295-297)") {
+    import spark.implicits._
+    val out = Seq("gibberish response trigger").toDF("text")
+      .select(Cascades.decisionWithFallback(col("text"), RuleFallback))
+      .as[String].collect().toSeq
+    assert(out == Seq("invalid"))
+  }
+
+  test("C4 retry composes with the fallback configuration") {
+    import spark.implicits._
+    // cascade misses on text AND on meta-enriched text; the fallback
+    // sees the enriched conclusion on retry and decides
+    val df = Seq(("no outcome here", "annex: favorable outcome")).toDF("text", "meta")
+    val regexOnly = df.select(Cascades.decisionWithRetry(col("text"), col("meta")))
+      .as[String].collect().toSeq
+    val withAi = df.select(
+        Cascades.decisionWithRetry(col("text"), col("meta"), RuleFallback))
+      .as[String].collect().toSeq
+    assert(regexOnly == Seq("invalid"))
+    assert(withAi == Seq("appellant_won"))
+  }
 }

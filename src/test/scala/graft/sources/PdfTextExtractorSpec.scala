@@ -1,0 +1,115 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+import java.util.zip.Deflater
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** S1 real path: a minimal two-page PDF is GENERATED here (content
+  * streams raw and Flate-compressed) and must extract to its page
+  * texts joined by "\n" — the reference's `"\n".join(page.get_text())`
+  * contract — through the full binaryFile scan. The stub fallback for
+  * non-PDF payloads stays pinned.
+  */
+class PdfTextExtractorSpec extends AnyFunSuite with SparkSpec {
+
+  // ---- minimal PDF builder -------------------------------------------
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new Deflater()
+    d.setInput(data); d.finish()
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** Two pages: page 1 raw content, page 2 FlateDecode. */
+  private def buildPdf(content1: String, content2: String): Array[Byte] = {
+    val c1 = content1.getBytes(StandardCharsets.ISO_8859_1)
+    val c2 = deflate(content2.getBytes(StandardCharsets.ISO_8859_1))
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.4\n")
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    w("2 0 obj\n<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>\nendobj\n")
+    w("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>\nendobj\n")
+    w("4 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>\nendobj\n")
+    w(s"5 0 obj\n<< /Length ${c1.length} >>\nstream\n")
+    out.write(c1)
+    w("\nendstream\nendobj\n")
+    w(s"6 0 obj\n<< /Length ${c2.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(c2)
+    w("\nendstream\nendobj\n")
+    w("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+    out.toByteArray
+  }
+
+  private val page1 =
+    "BT /F1 12 Tf 72 720 Td (Appeal No. 123 of 2023) Tj 0 -14 Td (The appeal is allowed.) Tj ET"
+  private val page2 =
+    "BT [(Costs ) -250 (follow ) -250 (the event)] TJ T* (So \\(ordered\\): \\101 okay) Tj ET " +
+      "BT <48657820737472696E67> Tj ET"
+
+  private val wantPage1 = "Appeal No. 123 of 2023\nThe appeal is allowed."
+  private val wantPage2 = "Costs follow the event\nSo (ordered): A okay\nHex string"
+
+  test("two-page PDF extracts page texts joined by newline") {
+    val pdf = buildPdf(page1, page2)
+    assert(PdfTextExtractor.looksLikePdf(pdf))
+    assert(PdfTextExtractor.extract(pdf) == s"$wantPage1\n$wantPage2")
+  }
+
+  test("FlateDecode round-trips through the JDK inflater") {
+    val payload = "BT (compressed page) Tj ET"
+    val round = PdfTextExtractor.inflate(deflate(
+      payload.getBytes(StandardCharsets.ISO_8859_1)))
+    assert(new String(round, StandardCharsets.ISO_8859_1) == payload)
+  }
+
+  test("page order follows the /Kids tree, not object numbering") {
+    // swap the Kids order relative to object numbers
+    val pdf = new String(buildPdf(page1, page2), StandardCharsets.ISO_8859_1)
+      .replace("/Kids [3 0 R 4 0 R]", "/Kids [4 0 R 3 0 R]")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assert(PdfTextExtractor.extract(pdf) == s"$wantPage2\n$wantPage1")
+  }
+
+  test("image-only (textless) PDF extracts to empty text") {
+    val pdf = buildPdf("q 1 0 0 1 0 0 cm /Im0 Do Q", "q Q")
+    assert(PdfTextExtractor.extract(pdf) == "\n") // two pages, both empty
+  }
+
+  test("non-PDF payloads keep the deterministic stub path") {
+    val fake = Array.fill[Byte](300)(7)
+    assert(!PdfTextExtractor.looksLikePdf(fake))
+    assert(BinaryDocs.extractText(fake) == BinaryDocs.extractStub(fake))
+    // and a real PDF payload does NOT go through the stub
+    val pdf = buildPdf(page1, page2)
+    assert(BinaryDocs.extractText(pdf) == s"$wantPage1\n$wantPage2")
+  }
+
+  test("binaryFile scan extracts a generated PDF end to end") {
+    val dir: Path = Files.createTempDirectory("graft_pdf_scan")
+    try {
+      Files.write(dir.resolve("case_a.pdf"), buildPdf(page1, page2))
+      Files.write(dir.resolve("notes.txt"), "not a pdf".getBytes)
+      val rows = BinaryDocs.scanPdfDir(spark, dir.toString).collect()
+      assert(rows.length == 1, "glob must prune the .txt at listing time")
+      val doc = rows.head
+      assert(doc.file_name == "case_a.pdf")
+      assert(doc.text == s"$wantPage1\n$wantPage2")
+      // F3 key: sha256 of the file NAME (extract_and_embed.py:95)
+      assert(doc.file_id ==
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest("case_a.pdf".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    } finally {
+      dir.toFile.listFiles().foreach(_.delete()); dir.toFile.delete()
+    }
+  }
+}
