@@ -103,6 +103,39 @@ object EmbeddingDedup {
                          minCosine: Double, numBlocks: Int = 16): DataFrame =
     graft.vector.BlockMatrix.cosinePairsAbove(df, idCol, embCol, minCosine, numBlocks)
 
+  /** Exact pairs with SIZE-DISPATCHED route selection: the broadcast
+    * NLJ tier below `maxBroadcastRows`, the block-tiled tier above —
+    * same output either way (route equivalence is oracle-proven by
+    * `dedup_embedding_cosine` vs `dedup_embedding_blocked`). The probe
+    * is a bounded `limit(budget+1).count()`, not a full count.
+    *
+    * Both tiers are O(n²) kernel work (exact dense threshold joins
+    * have no lossless sub-quadratic factorization), so the default
+    * cutover is COMPUTE-shaped, not just broadcast-memory-shaped: the
+    * tiled route hoists per-row norms once per tile and runs fused
+    * primitive loops, measured ~3.7× faster per pair than the codegen
+    * kernel inside an NLJ condition (48.8s vs 13.2s at 20k×64d), so it
+    * wins well before a 64-dim broadcast would strain memory. Past
+    * ~10⁵ rows the honest answer is the LSH tier, not either exact
+    * route.
+    */
+  def cosinePairsAuto(df: DataFrame, idCol: Column, embCol: Column,
+                      minCosine: Double,
+                      maxBroadcastRows: Long = 10000L): DataFrame = {
+    val budget = math.min(maxBroadcastRows, Int.MaxValue - 1L).toInt
+    val smallEnough = df.limit(budget + 1).count() <= budget
+    if (smallEnough) cosinePairs(df, idCol, embCol, minCosine)
+    else {
+      val rows = df.count()
+      val dim = df
+        .where(embCol.isNotNull && size(embCol) > 0)
+        .select(size(embCol).as("d")).head(1)
+        .headOption.map(_.getInt(0)).getOrElse(64)
+      cosinePairsBlocked(df, idCol, embCol, minCosine,
+        graft.vector.BlockMatrix.chooseNumBlocks(rows, dim))
+    }
+  }
+
   /** Approximate cosine near-dup pairs via hyperplane LSH. Plan shape
     * (identical skeleton to [[Dedup.minhashPairs]]): narrow signature
     * kernel → explode to (band_key, id) → shuffle on band_key →

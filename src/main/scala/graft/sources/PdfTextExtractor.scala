@@ -92,6 +92,39 @@ object PdfTextExtractor {
       } catch { case _: Throwable => None } // fall back to the built-in
     }
 
+  // ---- document metadata (/Info dictionary) --------------------------
+
+  /** The PDF /Info dictionary — the other half of the reference's S2
+    * metadata scan (`extract_pdf_metadata`,
+    * `/root/reference/extract_and_embed_v2.py:395-399` reads
+    * `doc.metadata`: title/author/subject/keywords/creator/producer/
+    * dates; the first-page regexes are [[graft.classify.CaseMetadata]]).
+    * Keys are returned lower-cased to match fitz's dict key style.
+    * Empty map when the file has no /Info (common for generated PDFs).
+    */
+  def info(data: Array[Byte]): Map[String, String] = {
+    val latin = new String(data, StandardCharsets.ISO_8859_1)
+    val objects = parseObjects(data, latin)
+    val byNum = objects.map(o => o.num -> o).toMap
+    val infoNum = """/Info\s+(\d+)\s+\d+\s+R""".r
+      .findFirstMatchIn(latin).map(_.group(1).toInt)
+    infoNum.flatMap(byNum.get) match {
+      case None => Map.empty
+      case Some(obj) =>
+        val keys = Seq("Title", "Author", "Subject", "Keywords",
+          "Creator", "Producer", "CreationDate", "ModDate")
+        keys.flatMap { k =>
+          (s"/$k\\s*(\\(|<)").r.findFirstMatchIn(obj.dict).map { m =>
+            val at = m.start(1)
+            val (v, _) =
+              if (obj.dict.charAt(at) == '(') literalString(obj.dict, at)
+              else hexString(obj.dict, at)
+            k.toLowerCase -> v
+          }
+        }.toMap
+    }
+  }
+
   // ---- built-in minimal parser ---------------------------------------
 
   private final case class Obj(num: Int, dict: String, stream: Option[Array[Byte]])

@@ -44,7 +44,7 @@ import org.apache.spark.sql.functions._
   * Rows with null ids/embeddings are dropped (cosine additionally
   * drops zero vectors — they cannot rank).
   */
-object BlockMatrix {
+object BlockMatrix extends Serializable {
 
   /** One corpus row inside a block. */
   final case class BlockRow(id: Long, emb: Array[Float])
@@ -120,14 +120,36 @@ object BlockMatrix {
     df.select(idCol.cast("long").as("id"), embCol.cast("array<float>").as("emb"))
       .where(col("id").isNotNull && col("emb").isNotNull)
 
-  /** Row-blocks by deterministic id residue; rows sorted by id inside
-    * each block so every loop order reproduces.
+  /** Deterministic block id: SplitMix64-scrambled residue. A PLAIN
+    * `id % b` residue is degenerate under structured id spaces — ids
+    * that share a stride (snowflake ids, partition-prefixed ids, any
+    * generator emitting multiples of 2^k) land in a handful of blocks,
+    * and one task then buffers an arbitrarily large fraction of the
+    * corpus no matter what [[chooseNumBlocks]] computed. The mix is a
+    * bijection on Long (Steele et al., "Fast Splittable Pseudorandom
+    * Number Generators", the JDK SplittableRandom finalizer), so block
+    * occupancy is uniform for ANY id distribution, the memory bound
+    * actually holds adversarially, and the assignment stays a pure
+    * function of (id, b) — no RNG state, reproducible across runs.
+    * Block assignment only partitions work; results are unaffected
+    * (BlockMatrixSpec pins tiling invariance).
+    */
+  private[vector] def blockId(id: Long, b: Int): Int = {
+    var z = id + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (((z % b) + b) % b).toInt
+  }
+
+  /** Row-blocks by [[blockId]]; rows sorted by id inside each block so
+    * every loop order reproduces.
     */
   private def toBlocks(df: DataFrame, b: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.as[BlockRow]
-      .groupByKey(r => ((r.id % b) + b) % b)
+      .groupByKey(r => blockId(r.id, b).toLong)
       .mapGroups((bid, it) => (bid, it.toArray.sortBy(_.id)))
       .toDF("bid", "rows")
   }
@@ -237,7 +259,7 @@ object BlockMatrix {
     // TOTAL order (score, then right id) — so no within-tile sort is
     // needed for determinism.
     val b = numBlocks
-    def residue(id: Long): Int = (((id % b) + b) % b).toInt
+    def residue(id: Long): Int = blockId(id, b)
     // Tile keys are Long: Int `lb * b + j` overflows at b > 46340 —
     // and chooseNumBlocks crosses that around ~11 TB per side, silently
     // colliding distinct tiles in the cogroup (ADVICE r4).

@@ -48,6 +48,20 @@ class EmbeddingDedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("auto dispatch picks a route by size with identical results") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("cosine"))).toSet
+    val exact = rows(EmbeddingDedup.cosinePairs(vecs, col("id"), col("embedding"), 0.5))
+    // 5 rows under a 100-row budget → broadcast tier
+    val small = rows(EmbeddingDedup.cosinePairsAuto(
+      vecs, col("id"), col("embedding"), 0.5, maxBroadcastRows = 100L))
+    // 1-row budget forces the tiled tier on the same data
+    val large = rows(EmbeddingDedup.cosinePairsAuto(
+      vecs, col("id"), col("embedding"), 0.5, maxBroadcastRows = 1L))
+    assert(small == exact && large == exact)
+  }
+
   test("LSH pairs are a subset of exact pairs with near-dup recall") {
     def pairSet(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet

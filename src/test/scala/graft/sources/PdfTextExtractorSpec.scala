@@ -46,7 +46,9 @@ class PdfTextExtractorSpec extends AnyFunSuite with SparkSpec {
     w(s"6 0 obj\n<< /Length ${c2.length} /Filter /FlateDecode >>\nstream\n")
     out.write(c2)
     w("\nendstream\nendobj\n")
-    w("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+    w("7 0 obj\n<< /Title (State vs. Alpha Corp) /Author <4A75646765> " +
+      "/Producer (graft-test) >>\nendobj\n")
+    w("trailer\n<< /Root 1 0 R /Info 7 0 R >>\n%%EOF\n")
     out.toByteArray
   }
 
@@ -78,6 +80,19 @@ class PdfTextExtractorSpec extends AnyFunSuite with SparkSpec {
       .replace("/Kids [3 0 R 4 0 R]", "/Kids [4 0 R 3 0 R]")
       .getBytes(StandardCharsets.ISO_8859_1)
     assert(PdfTextExtractor.extract(pdf) == s"$wantPage2\n$wantPage1")
+  }
+
+  test("/Info dictionary metadata extracts (S2's doc.metadata half)") {
+    val pdf = buildPdf(page1, page2)
+    val meta = PdfTextExtractor.info(pdf)
+    assert(meta("title") == "State vs. Alpha Corp")
+    assert(meta("author") == "Judge") // hex-string value
+    assert(meta("producer") == "graft-test")
+    assert(!meta.contains("subject"), "absent keys stay absent")
+    // a PDF with no /Info yields an empty map, not a failure
+    val noInfo = new String(pdf, StandardCharsets.ISO_8859_1)
+      .replace("/Info 7 0 R", "").getBytes(StandardCharsets.ISO_8859_1)
+    assert(PdfTextExtractor.info(noInfo).isEmpty)
   }
 
   test("image-only (textless) PDF extracts to empty text") {

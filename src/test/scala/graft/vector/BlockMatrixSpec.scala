@@ -96,6 +96,39 @@ class BlockMatrixSpec extends AnyFunSuite with SparkSpec {
     assert(viaBlocks.count { case (l, r, s, rk) => l == r && s == 0.0 && rk == 1 } == 30)
   }
 
+  test("block occupancy stays bounded under adversarial strided ids") {
+    // ids that are all ≡ 0 (mod b) — the distribution a plain `id % b`
+    // residue collapses into ONE block (task memory = whole corpus,
+    // chooseNumBlocks notwithstanding). The scrambled blockId must
+    // spread them: with n = 64·b balanced assignment is mean n/b = 64
+    // rows/block; cap occupancy at 3× the mean and require every block
+    // non-empty.
+    val b = 16
+    val n = 64 * b
+    val strided = (0 until n).map(i => i.toLong * b) // multiples of b
+    val counts = strided.groupBy(BlockMatrix.blockId(_, b)).view.mapValues(_.size)
+    assert(counts.size == b, s"only ${counts.size} of $b blocks populated")
+    val worst = counts.values.max
+    assert(worst <= 3 * (n / b), s"worst block holds $worst of $n rows")
+    // same property for power-of-two strides (snowflake-style ids)
+    val pow2 = (0 until n).map(i => i.toLong << 20)
+    val worst2 = pow2.groupBy(BlockMatrix.blockId(_, b)).values.map(_.size).max
+    assert(worst2 <= 3 * (n / b), s"worst block holds $worst2 of $n rows")
+  }
+
+  test("adversarial ids produce identical results to the window formulation") {
+    import spark.implicits._
+    // strided ids through the full tiled join — correctness must be
+    // independent of how badly the raw residues would have clustered
+    val emb = Tables.embeddings(spark, dir)
+      .select((col("vec_id") * 16).as("id"), col("embedding"))
+    val left = emb.where(col("id") < 480) // 30 rows, ids 0,16,…,464
+    val viaWindow = collectSorted(Knn.similarityJoin(left, emb, k = 3))
+    val viaBlocks = collectSorted(
+      BlockMatrix.l2Join(left, emb, k = 3, numBlocks = 16))
+    assert(viaBlocks == viaWindow)
+  }
+
   test("similarityJoinAuto dispatches by right-side size with identical results") {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id"), col("embedding"))
