@@ -791,6 +791,21 @@ object SparkEntry {
                  "doc_id", "n_chars * 2000", "wq1")}
               |ORDER BY doc_id""".stripMargin)),
 
+    // Temperature-scaled language rebalance (mC4/XLM-R mixture pass):
+    // per-lang keep rates (n_g/n_min)^(alpha-1) in integer ppm, applied
+    // by each row's own hash draw — broadcast of a 5-row rate table
+    // onto a narrow filter, no window, no per-group state
+    Q("q_temperature_mixture",
+      (s, dir) => graft.operators.Sampling.temperatureSample(
+          Tables.documents(s, dir), col("lang"), col("doc_id"),
+          alpha = 0.5, salt = "temp1")
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id"),
+      Some(graft.operators.Sampling.temperatureSampleSql(
+          "documents", "lang", "doc_id", alpha = 0.5,
+          selectCols = Seq("doc_id", "lang"), salt = "temp1") +
+        " ORDER BY doc_id")),
+
     // Z-order (Morton) clustering key — the multi-dimensional layout
     // sort: interleaved bits keep per-file min/max boxes small on BOTH
     // dimensions (ZOrderSpec proves the pruning-locality property;
@@ -1342,6 +1357,32 @@ object SparkEntry {
         .orderBy(desc("cnt"), asc("ngram")).limit(50),
       Some(TextAnalysis.ngramCountsSql("documents", "text", n = 2) +
         " ORDER BY cnt DESC, ngram LIMIT 50")),
+
+    // CCNet-style LM perplexity filter: per-doc mean bigram cost under
+    // an add-one bigram LM trained on the corpus itself, cut into
+    // head/middle/tail terciles — per-feature costs are scaled-integer
+    // longs so the doc scores are bit-exact under any shuffle order;
+    // the tercile rank uses the two-phase global row number, not a
+    // single-partition window
+    Q("text_lm_perplexity",
+      (s, dir) => graft.text.LmQuality.bigramLogPpl(
+          Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy("id"),
+      Some(graft.text.LmQuality.bigramLogPplSql("documents", "doc_id", "text") +
+        " ORDER BY id")),
+
+    // DSIR importance weights toward the English slice: hashed
+    // unigram+bigram features (sha256 → 1024 buckets), per-bucket
+    // smoothed target/raw log-ratios summed per document in scaled
+    // integers; positive logweight = looks more like the target
+    Q("text_dsir_weights",
+      (s, dir) => graft.text.LmQuality.dsirLogWeights(
+          Tables.documents(s, dir), col("doc_id"), col("text"),
+          isTarget = col("lang") === "en", buckets = 1024)
+        .orderBy("id"),
+      Some(graft.text.LmQuality.dsirLogWeightsSql(
+          "documents", "doc_id", "text", "lang = 'en'", buckets = 1024) +
+        " ORDER BY id")),
 
     // PII-style scrub: email/URL/digit-run redaction with pre-scrub
     // audit counts; fixture phrases injected per doc_id (incl. an

@@ -110,6 +110,63 @@ object Sampling {
     s"""(CAST(('0x' || substring(${hashKeySql(idExpr, salt)}, 1, 8)) AS UBIGINT) * 1000000
        | < least(greatest(CAST($wPpmExpr AS BIGINT), 0), 1000000) * 4294967296)""".stripMargin
 
+  /** TEMPERATURE-scaled domain rebalance — the multilingual-LM mixture
+    * pass (mC4 / XLM-R style: sample domains ∝ p_g^α with α < 1 so
+    * low-resource groups gain relative mass). Each group `g` of size
+    * `n_g` keeps rate `(n_g / n_min)^(α−1)` — the per-row rate that
+    * reshapes group masses from `∝ n_g` toward `∝ n_g^α`, normalized
+    * so the SMALLEST group keeps everything (α = 1 keeps all rows;
+    * α = 0 equalizes expected group masses). Rates are floored into
+    * integer ppm and applied with the same exact hash-space cut as
+    * [[weightedSample]] — deterministic across engines, partitionings,
+    * and retries.
+    *
+    * Scale shape: one tiny per-group count (partial-aggregated), a
+    * 1-row min, and a BROADCAST of the group→ppm table back onto a
+    * narrow per-row filter — no window, no per-group state. Group
+    * rates derive from exact counts; at 100 TB group cardinality is
+    * domains/languages (small), so the stats stay driver-sized.
+    */
+  def temperatureSample(df: DataFrame, groupCol: Column, idCol: Column,
+                        alpha: Double, salt: String = "graft"): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1]: $alpha")
+    val taken = df.columns.toSet
+    for (c <- Seq("__g", "__n", "__ppm"))
+      require(!taken.contains(c), s"temperatureSample reserves column $c")
+    val counts = df.groupBy(groupCol.as("__g")).agg(count(lit(1)).as("__n"))
+    val mn = counts.agg(min("__n").as("__mn"))
+    val rates = counts.crossJoin(broadcast(mn)).select(col("__g"),
+      floor(pow(col("__n").cast("double") / col("__mn"), lit(alpha - 1.0))
+        * 1000000).cast("long").as("__ppm"))
+    val draw = conv(substring(hashKey(idCol, salt), 1, 8), 16, 10).cast("long")
+    df.join(broadcast(rates), groupCol === col("__g"))
+      .where(draw * 1000000L < col("__ppm") * 4294967296L)
+      .drop("__g", "__ppm")
+  }
+
+  /** DuckDB twin of [[temperatureSample]]: full query returning
+    * `selectCols` of `table`'s kept rows. `groupExpr`/`idExpr` are
+    * column expressions over `table`.
+    */
+  def temperatureSampleSql(table: String, groupExpr: String, idExpr: String,
+                           alpha: Double, selectCols: Seq[String],
+                           salt: String = "graft"): String = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1]: $alpha")
+    val proj = selectCols.map(c => s"d.$c").mkString(", ")
+    s"""WITH __counts AS (
+       |  SELECT $groupExpr AS g, CAST(count(*) AS BIGINT) AS n
+       |  FROM $table GROUP BY 1
+       |), __mn AS (SELECT min(n) AS mn FROM __counts),
+       |__rates AS (
+       |  SELECT g, CAST(floor(power(CAST(n AS DOUBLE) / mn, $alpha - 1.0)
+       |    * 1000000) AS BIGINT) AS ppm
+       |  FROM __counts, __mn
+       |)
+       |SELECT $proj FROM $table d JOIN __rates r ON d.$groupExpr = r.g
+       |WHERE CAST(('0x' || substring(${hashKeySql(s"d.$idExpr", salt)}, 1, 8)) AS UBIGINT)
+       |  * 1000000 < r.ppm * 4294967296""".stripMargin
+  }
+
   /** DuckDB twin of [[mixtureSample]]'s keep-predicate. */
   def mixtureSampleSql(groupExpr: String, idExpr: String,
                        ratesPct: Map[String, Int],

@@ -25,7 +25,7 @@ object TextAnalysis {
   // DuckDB twins spell the whitespace class out: Java's `\s` includes
   // vertical tab (0x0B), RE2's does not — a bare `\s` would tokenize
   // VT-bearing text differently across the two engines
-  private val WsClassSql = "[ \\t\\n\\x0B\\f\\r]"
+  private[text] val WsClassSql = "[ \\t\\n\\x0B\\f\\r]"
 
   def nTokensWsSql(t: String): String =
     s"CASE WHEN length(trim($t)) = 0 THEN 0 ELSE len(string_split_regex(trim($t), '$WsClassSql+')) END"

@@ -78,4 +78,44 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.getLong(0)).sorted
     assert(a.sameElements(b))
   }
+
+  test("temperatureSample: alpha=1 keeps all, smallest group always whole") {
+    import spark.implicits._
+    // skewed groups: big=1000, mid=200, small=50
+    val skewed = ((0L until 1000L).map(i => (i, "big")) ++
+      (1000L until 1200L).map(i => (i, "mid")) ++
+      (1200L until 1250L).map(i => (i, "small"))).toDF("id", "grp")
+    val all = Sampling.temperatureSample(skewed, col("grp"), col("id"), alpha = 1.0)
+    assert(all.count() == 1250L, "alpha=1 is the identity mixture")
+    for (alpha <- Seq(0.0, 0.3, 0.7)) {
+      val kept = Sampling.temperatureSample(skewed, col("grp"), col("id"), alpha)
+        .groupBy("grp").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(kept("small") == 50L, s"alpha=$alpha must keep the min group whole")
+    }
+  }
+
+  test("temperatureSample: alpha=0 equalizes expected group masses") {
+    import spark.implicits._
+    val skewed = ((0L until 1000L).map(i => (i, "big")) ++
+      (1000L until 1200L).map(i => (i, "mid")) ++
+      (1200L until 1250L).map(i => (i, "small"))).toDF("id", "grp")
+    val kept = Sampling.temperatureSample(skewed, col("grp"), col("id"), alpha = 0.0)
+      .groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every group's expected kept mass is n_min = 50; ±4σ binomial slack
+    assert(math.abs(kept("big") - 50.0) <= 4 * math.sqrt(1000 * 0.05 * 0.95),
+      s"big kept ${kept("big")}")
+    assert(math.abs(kept("mid") - 50.0) <= 4 * math.sqrt(200 * 0.25 * 0.75),
+      s"mid kept ${kept("mid")}")
+    assert(kept("small") == 50L)
+  }
+
+  test("temperatureSample: deterministic across partitionings") {
+    val a = Sampling.temperatureSample(corpus, col("grp"), col("id"), 0.5)
+      .collect().map(_.getLong(0)).sorted
+    val b = Sampling.temperatureSample(corpus.repartition(9), col("grp"), col("id"), 0.5)
+      .collect().map(_.getLong(0)).sorted
+    assert(a.length > 0 && a.sameElements(b))
+  }
 }
