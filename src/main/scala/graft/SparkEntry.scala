@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.api.{Enrich, Pipelines}
 import graft.classify.{Cascades, CaseMetadata, Conclusion}
-import graft.dedup.{Components, Dedup, EmbeddingDedup}
+import graft.dedup.{Components, Dedup, EmbeddingDedup, SemDedup}
 import graft.operators.{GapFill, PageRank, Skew, Splits}
 import graft.oracle.Sql
 import graft.search.Hybrid
@@ -1449,6 +1449,18 @@ object SparkEntry {
       Some(TextAnalysis.repeatedSpansSql("documents", "doc_id",
         Enrich.boilerplatedSql("text", "doc_id"), n = 5) + " ORDER BY id")),
 
+    // The exact-substring dedup pass itself: maximal removed spans
+    // (duplicate 5-gram positions, globally-first occurrence kept,
+    // overlapping/adjacent ranges merged) — the edit list Lee et al.'s
+    // cleaning applies; repeated_spans above is its summary statistic
+    Q("text_substring_dedup",
+      (s, dir) => TextAnalysis.substringDedupSpans(Tables.documents(s, dir),
+          col("doc_id"), Enrich.boilerplated(col("text"), col("doc_id")), n = 5)
+        .orderBy("id", "span_start"),
+      Some(TextAnalysis.substringDedupSpansSql("documents", "doc_id",
+        Enrich.boilerplatedSql("text", "doc_id"), n = 5)
+        + " ORDER BY id, span_start")),
+
     Q("text_paragraph_dedup",
       (s, dir) => TextAnalysis.paragraphDedup(Tables.documents(s, dir),
           col("doc_id"), Enrich.boilerplated(col("text"), col("doc_id")))
@@ -1721,6 +1733,33 @@ object SparkEntry {
               |  ${Sql.cosine("l.embedding", "r.embedding")} AS cosine
               | FROM corpus l JOIN corpus r ON l.id < r.id)
               |WHERE cosine >= 0.9 ORDER BY id_a, id_b""".stripMargin)),
+
+    // SemDeDup (Abbas et al. 2023) under its exactness gate: nlist=1
+    // makes within-cluster == global, so the keep/drop verdict (drop a
+    // doc iff a lower-id neighbor clears the threshold) is replayed
+    // verbatim by the oracle — the clustered route's semantics with the
+    // approximation dial turned off, same trick as ivf_full_probe
+    Q("dedup_semantic_keep",
+      (s, dir) => SemDedup.semanticKeep(
+          SemDedup.assignClusters(Tables.embeddings(s, dir),
+            col("vec_id"), col("embedding"), nlist = 1),
+          minCosine = 0.35, SemDedup.KeepLowestId)
+        .select("id", "is_keeper").orderBy("id"),
+      Some(SemDedup.semanticKeepSql("embeddings", "vec_id", "embedding",
+        minCosine = 0.35) + " ORDER BY id")),
+
+    // The clustered route (nlist=8, the paper's centroid-distance keep
+    // policy): recall-approximate by design — cross-cluster near-dups
+    // are invisible — so no SQL twin exists; its exact sibling
+    // dedup_semantic_keep is hash-gated above and SemDedupSpec pins
+    // pairs ⊆ exact, nlist=1 == exact, and partitioning invariance
+    Q("dedup_semantic_clustered",
+      (s, dir) => SemDedup.semanticKeep(
+          SemDedup.assignClusters(Tables.embeddings(s, dir),
+            col("vec_id"), col("embedding"), nlist = 8),
+          minCosine = 0.35, SemDedup.KeepFarthestFromCentroid)
+        .orderBy("id"),
+      None),
 
     // Exact brute-force cosine top-k — the ANN correctness baseline
     Q("ann_cosine_topk",

@@ -307,7 +307,8 @@ object BroadcastKnn {
       // BlockMatrix's doc), not from a core-count guess. The counts
       // are two scans — noise next to the B² tile join they configure.
       import org.apache.spark.sql.functions.{col, size => asize}
-      val rows = math.max(left.count(), right.count())
+      val leftRows = left.count()
+      val rightRows = right.count()
       // probe the dim from a VALID row — null/empty embeddings exist in
       // the wild and l2Join itself just filters them out
       val dim = right
@@ -315,8 +316,14 @@ object BroadcastKnn {
         .select(asize(col("embedding")).as("d")).head(1)
         .headOption.map(_.getInt(0))
       dim match {
-        case Some(d) => graft.vector.BlockMatrix.l2Join(left, right, k,
-          graft.vector.BlockMatrix.chooseNumBlocks(rows, d))
+        case Some(d) =>
+          // asymmetric split: only the buffered LEFT side carries the
+          // per-task heap bound; the streamed right split just fills
+          // the parallelism floor / caps scan extent, so the shuffle
+          // replicates each side by the OTHER side's (small) factor
+          val (bl, br) = graft.vector.BlockMatrix.chooseBlockCounts(
+            leftRows, rightRows, d)
+          graft.vector.BlockMatrix.l2JoinBlocks(left, right, k, bl, br)
         case None => graft.vector.BlockMatrix.l2Join(left, right, k)
       }
     }

@@ -641,6 +641,100 @@ object TextAnalysis {
        |    AS repeated_frac
        |FROM flagged GROUP BY id""".stripMargin
 
+  /** The exact-substring dedup pass itself (Lee et al. 2022, §3 — the
+    * pass [[repeatedSpans]] only summarizes): every duplicate n-gram
+    * POSITION (one that is not its gram's globally-first occurrence,
+    * first = lowest (id, idx)) marks its n tokens for removal; adjacent
+    * and overlapping marked ranges inside a document merge into
+    * MAXIMAL spans. Returns one row per maximal removed span:
+    * (id, span_start, span_end, span_tokens), token positions 1-based
+    * inclusive — the edit list a cleaning pass applies, keeping each
+    * duplicated substring's first occurrence corpus-wide.
+    *
+    * Why spans and not cleaned text: the span list is the
+    * idempotent, auditable artifact (apply = filter tokens by
+    * position); emitting text would bake the tokenizer's whitespace
+    * normalization into the output irreversibly.
+    *
+    * Scale shape (same skeleton as [[repeatedSpans]]): one shuffle on
+    * the gram for the first-occurrence window — parallel over distinct
+    * grams, no corpus-sized state — then one shuffle on the doc id
+    * where DUPLICATE positions only (typically a small fraction of the
+    * corpus) flow through the gaps-and-islands merge: a running-max
+    * window, a flag, a running sum, a group-by — all linear, all
+    * integer arithmetic, bit-exact under any partitioning.
+    */
+  def substringDedupSpans(docs: org.apache.spark.sql.DataFrame, idCol: Column,
+                          textCol: Column, n: Int): org.apache.spark.sql.DataFrame = {
+    require(n >= 2, "n must be at least 2")
+    val toks = split(lower(trim(textCol)), "\\s+")
+    val grams = element_at(
+      transform(array(toks), t =>
+        when(size(t) >= n,
+          transform(sequence(lit(1), size(t) - (n - 1)),
+            i => array_join(slice(t, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))), 1)
+    val byGram = org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))
+      .orderBy(col("id"), col("idx"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+      .orderBy(col("idx"))
+    // covered-through-the-previous-row watermark: a marked range [idx,
+    // idx+n-1] extends the current span iff it starts at or before
+    // watermark+1 (overlap OR adjacency — the removed region stays
+    // contiguous either way)
+    val prevMax = max(col("end"))
+      .over(byDoc.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    docs.select(idCol.as("id"), posexplode(grams).as(Seq("idx0", "gram")))
+      .select(col("id"), (col("idx0") + 1).as("idx"), col("gram"))
+      .withColumn("rn", row_number().over(byGram))
+      .where(col("rn") > 1)
+      .select(col("id"), col("idx"), (col("idx") + (n - 1)).as("end"))
+      .withColumn("new_span",
+        when(prevMax.isNull || col("idx") > prevMax + 1, 1).otherwise(0))
+      .withColumn("span_no", sum(col("new_span")).over(byDoc))
+      .groupBy(col("id"), col("span_no"))
+      .agg(min(col("idx")).as("span_start"), max(col("end")).as("span_end"))
+      .select(col("id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  /** DuckDB twin of [[substringDedupSpans]] (integer-only windows —
+    * hash-exact; positions cast back to INTEGER to match Spark).
+    */
+  def substringDedupSpansSql(table: String, idExpr: String, textExpr: String,
+                             n: Int): String =
+    s"""WITH t AS (
+       |  SELECT $idExpr AS id,
+       |    string_split_regex(lower(trim($textExpr)), '$WsClassSql+') AS toks
+       |  FROM $table),
+       |exploded AS (
+       |  SELECT id, unnest(range(1, len(toks) - ${n - 2})) AS idx, toks
+       |  FROM t WHERE len(toks) >= $n),
+       |grams AS (
+       |  SELECT id, idx, array_to_string(toks[idx:idx+${n - 1}], ' ') AS gram
+       |  FROM exploded),
+       |dup AS (
+       |  SELECT id, idx, idx + ${n - 1} AS e FROM (
+       |    SELECT id, idx,
+       |      row_number() OVER (PARTITION BY gram ORDER BY id, idx) AS rn
+       |    FROM grams)
+       |  WHERE rn > 1),
+       |flagged AS (
+       |  SELECT id, idx, e,
+       |    CASE WHEN max(e) OVER w IS NULL OR idx > max(e) OVER w + 1
+       |         THEN 1 ELSE 0 END AS new_span
+       |  FROM dup
+       |  WINDOW w AS (PARTITION BY id ORDER BY idx
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       |islands AS (
+       |  SELECT id, idx, e,
+       |    sum(new_span) OVER (PARTITION BY id ORDER BY idx) AS span_no
+       |  FROM flagged)
+       |SELECT id, CAST(min(idx) AS INTEGER) AS span_start,
+       |  CAST(max(e) AS INTEGER) AS span_end,
+       |  CAST(max(e) - min(idx) + 1 AS INTEGER) AS span_tokens
+       |FROM islands GROUP BY id, span_no""".stripMargin
+
   // ---- fingerprinting -------------------------------------------------
 
   /** Whitespace-normalized md5 fingerprint — the exact-dedup key. */

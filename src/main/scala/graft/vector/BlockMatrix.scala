@@ -27,15 +27,16 @@ import org.apache.spark.sql.functions._
   * Per-task memory bound (the REAL sizing constraint): a top-k tile
   * task buffers its LEFT block (it owns the per-row k-heaps) and
   * STREAMS the right side off the shuffle iterator — so the bound is
-  * `(rows/B) · (4·dim + ~40)` bytes plus `(rows/B)·k` heap slots, and
-  * the right extent of a tile is unbounded at fixed heap. B must be
-  * sized from CORPUS BYTES, not core count:
-  * `B ≥ corpusBytes / targetTileBytes` ([[chooseNumBlocks]] computes
-  * this; a few hundred MB per tile is the sweet spot). With that bound
-  * satisfied, B ≈ √(cluster cores) is the parallelism floor — take the
-  * max of the two. ([[cosinePairsAbove]] still buffers both sides of a
-  * tile: its diagonal-tile/upper-triangle sharing needs random access;
-  * size B for 2× there.) The final merge is the bounded-state
+  * `(leftRows/bL) · (4·dim + ~40)` bytes plus `(leftRows/bL)·k` heap
+  * slots, and the right extent of a tile costs no heap at all. The
+  * two splits are therefore sized INDEPENDENTLY (the second tiling
+  * level): `bL ≥ leftBytes / targetTileBytes` carries the memory
+  * bound, `bR` only fills the parallelism floor and caps a task's
+  * scan extent ([[chooseBlockCounts]]; the square
+  * [[chooseNumBlocks]] remains for the symmetric self-join case).
+  * ([[cosinePairsAbove]] still buffers both sides of a tile: its
+  * diagonal-tile/upper-triangle sharing needs random access; size its
+  * B for 2× there.) The final merge is the bounded-state
   * [[GroupedTopK.TopKAggregator]], so no group ever sorts in full.
   *
   * Determinism contract (matches [[VectorKernels]] and the DuckDB
@@ -67,6 +68,36 @@ object BlockMatrix extends Serializable {
     val sideBytes = rows * (4L * dim + 40L)
     val byMemory = (sideBytes + targetTileBytes - 1) / targetTileBytes
     math.max(byMemory, parallelismFloor.toLong).min(Int.MaxValue).toInt
+  }
+
+  /** Asymmetric block counts for the top-k join — the second tiling
+    * level the square layout lacks. A top-k tile task buffers only its
+    * LEFT block and streams the right side, so the heap bound
+    * constrains ONLY `bL = ceil(leftBytes / targetTileBytes)`; the
+    * right split exists purely to (a) keep `bL·bR` tiles at or above
+    * the parallelism floor and (b) bound a single task's scan extent
+    * (`rightRows/bR` rows), NOT its memory. Decoupling matters at
+    * scale: square tiling replicates shuffle volume `B·(|L|+|R|)` with
+    * one B serving both constraints, so a 10 TB left against a 100 GB
+    * right pays a 40-way replication of the RIGHT side it never
+    * needed; here volume is `bR·|L| + bL·|R|` with bR staying at the
+    * floor. `maxTaskScanRows` (default 4M) caps per-task right-extent
+    * so stragglers cannot hide inside one tile.
+    */
+  def chooseBlockCounts(leftRows: Long, rightRows: Long, dim: Int,
+                        targetTileBytes: Long = 256L << 20,
+                        parallelismFloor: Int = 16,
+                        maxTaskScanRows: Long = 4000000L): (Int, Int) = {
+    require(leftRows >= 0 && rightRows >= 0 && dim > 0 && targetTileBytes > 0 &&
+      parallelismFloor > 0 && maxTaskScanRows > 0,
+      "rows/dim/targetTileBytes/parallelismFloor/maxTaskScanRows must be positive")
+    val leftBytes = leftRows * (4L * dim + 40L)
+    val bL = math.max(1L, (leftBytes + targetTileBytes - 1) / targetTileBytes)
+      .min(Int.MaxValue).toInt
+    val byFloor = (parallelismFloor.toLong + bL - 1) / bL
+    val byScan = (rightRows + maxTaskScanRows - 1) / maxTaskScanRows
+    val bR = math.max(1L, math.max(byFloor, byScan)).min(Int.MaxValue).toInt
+    (bL, bR)
   }
 
   /** Identical value to Spark's `round(x, 4)`: HALF_UP on the decimal
@@ -101,7 +132,18 @@ object BlockMatrix extends Serializable {
   def cosineTopK(df: DataFrame, idCol: Column, embCol: Column, k: Int,
                  numBlocks: Int = 16): DataFrame = {
     val base = prep(df, idCol, embCol)
-    topKJoin(base, base, k, numBlocks, cosineMetric = true, excludeSelf = true)
+    topKJoin(base, base, k, numBlocks, numBlocks,
+      cosineMetric = true, excludeSelf = true)
+  }
+
+  /** [[cosineTopK]] with independently-sized left/right splits (see
+    * [[chooseBlockCounts]] — left bounds memory, right bounds scan).
+    */
+  def cosineTopKBlocks(df: DataFrame, idCol: Column, embCol: Column, k: Int,
+                       leftBlocks: Int, rightBlocks: Int): DataFrame = {
+    val base = prep(df, idCol, embCol)
+    topKJoin(base, base, k, leftBlocks, rightBlocks,
+      cosineMetric = true, excludeSelf = true)
   }
 
   /** M×N exact L2 top-k join — identical output contract to
@@ -112,9 +154,16 @@ object BlockMatrix extends Serializable {
     */
   def l2Join(left: DataFrame, right: DataFrame, k: Int,
              numBlocks: Int = 16): DataFrame =
+    l2JoinBlocks(left, right, k, numBlocks, numBlocks)
+
+  /** [[l2Join]] with independently-sized left/right splits (see
+    * [[chooseBlockCounts]] — left bounds memory, right bounds scan).
+    */
+  def l2JoinBlocks(left: DataFrame, right: DataFrame, k: Int,
+                   leftBlocks: Int, rightBlocks: Int): DataFrame =
     topKJoin(prep(left, col("id"), col("embedding")),
       prep(right, col("id"), col("embedding")),
-      k, numBlocks, cosineMetric = false, excludeSelf = false)
+      k, leftBlocks, rightBlocks, cosineMetric = false, excludeSelf = false)
 
   private def prep(df: DataFrame, idCol: Column, embCol: Column): DataFrame =
     df.select(idCol.cast("long").as("id"), embCol.cast("array<float>").as("emb"))
@@ -234,43 +283,48 @@ object BlockMatrix extends Serializable {
     * ascending; both round HALF_UP to 4dp before the heap decides.
     */
   private def topKJoin(leftBase: DataFrame, rightBase: DataFrame, k: Int,
-                       numBlocks: Int, cosineMetric: Boolean,
+                       leftBlocks: Int, rightBlocks: Int, cosineMetric: Boolean,
                        excludeSelf: Boolean): DataFrame = {
     require(k > 0, "k must be positive")
-    require(numBlocks > 0, "numBlocks must be positive")
+    require(leftBlocks > 0 && rightBlocks > 0, "block counts must be positive")
     val spark = leftBase.sparkSession
     import spark.implicits._
 
     // SUMMA-style tile distribution as ONE shuffle of flat rows: each
-    // left row replicates to its row-block's B tiles, each right row to
-    // its column-block's B tiles, and a cogroup on the tile key hands
-    // every tile its two sides as separate iterators. The left side is
-    // buffered (it carries the per-row k-heaps); the RIGHT side is
-    // STREAMED straight off the sorted shuffle run — it never
+    // left row replicates to its row-block's bR tiles, each right row
+    // to its column-block's bL tiles, and a cogroup on the tile key
+    // hands every tile its two sides as separate iterators. The left
+    // side is buffered (it carries the per-row k-heaps); the RIGHT
+    // side is STREAMED straight off the sorted shuffle run — it never
     // materializes. Per-task memory is therefore ONE left block plus
-    // m·k heap slots, not two blocks (the second tiling level: the
-    // right extent of a tile is unbounded at fixed heap). Shuffle
-    // volume is B·(|L|+|R|) rows either way; a cross join of
-    // whole-corpus rows would instead broadcast a corpus to every task
-    // — fine at spec scale, fatal at 100 TB.
+    // m·k heap slots, not two blocks — which is WHY the two splits are
+    // sized independently (the second tiling level): bL alone carries
+    // the heap bound, bR only caps a task's scan extent and fills the
+    // parallelism floor ([[chooseBlockCounts]]). Shuffle volume is
+    // bR·|L| + bL·|R| rows — a square B serving both constraints would
+    // replicate the small side as many times as the big side needs,
+    // and a cross join of whole-corpus rows would broadcast a corpus
+    // to every task — fine at spec scale, fatal at 100 TB.
     //
     // The tile result is loop-order independent — scores are per-pair
     // (no cross-pair accumulation) and the heap keeps the top k of a
     // TOTAL order (score, then right id) — so no within-tile sort is
     // needed for determinism.
-    val b = numBlocks
-    def residue(id: Long): Int = blockId(id, b)
-    // Tile keys are Long: Int `lb * b + j` overflows at b > 46340 —
-    // and chooseNumBlocks crosses that around ~11 TB per side, silently
-    // colliding distinct tiles in the cogroup (ADVICE r4).
+    val bL = leftBlocks
+    val bR = rightBlocks
+    // Tile keys are Long: Int `lb * bR + j` overflows at ~46k blocks —
+    // and chooseBlockCounts crosses that around ~11 TB per side,
+    // silently colliding distinct tiles in the cogroup (ADVICE r4).
     val lkv = leftBase.as[BlockRow]
       .flatMap { r =>
-        val lb = residue(r.id); (0 until b).iterator.map(j => (lb.toLong * b + j, r))
+        val lb = blockId(r.id, bL)
+        (0 until bR).iterator.map(j => (lb.toLong * bR + j, r))
       }
       .groupByKey(_._1)
     val rkv = rightBase.as[BlockRow]
       .flatMap { r =>
-        val rb = residue(r.id); (0 until b).iterator.map(i => (i.toLong * b + rb, r))
+        val rb = blockId(r.id, bR)
+        (0 until bL).iterator.map(i => (i.toLong * bR + rb, r))
       }
       .groupByKey(_._1)
 
@@ -371,7 +425,7 @@ object BlockMatrix extends Serializable {
       }
     }
 
-    // Global merge of the ≤B partial k-sets per left row through the
+    // Global merge of the ≤bR partial k-sets per left row through the
     // bounded-state aggregate. The aggregate orders ascending
     // (score, id): L2 feeds its score directly; cosine feeds the
     // NEGATED score (`+ 0.0` normalizes -0.0 so the round-trip is

@@ -45,6 +45,46 @@ class BlockMatrixSpec extends AnyFunSuite with SparkSpec {
     assert(sideBytes / b <= (256L << 20))
   }
 
+  test("chooseBlockCounts: left split carries the memory bound, right split " +
+    "the floor") {
+    // huge buffered left vs small streamed right: bL is memory-driven,
+    // bR collapses to 1 — square tiling would have replicated the right
+    // side bL times for nothing
+    val (bl1, br1) = BlockMatrix.chooseBlockCounts(
+      leftRows = 100000000L, rightRows = 100000L, dim = 1536)
+    val leftBytes = 100000000L * (4L * 1536 + 40L)
+    assert(bl1 >= (leftBytes / (256L << 20)).toInt)
+    assert(leftBytes / bl1 <= (256L << 20), "left block must fit the tile target")
+    assert(br1 == 1, s"small streamed right needs no split, got $br1")
+    // tiny left vs huge right: memory bound is trivially met at bL=1;
+    // the right split supplies ALL parallelism and caps scan extent
+    val (bl2, br2) = BlockMatrix.chooseBlockCounts(
+      leftRows = 1000L, rightRows = 100000000L, dim = 128)
+    assert(bl2 == 1)
+    assert(br2 >= 16, "floor must be met through the right split")
+    assert(100000000L / br2 <= 4000000L, "per-task scan extent must be capped")
+    // tiles must always satisfy the parallelism floor
+    assert(bl1.toLong * br1 >= 16 && bl2.toLong * br2 >= 16)
+  }
+
+  test("asymmetric tiling is result-identical to the square layout") {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val left = emb.where(col("id") < 30)
+    val square = collectSorted(BlockMatrix.l2Join(left, emb, k = 4, numBlocks = 4))
+    val wideRight = collectSorted(BlockMatrix.l2JoinBlocks(left, emb, k = 4,
+      leftBlocks = 1, rightBlocks = 13))
+    val wideLeft = collectSorted(BlockMatrix.l2JoinBlocks(left, emb, k = 4,
+      leftBlocks = 11, rightBlocks = 2))
+    assert(wideRight == square)
+    assert(wideLeft == square)
+    val cosSquare = collectSorted(BlockMatrix.cosineTopK(corpus, col("vec_id"),
+      col("embedding"), k = 3, numBlocks = 4))
+    val cosAsym = collectSorted(BlockMatrix.cosineTopKBlocks(corpus, col("vec_id"),
+      col("embedding"), k = 3, leftBlocks = 3, rightBlocks = 7))
+    assert(cosAsym == cosSquare)
+  }
+
   test("matches the brute-force window formulation exactly") {
     val blocked = BlockMatrix.cosineTopK(corpus, col("vec_id"), col("embedding"),
       k = 3, numBlocks = 4)
