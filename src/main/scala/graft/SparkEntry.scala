@@ -9,7 +9,7 @@ import graft.classify.{Cascades, CaseMetadata, Conclusion}
 import graft.dedup.{Components, Dedup, EmbeddingDedup, SemDedup}
 import graft.operators.{GapFill, PageRank, Skew, Splits}
 import graft.oracle.Sql
-import graft.search.Hybrid
+import graft.search.{Hybrid, Mmr}
 import graft.sources.Tables
 import graft.stats.WinStats
 import graft.text.{ChunkPacker, TextAnalysis}
@@ -1791,6 +1791,28 @@ object SparkEntry {
            | array_to_string($codes, ',') AS codes_csv, $err AS recon_err
            |FROM embeddings ORDER BY vec_id""".stripMargin
       }),
+
+    // MMR diversity re-rank over the cosine top-20 pool: the greedy
+    // λ·relevance − (1−λ)·redundancy fold, replayed step-for-step by
+    // the oracle's recursive CTE (anchor = best relevance, each
+    // recursion step = the same LATERAL argmax). Pool via
+    // TakeOrderedAndProject; the sequential-by-definition greedy loop
+    // runs per query over that bounded pool — parallelism is across
+    // queries, never within one query's state.
+    Q("q_mmr_rerank",
+      (s, dir) => {
+        val pool = Tables.embeddings(s, dir)
+          .crossJoin(broadcast(Pipelines.queryVector(s, dir)))
+          .select(lit(0L).as("query_id"), col("vec_id").as("doc_id"),
+            col("embedding").as("emb"),
+            round(Distance.cosine(col("embedding"), col("q_emb")), 4).as("qsim"))
+          .orderBy(col("qsim").desc, col("doc_id")).limit(20)
+        Mmr.rerank(pool, k = 8, lambda = 0.7)
+          .select("doc_id", "mmr_rank", "mmr_score").orderBy("mmr_rank")
+      },
+      Some(Mmr.rerankSql("embeddings", "vec_id", "embedding",
+        queryId = 0L, poolSize = 20, k = 8, lambda = 0.7)
+        + " ORDER BY mmr_rank")),
 
     // Hybrid retrieval: reciprocal-rank fusion of the lexical (BM25)
     // and vector (cosine) routes. Each route is a bounded top-50 via
