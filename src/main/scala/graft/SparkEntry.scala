@@ -1461,6 +1461,31 @@ object SparkEntry {
         Enrich.boilerplatedSql("text", "doc_id"), n = 5)
         + " ORDER BY id, span_start")),
 
+    // The span list applied: tokens inside removal spans dropped in
+    // place (order kept), the detect→remove pair completing the Lee
+    // et al. stage. Narrow HOF filter per row — no token explode
+    Q("text_substring_clean",
+      (s, dir) => TextAnalysis.substringDedupApply(Tables.documents(s, dir),
+          col("doc_id"), Enrich.boilerplated(col("text"), col("doc_id")), n = 5)
+        .select(col("id"), col("n_tokens"), col("n_removed"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("id"),
+      Some(s"""SELECT id, n_tokens, n_removed, md5(clean_text) AS clean_md5
+              |FROM (${TextAnalysis.substringDedupApplySql("documents", "doc_id",
+                Enrich.boilerplatedSql("text", "doc_id"), n = 5)})
+              |ORDER BY id""".stripMargin)),
+
+    // Fixed-stride sliding-window chunking (window 64, stride 48 →
+    // 16-token overlap): the embedding-prep layout the greedy packer
+    // (F2) doesn't produce; narrow per-row transform, windows reach
+    // the tail, empty documents emit nothing
+    Q("text_sliding_chunks",
+      (s, dir) => TextAnalysis.slidingChunks(Tables.documents(s, dir),
+          col("doc_id"), col("text"), window = 64, stride = 48)
+        .orderBy("id", "win_idx"),
+      Some(TextAnalysis.slidingChunksSql("documents", "doc_id", "text",
+        window = 64, stride = 48) + " ORDER BY id, win_idx")),
+
     Q("text_paragraph_dedup",
       (s, dir) => TextAnalysis.paragraphDedup(Tables.documents(s, dir),
           col("doc_id"), Enrich.boilerplated(col("text"), col("doc_id")))

@@ -735,6 +735,137 @@ object TextAnalysis {
        |  CAST(max(e) - min(idx) + 1 AS INTEGER) AS span_tokens
        |FROM islands GROUP BY id, span_no""".stripMargin
 
+  /** Apply [[substringDedupSpans]]'s edit list: drop every token whose
+    * 1-based position falls inside one of its document's removal
+    * spans, keeping token order. Returns (id, n_tokens, n_removed,
+    * clean_text) — together with the span pass this is the COMPLETE
+    * Lee et al. cleaning stage (detect → remove, first occurrence
+    * corpus-wide survives).
+    *
+    * Shape: the span list re-aggregates to ONE small array per
+    * affected document (spans are maximal, so there are few), joins
+    * back LEFT onto the corpus by id, and the removal itself is a
+    * higher-order filter over the token array — a narrow per-row map,
+    * no explode of corpus tokens through a shuffle. Membership via
+    * `exists` is order-independent, so the unordered `collect_list`
+    * is safe.
+    */
+  def substringDedupApply(docs: org.apache.spark.sql.DataFrame, idCol: Column,
+                          textCol: Column, n: Int): org.apache.spark.sql.DataFrame = {
+    val spans = substringDedupSpans(docs, idCol, textCol, n)
+      .groupBy(col("id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    docs.select(idCol.as("id"), split(lower(trim(textCol)), "\\s+").as("toks"))
+      .join(spans, Seq("id"), "left")
+      .select(col("id"),
+        when(size(col("toks")) === 1 && element_at(col("toks"), 1) === "", 0)
+          .otherwise(size(col("toks"))).as("n_tokens"),
+        filter(
+          transform(sequence(lit(1), size(col("toks"))),
+            i => struct(i.as("i"), element_at(col("toks"), i).as("tok"))),
+          t => col("spans").isNull ||
+            !exists(col("spans"), s =>
+              t.getField("i") >= s.getField("span_start") &&
+                t.getField("i") <= s.getField("span_end"))).as("kept"))
+      .select(col("id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))
+          + when(col("n_tokens") === 0, 1).otherwise(0)).as("n_removed"),
+        array_join(transform(col("kept"), t => t.getField("tok")), " ")
+          .as("clean_text"))
+  }
+
+  /** DuckDB twin of [[substringDedupApply]]. One cross-engine quirk:
+    * DuckDB's `array_to_string([])` is NULL where Spark's
+    * `array_join` gives '' — the fully-boilerplate documents (every
+    * token removed) hit exactly that, hence the coalesce.
+    */
+  def substringDedupApplySql(table: String, idExpr: String, textExpr: String,
+                             n: Int): String =
+    s"""WITH spans AS (
+       |  SELECT id, list({'lo': span_start, 'hi': span_end}) AS spans
+       |  FROM (${substringDedupSpansSql(table, idExpr, textExpr, n)})
+       |  GROUP BY id),
+       |toks AS (
+       |  SELECT $idExpr AS id,
+       |    string_split_regex(lower(trim($textExpr)), '$WsClassSql+') AS toks
+       |  FROM $table),
+       |joined AS (
+       |  SELECT t.id, t.toks, s.spans,
+       |    CASE WHEN len(t.toks) = 1 AND t.toks[1] = '' THEN 0
+       |         ELSE len(t.toks) END AS n_tokens
+       |  FROM toks t LEFT JOIN spans s ON s.id = t.id),
+       |kept AS (
+       |  SELECT id, n_tokens,
+       |    list_filter(list_transform(range(1, len(toks) + 1),
+       |        i -> {'i': i, 'tok': toks[CAST(i AS INTEGER)]}),
+       |      t -> spans IS NULL OR len(list_filter(spans,
+       |        s -> t.i >= s.lo AND t.i <= s.hi)) = 0) AS kept
+       |  FROM joined)
+       |SELECT id, CAST(n_tokens AS INTEGER) AS n_tokens,
+       |  CAST(n_tokens - len(kept)
+       |    + CASE WHEN n_tokens = 0 THEN 1 ELSE 0 END AS INTEGER) AS n_removed,
+       |  coalesce(array_to_string(list_transform(kept, t -> t.tok), ' '), '')
+       |    AS clean_text
+       |FROM kept""".stripMargin
+
+  /** Sliding-window chunking with overlap — the fixed-stride
+    * alternative to the reference's greedy paragraph packer
+    * ([[graft.text.ChunkPacker]], F2): window `w` tokens, stride `s`
+    * (overlap `w − s`), the standard layout when chunks feed an
+    * embedding model that wants context continuity across boundaries.
+    * Window count for a doc of T ≥ 1 tokens is
+    * `max(1, ceil((T − w) / s) + 1)` — the last window reaches the
+    * tail and may run short; empty docs emit nothing. Returns
+    * (id, win_idx 1-based, start 1-based, n_win, win_md5); a narrow
+    * per-row transform (explode of bounded window descriptors, no
+    * shuffle — plan-shape identical to the other curation passes).
+    */
+  def slidingChunks(docs: org.apache.spark.sql.DataFrame, idCol: Column,
+                    textCol: Column, window: Int,
+                    stride: Int): org.apache.spark.sql.DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    val toks = split(lower(trim(textCol)), "\\s+")
+    val nwin = greatest(lit(1),
+      ceil((size(col("toks")) - window).cast("double") / stride).cast("int") + 1)
+    docs.select(idCol.as("id"), toks.as("toks"))
+      .where(!(size(col("toks")) === 1 && element_at(col("toks"), 1) === ""))
+      .select(col("id"), col("toks"),
+        posexplode(sequence(lit(1), nwin)).as(Seq("k", "win_idx")))
+      .select(col("id"), col("win_idx"),
+        (lit(1) + (col("win_idx") - 1) * stride).as("start"),
+        slice(col("toks"), lit(1) + (col("win_idx") - 1) * stride, lit(window))
+          .as("win"))
+      .select(col("id"), col("win_idx"), col("start"),
+        size(col("win")).as("n_win"),
+        md5(array_join(col("win"), " ")).as("win_md5"))
+  }
+
+  /** DuckDB twin of [[slidingChunks]]. */
+  def slidingChunksSql(table: String, idExpr: String, textExpr: String,
+                       window: Int, stride: Int): String =
+    s"""WITH t AS (
+       |  SELECT $idExpr AS id,
+       |    string_split_regex(lower(trim($textExpr)), '$WsClassSql+') AS toks
+       |  FROM $table),
+       |live AS (
+       |  SELECT id, toks FROM t
+       |  WHERE NOT (len(toks) = 1 AND toks[1] = '')),
+       |wins AS (
+       |  SELECT id, toks,
+       |    unnest(range(1, greatest(1,
+       |      CAST(ceil(CAST(len(toks) - $window AS DOUBLE) / $stride) AS INTEGER)
+       |        + 1) + 1)) AS win_idx
+       |  FROM live)
+       |SELECT id, CAST(win_idx AS INTEGER) AS win_idx,
+       |  CAST(1 + (win_idx - 1) * $stride AS INTEGER) AS start,
+       |  CAST(len(toks[(1 + (win_idx - 1) * $stride):
+       |               (1 + (win_idx - 1) * $stride + ${window - 1})])
+       |    AS INTEGER) AS n_win,
+       |  md5(array_to_string(
+       |    toks[(1 + (win_idx - 1) * $stride):
+       |         (1 + (win_idx - 1) * $stride + ${window - 1})], ' ')) AS win_md5
+       |FROM wins""".stripMargin
+
   // ---- fingerprinting -------------------------------------------------
 
   /** Whitespace-normalized md5 fingerprint — the exact-dedup key. */

@@ -56,4 +56,46 @@ class SubstringDedupSpec extends AnyFunSuite with SparkSpec {
   test("span list is invariant to input partitioning") {
     assert(spans(fixture.repartition(7)) == spans(fixture.coalesce(1)))
   }
+
+  test("apply removes exactly the spanned tokens, keeping order") {
+    val out = TextAnalysis.substringDedupApply(fixture, col("doc_id"),
+        col("text"), n = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    // doc 1 is untouched; doc 2 loses P (tokens 2-7); doc 3 loses both
+    // copies (1-6 and 12-17), keeping only the filler
+    assert(out == Seq(
+      (1L, 10, 0, "u1 u2 x1 x2 x3 x4 x5 x6 v1 v2"),
+      (2L, 8, 6, "w1 w2"),
+      (3L, 17, 12, "y1 y2 y3 y4 y5")))
+  }
+
+  test("apply on an empty or span-free doc is the identity") {
+    import spark.implicits._
+    val df = Seq((1L, ""), (2L, "p q r s t")).toDF("doc_id", "text")
+    val out = TextAnalysis.substringDedupApply(df, col("doc_id"), col("text"), n = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    assert(out == Seq((1L, 0, 0, ""), (2L, 5, 0, "p q r s t")))
+  }
+
+  test("sliding windows step by the stride and reach the tail") {
+    import spark.implicits._
+    // 10 tokens, window 5, stride 3 → starts 1, 4, 7; last runs short
+    val df = Seq((1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")).toDF("doc_id", "text")
+    val out = TextAnalysis.slidingChunks(df, col("doc_id"), col("text"),
+        window = 5, stride = 3)
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3)))
+      .sortBy(_._1).toSeq
+    assert(out == Seq((1, 1, 5), (2, 4, 5), (3, 7, 4)))
+  }
+
+  test("short docs yield one window; empty docs yield none") {
+    import spark.implicits._
+    val df = Seq((1L, "a b"), (2L, ""), (3L, "   ")).toDF("doc_id", "text")
+    val out = TextAnalysis.slidingChunks(df, col("doc_id"), col("text"),
+      window = 5, stride = 3)
+    assert(out.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(3))).toSeq
+      == Seq((1L, 1, 2)))
+  }
 }
