@@ -1194,6 +1194,56 @@ object SparkEntry {
                 |FROM documents ORDER BY doc_id""".stripMargin)
       }),
 
+    // JSONL round trip (the LLM-corpus wire format): documents written
+    // as one-object-per-line JSON and read back under the writer's
+    // explicit schema — the oracle compares against the PARQUET
+    // original, so a pass proves the export→ingest edge is lossless
+    // for the scalar payload (md5 over text pins every byte)
+    Q("s7_jsonl_roundtrip",
+      (s, dir) => graft.sources.Formats.jsonlRoundTrip(Tables.documents(s, dir))
+        .select(col("doc_id"), md5(col("text")).as("text_md5"), col("lang"),
+          col("source"), col("n_chars"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Same gate through ORC — the warehouse-side columnar edge
+    Q("s8_orc_roundtrip",
+      (s, dir) => graft.sources.Formats.orcRoundTrip(Tables.documents(s, dir))
+        .select(col("doc_id"), md5(col("text")).as("text_md5"), col("lang"),
+          col("source"), col("n_chars"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // C4 cleaning rules (Raffel et al. 2020 §2.2) over the mixed-line
+    // fixture: line-level filter (terminal punctuation, ≥3 words, no
+    // "javascript") + page-level gate (≥5 sentences after cleaning, no
+    // "lorem ipsum", no brace). Distinct from Gopher: C4 edits INSIDE
+    // the page; every rule fires on a known doc_id residue class
+    Q("text_c4_rules",
+      (s, dir) => {
+        val t = Enrich.c4Mixed(col("text"), col("doc_id"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(split(t, "\n")).as("n_lines"),
+            size(TextAnalysis.c4KeptLines(t)).as("n_kept"),
+            TextAnalysis.c4SentenceCount(t).as("n_sentences"),
+            TextAnalysis.c4Keep(t).as("keep"),
+            md5(TextAnalysis.c4CleanText(t)).as("clean_md5"))
+          .orderBy("doc_id")
+      },
+      {
+        val t = Enrich.c4MixedSql("text", "doc_id")
+        Some(s"""SELECT doc_id,
+                | CAST(len(string_split($t, chr(10))) AS INTEGER) AS n_lines,
+                | CAST(len(${TextAnalysis.c4KeptLinesSql(t)}) AS INTEGER) AS n_kept,
+                | ${TextAnalysis.c4SentenceCountSql(t)} AS n_sentences,
+                | ${TextAnalysis.c4KeepSql(t)} AS keep,
+                | md5(${TextAnalysis.c4CleanTextSql(t)}) AS clean_md5
+                |FROM documents ORDER BY doc_id""".stripMargin)
+      }),
+
     // Language ID over marker-injected text — recovers the lang label
     Q("text_langid",
       (s, dir) => {

@@ -132,6 +132,40 @@ object Enrich {
        |        substr($textExpr, 151, 100000)) END""".stripMargin
   }
 
+  /** C4-rule fixture: lays each document out as web-page-ish lines so
+    * every C4 rule fires somewhere in the corpus. Lines 1 and 3 are
+    * punctuated slices of the real text (kept; line 3 carries three
+    * sentence terminals), line 2 is under the 3-word floor, line 4
+    * mentions javascript on every 7th doc (its loss drops the page
+    * under the 5-sentence gate), line 5 is the unpunctuated remainder
+    * (line-dropped), and every 13th/17th doc plants the page-level
+    * "lorem ipsum" / curly-brace poison. `concat_ws` skips the NULL
+    * branches on both engines.
+    */
+  def c4Mixed(text: Column, key: Column): Column = {
+    val l1 = concat(substring(text, 1, 100), lit(" end one."))
+    val l2 = lit("too short.")
+    val l3 = concat(substring(text, 101, 100),
+      lit(" end two! end three? end four."))
+    val l4 = when(pmod(key, lit(7)) === 0, lit("javascript needs to go away."))
+      .otherwise(lit("clean closing line here."))
+    val l5 = substring(text, 201, 100000)
+    val l6 = when(pmod(key, lit(13)) === 0, lit("lorem ipsum dolor sit."))
+    val l7 = when(pmod(key, lit(17)) === 0, lit("brace { sample."))
+    concat_ws("\n", l1, l2, l3, l4, l5, l6, l7)
+  }
+
+  def c4MixedSql(textExpr: String, keyExpr: String): String =
+    s"""concat_ws(chr(10),
+       | substr($textExpr, 1, 100) || ' end one.',
+       | 'too short.',
+       | substr($textExpr, 101, 100) || ' end two! end three? end four.',
+       | CASE WHEN ($keyExpr) % 7 = 0 THEN 'javascript needs to go away.'
+       |      ELSE 'clean closing line here.' END,
+       | substr($textExpr, 201, 100000),
+       | CASE WHEN ($keyExpr) % 13 = 0 THEN 'lorem ipsum dolor sit.' END,
+       | CASE WHEN ($keyExpr) % 17 = 0 THEN 'brace { sample.' END)""".stripMargin
+
   // ---- Gopher-rule fixture --------------------------------------------
 
   // building blocks shared by the Column and SQL renderings — each

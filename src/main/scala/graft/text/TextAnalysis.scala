@@ -191,6 +191,54 @@ object TextAnalysis {
        | AND (${gopherAlphaWordFracSql(t)}) >= 0.8
        | AND (${gopherReqStopwordCountSql(t)}) >= $GopherMinReqStopwords)""".stripMargin
 
+  // ---- C4 cleaning rules ----------------------------------------------
+
+  /** The C4 line filter (Raffel et al. 2020 §2.2): a line survives iff
+    * it ends in terminal punctuation (`.` `!` `?` `"`), carries at
+    * least 3 whitespace words, and does not mention "javascript"
+    * (case-insensitive). Companion to the document-level [[c4Keep]];
+    * distinct from the Gopher rules above (C4 edits INSIDE the page,
+    * Gopher only gates whole pages).
+    */
+  def c4KeptLines(c: Column): Column =
+    filter(split(c, "\n"), l =>
+      (trim(l).endsWith(".") || trim(l).endsWith("!") ||
+        trim(l).endsWith("?") || trim(l).endsWith("\"")) &&
+        size(split(trim(l), "\\s+")) >= 3 &&
+        !lower(l).contains("javascript"))
+  def c4KeptLinesSql(t: String): String =
+    s"""list_filter(string_split($t, chr(10)), l ->
+       | (ends_with(trim(l), '.') OR ends_with(trim(l), '!')
+       |  OR ends_with(trim(l), '?') OR ends_with(trim(l), '"'))
+       | AND len(string_split_regex(trim(l), '$WsClassSql+')) >= 3
+       | AND NOT contains(lower(l), 'javascript'))""".stripMargin
+
+  /** Line-filtered page text (kept lines re-joined). */
+  def c4CleanText(c: Column): Column = array_join(c4KeptLines(c), "\n")
+  def c4CleanTextSql(t: String): String =
+    s"coalesce(array_to_string(${c4KeptLinesSql(t)}, chr(10)), '')"
+
+  /** Sentence count of the CLEANED page (terminal-punctuation marks —
+    * the paper's "fewer than 5 sentences" gate counts after the line
+    * filter).
+    */
+  def c4SentenceCount(c: Column): Column =
+    regexp_count(c4CleanText(c), lit("[.!?]")).cast("int")
+  def c4SentenceCountSql(t: String): String =
+    s"CAST(len(regexp_extract_all(${c4CleanTextSql(t)}, '[.!?]')) AS INTEGER)"
+
+  /** Document-level C4 verdict: the cleaned page still has ≥ 5
+    * sentences, and the ORIGINAL page mentions neither "lorem ipsum"
+    * (case-insensitive) nor a curly brace.
+    */
+  def c4Keep(c: Column): Column =
+    c4SentenceCount(c) >= 5 &&
+      !lower(c).contains("lorem ipsum") && !c.contains("{")
+  def c4KeepSql(t: String): String =
+    s"""((${c4SentenceCountSql(t)}) >= 5
+       | AND NOT contains(lower($t), 'lorem ipsum')
+       | AND NOT contains($t, '{'))""".stripMargin
+
   // ---- language identification ---------------------------------------
 
   /** Disjoint per-language stopword markers (n-gram-free heuristic:
