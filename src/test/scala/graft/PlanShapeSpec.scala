@@ -134,4 +134,55 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"corpus-side shuffle join defeats the broadcast design:\n$plan")
   }
+
+  test("sliding-window chunking and the C4 passes are shuffle-free narrow maps") {
+    val chunks = TextAnalysis.slidingChunks(Tables.documents(spark, dir),
+      col("doc_id"), col("text"), window = 64, stride = 48)
+    val c4 = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.c4Keep(col("text")).as("keep"),
+        TextAnalysis.c4SentenceCount(col("text")).as("ns"))
+    Seq("slidingChunks" -> chunks, "c4" -> c4).foreach { case (name, df) =>
+      val plan = executed(df)
+      assert(!plan.contains("Exchange"), s"$name introduced a shuffle:\n$plan")
+    }
+  }
+
+  test("substring-dedup apply joins span ARRAYS back per doc — corpus tokens never explode through a shuffle") {
+    val df = TextAnalysis.substringDedupApply(Tables.documents(spark, dir),
+      col("doc_id"), col("text"), n = 5)
+    val plan = executed(df)
+    // the detect side must shuffle (gram window + doc window); the
+    // apply side must NOT re-explode the corpus. Every Generate in the
+    // plan (AQE prints final + initial, so counting is unreliable) must
+    // be the detect side's gram explode — recognizable by the
+    // array_join(slice(...)) gram constructor in its generator; a
+    // token-level explode on the apply side would carry a bare split
+    val genLines = plan.split("\n").filter(_.contains("Generate "))
+    assert(genLines.nonEmpty && genLines.forall(_.contains("array_join(slice(")),
+      s"apply side exploded corpus tokens:\n${genLines.mkString("\n")}")
+    assert(!plan.contains("CartesianProduct"), s"span join degenerated:\n$plan")
+  }
+
+  test("MMR pool builds via TakeOrderedAndProject; the greedy loop sees one bounded group") {
+    val pool = Tables.embeddings(spark, dir)
+      .crossJoin(broadcast(Pipelines.queryVector(spark, dir)))
+      .select(lit(0L).as("query_id"), col("vec_id").as("doc_id"),
+        col("embedding").as("emb"),
+        round(graft.vector.Distance.cosine(col("embedding"), col("q_emb")), 4)
+          .as("qsim"))
+      .orderBy(col("qsim").desc, col("doc_id")).limit(20)
+    val plan = executed(graft.search.Mmr.rerank(pool, k = 5, lambda = 0.7))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"pool must bound via a top-k heap, not a global sort:\n$plan")
+  }
+
+  test("semantic-dedup pairing meets on a cluster equi-join, never a corpus broadcast") {
+    val idx = graft.dedup.SemDedup.assignClusters(
+      Tables.embeddings(spark, dir).where(col("vec_id") < 100),
+      col("vec_id"), col("embedding"), nlist = 4)
+    val plan = executed(graft.dedup.SemDedup.semanticPairs(idx, minCosine = 0.35))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"within-cluster pairing degenerated to an all-pairs stage:\n$plan")
+  }
 }
