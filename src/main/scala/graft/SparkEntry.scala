@@ -1867,6 +1867,96 @@ object SparkEntry {
            |FROM embeddings ORDER BY vec_id""".stripMargin
       }),
 
+    // Binary (sign-bit) quantization — the 32×-smaller coarsest rung
+    // of the quantization ladder; MSB-first 32-bit words so both
+    // engines build identical integers with exact double powers
+    Q("v_quantize_binary",
+      (s, dir) => {
+        val w = Quantize.binary(col("embedding").cast("array<float>"))
+        Tables.embeddings(s, dir)
+          .select(col("vec_id"),
+            concat_ws(",", transform(w, x => x.cast("string"))).as("words_csv"),
+            aggregate(w, lit(0L), (a, x) => a + bit_count(x).cast("long"))
+              .as("n_set"))
+          .orderBy("vec_id")
+      },
+      Some(s"""SELECT vec_id,
+              | array_to_string(list_transform(${Quantize.binarySql("embedding")},
+              |   x -> CAST(x AS VARCHAR)), ',') AS words_csv,
+              | CAST(list_sum(list_transform(${Quantize.binarySql("embedding")},
+              |   w -> bit_count(w))) AS BIGINT) AS n_set
+              |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
+    // Hamming search over the packed sign bits — the binary prune
+    // stage; integer distances, exact oracle
+    Q("ann_hamming_topk",
+      (s, dir) => {
+        val qb = Pipelines.queryVector(s, dir)
+          .select(Quantize.binary(col("q_emb").cast("array<float>")).as("qw"))
+        Tables.embeddings(s, dir).crossJoin(broadcast(qb))
+          .select(col("vec_id"),
+            Quantize.hamming(
+              Quantize.binary(col("embedding").cast("array<float>")),
+              col("qw")).as("ham"))
+          .orderBy(col("ham"), col("vec_id")).limit(10)
+      },
+      Some(s"""WITH qb AS (
+              |  SELECT ${Quantize.binarySql("q_emb")} AS qw
+              |  FROM (${Sql.queryVector(0)}) q),
+              |cb AS (
+              |  SELECT vec_id, ${Quantize.binarySql("embedding")} AS cw
+              |  FROM embeddings)
+              |SELECT vec_id, ${Quantize.hammingSql("cw", "qw")} AS ham
+              |FROM cb, qb ORDER BY ham, vec_id LIMIT 10""".stripMargin)),
+
+    // The two-stage binary→exact pipeline: Hamming prunes the corpus
+    // to 50 candidates (32× less data touched at the scan), exact
+    // cosine re-ranks the survivors — the serving pattern binary
+    // quantization exists for; both stages' orders are fully
+    // tie-broken so the oracle replays them exactly
+    Q("ann_binary_rerank",
+      (s, dir) => {
+        val qv = Pipelines.queryVector(s, dir)
+          .select(col("q_emb"),
+            Quantize.binary(col("q_emb").cast("array<float>")).as("qw"))
+        val pool = Tables.embeddings(s, dir).crossJoin(broadcast(qv))
+          .select(col("vec_id"), col("embedding"), col("q_emb"),
+            Quantize.hamming(
+              Quantize.binary(col("embedding").cast("array<float>")),
+              col("qw")).as("ham"))
+          .orderBy(col("ham"), col("vec_id")).limit(50)
+        pool.select(col("vec_id"), col("ham"),
+            round(Distance.cosine(col("embedding"), col("q_emb")), 4).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id")).limit(10)
+      },
+      Some(s"""WITH qv AS (
+              |  SELECT q_emb, ${Quantize.binarySql("q_emb")} AS qw
+              |  FROM (${Sql.queryVector(0)}) q),
+              |pool AS (
+              |  SELECT vec_id, embedding, q_emb,
+              |    ${Quantize.hammingSql(Quantize.binarySql("embedding"), "qw")}
+              |      AS ham
+              |  FROM embeddings, qv ORDER BY ham, vec_id LIMIT 50)
+              |SELECT vec_id, ham,
+              |  ${Sql.cosine("embedding", "q_emb")} AS cos
+              |FROM pool ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // Matryoshka prefix search: cosine ranking on the first 16 dims
+    // only (MRL-style truncation) — the cheap-first rung of a
+    // dimension ladder; slicing is scale-invariant for cosine so no
+    // renormalization is needed, and the oracle slices identically
+    Q("ann_matryoshka_topk",
+      (s, dir) => Tables.embeddings(s, dir)
+        .crossJoin(broadcast(Pipelines.queryVector(s, dir)))
+        .select(col("vec_id"),
+          round(Distance.cosine(slice(col("embedding"), 1, 16),
+            slice(col("q_emb"), 1, 16)), 4).as("msim"))
+        .orderBy(col("msim").desc, col("vec_id")).limit(10),
+      Some(s"""SELECT vec_id,
+              | ${Sql.cosine("e.embedding[1:16]", "q.q_emb[1:16]")} AS msim
+              |FROM embeddings e, (${Sql.queryVector(0)}) q
+              |ORDER BY msim DESC, vec_id LIMIT 10""".stripMargin)),
+
     // MMR diversity re-rank over the cosine top-20 pool: the greedy
     // λ·relevance − (1−λ)·redundancy fold, replayed step-for-step by
     // the oracle's recursive CTE (anchor = best relevance, each
@@ -1953,6 +2043,31 @@ object SparkEntry {
         val emb = Tables.embeddings(s, dir)
           .select(col("vec_id").as("id"), col("embedding"))
         val idx = Ann.buildIvf(Tables.embeddings(s, dir), nlist = 8)
+        Ann.ivfKnnJoin(emb.where(col("id") < 20), idx, k = 3, nprobe = 8)
+          .orderBy("left_id", "rank")
+      },
+      Some(s"""SELECT left_id, right_id, score, CAST(rn AS INTEGER) AS rank FROM (
+              | SELECT l.vec_id AS left_id, r.vec_id AS right_id,
+              |  ${Sql.l2("l.embedding", "r.embedding")} AS score,
+              |  row_number() OVER (PARTITION BY l.vec_id
+              |    ORDER BY ${Sql.l2("l.embedding", "r.embedding")}, r.vec_id) AS rn
+              | FROM (SELECT * FROM embeddings WHERE vec_id < 20) l, embeddings r)
+              |WHERE rn <= 3 ORDER BY left_id, rank""".stripMargin)),
+
+    // The Milvus create/load-collection lifecycle analog: the IVF
+    // index persists as parquet (assignment PARTITIONED BY cluster_id
+    // — probe-time scans prune to nprobe directories; centroids =
+    // nlist rows) and the full-probe search through the RELOADED index
+    // must equal brute force — same oracle as knn_ivf_join_full_probe,
+    // proving persistence changes nothing
+    Q("knn_ivf_persisted",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+          .select(col("vec_id").as("id"), col("embedding"))
+        val built = Ann.buildIvf(Tables.embeddings(s, dir), nlist = 8)
+        val path = java.nio.file.Files.createTempDirectory("graft-ivf-q").toString
+        Ann.saveIvf(built, path)
+        val idx = Ann.loadIvf(s, path)
         Ann.ivfKnnJoin(emb.where(col("id") < 20), idx, k = 3, nprobe = 8)
           .orderBy("left_id", "rank")
       },

@@ -173,6 +173,41 @@ object Ann {
     IvfIndex(assigned, centroids)
   }
 
+  /** Persist an [[IvfIndex]] as two parquet tables under `path`
+    * (`assigned/` — the corpus with its cluster labels, partitioned BY
+    * cluster so a probe reads only its nprobe partitions; `centroids/`
+    * — nlist rows of (cluster_id, centroid)). This is the engine's
+    * analog of the reference's Milvus collection lifecycle
+    * (`/root/reference/extract_and_embed.py:37-59` create +
+    * `load_collection`): build once, serve many times, survive the
+    * process. Writing the assignment, not just the centroids, is the
+    * point — re-assigning 100 TB on every load would repeat the most
+    * expensive step.
+    */
+  def saveIvf(index: IvfIndex, path: String): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.assigned.write.mode("overwrite")
+      .partitionBy("cluster_id").parquet(s"$path/assigned")
+    index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq
+      .toDF("cluster_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Load a persisted [[IvfIndex]]. The centroid table is nlist rows —
+    * the one intentionally-driver-sized piece; the assignment loads
+    * lazily as a partitioned scan (cluster_id pruning reaches the
+    * directory level, so an nprobe search touches nprobe directories).
+    */
+  def loadIvf(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select("cluster_id", "centroid").orderBy("cluster_id")
+      .collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    IvfIndex(spark.read.parquet(s"$path/assigned"), cents)
+  }
+
   /** Plain Lloyd's: seeded distinct-point init, squared-L2 assignment
     * with lowest-index tie-break, mean update; empty clusters keep
     * their previous centroid. Runs entirely on the driver.

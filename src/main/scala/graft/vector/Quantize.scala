@@ -47,6 +47,52 @@ object Quantize {
               round(err, 6).as("recon_err"))
           }), 1)), 1)
 
+  // ---- binary (sign-bit) quantization ---------------------------------
+
+  /** Sign-bit binarization: bit b is set iff `x_b > 0`, packed 32 bits
+    * per BIGINT word, MSB-first — 32× smaller than float32, the
+    * coarsest rung of the quantization ladder (below [[int8]] and the
+    * PQ codes) and the standard first-pass filter of a two-stage
+    * binary→exact search ([[hamming]] prunes, exact cosine re-ranks).
+    * 32 bits per word, not 64: every packed value then stays below
+    * 2³², so the powers of two are exact in double arithmetic and the
+    * DuckDB twin computes the identical integers without relying on
+    * engine-specific 64-bit shift overflow behavior. Pure columnar
+    * HOF — narrow map, no shuffle, same plan contract as [[int8]].
+    */
+  def binary(emb: Column): Column =
+    element_at(
+      transform(array(emb), e =>
+        transform(sequence(lit(1), floor((size(e) + 31) / 32).cast("int")), w =>
+          aggregate(sequence(lit(1), lit(32)), lit(0L), (acc, b) => {
+            val i = (w - 1) * 32 + b
+            acc + when(i <= size(e) && element_at(e, i) > lit(0.0f),
+              pow(lit(2.0d), (lit(32) - b).cast("double")).cast("long"))
+              .otherwise(lit(0L))
+          }))), 1)
+
+  /** Hamming distance between two packed sign-bit arrays (popcount of
+    * the wordwise XOR).
+    */
+  def hamming(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** DuckDB twin of [[binary]] over a list expression. */
+  def binarySql(arr: String): String =
+    s"""list_transform(range(1, CAST(floor((len($arr) + 31) / 32) AS BIGINT) + 1), w ->
+       | CAST(list_sum(list_transform(range(1, 33), b ->
+       |   CASE WHEN (w - 1) * 32 + b <= len($arr)
+       |         AND $arr[CAST((w - 1) * 32 + b AS INTEGER)] > 0
+       |        THEN CAST(pow(2, 32 - b) AS BIGINT) ELSE 0 END))
+       |  AS BIGINT))""".stripMargin
+
+  /** DuckDB twin of [[hamming]] over two packed lists. */
+  def hammingSql(a: String, b: String): String =
+    s"""CAST(list_sum(list_transform(range(1, len($a) + 1), i ->
+       | bit_count(xor($a[CAST(i AS INTEGER)], $b[CAST(i AS INTEGER)]))))
+       | AS BIGINT)""".stripMargin
+
   // ---- product quantization ------------------------------------------
 
   /** Trained PQ codebooks: `m` contiguous subspaces of `dim / m` dims,
