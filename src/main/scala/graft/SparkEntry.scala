@@ -1399,6 +1399,28 @@ object SparkEntry {
       Some(TextAnalysis.vocabSql("documents", "doc_id", "text") +
         " ORDER BY df DESC, cf DESC, token LIMIT 50")),
 
+    // Misra-Gries heavy hitters under the exactness gate: decrements
+    // only fire past `capacity`, so capacity ≥ distinct-vocab makes
+    // the bounded-state summary EXACTLY the frequency table under any
+    // merge order — one partial-agg exchange of ≤ capacity rows per
+    // task, never a corpus-wide term shuffle. The approximate mode's
+    // error bound (undercount ≤ n/(capacity+1)) is spec-pinned instead
+    Q("q_heavy_hitters_exact",
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables.documents(s, dir)
+          .select(explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+          .where(col("t") =!= "").as[String]
+        graft.operators.HeavyHitters.summarize(toks, capacity = 1000000)
+          .toDF().select(col("term"), col("count"))
+          .orderBy(col("count").desc, col("term")).limit(20)
+      },
+      Some(s"""SELECT t AS term, CAST(count(*) AS BIGINT) AS count FROM (
+              |  SELECT unnest(string_split_regex(lower(trim(text)),
+              |    '${TextAnalysis.WsClassSqlPublic}+')) AS t FROM documents)
+              |WHERE t <> '' GROUP BY t
+              |ORDER BY count DESC, term LIMIT 20""".stripMargin)),
+
     // Bigram counts, top 50 — n-gram LM statistics / contamination
     // screens; ties at the limit boundary broken by the ngram itself
     Q("text_bigram_counts",

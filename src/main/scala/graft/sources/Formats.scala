@@ -22,26 +22,35 @@ import org.apache.spark.sql.types.StructType
   */
 object Formats {
 
+  /** Local-filesystem scratch dir — ONLY correct where driver and
+    * executors share the filesystem (local mode, the test harness).
+    * On a real cluster pass an explicit shared-FS path instead: a
+    * driver-local temp path resolves to each executor's own disk and
+    * the write scatters.
+    */
   private def tempDir(tag: String): String =
     Files.createTempDirectory(s"graft-$tag").toString
 
-  /** Write `df` as JSONL and read it back with the writer's schema.
-    * One shuffle-free pass each way; the written files are plain
-    * `.json` parts any downstream loader tails.
+  /** Write `df` as JSONL under `path` (shared storage on a cluster;
+    * defaults to local scratch for local-mode runs) and read it back
+    * with the writer's schema. One shuffle-free pass each way; the
+    * written files are plain `.json` parts any downstream loader
+    * tails.
     */
-  def jsonlRoundTrip(df: DataFrame): DataFrame = {
-    val path = tempDir("jsonl")
-    df.write.mode(SaveMode.Overwrite).json(path)
-    df.sparkSession.read.schema(df.schema).json(path)
+  def jsonlRoundTrip(df: DataFrame, path: Option[String] = None): DataFrame = {
+    val p = path.getOrElse(tempDir("jsonl"))
+    df.write.mode(SaveMode.Overwrite).json(p)
+    df.sparkSession.read.schema(df.schema).json(p)
   }
 
-  /** Write `df` as ORC and read it back (ORC carries its own schema;
-    * passing the writer's anyway pins column order and types).
+  /** Write `df` as ORC under `path` and read it back (ORC carries its
+    * own schema; passing the writer's anyway pins column order and
+    * types). Same shared-storage contract as [[jsonlRoundTrip]].
     */
-  def orcRoundTrip(df: DataFrame): DataFrame = {
-    val path = tempDir("orc")
-    df.write.mode(SaveMode.Overwrite).orc(path)
-    df.sparkSession.read.schema(df.schema).orc(path)
+  def orcRoundTrip(df: DataFrame, path: Option[String] = None): DataFrame = {
+    val p = path.getOrElse(tempDir("orc"))
+    df.write.mode(SaveMode.Overwrite).orc(p)
+    df.sparkSession.read.schema(df.schema).orc(p)
   }
 
   /** Read JSONL from `path` under an explicit schema — the plain

@@ -26,6 +26,10 @@ object TextAnalysis {
   // vertical tab (0x0B), RE2's does not — a bare `\s` would tokenize
   // VT-bearing text differently across the two engines
   private[text] val WsClassSql = "[ \\t\\n\\x0B\\f\\r]"
+  /** The explicit whitespace class for SQL twins authored outside this
+    * package (same string as the private alias above).
+    */
+  val WsClassSqlPublic: String = WsClassSql
 
   def nTokensWsSql(t: String): String =
     s"CASE WHEN length(trim($t)) = 0 THEN 0 ELSE len(string_split_regex(trim($t), '$WsClassSql+')) END"
