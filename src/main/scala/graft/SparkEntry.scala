@@ -1504,6 +1504,17 @@ object SparkEntry {
       Some(TextAnalysis.contaminationSql("documents", "doc_id", "text",
         probeIds = Seq(0L, 1L, 2L, 3L, 4L)) + " ORDER BY doc_id")),
 
+    // Large-probe-set route of the same screen: Bloom prefilter (no
+    // false negatives) + exact shuffle-join verify — row-identical to
+    // text_decontaminate for any fpp, so it shares the oracle; shuffle
+    // volume ∝ contaminated fraction, not corpus size
+    Q("text_decontaminate_bloom",
+      (s, dir) => TextAnalysis.contaminationHitsBloom(Tables.documents(s, dir),
+          col("doc_id"), col("text"), probeIds = Seq(0L, 1L, 2L, 3L, 4L))
+        .orderBy("doc_id"),
+      Some(TextAnalysis.contaminationSql("documents", "doc_id", "text",
+        probeIds = Seq(0L, 1L, 2L, 3L, 4L)) + " ORDER BY doc_id")),
+
     // Paragraph-level corpus dedup (CCNet-style): corpus-wide repeated
     // paragraphs dropped, first occurrence kept, documents reassembled
     // in paragraph order. Fixture plants a universal header, per-block

@@ -197,9 +197,13 @@ object Dedup {
         && col("l.id") < col("r.id"))
       .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .agg(count(lit(1)).as("shared"))
+    // No broadcast hint on the size table: it is corpus-cardinality
+    // (one row per document), so forcing a broadcast would build
+    // corpus-sized driver state. The pair side is already shuffled on
+    // the ids; AQE picks broadcast only when the sizes actually fit.
     shared
-      .join(broadcast(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a"))), "id_a")
-      .join(broadcast(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b"))), "id_b")
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (floor(col("shared") / greatest(col("n_a") + col("n_b") - col("shared"), lit(1))
           .cast("double") * 10000.0) / 10000.0).as("jaccard"))

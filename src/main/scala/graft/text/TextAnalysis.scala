@@ -1090,6 +1090,47 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Bloom-prefiltered twin of [[contaminationHits]] — the LARGE-probe-set
+    * route. [[contaminationHits]] broadcasts the probe shingle STRINGS as
+    * a hash map, which is right while the benchmark fits in executor
+    * memory; when the probe side is itself large (a union of many eval
+    * benchmarks — 10⁸⁺ n-grams), the exact join must shuffle BOTH sides,
+    * and the corpus side of that exchange is the whole corpus's shingle
+    * stream.
+    *
+    * This route cuts that exchange with a Bloom filter built over the
+    * probe shingles' xxhash64 values (one distributed aggregation on the
+    * probe side; the sketch is fixed-size bits — `fpp`-controlled, ~1.2 MB
+    * per 10⁶ entries at 1% — independent of string lengths). The corpus
+    * shingle stream is prefiltered by [[BloomKernel.mightContainLong]]
+    * BEFORE the exchange, so shuffle volume is proportional to the
+    * CONTAMINATED fraction (+ fpp), not the corpus. A Bloom filter has no
+    * false negatives, and the exact equi-join verify that follows removes
+    * the false positives — output is row-identical to
+    * [[contaminationHits]] for every `fpp`, so both routes share one
+    * oracle. No broadcast hint on the verify join: the probe side is
+    * assumed big; AQE may still choose broadcast when it is not.
+    */
+  def contaminationHitsBloom(docs: org.apache.spark.sql.DataFrame, idCol: Column,
+                             textCol: Column, probeIds: Seq[Long],
+                             n: Int = 3,
+                             fpp: Double = 0.01): org.apache.spark.sql.DataFrame = {
+    require(probeIds.nonEmpty, "probe set must be non-empty")
+    val sh = docs.select(idCol.cast("long").as("id"),
+      explode(array_distinct(graft.dedup.Dedup.shingles(textCol, n))).as("shingle"))
+    val probes = sh.where(col("id").isin(probeIds: _*))
+      .select("shingle").distinct()
+    // Benchmark-sized count job sizes the sketch; both jobs touch only
+    // the probe documents (partition-pruned by the id filter upstream).
+    val nProbe = math.max(probes.count(), 1L)
+    val bloom = probes.stat.bloomFilter(xxhash64(col("shingle")), nProbe, fpp)
+    sh.where(!col("id").isin(probeIds: _*))
+      .where(BloomKernel.mightContainLong(xxhash64(col("shingle")), bloom))
+      .join(probes, "shingle")
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** DuckDB twin of [[contaminationHits]]. */
   def contaminationSql(table: String, idExpr: String, textExpr: String,
                        probeIds: Seq[Long], n: Int = 3): String = {
