@@ -1607,6 +1607,23 @@ object SparkEntry {
       Some(Dedup.ngramJaccardPairsSql("documents", "doc_id",
         Enrich.dedupContentSql("text", "doc_id")) + " ORDER BY id_a, id_b")),
 
+    // Incremental-crawl screen: today's batch (source='src0') vs the
+    // already-ingested reference corpus; exact inverted-index route,
+    // verdict per new document, validated against the all-pairs form
+    Q("dedup_cross_corpus",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("__t", Enrich.dedupContent(col("text"), col("doc_id")))
+        Dedup.crossCorpusScreen(
+            docs.where(col("source") === "src0"),
+            docs.where(col("source") =!= "src0"),
+            col("doc_id"), col("__t"))
+          .orderBy("id")
+      },
+      Some(Dedup.crossCorpusScreenSql("documents", "doc_id",
+        Enrich.dedupContentSql("text", "doc_id"), newPred = "source = 'src0'")
+        + " ORDER BY id")),
+
     // Character-level verify tier over the Jaccard candidates: join
     // text back, keep pairs with Levenshtein ≤ 5% of the longer doc.
     // Set-level tiers admit reorderings; this is the order-sensitive

@@ -512,6 +512,81 @@ object Dedup {
        |WHERE greatest(cont_a, cont_b) >= $minContainment""".stripMargin
   }
 
+  // ---- cross-corpus screen --------------------------------------------
+
+  /** Cross-corpus dedup screen: verdict per NEW-batch document against a
+    * REFERENCE corpus — the incremental-crawl shape (today's crawl vs
+    * everything already ingested), where a self-join over new ∪ ref would
+    * redundantly re-compare the reference against itself every batch.
+    *
+    * Exact for any `minJaccard > 0` via the same shingle inverted index
+    * as [[ngramJaccardPairs]], but joined new-side × ref-side only: work
+    * is proportional to |new|'s postings (batch-sized) probing the
+    * reference index (shuffle-bucketed by shingle), never |ref|². The
+    * same document-frequency cut as any inverted index applies at scale
+    * (a stop-shingle both sides share fans out per occurrence); MinHash
+    * band keys compose identically for a recall-approximate variant —
+    * this route is the exact one so the verdict is oracle-checkable.
+    *
+    * Output, one row per new document (kept AND dropped — the screen's
+    * decision record): `(id, n_ref_dups, first_ref, best_jaccard, kept)`
+    * with `first_ref` = lowest matching reference id, `best_jaccard` the
+    * strongest match (floor-4dp, engine-portable), both NULL for kept
+    * rows. All aggregates are order-insensitive → deterministic under
+    * any partitioning.
+    */
+  def crossCorpusScreen(newDf: DataFrame, refDf: DataFrame,
+                        idCol: Column, textCol: Column,
+                        n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    require(minJaccard > 0.0,
+      "inverted-index screen requires a positive threshold (zero-overlap pairs are never generated)")
+    val newSets = newDf.select(idCol.cast("long").as("id"),
+      shingleHashes(textCol, n).as("sh"))
+    val refSets = refDf.select(idCol.cast("long").as("rid"),
+      shingleHashes(textCol, n).as("rsh"))
+    val newInv = newSets.select(col("id"), size(col("sh")).as("n_a"),
+      explode(col("sh")).as("shingle"))
+    val refInv = refSets.select(col("rid"), size(col("rsh")).as("n_b"),
+      explode(col("rsh")).as("shingle"))
+    val pairs = newInv.join(refInv, "shingle")
+      .groupBy("id", "rid")
+      .agg(count(lit(1)).as("shared"),
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+      .select(col("id"), col("rid"),
+        (floor(col("shared") / greatest(col("n_a") + col("n_b") - col("shared"), lit(1))
+          .cast("double") * 10000.0) / 10000.0).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+    newSets.select(col("id"))
+      .join(pairs, Seq("id"), "left_outer")
+      .groupBy("id")
+      .agg(count(col("rid")).as("n_ref_dups"),
+        min(col("rid")).as("first_ref"),
+        max(col("jaccard")).as("best_jaccard"))
+      .withColumn("kept", col("n_ref_dups") === 0)
+  }
+
+  /** DuckDB twin of [[crossCorpusScreen]]: the ALL-PAIRS new × ref form
+    * (cross-product + set Jaccard), independently validating the
+    * inverted-index rewrite exactly as [[ngramJaccardPairsSql]] does for
+    * the self-join case.
+    */
+  def crossCorpusScreenSql(table: String, idExpr: String, textExpr: String,
+                           newPred: String, n: Int = 3,
+                           minJaccard: Double = 0.5): String = {
+    val sh = shinglesSql(textExpr, n)
+    s"""WITH newd AS (SELECT $idExpr AS id, $sh AS sh FROM $table WHERE $newPred),
+       |refd AS (SELECT $idExpr AS rid, $sh AS sh FROM $table WHERE NOT ($newPred)),
+       |pairs AS (
+       |  SELECT n.id, r.rid, ${jaccardSql("n.sh", "r.sh")} AS jaccard
+       |  FROM newd n CROSS JOIN refd r
+       |  WHERE ${jaccardSql("n.sh", "r.sh")} >= $minJaccard)
+       |SELECT n.id AS id, CAST(count(p.rid) AS BIGINT) AS n_ref_dups,
+       |  min(p.rid) AS first_ref, max(p.jaccard) AS best_jaccard,
+       |  count(p.rid) = 0 AS kept
+       |FROM newd n LEFT JOIN pairs p ON n.id = p.id
+       |GROUP BY n.id""".stripMargin
+  }
+
   /** DuckDB twin of [[editVerifiedPairs]] over a candidate subquery
     * producing (id_a, id_b, jaccard).
     */

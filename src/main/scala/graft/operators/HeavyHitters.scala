@@ -79,7 +79,13 @@ object HeavyHitters {
         .map { case (t, c) => Hit(t, c, bound) }
     }
 
-    override def bufferEncoder: Encoder[Summary] = Encoders.kryo[Summary]
+    // Java serialization, not Kryo: chill's FieldSerializer cannot build
+    // a serializer for the 2.13 HashMap's internal graph (it dies on a
+    // HeapByteBuffer reachable through the default-serializer path) —
+    // and the buffer crosses the wire at most once per task at ≤
+    // capacity entries, so the encoder is not a hot path.
+    override def bufferEncoder: Encoder[Summary] =
+      Encoders.javaSerialization[Summary]
     override def outputEncoder: Encoder[Seq[Hit]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }

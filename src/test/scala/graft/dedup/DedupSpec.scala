@@ -217,4 +217,32 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
         docs.select(col("id").as("id_a"), col("id").as("id_b")), 1001)
     }
   }
+
+  test("crossCorpusScreen: dup-of-ref dropped, fresh kept, ref never self-compared") {
+    import spark.implicits._
+    val newBatch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),  // dup of ref 1
+      (11L, "genuinely novel content nothing like the rest at all")
+    ).toDF("id", "text")
+    val ref = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),   // intra-ref dup: must NOT surface
+      (3L, "completely different content about database engines")
+    ).toDF("id", "text")
+    val out = Dedup.crossCorpusScreen(newBatch, ref, col("id"), col("text"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Boolean]("kept"), r.getAs[Long]("n_ref_dups"))).toMap
+    assert(out(10L) == (false, 2L)) // matches ref 1 AND 2 — both counted
+    assert(out(11L) == (true, 0L))
+    val dropped = Dedup.crossCorpusScreen(newBatch, ref, col("id"), col("text"))
+      .where(!col("kept")).collect().head
+    assert(dropped.getAs[Long]("first_ref") == 1L) // lowest matching ref id
+    assert(dropped.getAs[Double]("best_jaccard") == 1.0)
+  }
+
+  test("crossCorpusScreen rejects a zero threshold") {
+    intercept[IllegalArgumentException] {
+      Dedup.crossCorpusScreen(docs, docs, col("id"), col("text"), minJaccard = 0.0)
+    }
+  }
 }
