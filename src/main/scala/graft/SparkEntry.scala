@@ -13,7 +13,7 @@ import graft.search.{Hybrid, Mmr}
 import graft.sources.Tables
 import graft.stats.WinStats
 import graft.text.{ChunkPacker, TextAnalysis}
-import graft.vector.{Ann, BlockMatrix, Distance, GroupedTopK, Knn, Quantize}
+import graft.vector.{Ann, BlockMatrix, Distance, EmbStats, GroupedTopK, Knn, Quantize}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1916,6 +1916,37 @@ object SparkEntry {
            | array_to_string($codes, ',') AS codes_csv, $err AS recon_err
            |FROM embeddings ORDER BY vec_id""".stripMargin
       }),
+
+    // Corpus covariance of the embedding column — exact integer
+    // moments in one pass (explode → map-side partial agg; shuffle is
+    // ~dim²/2 rows per partition regardless of corpus size)
+    Q("emb_covariance",
+      (s, dir) => EmbStats.covariance(Tables.embeddings(s, dir),
+          col("embedding").cast("array<float>"), dim = 64)
+        .orderBy("i", "j"),
+      Some(EmbStats.covarianceSql("embeddings", "embedding", dim = 64)
+        + " ORDER BY i, j")),
+
+    // Top principal component — integer power iteration over the
+    // dim²-bounded covariance (driver-side, like the IVF/PQ codebook
+    // training); the oracle replays the identical arithmetic as
+    // unrolled CTEs, so every double is bit-identical
+    Q("emb_pca_power",
+      (s, dir) => EmbStats.pcaTop(Tables.embeddings(s, dir),
+          col("embedding").cast("array<float>"), dim = 64)
+        .orderBy("i"),
+      Some(EmbStats.pcaTopSql("embeddings", "embedding", dim = 64)
+        + " ORDER BY i")),
+
+    // Corpus-scale PCA apply: per-vector first-principal score via an
+    // exact integer dot against the broadcast component — narrow map,
+    // the 100 TB-shaped half of the PCA pair
+    Q("emb_pca_project",
+      (s, dir) => EmbStats.pcaProject(Tables.embeddings(s, dir),
+          col("vec_id"), col("embedding").cast("array<float>"), dim = 64)
+        .orderBy("id"),
+      Some(EmbStats.pcaProjectSql("embeddings", "vec_id", "embedding", dim = 64)
+        + " ORDER BY id")),
 
     // Binary (sign-bit) quantization — the 32×-smaller coarsest rung
     // of the quantization ladder; MSB-first 32-bit words so both

@@ -1,0 +1,270 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level embedding statistics — mean, covariance, top principal
+  * component — the "what does my vector corpus look like" layer a
+  * training-data pipeline runs before whitening, outlier pruning, or
+  * dimensionality decisions (reference analog: the inspect/monitor gap
+  * around `/root/reference/extract_and_embed.py`'s blind insert path;
+  * there is no reference operator — this is the scale-completion of
+  * the vector column as a first-class analytical surface).
+  *
+  * Determinism contract (the [[graft.operators.PageRank]] trick applied
+  * to second moments): components quantize to integers at `scale`
+  * (default 1e4, i.e. 4dp — embedding components are unit-order), ALL
+  * accumulation is exact integer arithmetic (Spark decimal(38,0) /
+  * DuckDB HUGEINT), and the only floating-point steps are final
+  * divisions of identical exact operands — so every emitted double is
+  * bit-identical across engines and shuffle orders. Headroom: the
+  * widest intermediate is `N · S_ij ≤ N² · (2·scale·max|x|)²`; at
+  * max|x| = 2 and scale = 1e4 that stays inside decimal(38,0) for
+  * N < ~10¹³ rows — past any corpus this engine targets.
+  *
+  * Scale shape: ONE pass over the corpus. Each row explodes to its
+  * upper-triangle outer product (d(d+1)/2 entries) plus d first-moment
+  * sentinels, feeding a partial hash aggregate IN THE SAME STAGE — the
+  * shuffle carries only ~d²/2 rows per map partition, never the
+  * exploded stream. The d²-bounded covariance then trains the top
+  * eigenvector driver-side (power iteration; bounded by construction
+  * exactly like the IVF/PQ codebooks in [[Ann]]/[[Quantize]]), and the
+  * corpus-scale APPLY step ([[pcaProject]]) is a narrow map against
+  * the broadcast component.
+  */
+object EmbStats extends Serializable {
+
+  /** Components quantized to exact integers: `round(x · scale)` half-up
+    * via `floor(x·scale + 0.5)` — the one rounding both engines state
+    * identically for doubles (DuckDB `round` is half-away-from-zero,
+    * JVM `math.round` is half-up; `floor(+0.5)` sidesteps both).
+    */
+  private[vector] def quantized(emb: Column, scale: Int): Column =
+    transform(emb, x => floor(x.cast("double") * scale + 0.5d).cast("long"))
+
+  private def quantizedSql(embExpr: String, scale: Int): String =
+    s"list_transform($embExpr, x -> CAST(floor(CAST(x AS DOUBLE) * $scale + 0.5) AS BIGINT))"
+
+  /** Exact integer moment sums, one corpus pass: rows `(i, j, s, n)`
+    * with `j ≥ 1` = upper-triangle second moments Σ qeᵢ·qeⱼ and
+    * `j = 0` = first moments Σ qeᵢ (n = row count on every row).
+    * Rows with null / wrong-length embeddings are dropped (counted
+    * out of n).
+    */
+  private def momentSums(df: DataFrame, embCol: Column, dim: Int,
+                         scale: Int): DataFrame = {
+    val qe = quantized(embCol, scale)
+    val entries = flatten(transform(sequence(lit(1), lit(dim)), i =>
+      concat(
+        array(struct(i.as("i"), lit(0).as("j"), element_at(col("__qe"), i).as("v"))),
+        transform(sequence(i, lit(dim)), j =>
+          struct(i.as("i"), j.as("j"),
+            (element_at(col("__qe"), i) * element_at(col("__qe"), j)).as("v"))))))
+    df.where(embCol.isNotNull && size(embCol) === dim)
+      .select(qe.as("__qe"))
+      .select(explode(entries).as("p"))
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+      .agg(sum(col("p.v").cast("decimal(38,0)")).as("s"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Population covariance matrix, upper triangle: `(i, j, cov)` for
+    * `1 ≤ i ≤ j ≤ dim`, where
+    * `cov = (N·S_ij − T_i·T_j) / (N² · scale²)` — numerator exact
+    * integer, one final double division. Bit-identical across engines
+    * and partitionings.
+    */
+  def covariance(df: DataFrame, embCol: Column, dim: Int,
+                 scale: Int = 10000): DataFrame = {
+    require(dim > 0 && scale > 0, "dim and scale must be positive")
+    val ms = momentSums(df, embCol, dim, scale)
+    val second = ms.where(col("j") > 0)
+    val first = ms.where(col("j") === 0)
+      .select(col("i").as("ti"), col("s").as("t"))
+    val denom = (col("n").cast("double") * col("n")) * (scale.toDouble * scale)
+    second
+      .join(broadcast(first.select(col("ti"), col("t").as("t_i"))), col("i") === col("ti"))
+      .drop("ti")
+      .join(broadcast(first.select(col("ti"), col("t").as("t_j"))), col("j") === col("ti"))
+      .drop("ti")
+      .select(col("i"), col("j"),
+        ((col("s") * col("n") - col("t_i") * col("t_j")).cast("double") / denom)
+          .as("cov"))
+  }
+
+  /** Shared CTE block ending in `covq(i, j, cov)` — the upper-triangle
+    * covariance all three oracle twins build on.
+    */
+  private def covCtes(table: String, embExpr: String, dim: Int,
+                      scale: Int): String = {
+    val qe = quantizedSql(embExpr, scale)
+    s"""q AS MATERIALIZED (
+       |  SELECT $qe AS qe FROM $table
+       |  WHERE $embExpr IS NOT NULL AND len($embExpr) = $dim),
+       |second AS MATERIALIZED (
+       |  SELECT i.range AS i, j.range AS j,
+       |    SUM(CAST(qe[CAST(i.range AS INTEGER)] AS HUGEINT)
+       |        * qe[CAST(j.range AS INTEGER)]) AS s,
+       |    COUNT(*) AS n
+       |  FROM q, range(1, ${dim + 1}) i, range(1, ${dim + 1}) j
+       |  WHERE j.range >= i.range GROUP BY 1, 2),
+       |first AS MATERIALIZED (
+       |  SELECT i.range AS i, SUM(CAST(qe[CAST(i.range AS INTEGER)] AS HUGEINT)) AS t
+       |  FROM q, range(1, ${dim + 1}) i GROUP BY 1),
+       |covq AS MATERIALIZED (
+       |  SELECT s.i AS i, s.j AS j,
+       |    CAST(s.s * s.n - ti.t * tj.t AS DOUBLE)
+       |      / ((CAST(s.n AS DOUBLE) * s.n) * (CAST($scale AS DOUBLE) * $scale)) AS cov
+       |  FROM second s JOIN first ti ON s.i = ti.i JOIN first tj ON s.j = tj.i)""".stripMargin
+  }
+
+  /** DuckDB twin of [[covariance]] (upper triangle; HUGEINT exact
+    * accumulation, same final division shape).
+    */
+  def covarianceSql(table: String, embExpr: String, dim: Int,
+                    scale: Int = 10000): String =
+    s"""WITH ${covCtes(table, embExpr, dim, scale)}
+       |SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j, cov FROM covq""".stripMargin
+
+  /** Power iteration over an exact integer covariance image:
+    * `cint = floor(cov·1e6 + 0.5)`, `v₀ = [1e6, …]`, then `iters`
+    * rounds of `w = Cint·v` (exact long), `v = floor(w/‖w‖·1e6 + 0.5)`
+    * (‖w‖ via exact Σw² then one sqrt). Returns (vInt, eigenvalue):
+    * the 1e6-scaled component with the sign fixed so the
+    * largest-|entry| coordinate (lowest index on ties) is positive,
+    * and the Rayleigh quotient `vᵀCv / (vᵀv · 1e6)` from exact sums.
+    */
+  private[vector] def powerIterate(cov: Array[Array[Double]],
+                                   iters: Int): (Array[Long], Double) = {
+    val d = cov.length
+    val VS = 1000000L
+    val cint = cov.map(_.map(c => math.floor(c * VS + 0.5d).toLong))
+    var v = Array.fill(d)(VS)
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(d) { i =>
+        var acc = 0L
+        var j = 0
+        while (j < d) { acc += cint(i)(j) * v(j); j += 1 }
+        acc
+      }
+      val n2 = w.foldLeft(BigInt(0))((a, x) => a + BigInt(x) * BigInt(x))
+      val nrm = math.sqrt(n2.doubleValue)
+      v = w.map(x => math.floor(x.toDouble / nrm * VS + 0.5d).toLong)
+    }
+    val top = v.indices.maxBy(i => (math.abs(v(i)), -i))
+    if (v(top) < 0) v = v.map(-_)
+    val num = (for (i <- 0 until d; j <- 0 until d)
+      yield BigInt(v(i)) * BigInt(cint(i)(j)) * BigInt(v(j))).sum
+    val den = v.foldLeft(BigInt(0))((a, x) => a + BigInt(x) * BigInt(x)) * VS
+    (v, (BigDecimal(num) / BigDecimal(den)).doubleValue)
+  }
+
+  /** Test seam for [[covMatrix]]. */
+  private[vector] def covMatrixForTest(df: DataFrame, embCol: Column,
+                                       dim: Int): Array[Array[Double]] =
+    covMatrix(df, embCol, dim, scale = 10000)
+
+  /** Collects the (dim²-bounded, corpus-independent) covariance and
+    * returns it as a dense symmetric array — bounded driver state by
+    * construction, same contract as the IVF/PQ training collects.
+    */
+  private[vector] def covMatrix(df: DataFrame, embCol: Column, dim: Int,
+                                scale: Int): Array[Array[Double]] = {
+    val m = Array.ofDim[Double](dim, dim)
+    covariance(df, embCol, dim, scale).collect().foreach { r =>
+      val (i, j, c) = (r.getInt(0) - 1, r.getInt(1) - 1, r.getDouble(2))
+      m(i)(j) = c
+      m(j)(i) = c
+    }
+    m
+  }
+
+  /** Top principal component: rows `(i, v, eigenvalue)` with `v` the
+    * unit component at 6dp (`v_int / 1e6`).
+    */
+  def pcaTop(df: DataFrame, embCol: Column, dim: Int, iters: Int = 12,
+             scale: Int = 10000): DataFrame = {
+    require(iters > 0, "iters must be positive")
+    val (v, lambda) = powerIterate(covMatrix(df, embCol, dim, scale), iters)
+    val spark = df.sparkSession
+    import spark.implicits._
+    v.toSeq.zipWithIndex
+      .map { case (vi, i) => (i + 1, vi / 1e6d, lambda) }
+      .toDF("i", "v", "eigenvalue")
+  }
+
+  /** DuckDB twin of [[pcaTop]]: the identical integer power iteration
+    * unrolled as `iters` chained CTEs over the covariance CTE.
+    */
+  def pcaTopSql(table: String, embExpr: String, dim: Int, iters: Int = 12,
+                scale: Int = 10000): String = {
+    s"""WITH ${powerCtes(table, embExpr, dim, iters, scale)},
+       |ray AS (
+       |  SELECT CAST(SUM(CAST(a.v AS HUGEINT) * c.cint * b.v) AS DOUBLE)
+       |       / CAST((SELECT SUM(CAST(v AS HUGEINT) * v) FROM vf) * 1000000 AS DOUBLE)
+       |       AS eigenvalue
+       |  FROM cint c JOIN vf a ON c.i = a.i JOIN vf b ON c.j = b.i)
+       |SELECT CAST(vf.i AS INTEGER) AS i, CAST(vf.v AS DOUBLE) / 1000000 AS v,
+       |  ray.eigenvalue
+       |FROM vf, ray""".stripMargin
+  }
+
+  /** CTE block ending in `vf(i, v)` — the sign-fixed 1e6-scaled
+    * component after `iters` unrolled integer power steps, plus the
+    * `cint` integer covariance image the Rayleigh quotient reuses.
+    */
+  private def powerCtes(table: String, embExpr: String, dim: Int,
+                        iters: Int, scale: Int): String = {
+    val steps = (1 to iters).map { t =>
+      s"""w$t AS MATERIALIZED (
+         |  SELECT c.i, SUM(c.cint * v.v) AS w FROM cint c
+         |  JOIN v${t - 1} v ON c.j = v.i GROUP BY c.i),
+         |n$t AS MATERIALIZED (SELECT sqrt(CAST(SUM(CAST(w AS HUGEINT) * w) AS DOUBLE)) AS nrm FROM w$t),
+         |v$t AS MATERIALIZED (
+         |  SELECT i, CAST(floor(CAST(w AS DOUBLE) / nrm * 1000000 + 0.5) AS BIGINT) AS v
+         |  FROM w$t, n$t)""".stripMargin
+    }.mkString(",\n")
+    s"""${covCtes(table, embExpr, dim, scale)},
+       |cfull AS MATERIALIZED (
+       |  SELECT i, j, cov FROM covq
+       |  UNION ALL SELECT j, i, cov FROM covq WHERE i <> j),
+       |cint AS MATERIALIZED (
+       |  SELECT i, j, CAST(floor(cov * 1000000 + 0.5) AS BIGINT) AS cint FROM cfull),
+       |v0 AS MATERIALIZED (SELECT range AS i, CAST(1000000 AS BIGINT) AS v FROM range(1, ${dim + 1})),
+       |$steps,
+       |sgn AS MATERIALIZED (
+       |  SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS sg FROM v$iters
+       |  ORDER BY abs(v) DESC, i LIMIT 1),
+       |vf AS MATERIALIZED (SELECT i, v * sg AS v FROM v$iters, sgn)""".stripMargin
+  }
+
+  /** Corpus-scale apply: first-principal-component score per row —
+    * `score = Σ qeᵢ·vᵢ / (scale·1e6)`, exact integer dot against the
+    * broadcast trained component; narrow map, no shuffle. THIS is the
+    * 100 TB-shaped step (the training above is dim-bounded).
+    */
+  def pcaProject(df: DataFrame, idCol: Column, embCol: Column, dim: Int,
+                 iters: Int = 12, scale: Int = 10000): DataFrame = {
+    val (v, _) = powerIterate(covMatrix(df, embCol, dim, scale), iters)
+    val vLit = array(v.map(lit): _*)
+    df.where(embCol.isNotNull && size(embCol) === dim)
+      .select(idCol.as("id"),
+        (aggregate(
+          zip_with(quantized(embCol, scale), vLit, (q, c) => q * c),
+          lit(0L), (a, x) => a + x).cast("double")
+          / (scale.toDouble * 1e6d)).as("score"))
+  }
+
+  /** DuckDB twin of [[pcaProject]]. */
+  def pcaProjectSql(table: String, idExpr: String, embExpr: String, dim: Int,
+                    iters: Int = 12, scale: Int = 10000): String =
+    s"""WITH ${powerCtes(table, embExpr, dim, iters, scale)},
+       |varr AS MATERIALIZED (SELECT list(v ORDER BY i) AS vs FROM vf)
+       |SELECT $idExpr AS id,
+       |  CAST(list_sum(list_transform(range(1, ${dim + 1}), k ->
+       |    ${quantizedSql(embExpr, scale)}[CAST(k AS INTEGER)]
+       |      * vs[CAST(k AS INTEGER)])) AS DOUBLE)
+       |    / (CAST($scale AS DOUBLE) * 1000000) AS score
+       |FROM $table, varr
+       |WHERE $embExpr IS NOT NULL AND len($embExpr) = $dim""".stripMargin
+}

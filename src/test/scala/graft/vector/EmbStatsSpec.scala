@@ -1,0 +1,91 @@
+package graft.vector
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class EmbStatsSpec extends AnyFunSuite with SparkSpec {
+
+  private val dim = 4
+
+  /** Fixture with a planted dominant direction: most variance along
+    * (1, 1, 0, 0)/√2, small noise elsewhere.
+    */
+  private def vecs = {
+    import spark.implicits._
+    Seq(
+      (1L, Array(1.0f, 1.0f, 0.1f, 0.0f)),
+      (2L, Array(-1.0f, -1.0f, 0.0f, 0.1f)),
+      (3L, Array(2.0f, 2.0f, -0.1f, 0.0f)),
+      (4L, Array(-2.0f, -1.9f, 0.0f, -0.1f)),
+      (5L, Array(0.5f, 0.4f, 0.1f, 0.1f)),
+      (6L, Array(-0.5f, -0.6f, -0.1f, 0.0f))
+    ).toDF("id", "emb")
+  }
+
+  test("covariance matches a naive double computation within quantization error") {
+    val rows = vecs.collect().map(_.getAs[Seq[Float]]("emb").toArray)
+    val n = rows.length
+    val mean = Array.tabulate(dim)(i => rows.map(_(i).toDouble).sum / n)
+    val out = EmbStats.covariance(vecs, col("emb"), dim).collect()
+    assert(out.length == dim * (dim + 1) / 2)
+    out.foreach { r =>
+      val (i, j, c) = (r.getInt(0) - 1, r.getInt(1) - 1, r.getDouble(2))
+      val naive = rows.map(v => (v(i) - mean(i)) * (v(j) - mean(j))).sum / n
+      // 4dp component quantization bounds the moment error well inside 1e-3
+      assert(math.abs(c - naive) < 1e-3, s"cov($i,$j): $c vs $naive")
+    }
+  }
+
+  test("covariance is bit-identical under repartitioning") {
+    val a = EmbStats.covariance(vecs, col("emb"), dim).orderBy("i", "j").collect()
+    val b = EmbStats.covariance(vecs.repartition(7), col("emb"), dim)
+      .orderBy("i", "j").collect()
+    assert(a.map(_.getDouble(2)).toSeq == b.map(_.getDouble(2)).toSeq)
+  }
+
+  test("null and wrong-length embeddings are dropped, not counted") {
+    import spark.implicits._
+    val dirty = vecs.union(Seq(
+      (7L, null.asInstanceOf[Array[Float]]),
+      (8L, Array(1.0f, 2.0f))).toDF("id", "emb"))
+    val clean = EmbStats.covariance(vecs, col("emb"), dim).orderBy("i", "j").collect()
+    val fromDirty = EmbStats.covariance(dirty, col("emb"), dim).orderBy("i", "j").collect()
+    assert(clean.map(_.getDouble(2)).toSeq == fromDirty.map(_.getDouble(2)).toSeq)
+  }
+
+  test("pcaTop recovers the planted dominant direction, sign-fixed positive") {
+    val out = EmbStats.pcaTop(vecs, col("emb"), dim).orderBy("i").collect()
+    val v = out.map(_.getAs[Double]("v"))
+    val lambda = out.head.getAs[Double]("eigenvalue")
+    // dominant direction ≈ (1,1,0,0)/√2: the two heavy coords near .707,
+    // the noise coords near zero, and the sign convention makes them positive
+    assert(v(0) > 0.6 && v(1) > 0.6, v.toSeq.toString)
+    assert(math.abs(v(2)) < 0.1 && math.abs(v(3)) < 0.1, v.toSeq.toString)
+    assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-3)
+    assert(lambda > 1.0, s"eigenvalue $lambda should carry the planted variance")
+  }
+
+  test("pcaProject equals the manual quantized dot with the trained component") {
+    val (vInt, _) = EmbStats.powerIterate(
+      EmbStats.covMatrixForTest(vecs, col("emb"), dim), iters = 12)
+    val scores = EmbStats.pcaProject(vecs, col("id"), col("emb"), dim)
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    vecs.collect().foreach { r =>
+      val id = r.getAs[Long]("id")
+      val e = r.getSeq[Float](r.fieldIndex("emb"))
+      val q = e.map(x => math.floor(x.toDouble * 10000 + 0.5).toLong)
+      val manual = q.zip(vInt).map { case (a, b) => a * b }.sum / (10000d * 1e6d)
+      assert(scores(id) == manual, s"id $id")
+    }
+  }
+
+  test("projection along the dominant direction separates the fixture by magnitude") {
+    val s = EmbStats.pcaProject(vecs, col("id"), col("emb"), dim)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // ids 3/4 are the ±2-magnitude rows — largest |score|; 1/2 next; 5/6 smallest
+    assert(math.abs(s(3L)) > math.abs(s(1L)) && math.abs(s(1L)) > math.abs(s(5L)))
+    assert(s(3L) * s(4L) < 0, "opposite-side rows must project with opposite signs")
+  }
+}
