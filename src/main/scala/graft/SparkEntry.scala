@@ -12,7 +12,7 @@ import graft.oracle.Sql
 import graft.search.{Hybrid, Mmr}
 import graft.sources.Tables
 import graft.stats.WinStats
-import graft.text.{ChunkPacker, TextAnalysis}
+import graft.text.{Bpe, ChunkPacker, TextAnalysis}
 import graft.vector.{Ann, BlockMatrix, Distance, EmbStats, GroupedTopK, Knn, Quantize}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1429,6 +1429,30 @@ object SparkEntry {
         .orderBy(desc("cnt"), asc("ngram")).limit(50),
       Some(TextAnalysis.ngramCountsSql("documents", "text", n = 2) +
         " ORDER BY cnt DESC, ngram LIMIT 50")),
+
+    // BPE merge training over the word histogram — the tokenizer-
+    // construction pass; corpus is scanned ONCE (groupBy word), every
+    // merge round runs on the vocabulary-sized histogram
+    Q("tok_bpe_merges",
+      (s, dir) => Bpe.trainMerges(Tables.documents(s, dir),
+        col("text"), steps = 10).orderBy("step"),
+      Some(Bpe.trainMergesSql("documents", "text", steps = 10)
+        + " ORDER BY step")),
+
+    // Apply the trained merges back over the corpus: BPE token count
+    // per document (vs chars = the compression ratio) — the narrow-map
+    // 100 TB-shaped half of the tokenizer pair
+    Q("tok_bpe_encode",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val m = Bpe.trainMerges(docs, col("text"), steps = 10)
+          .orderBy("step").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        Bpe.encodeTokenCounts(docs, col("doc_id"), col("text"), m)
+          .orderBy("id")
+      },
+      Some(Bpe.encodeTokenCountsSql("documents", "doc_id", "text", steps = 10)
+        + " ORDER BY id")),
 
     // CCNet-style LM perplexity filter: per-doc mean bigram cost under
     // an add-one bigram LM trained on the corpus itself, cut into

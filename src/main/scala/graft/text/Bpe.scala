@@ -1,0 +1,210 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Byte-pair-encoding merge training over a document corpus — the
+  * tokenizer-construction step of an LLM data pipeline (Sennrich et
+  * al. 2016). No reference analog (the reference consumes a hosted
+  * model's tokenization); this is the from-scratch vocabulary path.
+  *
+  * Scale shape — the classic trainer trick, distributed: BPE statistics
+  * depend only on the WORD HISTOGRAM, so the single corpus-scale pass
+  * is `groupBy(word).count` (vocabulary-sized output, Heaps-law sublinear
+  * in corpus bytes). Every merge round then runs over the histogram:
+  * pair-count (explode adjacent pairs weighted by word count → partial
+  * agg), a 1-row deterministic argmax (max count, then lexicographic
+  * (left, right)), and a narrow-map merge apply. Driver state per round
+  * is ONE collected row.
+  *
+  * Representation (identical in both engines, which is what makes the
+  * oracle exact): a word's symbol sequence is a single string with each
+  * symbol wrapped in U+001F separators — `⟂s₁⟂⟂s₂⟂…` — so applying a
+  * merge (a,b) is ONE literal leftmost-non-overlapping
+  * `replace(w, "⟂a⟂⟂b⟂", "⟂ab⟂")`, which equals the greedy left-to-right
+  * BPE merge because a merged token can never recreate its own left
+  * half (`a+b == a` would need empty `b`). Symbols are code units
+  * (ASCII-safe contract, same as the levenshtein tier — see
+  * `Dedup.editVerifiedPairs`).
+  */
+object Bpe {
+
+  private val SEP = ""
+
+  /** Lowercased whitespace word histogram — the one corpus-scale pass. */
+  private def wordHistogram(docs: DataFrame, textCol: Column): DataFrame =
+    docs.select(explode(split(lower(trim(textCol)), "\\s+")).as("word"))
+      .where(col("word") =!= "" && !col("word").contains(SEP))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** `⟂c₁⟂⟂c₂⟂…` initial wrap of a word's characters. */
+  private def wrapChars(word: Column): Column =
+    concat_ws("", transform(
+      filter(split(word, ""), c => c =!= ""),
+      c => concat(lit(SEP), c, lit(SEP))))
+
+  /** Adjacent symbol pairs of a wrapped word, as (l, r) structs. */
+  private def adjacentPairs(w: Column): Column = {
+    val toks = split(substring(w, lit(2), length(w) - 2), SEP + SEP)
+    val n = greatest(size(toks) - 1, lit(0))
+    zip_with(
+      slice(toks, lit(1), n),
+      slice(toks, lit(2), n),
+      (l, r) => struct(l.as("l"), r.as("r")))
+  }
+
+  /** Train `steps` BPE merges; returns rows
+    * `(step, left, right, merged, pair_count)` — fewer than `steps`
+    * rows if the pair space exhausts first. Each round is two
+    * histogram-sized jobs (count + argmax); the corpus is never
+    * rescanned.
+    */
+  def trainMerges(docs: DataFrame, textCol: Column, steps: Int): DataFrame = {
+    require(steps > 0 && steps <= 64,
+      "steps must be in [1, 64] (each step adds a round to the lineage)")
+    val spark = docs.sparkSession
+    var words = wordHistogram(docs, textCol)
+      .select(wrapChars(col("word")).as("w"), col("cnt"))
+      .localCheckpoint(true) // histogram-sized; cut the corpus lineage once
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var step = 1
+    var exhausted = false
+    while (step <= steps && !exhausted) {
+      val best = words
+        .select(col("cnt"), explode(adjacentPairs(col("w"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("total"))
+        .orderBy(col("total").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, total) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += Row(step, l, r, l + r, total)
+        words = words.withColumn("w",
+          replace(col("w"), lit(SEP + l + SEP + SEP + r + SEP),
+            lit(SEP + l + r + SEP)))
+        step += 1
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("step", IntegerType, nullable = false),
+      StructField("left", StringType, nullable = false),
+      StructField("right", StringType, nullable = false),
+      StructField("merged", StringType, nullable = false),
+      StructField("pair_count", LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(merges.toSeq, 1), schema)
+  }
+
+  /** Apply side — the corpus-scale half: re-tokenize every document
+    * with an already-trained merge list. Each doc is a narrow map (no
+    * shuffle): words wrap to symbol strings, the R merges apply as R
+    * chained literal replaces, and the output is the BPE token count
+    * per document next to its character count — the compression-ratio
+    * surface a tokenizer-budget planner reads. `mergesOrdered` is
+    * (left, right) in training order, driver-bounded by construction
+    * (R ≤ 64).
+    */
+  def encodeTokenCounts(docs: DataFrame, idCol: Column, textCol: Column,
+                        mergesOrdered: Seq[(String, String)]): DataFrame = {
+    require(mergesOrdered.size <= 64, "merge list must be driver-bounded (≤ 64)")
+    val words = filter(split(lower(trim(textCol)), "\\s+"),
+      w => w =!= "" && !w.contains(SEP))
+    def tokensOf(w: Column): Column = {
+      val enc = mergesOrdered.foldLeft(wrapChars(w)) { case (acc, (l, r)) =>
+        replace(acc, lit(SEP + l + SEP + SEP + r + SEP), lit(SEP + l + r + SEP))
+      }
+      // token count = segments between ⟂⟂ boundaries; outer ⟂s never
+      // split, so no stripping is needed for counting
+      size(split(enc, SEP + SEP))
+    }
+    docs.select(idCol.as("id"), words.as("__ws"), length(textCol).as("n_chars"))
+      .select(col("id"), col("n_chars"),
+        coalesce(aggregate(transform(col("__ws"), w => tokensOf(w).cast("long")),
+          lit(0L), (a, x) => a + x), lit(0L)).as("n_bpe_tokens"))
+  }
+
+  /** DuckDB twin of [[trainMerges]]: the identical rounds as chained
+    * materialized CTEs (histogram → per-round argmax + replace).
+    */
+  def trainMergesSql(table: String, textExpr: String, steps: Int): String = {
+    require(steps > 0 && steps <= 64, "steps must be in [1, 64]")
+    val out = (1 to steps)
+      .map(t => s"""SELECT $t AS step, l AS "left", r AS "right", merged, total AS pair_count FROM b$t""")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${trainMergesSqlCtes(table, textExpr, steps)}
+       |SELECT CAST(step AS INTEGER) AS step, "left", "right", merged, pair_count
+       |FROM ($out)""".stripMargin
+  }
+
+  /** DuckDB twin of train-then-[[encodeTokenCounts]]: the training CTEs
+    * of [[trainMergesSql]], the per-step (pattern, replacement) pairs
+    * pivoted into one row (chr(1) stand-ins for exhausted steps — a
+    * byte the tokenizer alphabet cannot contain), and the same chained
+    * replaces per word. Lambdas cannot hold subqueries, so the pairs
+    * come in as columns of a 1-row cross join.
+    */
+  def encodeTokenCountsSql(table: String, idExpr: String, textExpr: String,
+                           steps: Int): String = {
+    require(steps > 0 && steps <= 64, "steps must be in [1, 64]")
+    val ws = TextAnalysis.WsClassSqlPublic
+    val hist = trainMergesSqlCtes(table, textExpr, steps)
+    val pairCols = (1 to steps).map { t =>
+      s"""coalesce((SELECT chr(31) || l || chr(31) || chr(31) || r || chr(31) FROM b$t), chr(1)) AS p$t,
+         |  coalesce((SELECT chr(31) || merged || chr(31) FROM b$t), chr(1)) AS r$t""".stripMargin
+    }.mkString(",\n  ")
+    val wrap = s"""list_aggregate(list_transform(range(1, len(w) + 1),
+                  |      i -> chr(31) || w[CAST(i AS INTEGER)] || chr(31)), 'string_agg', '')""".stripMargin
+    val enc = (1 to steps).foldLeft(wrap) { (acc, t) =>
+      s"replace($acc, p$t, r$t)"
+    }
+    s"""WITH $hist,
+       |pc AS MATERIALIZED (SELECT $pairCols),
+       |wordsper AS (
+       |  SELECT $idExpr AS id, CAST(length($textExpr) AS INTEGER) AS n_chars,
+       |    list_filter(string_split_regex(lower(trim($textExpr)), '$ws+'),
+       |      w -> w <> '' AND NOT contains(w, chr(31))) AS wl
+       |  FROM $table)
+       |SELECT id, n_chars,
+       |  CAST(coalesce(list_sum(list_transform(wl,
+       |    w -> len(string_split($enc, chr(31) || chr(31))))), 0) AS BIGINT)
+       |    AS n_bpe_tokens
+       |FROM wordsper, pc""".stripMargin
+  }
+
+  /** The `w0 … b_steps/w_steps` CTE chain shared by the train and
+    * encode twins (no leading WITH).
+    */
+  private def trainMergesSqlCtes(table: String, textExpr: String,
+                                 steps: Int): String = {
+    val ws = TextAnalysis.WsClassSqlPublic
+    val hist =
+      s"""w0 AS MATERIALIZED (
+         |  SELECT list_aggregate(list_transform(range(1, len(word) + 1),
+         |      i -> chr(31) || word[CAST(i AS INTEGER)] || chr(31)),
+         |      'string_agg', '') AS w,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (
+         |    SELECT unnest(string_split_regex(lower(trim($textExpr)), '$ws+')) AS word
+         |    FROM $table)
+         |  WHERE word <> '' AND NOT contains(word, chr(31))
+         |  GROUP BY word)""".stripMargin
+    val rounds = (1 to steps).map { t =>
+      s"""b$t AS MATERIALIZED (
+         |  SELECT l, r, total, l || r AS merged FROM (
+         |    SELECT u[1] AS l, u[2] AS r, SUM(cnt) AS total FROM (
+         |      SELECT cnt, unnest(list_zip(toks[1:len(toks) - 1], toks[2:len(toks)])) AS u
+         |      FROM (SELECT cnt, string_split(w[2:len(w) - 1], chr(31) || chr(31)) AS toks
+         |            FROM w${t - 1}))
+         |    GROUP BY 1, 2 ORDER BY total DESC, l, r LIMIT 1)),
+         |w$t AS MATERIALIZED (
+         |  SELECT CASE WHEN b.l IS NULL THEN w.w
+         |    ELSE replace(w.w, chr(31) || b.l || chr(31) || chr(31) || b.r || chr(31),
+         |                 chr(31) || b.merged || chr(31)) END AS w, w.cnt
+         |  FROM w${t - 1} w LEFT JOIN b$t b ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    s"$hist,\n$rounds"
+  }
+}

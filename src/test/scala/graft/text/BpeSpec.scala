@@ -1,0 +1,69 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class BpeSpec extends AnyFunSuite with SparkSpec {
+
+  private def docs(texts: String*) = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+  }
+
+  private def merges(df: org.apache.spark.sql.DataFrame, steps: Int) =
+    Bpe.trainMerges(df, col("text"), steps).orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+
+  test("hand-computed merge sequence on the classic low/lower fixture") {
+    // words: low ×3, lower ×2 → pairs: (l,o)=5 (o,w)=5 (w,e)=2 (e,r)=2
+    // step1 ties (l,o)/(o,w) at 5 → lexicographic picks (l,o)
+    // step2: (lo,w)=5 beats (w,e)/(e,r)=2 → merged "low"
+    // step3: (w,e)... gone — now (low,e)=2, (e,r)=2 → picks (e,r)
+    val out = merges(docs("low low low lower lower"), 3)
+    assert(out(0) == (1, "l", "o", "lo", 5L))
+    assert(out(1) == (2, "lo", "w", "low", 5L))
+    assert(out(2) == (3, "e", "r", "er", 2L))
+  }
+
+  test("greedy leftmost apply: aaaa under (a,a) yields (aa,aa), not a chain") {
+    // step1 pair counts in 'aaaa': (a,a) ×3 → merge. Greedy left-to-right
+    // re-segments to [aa, aa], so step2's top pair is (aa, aa) ×1
+    val out = merges(docs("aaaa"), 2)
+    assert(out(0) == (1, "a", "a", "aa", 3L))
+    assert(out(1) == (2, "aa", "aa", "aaaa", 1L))
+  }
+
+  test("stops early when the pair space exhausts") {
+    val out = merges(docs("a b c a b"), 5)
+    assert(out.isEmpty) // all words are single symbols: no adjacent pairs
+  }
+
+  test("deterministic under repartitioning") {
+    val d = docs("the quick brown fox", "the quick brown cat",
+      "lazy dogs sleep", "the brown fox naps")
+    val a = merges(d, 6)
+    val b = merges(d.repartition(5), 6)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("encode with no merges counts characters; trained merges compress") {
+    import spark.implicits._
+    val d = docs("low low low lower lower")
+    val none = Bpe.encodeTokenCounts(d, col("id"), col("text"), Nil).collect().head
+    assert(none.getAs[Long]("n_bpe_tokens") == 19L) // 3·3 + 2·5 chars
+    val m = Bpe.trainMerges(d, col("text"), 3).orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // merges (l,o), (lo,w), (e,r): low → [low]=1 each; lower → [low, er]=2
+    val out = Bpe.encodeTokenCounts(d, col("id"), col("text"), m).collect().head
+    assert(out.getAs[Long]("n_bpe_tokens") == 3L * 1 + 2L * 2)
+  }
+
+  test("words containing the separator byte are excluded, not corrupted") {
+    val d = docs("ab ab ab", "abx abx")
+    val out = merges(d, 1)
+    assert(out(0) == (1, "a", "b", "ab", 3L)) // the U+001F words dropped
+  }
+}
