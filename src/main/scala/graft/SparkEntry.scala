@@ -1439,6 +1439,28 @@ object SparkEntry {
       Some(Bpe.trainMergesSql("documents", "text", steps = 10)
         + " ORDER BY step")),
 
+    // In-engine quality-classifier training (fastText/DCLM pattern):
+    // full-batch GD on document statistics with a hard-sigmoid loss —
+    // every step exact-integer or IEEE-exact, so the oracle replays
+    // training bit-identically as unrolled CTE rounds
+    Q("ml_lr_weights",
+      (s, dir) => graft.ml.LinearClassifier.trainWeights(
+        Tables.documents(s, dir), col("doc_id"), col("text"),
+        col("n_chars"), col("lang") === "en").orderBy("k"),
+      Some(graft.ml.LinearClassifier.trainWeightsSql(
+        "documents", "doc_id", "text", "n_chars", "lang = 'en'")
+        + " ORDER BY k")),
+
+    // The corpus-scale apply: score every document with the trained
+    // model — exact integer dot against broadcast weights, narrow map
+    Q("ml_lr_scores",
+      (s, dir) => graft.ml.LinearClassifier.scoreDocs(
+        Tables.documents(s, dir), col("doc_id"), col("text"),
+        col("n_chars"), col("lang") === "en").orderBy("id"),
+      Some(graft.ml.LinearClassifier.scoreDocsSql(
+        "documents", "doc_id", "text", "n_chars", "lang = 'en'")
+        + " ORDER BY id")),
+
     // Apply the trained merges back over the corpus: BPE token count
     // per document (vs chars = the compression ratio) — the narrow-map
     // 100 TB-shaped half of the tokenizer pair
