@@ -52,7 +52,9 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec {
 
   test("agrees with a brute-force cross join on the sf0.001 events fixture") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    // Tables.events normalizes ts to the epoch-nanos-long contract
+    // regardless of the fixture's timestamp physicality.
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
     val p = ev.where(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
     val c = ev.where(col("event_type") === "click")
