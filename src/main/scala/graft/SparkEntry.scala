@@ -1627,6 +1627,96 @@ object SparkEntry {
               |FROM (${TextAnalysis.paragraphDedupSql("documents", "doc_id",
                  Enrich.boilerplatedSql("text", "doc_id"))})
               |ORDER BY doc_id""".stripMargin)),
+
+    // Cross-engine-deterministic HyperLogLog: per-language vocabulary
+    // cardinality from 4096 sha256-derived registers — fixed-size
+    // mergeable state instead of a corpus-wide DISTINCT shuffle; the
+    // ESTIMATE itself is hash-gated (exact-integer register math, one
+    // final IEEE division — see operators/Sketches), unlike the
+    // engine-native sketches gated only within tolerance
+    // (q_approx_sketches). exact_vocab rides along for comparison —
+    // at 100 TB only the sketch side runs.
+    Q("sketch_hll_vocab",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("lang").as("grp"),
+            explode(split(lower(trim(col("text"))), "\\s+")).as("key"))
+          .where(col("key") =!= "")
+        val est = graft.operators.Sketches.hllEstimate(toks, col("grp"), col("key"))
+        val exact = toks.groupBy("grp").agg(countDistinct(col("key")).as("exact_vocab"))
+        est.join(exact, "grp")
+          .select(col("grp").as("lang"), col("exact_vocab"), col("v_zero"),
+            col("s_int"), col("hll_est"))
+          .orderBy("lang")
+      },
+      Some {
+        val ts = graft.operators.Sketches.tokenStreamSql("documents", "lang", "text")
+        s"""WITH est AS (${graft.operators.Sketches.hllEstimateSql(ts)}),
+           |ex AS (SELECT grp, count(DISTINCT key) AS exact_vocab
+           |       FROM ($ts) GROUP BY 1)
+           |SELECT est.grp AS lang, ex.exact_vocab, est.v_zero, est.s_int,
+           |  est.hll_est
+           |FROM est JOIN ex ON est.grp = ex.grp ORDER BY lang""".stripMargin
+      }),
+
+    // Count–min sketch point frequencies for the top-20 corpus terms:
+    // 4×4096 counters out of any corpus (map-side partial agg, counter
+    // merge = sum), probed estimate = min over the 4 rows — integer
+    // end-to-end, so the CM upper bound (cms_n ≥ exact_n, overcount
+    // bounded by collisions) is itself hash-gated against DuckDB
+    Q("sketch_cms_freq",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(explode(split(lower(trim(col("text"))), "\\s+")).as("key"))
+          .where(col("key") =!= "")
+        val exact = toks.groupBy(col("key").as("term"))
+          .agg(count(lit(1)).as("exact_n"))
+        val probes = exact.orderBy(desc("exact_n"), asc("term")).limit(20)
+        probes.join(
+            graft.operators.Sketches.cmsEstimate(toks, col("key"),
+              probes.select("term")), "term")
+          .select(col("term"), col("exact_n"), col("cms_n"))
+          .orderBy(desc("exact_n"), asc("term"))
+      },
+      Some(graft.operators.Sketches.cmsTopTermsSql(
+        s"""SELECT t AS key FROM (
+           |  SELECT unnest(string_split_regex(lower(trim(text)),
+           |    '${TextAnalysis.WsClassSqlPublic}+')) AS t FROM documents)
+           |WHERE t <> ''""".stripMargin, topN = 20))),
+
+    // RefinedWeb-style per-domain document cap: at most 10 docs per
+    // source, preferring quality score (10 of ~25 fixture docs survive) — row_number ≤ n plans as a
+    // map-side WindowGroupLimit, so a mega-domain costs its cap (not
+    // its size) in shuffle volume
+    Q("curation_domain_cap",
+      (s, dir) => graft.text.Curation.domainCap(
+          Tables.documents(s, dir).select(col("doc_id"), col("source"),
+            TextAnalysis.qualityScore(col("text")).as("q")),
+          col("source"), col("doc_id"), col("q"), maxDocs = 10)
+        .orderBy("source", "domain_rank"),
+      Some(graft.text.Curation.domainCapSql(
+        s"""(SELECT doc_id, source,
+           |  ${TextAnalysis.qualityScoreSql("text")} AS q FROM documents)""".stripMargin,
+        "source", "doc_id", "q", maxDocs = 10,
+        selectCols = "doc_id, source, q") + " ORDER BY source, domain_rank")),
+
+    // Token-budgeted variant: each domain keeps its quality-ordered
+    // prefix up to 600 whitespace tokens (~40% of each fixture domain) — domains equalized by what
+    // the training mix consumes (token mass), not document count
+    Q("curation_domain_budget",
+      (s, dir) => graft.text.Curation.domainTokenBudget(
+          Tables.documents(s, dir).select(col("doc_id"), col("source"),
+            TextAnalysis.qualityScore(col("text")).as("q"),
+            TextAnalysis.nTokensWs(col("text")).as("n_tok")),
+          col("source"), col("doc_id"), col("q"), col("n_tok"),
+          maxTokens = 600L)
+        .orderBy("source", "doc_id"),
+      Some(graft.text.Curation.domainTokenBudgetSql(
+        s"""(SELECT doc_id, source,
+           |  ${TextAnalysis.qualityScoreSql("text")} AS q,
+           |  ${TextAnalysis.nTokensWsSql("text")} AS n_tok FROM documents)""".stripMargin,
+        "source", "doc_id", "q", "n_tok", maxTokens = 600L,
+        selectCols = "doc_id, source, q, n_tok") + " ORDER BY source, doc_id")),
   )
 
   // ---------------------------------------------------------------- //

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class SketchesSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def keys(n: Int, tag: String) =
+    (0 until n).map(i => ("g", s"$tag$i")).toDF("grp", "key")
+
+  test("small-range (linear-counting) estimate within 3% at 5k distinct") {
+    // Duplicates must not move the estimate: union the stream with itself.
+    val df = keys(5000, "k").unionAll(keys(5000, "k"))
+    val row = Sketches.hllEstimate(df, col("grp"), col("key")).head()
+    val est = row.getAs[Double]("hll_est")
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.03, s"est=$est")
+  }
+
+  test("raw-regime estimate within 5% at 50k distinct") {
+    val row = Sketches.hllEstimate(keys(50000, "r"), col("grp"), col("key")).head()
+    val est = row.getAs[Double]("hll_est")
+    assert(math.abs(est - 50000.0) / 50000.0 < 0.05, s"est=$est")
+  }
+
+  test("register state merges commutatively (shards == whole)") {
+    val all = keys(2000, "m")
+    val half1 = all.where(expr("cast(substring(key, 2) as int) % 2 = 0"))
+    val half2 = all.where(expr("cast(substring(key, 2) as int) % 2 = 1"))
+    val whole = Sketches.hllRegisters(all, col("grp"), col("key"))
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toMap
+    val merged = Sketches.hllRegisters(half1, col("grp"), col("key"))
+      .unionAll(Sketches.hllRegisters(half2, col("grp"), col("key")))
+      .groupBy("grp", "reg").agg(max("mx").as("mx"))
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toMap
+    assert(whole == merged)
+  }
+
+  test("estimate is partitioning-invariant") {
+    val df = keys(3000, "p")
+    val a = Sketches.hllEstimate(df, col("grp"), col("key")).head()
+    val b = Sketches.hllEstimate(df.repartition(7, col("key")),
+      col("grp"), col("key")).head()
+    assert(a.getAs[Double]("hll_est") == b.getAs[Double]("hll_est"))
+    assert(a.getAs[Long]("s_int") == b.getAs[Long]("s_int"))
+  }
+
+  test("CMS never undercounts and is exact absent collisions") {
+    // Zipf-ish stream: term_i appears (50 - i) times.
+    val rows = (0 until 50).flatMap(i => Seq.fill(50 - i)(s"t$i")).toDF("key")
+    val probes = (0 until 10).map(i => s"t$i").toDF("term")
+    val est = Sketches.cmsEstimate(rows, col("key"), probes)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (0 until 10).foreach { i =>
+      val exact = 50L - i
+      val e = est(s"t$i")
+      assert(e >= exact, s"t$i undercounted: $e < $exact")
+      // 500 tokens into 4×4096 counters: collisions are possible but
+      // the min-over-depth estimate must stay within the CM bound
+      // εn = (e/w)·n ≈ 0.33 — i.e. exact at this scale.
+      assert(e == exact, s"t$i overcounted at trivial load: $e != $exact")
+    }
+  }
+
+  test("CMS sketch is bounded by depth×width rows") {
+    val rows = (0 until 20000).map(i => s"u$i").toDF("key")
+    val n = Sketches.cmsSketch(rows, col("key")).count()
+    assert(n <= Sketches.CmsDepth.toLong * Sketches.CmsWidth)
+  }
+}

@@ -6,60 +6,53 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkSpec
 
 class CurationSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
 
-  private def one(text: String): String = {
-    import spark.implicits._
-    Seq(text).toDF("t").select(TextAnalysis.scrub(col("t"))).as[String]
-      .collect().head
+  private def corpus = Seq(
+    // (id, domain, score, tokens)
+    (1L, "a", 0.9, 100L), (2L, "a", 0.8, 100L), (3L, "a", 0.7, 100L),
+    (4L, "a", 0.7, 100L), (5L, "b", 0.5, 250L), (6L, "b", 0.4, 250L),
+    (7L, "c", 0.1, 50L)
+  ).toDF("id", "dom", "score", "toks")
+
+  test("domainCap keeps the top-n by score with id tiebreak") {
+    val kept = Curation.domainCap(corpus, col("dom"), col("id"),
+        col("score"), maxDocs = 2)
+      .select("id").as[Long].collect().toSet
+    // domain a: scores 0.9, 0.8 win; the 0.7 tie (ids 3,4) is cut.
+    assert(kept == Set(1L, 2L, 5L, 6L, 7L))
   }
 
-  test("scrub redacts emails, urls, and long digit runs") {
-    assert(one("mail a.b+c@d-e.org now") == "mail <EMAIL> now")
-    assert(one("go to https://x.io/p?q=1 ok") == "go to <URL> ok")
-    assert(one("ref 123456789 end") == "ref <NUM> end")
+  test("tie at the cap boundary resolves by ascending id") {
+    val kept = Curation.domainCap(corpus, col("dom"), col("id"),
+        col("score"), maxDocs = 3)
+      .where(col("dom") === "a").select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L))   // id 3 beats id 4 on the tie
   }
 
-  test("scrub ordering: url digits vanish with the url, short runs stay") {
-    // digits inside a URL are part of the URL redaction, never <NUM>
-    assert(one("see http://a.b/97654321x") == "see <URL>")
-    // 5 digits is below the redaction floor
-    assert(one("pin 12345 kept") == "pin 12345 kept")
-    // email before url pass: the email host is not half-eaten
-    assert(one("both z9@q.co and https://q.co/z 112233445566") ==
-      "both <EMAIL> and <URL> <NUM>")
+  test("domainTokenBudget keeps the quality-ordered prefix inclusively") {
+    val kept = Curation.domainTokenBudget(corpus, col("dom"), col("id"),
+        col("score"), col("toks"), maxTokens = 250L)
+      .select("id", "cum_tokens").as[(Long, Long)].collect().toMap
+    // a: 100, 200 kept; 300 crosses. b: first doc alone hits 250
+    // exactly (inclusive ≤ keeps it); second crosses. c: 50 kept.
+    assert(kept == Map(1L -> 100L, 2L -> 200L, 5L -> 250L, 7L -> 50L))
   }
 
-  test("repetition stats: ratios on a crafted document") {
-    import spark.implicits._
-    val r = Seq("a b a b a c").toDF("t")
-      .select(TextAnalysis.repetitionStats(col("t")).as("r"))
-      .select("r.n_tokens", "r.n_distinct", "r.distinct_ratio", "r.top_share")
-      .collect().head
-    assert(r.getLong(0) == 6L && r.getLong(1) == 3L)
-    assert(r.getDouble(2) == 0.5)      // 3 distinct / 6 tokens
-    assert(r.getDouble(3) == 0.5)      // "a" appears 3/6
+  test("a document larger than the whole budget blocks its domain") {
+    val kept = Curation.domainTokenBudget(corpus, col("dom"), col("id"),
+        col("score"), col("toks"), maxTokens = 40L)
+      .count()
+    assert(kept == 0L)
   }
 
-  test("contamination screen flags shared 3-grams, excludes probes") {
-    import spark.implicits._
-    val docs = Seq(
-      (0L, "alpha beta gamma delta"),          // probe
-      (1L, "zeta eta theta iota"),             // probe
-      (10L, "x alpha beta gamma y"),           // shares "alpha beta gamma"
-      (11L, "beta gamma delta tail plus"),     // shares "beta gamma delta"
-      (12L, "nothing in common here at all"))  // clean
-      .toDF("doc_id", "text")
-    val hits = TextAnalysis.contaminationHits(docs, col("doc_id"), col("text"),
-        probeIds = Seq(0L, 1L))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(hits == Map(10L -> 1L, 11L -> 1L))
-  }
-
-  test("contamination plan broadcasts the probe side") {
-    import spark.implicits._
-    val docs = Seq((0L, "a b c d"), (5L, "b c d e")).toDF("doc_id", "text")
-    val plan = TextAnalysis.contaminationHits(docs, col("doc_id"), col("text"),
-      probeIds = Seq(0L)).queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+  test("results are partitioning-invariant") {
+    val base = Curation.domainCap(corpus, col("dom"), col("id"),
+      col("score"), maxDocs = 2).select("id", "domain_rank")
+      .collect().toSet
+    val shuffled = Curation.domainCap(corpus.repartition(5, col("id")),
+      col("dom"), col("id"), col("score"), maxDocs = 2)
+      .select("id", "domain_rank").collect().toSet
+    assert(base == shuffled)
   }
 }
