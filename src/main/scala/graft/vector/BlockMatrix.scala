@@ -34,9 +34,11 @@ import org.apache.spark.sql.functions._
   * bound, `bR` only fills the parallelism floor and caps a task's
   * scan extent ([[chooseBlockCounts]]; the square
   * [[chooseNumBlocks]] remains for the symmetric self-join case).
-  * ([[cosinePairsAbove]] still buffers both sides of a tile: its
-  * diagonal-tile/upper-triangle sharing needs random access; size its
-  * B for 2× there.) The final merge is the bounded-state
+  * [[cosinePairsAbove]] uses the same cogroup layout — one buffered
+  * block (the left side: the diagonal tile needs random access to
+  * pair a block against itself) and a streamed right side — so its B
+  * is sized by [[chooseNumBlocks]] directly, no 2× slack. The final
+  * merge (top-k routes only) is the bounded-state
   * [[GroupedTopK.TopKAggregator]], so no group ever sorts in full.
   *
   * Determinism contract (matches [[VectorKernels]] and the DuckDB
@@ -191,18 +193,6 @@ object BlockMatrix extends Serializable {
     (((z % b) + b) % b).toInt
   }
 
-  /** Row-blocks by [[blockId]]; rows sorted by id inside each block so
-    * every loop order reproduces.
-    */
-  private def toBlocks(df: DataFrame, b: Int): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.as[BlockRow]
-      .groupByKey(r => blockId(r.id, b).toLong)
-      .mapGroups((bid, it) => (bid, it.toArray.sortBy(_.id)))
-      .toDF("bid", "rows")
-  }
-
   /** All pairs (id_a < id_b) with 4dp-rounded cosine ≥ `minCosine` —
     * the tiled scale route for [[graft.dedup.EmbeddingDedup]]'s exact
     * tier. Identical output contract to `cosinePairs` (same rounding,
@@ -225,56 +215,78 @@ object BlockMatrix extends Serializable {
     val base = prep(df, idCol, embCol)
     val spark = base.sparkSession
     import spark.implicits._
-    val b = numBlocks.toLong
+    val b = numBlocks
     val thr = minCosine
-    // ONE blocking pass (the corpus is grouped into blocks exactly
-    // once — a self-join on the blocked frame would evaluate that
-    // shuffle+sort on both sides): each block replicates itself to
-    // every upper-triangle tile it participates in, tagged LEFT of
-    // tiles (bid, j ≥ bid) / RIGHT of tiles (i < bid, bid); one
-    // grouping shuffle then pairs each tile's two sides. A diagonal
-    // tile carries its block once, as the LEFT.
-    val tagged = toBlocks(base, numBlocks).as[(Long, Array[BlockRow])]
-      .flatMap { case (bid, rows) =>
-        (bid until b).iterator.map(j => (bid, j, 0, rows)) ++
-          (0L until bid).iterator.map(i => (i, bid, 1, rows))
+    // Same flat-row cogroup distribution as [[topKJoin]] (the second
+    // tiling level, r5): each row replicates individually to the
+    // upper-triangle tiles where its block is the LEFT side (diagonal
+    // included) and those where it is the RIGHT side; the cogroup
+    // hands every tile its two sides as separate iterators. The LEFT
+    // side is buffered — a threshold join has no per-row state, but
+    // the diagonal tile needs random access to pair a block against
+    // itself — and the RIGHT side STREAMS off the shuffle run one row
+    // at a time, its norm computed on the fly. Per-task memory is ONE
+    // block (+ one streamed row), not two: the sizing guidance that
+    // previously said "size B for 2× on the pairs route" now matches
+    // [[chooseNumBlocks]] exactly. A whole-block replication would
+    // also re-serialize each block array bR times through the
+    // exchange; flat rows shuffle the same bytes without the
+    // per-group array materialization on the map side.
+    val lkv = base.as[BlockRow]
+      .flatMap { r =>
+        val lb = blockId(r.id, b)
+        (lb until b).iterator.map(j => (lb.toLong * b + j, r))
       }
-    val out = tagged.groupByKey(t => (t._1, t._2))
-      .flatMapGroups { (key: (Long, Long),
-                        it: Iterator[(Long, Long, Int, Array[BlockRow])]) =>
-        var lrows: Array[BlockRow] = null
-        var rrows: Array[BlockRow] = null
-        it.foreach(t => if (t._3 == 0) lrows = t._4 else rrows = t._4)
-        val diagonal = key._1 == key._2
-        if (diagonal) rrows = lrows
-        if (lrows == null || rrows == null) Iterator.empty
-        else {
-          // hoisted norms, same sequential accumulation as the fused kernel
-          val nls = lrows.map(r => math.sqrt(sumSq(r.emb)))
-          val nrs = if (diagonal) nls else rrows.map(r => math.sqrt(sumSq(r.emb)))
-          lrows.iterator.zipWithIndex.flatMap { case (l, li) =>
-            val lemb = l.emb
+      .groupByKey(_._1)
+    val rkv = base.as[BlockRow]
+      .flatMap { r =>
+        val rb = blockId(r.id, b)
+        (0 until rb).iterator.map(i => (i.toLong * b + rb, r))
+      }
+      .groupByKey(_._1)
+    val bb = b.toLong
+    val out = lkv.cogroup(rkv) { (key, lit, rit) =>
+      val lrows = lit.map(_._2).toArray
+      if (lrows.isEmpty) Iterator.empty
+      else {
+        val diagonal = key % bb == key / bb
+        // hoisted left norms, same sequential accumulation as the
+        // fused kernel (bit-identical scores)
+        val nls = lrows.map(l => math.sqrt(sumSq(l.emb)))
+        def pairs(rr: BlockRow, nr: Double, uptoExclusive: Int): Iterator[Partial] = {
+          if (nr == 0.0) Iterator.empty
+          else (0 until uptoExclusive).iterator.flatMap { li =>
+            val l = lrows(li)
             val nl = nls(li)
-            rrows.iterator.zipWithIndex.flatMap { case (rr, ri) =>
-              // diagonal tiles hold the SAME rows on both sides: the sorted
-              // order makes ri > li equivalent to id_a < id_b exactly once
-              if ((diagonal && ri <= li) || nl == 0.0 || nrs(ri) == 0.0) Iterator.empty
-              else {
-                val remb = rr.emb
-                val d = math.min(lemb.length, remb.length)
-                var dot = 0.0
-                var i = 0
-                while (i < d) { dot += lemb(i).toDouble * remb(i).toDouble; i += 1 }
-                val s = round4dp(dot / (nl * nrs(ri)))
-                if (s >= thr && !s.isNaN) {
-                  val (a, bId) = if (l.id < rr.id) (l.id, rr.id) else (rr.id, l.id)
-                  Iterator.single(Partial(a, bId, s))
-                } else Iterator.empty
-              }
+            if (nl == 0.0 || l.id == rr.id) Iterator.empty
+            else {
+              val lemb = l.emb
+              val remb = rr.emb
+              val d = math.min(lemb.length, remb.length)
+              var dot = 0.0
+              var i = 0
+              while (i < d) { dot += lemb(i).toDouble * remb(i).toDouble; i += 1 }
+              val s = round4dp(dot / (nl * nr))
+              if (s >= thr && !s.isNaN) {
+                val (a, bId) = if (l.id < rr.id) (l.id, rr.id) else (rr.id, l.id)
+                Iterator.single(Partial(a, bId, s))
+              } else Iterator.empty
             }
           }
         }
+        if (diagonal)
+          // a diagonal tile pairs the block against itself: row ri
+          // against rows 0..ri−1 — each unordered pair exactly once
+          lrows.iterator.zipWithIndex.flatMap { case (rr, ri) =>
+            pairs(rr, math.sqrt(sumSq(rr.emb)), ri)
+          }
+        else
+          rit.flatMap { t =>
+            val rr = t._2
+            pairs(rr, math.sqrt(sumSq(rr.emb)), lrows.length)
+          }
       }
+    }
     out.toDF().select(col("left_id").as("id_a"), col("right_id").as("id_b"),
       col("score").as("cosine"))
   }
