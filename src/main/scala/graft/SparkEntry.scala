@@ -1717,6 +1717,33 @@ object SparkEntry {
            |  ${TextAnalysis.nTokensWsSql("text")} AS n_tok FROM documents)""".stripMargin,
         "source", "doc_id", "q", "n_tok", maxTokens = 600L,
         selectCols = "doc_id, source, q, n_tok") + " ORDER BY source, doc_id")),
+
+    // Content-defined chunking (the rsync/LBFS boundary trick): chunk
+    // ends where the rolling 8-char hash ≡ 0 mod 64, so an edit moves
+    // only its neighborhood's boundaries and unchanged regions keep
+    // identical chunk md5s — the chunk-level-dedup property fixed
+    // strides lack. Exact-integer hash, narrow projection + one
+    // generator, corpus chunks never shuffle
+    Q("text_cdc_chunks",
+      (s, dir) => graft.text.Cdc.cdcChunks(Tables.documents(s, dir),
+          col("doc_id"), col("text"), modulus = 64)
+        .orderBy("id", "chunk_idx"),
+      Some(graft.text.Cdc.cdcChunksSql("documents", "doc_id", "text",
+        modulus = 64) + " ORDER BY id, chunk_idx")),
+
+    // Deterministic training order: shard in [0,16) + in-shard
+    // position — a reproducible global permutation decoupled from
+    // ingest order (no accidental curriculum), re-runnable bit-for-bit
+    // where a rand() shuffle is neither. Projection + one bounded
+    // per-shard window
+    Q("mldata_shard_order",
+      (s, dir) => graft.operators.Splits.shardOrder(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+          col("doc_id"), nShards = 16, salt = "order")
+        .orderBy("shard", "pos"),
+      Some(graft.operators.Splits.shardOrderSql("documents", "doc_id",
+        nShards = 16, salt = "order", selectCols = "doc_id, lang")
+        + " ORDER BY shard, pos")),
   )
 
   // ---------------------------------------------------------------- //

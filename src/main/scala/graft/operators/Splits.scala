@@ -230,4 +230,43 @@ object Splits {
        |      ORDER BY ${idHashSql(idExpr)}, $idExpr) AS r,
        |    count(*) OVER (PARTITION BY $stratumExpr) AS n
        |  FROM $table)""".stripMargin
+
+  /** Deterministic training order: every row gets a shard in
+    * [0, nShards) and a 1-based position within its shard — together a
+    * reproducible global permutation (read shards in index order,
+    * rows in position order) DECOUPLED from crawl/ingest order, which
+    * is exactly what a training run needs to avoid accidental
+    * curriculum (all of one domain first) while staying re-runnable
+    * bit-for-bit: same corpus, same salt → same order, any cluster,
+    * any partitioning. `rand()`-shuffles guarantee neither.
+    *
+    * Scale shape: shard assignment is a pure projection; the position
+    * is one window per shard, so each shard's rows must fit a task's
+    * sort spill budget — size `nShards` so corpus/nShards is
+    * task-sized (the same rule the shard-file writer
+    * [[graft.sources.Layout]] already applies to bytes).
+    */
+  def shardOrder(df: DataFrame, idCol: Column, nShards: Int,
+                 salt: String = "order"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val reserved = df.columns.toSet.intersect(Set("shard", "pos"))
+    require(reserved.isEmpty,
+      s"shardOrder emits columns shard/pos; rename on the input: $reserved")
+    val shard = pmod(idHash(idCol), lit(nShards.toLong)).cast("int")
+    val w = Window.partitionBy(shard)
+      .orderBy(Sampling.hashKey(idCol, salt), idCol.asc)
+    df.withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w))
+  }
+
+  /** DuckDB twin of [[shardOrder]]. */
+  def shardOrderSql(table: String, idExpr: String, nShards: Int,
+                    salt: String, selectCols: String): String =
+    s"""SELECT $selectCols,
+       |  CAST(${idHashSql(idExpr)} % $nShards AS INTEGER) AS shard,
+       |  CAST(row_number() OVER (
+       |    PARTITION BY ${idHashSql(idExpr)} % $nShards
+       |    ORDER BY ${Sampling.hashKeySql(idExpr, salt)}, $idExpr)
+       |    AS INTEGER) AS pos
+       |FROM $table""".stripMargin
 }

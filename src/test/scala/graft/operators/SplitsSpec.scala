@@ -98,4 +98,29 @@ class SplitsSpec extends AnyFunSuite with SparkSpec {
     val out = Splits.assignByHash(ids, col("id")).collect()
     assert(out.length == 3)
   }
+
+  test("shardOrder is a permutation: every row exactly once, positions dense") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, s"d$i")).toDF("id", "payload")
+    val out = Splits.shardOrder(df, col("id"), nShards = 8)
+      .select("id", "shard", "pos").as[(Long, Int, Int)].collect()
+    assert(out.length == 500)
+    assert(out.map(_._1).toSet == (1L to 500L).toSet)
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1 to rows.length))
+    }
+    // decoupled from id order: the permutation must not be identity-ish
+    val firstShard = out.filter(_._2 == 0).sortBy(_._3).map(_._1)
+    assert(!firstShard.sameElements(firstShard.sorted))
+  }
+
+  test("shardOrder is partitioning-invariant") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, i.toString)).toDF("id", "payload")
+    val a = Splits.shardOrder(df, col("id"), 4).select("id", "shard", "pos")
+      .collect().map(_.toString).sorted
+    val b = Splits.shardOrder(df.repartition(9), col("id"), 4)
+      .select("id", "shard", "pos").collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
 }
