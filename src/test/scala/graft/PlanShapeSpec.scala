@@ -185,4 +185,40 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"within-cluster pairing degenerated to an all-pairs stage:\n$plan")
   }
+
+  test("domain cap rank-limits map-side (WindowGroupLimit before the exchange)") {
+    // a mega-domain must cost its cap, not its size, in shuffle volume
+    val df = graft.text.Curation.domainCap(
+      Tables.documents(spark, dir).select(col("doc_id"), col("source"),
+        TextAnalysis.qualityScore(col("text")).as("q")),
+      col("source"), col("doc_id"), col("q"), maxDocs = 10)
+    val plan = executed(df)
+    val preShuffle = plan.substring(plan.indexOf("Exchange"))
+    assert(preShuffle.contains("WindowGroupLimit"),
+      s"expected a map-side WindowGroupLimit below the exchange:\n$plan")
+  }
+
+  test("CDC chunking is a shuffle-free narrow map + generator") {
+    val plan = executed(graft.text.Cdc.cdcChunks(
+      Tables.documents(spark, dir), col("doc_id"), col("text")))
+    assert(!plan.contains("Exchange"),
+      s"content-defined chunking introduced a shuffle:\n$plan")
+    assert(plan.contains("Generate"), s"expected one generator:\n$plan")
+  }
+
+  test("HLL registers aggregate in two phases (map-side partial before the exchange)") {
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang").as("grp"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("key"))
+      .where(col("key") =!= "")
+    val plan = executed(
+      graft.operators.Sketches.hllRegisters(toks, col("grp"), col("key")))
+    val firstAgg = plan.indexOf("HashAggregate")
+    val exchange = plan.indexOf("Exchange")
+    assert(firstAgg >= 0 && exchange >= 0,
+      s"expected aggregate + exchange in:\n$plan")
+    assert(plan.indexOf("HashAggregate", exchange) >= 0 &&
+      plan.lastIndexOf("HashAggregate") > exchange,
+      s"expected a partial aggregate below the exchange:\n$plan")
+  }
 }
