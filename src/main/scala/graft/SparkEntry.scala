@@ -2223,6 +2223,46 @@ object SparkEntry {
         queryId = 0L, poolSize = 20, k = 8, lambda = 0.7)
         + " ORDER BY mmr_rank")),
 
+    // End-to-end RAG context assembly — the reference's actual serving
+    // use case (retrieve → diversify → fit the context window) as ONE
+    // composed plan: cosine top-20 pool → MMR re-rank (k=8, λ=0.7) →
+    // join document token counts → keep the MMR-ordered prefix within
+    // a 150-token context budget. Every stage is bounded (top-k heap,
+    // 20-row greedy pool, 8-row window); the corpus is touched only by
+    // the two scans
+    Q("pipeline_rag_context",
+      (s, dir) => {
+        val pool = Tables.embeddings(s, dir)
+          .crossJoin(broadcast(Pipelines.queryVector(s, dir)))
+          .select(lit(0L).as("query_id"), col("vec_id").as("doc_id"),
+            col("embedding").as("emb"),
+            round(Distance.cosine(col("embedding"), col("q_emb")), 4).as("qsim"))
+          .orderBy(col("qsim").desc, col("doc_id")).limit(20)
+        val mmr = Mmr.rerank(pool, k = 8, lambda = 0.7)
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), TextAnalysis.nTokensWs(col("text")).as("n_tok"))
+        val w = Window.orderBy(col("mmr_rank"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        mmr.join(toks, "doc_id")
+          .withColumn("cum_tok", sum(col("n_tok")).over(w))
+          .where(col("cum_tok") <= 150L)
+          .select(col("mmr_rank"), col("doc_id"), col("n_tok"), col("cum_tok"))
+          .orderBy("mmr_rank")
+      },
+      Some {
+        val mmr = Mmr.rerankSql("embeddings", "vec_id", "embedding",
+          queryId = 0L, poolSize = 20, k = 8, lambda = 0.7)
+        s"""WITH mmr AS ($mmr),
+           |tok AS (SELECT doc_id, ${TextAnalysis.nTokensWsSql("text")} AS n_tok
+           |        FROM documents)
+           |SELECT mmr_rank, doc_id, n_tok, cum_tok FROM (
+           |  SELECT m.mmr_rank, m.doc_id, t.n_tok,
+           |    CAST(sum(t.n_tok) OVER (ORDER BY m.mmr_rank
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+           |  FROM mmr m JOIN tok t USING (doc_id))
+           |WHERE cum_tok <= 150 ORDER BY mmr_rank""".stripMargin
+      }),
+
     // Hybrid retrieval: reciprocal-rank fusion of the lexical (BM25)
     // and vector (cosine) routes. Each route is a bounded top-50 via
     // TakeOrderedAndProject; fusion touches ≤ 100 rows. Rank-based, so
