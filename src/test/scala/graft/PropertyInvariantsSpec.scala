@@ -158,4 +158,48 @@ class PropertyInvariantsSpec extends AnyFunSuite with SparkSpec {
       assert(r.getDouble(1) <= r.getDouble(0) / 2 + 5e-7)
     }
   }
+
+  test("CDC chunks reassemble arbitrary documents under every modulus") {
+    import spark.implicits._
+    val rnd = new Random(23)
+    val alphabet = "abcdefgh 01\n.,!?xyzXYZ"
+    for (modulus <- Seq(16, 64, 256)) {
+      val docs = (1L to 30L).map { i =>
+        (i, (0 until rnd.nextInt(600)).map(_ =>
+          alphabet(rnd.nextInt(alphabet.length))).mkString)
+      }.filter(_._2.nonEmpty)
+      val chunks = graft.text.Cdc.cdcChunks(docs.toDF("doc_id", "text"),
+          col("doc_id"), col("text"), modulus)
+        .select("id", "chunk_idx", "start", "chunk_len")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1)
+      docs.foreach { case (id, text) =>
+        val cs = chunks.getOrElse(id, Array.empty).sortBy(_._2)
+        assert(cs.nonEmpty && cs.head._3 == 1L, s"doc $id mod $modulus")
+        cs.sliding(2).foreach {
+          case Array(a, b) => assert(b._3 == a._3 + a._4,
+            s"doc $id mod $modulus: gap/overlap between chunks")
+          case _ =>
+        }
+        assert(cs.map(_._4).sum == text.length.toLong,
+          s"doc $id mod $modulus: lengths do not cover the doc")
+      }
+    }
+  }
+
+  test("HLL registers only grow as a stream extends (monotone state)") {
+    import spark.implicits._
+    val rnd = new Random(31)
+    val all = (0 until 3000).map(_ => ("g", rnd.nextInt(1500).toString))
+    def regs(rows: Seq[(String, String)]) =
+      graft.operators.Sketches.hllRegisters(rows.toDF("grp", "key"),
+          col("grp"), col("key"))
+        .collect().map(r => (r.getLong(1), r.getInt(2))).toMap
+    val first = regs(all.take(1000))
+    val whole = regs(all)
+    first.foreach { case (reg, mx) =>
+      assert(whole.getOrElse(reg, 0) >= mx,
+        s"register $reg shrank: $mx -> ${whole.get(reg)}")
+    }
+  }
 }
