@@ -1731,6 +1731,18 @@ object SparkEntry {
       Some(graft.text.Cdc.cdcChunksSql("documents", "doc_id", "text",
         modulus = 64) + " ORDER BY id, chunk_idx")),
 
+    // Contrastive-training triplet mining: anchor + nearest same-label
+    // neighbor (positive) + deterministic hash-min other-label vector
+    // (negative) — the embedding-model dataset-prep step, reproducible
+    // end-to-end. Positives pair within label partitions (bounded by
+    // the class); negatives resolve from a labels-sized table
+    Q("mldata_triplets",
+      (s, dir) => graft.ml.Triplets.mine(Tables.embeddings(s, dir),
+          col("vec_id"), col("embedding"), col("label"))
+        .orderBy("anchor"),
+      Some(graft.ml.Triplets.mineSql("embeddings", "vec_id", "embedding",
+        "label") + " ORDER BY anchor")),
+
     // Deterministic training order: shard in [0,16) + in-shard
     // position — a reproducible global permutation decoupled from
     // ingest order (no accidental curriculum), re-runnable bit-for-bit

@@ -1,0 +1,129 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.oracle.Sql
+import graft.vector.VectorKernels
+
+/** Contrastive-training triplet mining over an embedding corpus —
+  * the dataset-preparation step for embedding-model training
+  * ((anchor, positive, negative) rows for triplet/InfoNCE losses),
+  * fully deterministic so the mined set is reproducible and
+  * oracle-checkable:
+  *
+  *  - positive: the anchor's nearest SAME-label neighbor (4dp-rounded
+  *    cosine, ties by ascending candidate id — the [[graft.vector]]
+  *    determinism contract);
+  *  - negative: hard determinism without hard-negative cost — the
+  *    minimum-sha256 vector among OTHER-label classes. One fixed
+  *    pseudo-random draw per anchor label, shared by all anchors of
+  *    that label: negatives need decorrelation from the anchor, not
+  *    per-anchor search (per-anchor hash-min would be another M×N
+  *    pass for no training benefit).
+  *
+  * Scale shape: positives pair WITHIN label partitions — one label
+  * equi-join, per-task memory bounded by the label group (swap the
+  * pair join for the IVF/blocked routes in [[graft.vector]] when a
+  * single class outgrows a task). The negative table is
+  * |labels|-sized: per-label hash-min via one aggregation, then each
+  * label's negative = the global hash-min among OTHER labels,
+  * resolved from the top-2 label minima (labels-sized window, no
+  * second corpus pass). Output is one row per anchor.
+  */
+object Triplets {
+
+  private def negHash(idCol: Column): Column =
+    sha2(concat(lit("neg"), idCol.cast("string")), 256)
+
+  private def negHashSql(idExpr: String): String =
+    s"sha256('neg' || CAST($idExpr AS VARCHAR))"
+
+  /** (anchor, label, pos_id, pos_sim, neg_id, neg_label) — one row
+    * per vector that has at least one same-label peer.
+    */
+  def mine(df: DataFrame, idCol: Column, embCol: Column,
+           labelCol: Column): DataFrame = {
+    val base = df.select(idCol.cast("long").as("id"),
+        embCol.cast("array<float>").as("emb"),
+        labelCol.cast("long").as("label"))
+      .where(col("id").isNotNull && col("emb").isNotNull)
+
+    // positive: within-label nearest neighbor
+    val pairs = base.as("a")
+      .join(base.as("b"),
+        col("a.label") === col("b.label") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("anchor"), col("a.label").as("label"),
+        col("b.id").as("cand"),
+        round(VectorKernels.cosine(col("a.emb"), col("b.emb")), 4).as("sim"))
+    val wPos = Window.partitionBy(col("anchor"))
+      .orderBy(col("sim").desc, col("cand").asc)
+    val pos = pairs.withColumn("__rn", row_number().over(wPos))
+      .where(col("__rn") === 1)
+      .select(col("anchor"), col("label"),
+        col("cand").as("pos_id"), col("sim").as("pos_sim"))
+
+    // per-label hash minimum, then each label's negative = the global
+    // minimum among OTHER labels (top-2 label minima decide it)
+    val wLbl = Window.partitionBy(col("label"))
+      .orderBy(negHash(col("id")).asc, col("id").asc)
+    val labelMins = base
+      .withColumn("__rn", row_number().over(wLbl))
+      .where(col("__rn") === 1)
+      .select(col("label").as("neg_label"), col("id").as("neg_id"),
+        negHash(col("id")).as("__h"))
+    val wAll = Window.orderBy(col("__h").asc, col("neg_id").asc)
+    val top2 = labelMins.withColumn("__r", row_number().over(wAll))
+      .where(col("__r") <= 2)
+    val negs = labelMins.select(col("neg_label").as("label")).as("l")
+      .join(broadcast(top2).as("t"),
+        col("l.label") =!= col("t.neg_label"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("l.label")).orderBy(col("t.__r").asc)))
+      .where(col("__rn") === 1)
+      .select(col("l.label").as("label"), col("t.neg_id").as("neg_id"),
+        col("t.neg_label").as("neg_label"))
+
+    pos.join(broadcast(negs), "label")
+      .select(col("anchor"), col("label"), col("pos_id"), col("pos_sim"),
+        col("neg_id"), col("neg_label"))
+  }
+
+  /** DuckDB twin of [[mine]]. */
+  def mineSql(table: String, idExpr: String, embExpr: String,
+              labelExpr: String): String =
+    s"""WITH base AS (
+       |  SELECT CAST($idExpr AS BIGINT) AS id, $embExpr AS emb,
+       |    CAST($labelExpr AS BIGINT) AS label
+       |  FROM $table WHERE $idExpr IS NOT NULL AND $embExpr IS NOT NULL
+       |), pos AS (
+       |  SELECT anchor, label, cand AS pos_id, sim AS pos_sim FROM (
+       |    SELECT a.id AS anchor, a.label AS label, b.id AS cand,
+       |      ${Sql.cosine("a.emb", "b.emb")} AS sim,
+       |      row_number() OVER (PARTITION BY a.id
+       |        ORDER BY ${Sql.cosine("a.emb", "b.emb")} DESC, b.id) AS rn
+       |    FROM base a JOIN base b
+       |      ON a.label = b.label AND a.id <> b.id)
+       |  WHERE rn = 1
+       |), label_mins AS (
+       |  SELECT label AS neg_label, id AS neg_id,
+       |    ${negHashSql("id")} AS h FROM (
+       |    SELECT id, label, row_number() OVER (PARTITION BY label
+       |      ORDER BY ${negHashSql("id")}, id) AS rn
+       |    FROM base)
+       |  WHERE rn = 1
+       |), top2 AS (
+       |  SELECT neg_label, neg_id, h,
+       |    row_number() OVER (ORDER BY h, neg_id) AS r
+       |  FROM label_mins QUALIFY r <= 2
+       |), negs AS (
+       |  SELECT label, neg_id, neg_label FROM (
+       |    SELECT l.neg_label AS label, t.neg_id, t.neg_label,
+       |      row_number() OVER (PARTITION BY l.neg_label ORDER BY t.r) AS rn
+       |    FROM label_mins l JOIN top2 t ON l.neg_label <> t.neg_label)
+       |  WHERE rn = 1
+       |)
+       |SELECT p.anchor, p.label, p.pos_id, p.pos_sim, n.neg_id, n.neg_label
+       |FROM pos p JOIN negs n USING (label)""".stripMargin
+}
