@@ -1731,6 +1731,46 @@ object SparkEntry {
       Some(graft.text.Cdc.cdcChunksSql("documents", "doc_id", "text",
         modulus = 64) + " ORDER BY id, chunk_idx")),
 
+    // Length-bucketed batching prep: assign every document to one of 8
+    // token-length percentile buckets — the pre-pass that lets a
+    // training loader pad batches within a bucket instead of to the
+    // corpus max. SCALABLE form: boundaries from one aggregation
+    // (floor-truncated R-7 percentiles, cross-engine exact per
+    // q_percentiles), assignment a broadcast fold over the 7-value
+    // boundary array — no ntile, no global window, no single-partition
+    // sort
+    Q("pipeline_length_buckets",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), TextAnalysis.nTokensWs(col("text")).as("n_tok"))
+        val qs = (1 to 7).map(_ / 8.0)
+        val bounds = toks.agg(
+          expr(s"percentile(n_tok, array(${qs.mkString(", ")}))").as("bs"))
+          .select(transform(col("bs"), b => floor(b * 10000.0) / 10000.0).as("bs"))
+        toks.crossJoin(broadcast(bounds))
+          .select(col("doc_id"), col("n_tok"),
+            (aggregate(col("bs"), lit(0),
+              (acc, b) => acc + when(col("n_tok").cast("double") > b, 1)
+                .otherwise(0)) + 1).as("bucket"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val qs = (1 to 7).map(_ / 8.0)
+        s"""WITH toks AS (
+           |  SELECT doc_id, ${TextAnalysis.nTokensWsSql("text")} AS n_tok
+           |  FROM documents
+           |), bounds AS (
+           |  SELECT list_transform(quantile_cont(n_tok, [${qs.mkString(", ")}]),
+           |    b -> floor(b * 10000.0) / 10000.0) AS bs
+           |  FROM toks
+           |)
+           |SELECT t.doc_id, t.n_tok,
+           |  CAST(list_sum(list_transform(b.bs,
+           |    x -> CASE WHEN CAST(t.n_tok AS DOUBLE) > x THEN 1 ELSE 0 END))
+           |    + 1 AS INTEGER) AS bucket
+           |FROM toks t, bounds b ORDER BY t.doc_id""".stripMargin
+      }),
+
     // Contrastive-training triplet mining: anchor + nearest same-label
     // neighbor (positive) + deterministic hash-min other-label vector
     // (negative) — the embedding-model dataset-prep step, reproducible
