@@ -40,32 +40,18 @@ object Triplets {
   private def negHashSql(idExpr: String): String =
     s"sha256('neg' || CAST($idExpr AS VARCHAR))"
 
-  /** (anchor, label, pos_id, pos_sim, neg_id, neg_label) — one row
-    * per vector that has at least one same-label peer.
-    */
-  def mine(df: DataFrame, idCol: Column, embCol: Column,
-           labelCol: Column): DataFrame = {
-    val base = df.select(idCol.cast("long").as("id"),
+  private def prep(df: DataFrame, idCol: Column, embCol: Column,
+                   labelCol: Column): DataFrame =
+    df.select(idCol.cast("long").as("id"),
         embCol.cast("array<float>").as("emb"),
         labelCol.cast("long").as("label"))
       .where(col("id").isNotNull && col("emb").isNotNull)
 
-    // positive: within-label nearest neighbor
-    val pairs = base.as("a")
-      .join(base.as("b"),
-        col("a.label") === col("b.label") && col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("anchor"), col("a.label").as("label"),
-        col("b.id").as("cand"),
-        round(VectorKernels.cosine(col("a.emb"), col("b.emb")), 4).as("sim"))
-    val wPos = Window.partitionBy(col("anchor"))
-      .orderBy(col("sim").desc, col("cand").asc)
-    val pos = pairs.withColumn("__rn", row_number().over(wPos))
-      .where(col("__rn") === 1)
-      .select(col("anchor"), col("label"),
-        col("cand").as("pos_id"), col("sim").as("pos_sim"))
-
-    // per-label hash minimum, then each label's negative = the global
-    // minimum among OTHER labels (top-2 label minima decide it)
+  /** Per-label negatives: each label's negative = the global hash-min
+    * vector among OTHER labels, resolved from the top-2 label minima —
+    * a labels-sized table, no corpus pass beyond one aggregation.
+    */
+  private def negativesFor(base: DataFrame): DataFrame = {
     val wLbl = Window.partitionBy(col("label"))
       .orderBy(negHash(col("id")).asc, col("id").asc)
     val labelMins = base
@@ -76,7 +62,7 @@ object Triplets {
     val wAll = Window.orderBy(col("__h").asc, col("neg_id").asc)
     val top2 = labelMins.withColumn("__r", row_number().over(wAll))
       .where(col("__r") <= 2)
-    val negs = labelMins.select(col("neg_label").as("label")).as("l")
+    labelMins.select(col("neg_label").as("label")).as("l")
       .join(broadcast(top2).as("t"),
         col("l.label") =!= col("t.neg_label"))
       .withColumn("__rn", row_number().over(
@@ -84,10 +70,77 @@ object Triplets {
       .where(col("__rn") === 1)
       .select(col("l.label").as("label"), col("t.neg_id").as("neg_id"),
         col("t.neg_label").as("neg_label"))
+  }
 
-    pos.join(broadcast(negs), "label")
+  /** Per-anchor argmax over a (anchor, label, cand, sim) candidate
+    * frame, joined with the negatives.
+    */
+  private def assemble(pairs: DataFrame, negs: DataFrame): DataFrame = {
+    val wPos = Window.partitionBy(col("anchor"))
+      .orderBy(col("sim").desc, col("cand").asc)
+    pairs.withColumn("__rn", row_number().over(wPos))
+      .where(col("__rn") === 1)
+      .select(col("anchor"), col("label"),
+        col("cand").as("pos_id"), col("sim").as("pos_sim"))
+      .join(broadcast(negs), "label")
       .select(col("anchor"), col("label"), col("pos_id"), col("pos_sim"),
         col("neg_id"), col("neg_label"))
+  }
+
+  /** (anchor, label, pos_id, pos_sim, neg_id, neg_label) — one row
+    * per vector that has at least one same-label peer. EXACT route:
+    * within-label all-pairs (quadratic per class — measured 8.6× wall
+    * on 10× data; the oracle/small-class tier, like
+    * `EmbeddingDedup.cosinePairs`). Past task-sized classes, use
+    * [[mineLsh]].
+    */
+  def mine(df: DataFrame, idCol: Column, embCol: Column,
+           labelCol: Column): DataFrame = {
+    val base = prep(df, idCol, embCol, labelCol)
+    val pairs = base.as("a")
+      .join(base.as("b"),
+        col("a.label") === col("b.label") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("anchor"), col("a.label").as("label"),
+        col("b.id").as("cand"),
+        round(VectorKernels.cosine(col("a.emb"), col("b.emb")), 4).as("sim"))
+    assemble(pairs, negativesFor(base))
+  }
+
+  /** The SCALE route for positives: candidates from sign-hyperplane
+    * LSH band collisions WITHIN the label (band keys already encode
+    * the band index; the label joins alongside), verified with the
+    * exact cosine, per-anchor argmax over the candidate set.
+    * Sub-quadratic: pair work ∝ bucket collisions, not class².
+    * Recall-approximate — an anchor whose true nearest neighbor never
+    * shares a band mines a farther positive (or none); mined
+    * positives are always genuine same-label vectors with exact
+    * verified similarity, and `pos_sim ≤` the exact route's by
+    * construction (TripletsSpec pins both properties, plus exact
+    * recovery on planted near-duplicates). Negatives are identical to
+    * [[mine]]'s.
+    */
+  def mineLsh(df: DataFrame, idCol: Column, embCol: Column,
+              labelCol: Column, dim: Int,
+              bands: Int = graft.dedup.EmbeddingDedup.NumBands,
+              bits: Int = graft.dedup.EmbeddingDedup.BitsPerBand,
+              seed: Long = 42L): DataFrame = {
+    val base = prep(df, idCol, embCol, labelCol)
+    val planes = graft.dedup.EmbeddingDedup.hyperplanes(dim, bands, bits, seed)
+    val keys = base.select(col("id"), col("label"),
+      explode(VectorKernels.hyperplaneBandKeys(col("emb"), planes, dim,
+        bands, bits)).as("bk"))
+    val cands = keys.as("a")
+      .join(keys.as("b"), col("a.bk") === col("b.bk")
+        && col("a.label") === col("b.label") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("anchor"), col("a.label").as("label"),
+        col("b.id").as("cand"))
+      .distinct()
+    val pairs = cands
+      .join(base.select(col("id").as("anchor"), col("emb").as("__ea")), "anchor")
+      .join(base.select(col("id").as("cand"), col("emb").as("__eb")), "cand")
+      .select(col("anchor"), col("label"), col("cand"),
+        round(VectorKernels.cosine(col("__ea"), col("__eb")), 4).as("sim"))
+    assemble(pairs, negativesFor(base))
   }
 
   /** DuckDB twin of [[mine]]. */

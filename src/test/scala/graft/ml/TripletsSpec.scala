@@ -59,4 +59,44 @@ class TripletsSpec extends AnyFunSuite with SparkSpec {
       .toMap
     assert(a == b)
   }
+
+  test("LSH route: exact recovery on planted near-duplicates") {
+    // each planted ×2 copy has cosine exactly 1.0 with its original
+    // and identical hyperplane signs — every band collides, so the
+    // copy IS the mined positive, deterministically
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding"), col("label"))
+    val planted = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => (x * lit(2.0f)).cast("float"))
+        .as("embedding"), col("label"))
+    val out = Triplets.mineLsh(emb.unionAll(planted), col("vec_id"),
+        col("embedding"), col("label"), dim = 64, bands = 8, bits = 16)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    emb.select("vec_id").collect().map(_.getLong(0)).foreach { id =>
+      assert(out(id) == (id + 1000000L, 1.0),
+        s"anchor $id did not mine its planted copy: ${out(id)}")
+      assert(out(id + 1000000L) == (id, 1.0))
+    }
+  }
+
+  test("LSH positives never beat the exact route's similarity") {
+    val exact = mined
+    val lsh = Triplets.mineLsh(corpus, col("vec_id"), col("embedding"),
+        col("label"), dim = 3, bands = 16, bits = 2)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4))).toMap
+    val exactSim = Triplets.mine(corpus, col("vec_id"), col("embedding"),
+        col("label")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    lsh.foreach { case (anchor, (label, pos, sim, negId)) =>
+      assert(sim <= exactSim(anchor) + 1e-12,
+        s"anchor $anchor: LSH sim $sim beats exact ${exactSim(anchor)}")
+      assert(exact(anchor)._1 == label)
+      assert(exact(anchor)._3 == negId, "negatives must match the exact route")
+      assert(pos != anchor)
+    }
+  }
 }
