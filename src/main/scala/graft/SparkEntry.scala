@@ -1783,6 +1783,18 @@ object SparkEntry {
       Some(graft.ml.Triplets.mineSql("embeddings", "vec_id", "embedding",
         "label") + " ORDER BY anchor")),
 
+    // Hard-negative variant: the nearest OTHER-label vector per anchor
+    // — the near-miss negatives that actually train an embedding
+    // model. Cross-label pairs are ~M×N, so this is the oracle/small
+    // tier; the scale path flips mineLsh's label constraint (band
+    // collisions across labels)
+    Q("mldata_triplets_hard",
+      (s, dir) => graft.ml.Triplets.mineHard(Tables.embeddings(s, dir),
+          col("vec_id"), col("embedding"), col("label"))
+        .orderBy("anchor"),
+      Some(graft.ml.Triplets.mineHardSql("embeddings", "vec_id", "embedding",
+        "label") + " ORDER BY anchor")),
+
     // Deterministic training order: shard in [0,16) + in-shard
     // position — a reproducible global permutation decoupled from
     // ingest order (no accidental curriculum), re-runnable bit-for-bit

@@ -143,6 +143,79 @@ object Triplets {
     assemble(pairs, negativesFor(base))
   }
 
+  /** HARD negatives: for each anchor, the nearest OTHER-label vector —
+    * the negative that actually moves an embedding model (a random
+    * negative is usually already far; the boundary cases are the
+    * near-miss wrong-label ones). Output adds `neg_sim`.
+    *
+    * EXACT route: the cross-label pair set is nearly the full M×N
+    * (every pair except same-label ones), so this is the oracle/small
+    * tier — the quadratic cost is the problem's nature, and the scale
+    * path is the same LSH trick with the label constraint FLIPPED
+    * (band collisions ACROSS labels), composing exactly like
+    * [[mineLsh]]. Anchors keep a row only if they also have a
+    * same-label positive, mirroring [[mine]].
+    */
+  def mineHard(df: DataFrame, idCol: Column, embCol: Column,
+               labelCol: Column): DataFrame = {
+    val base = prep(df, idCol, embCol, labelCol)
+    val posPairs = base.as("a")
+      .join(base.as("b"),
+        col("a.label") === col("b.label") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("anchor"), col("a.label").as("label"),
+        col("b.id").as("cand"),
+        round(VectorKernels.cosine(col("a.emb"), col("b.emb")), 4).as("sim"))
+    val wPos = Window.partitionBy(col("anchor"))
+      .orderBy(col("sim").desc, col("cand").asc)
+    val pos = posPairs.withColumn("__rn", row_number().over(wPos))
+      .where(col("__rn") === 1)
+      .select(col("anchor"), col("label"),
+        col("cand").as("pos_id"), col("sim").as("pos_sim"))
+    val negPairs = base.as("a")
+      .join(base.as("b"), col("a.label") =!= col("b.label"))
+      .select(col("a.id").as("anchor"), col("b.id").as("cand"),
+        col("b.label").as("neg_label"),
+        round(VectorKernels.cosine(col("a.emb"), col("b.emb")), 4).as("sim"))
+    val wNeg = Window.partitionBy(col("anchor"))
+      .orderBy(col("sim").desc, col("cand").asc)
+    val neg = negPairs.withColumn("__rn", row_number().over(wNeg))
+      .where(col("__rn") === 1)
+      .select(col("anchor"), col("cand").as("neg_id"),
+        col("neg_label"), col("sim").as("neg_sim"))
+    pos.join(neg, "anchor")
+      .select(col("anchor"), col("label"), col("pos_id"), col("pos_sim"),
+        col("neg_id"), col("neg_label"), col("neg_sim"))
+  }
+
+  /** DuckDB twin of [[mineHard]]. */
+  def mineHardSql(table: String, idExpr: String, embExpr: String,
+                  labelExpr: String): String =
+    s"""WITH base AS (
+       |  SELECT CAST($idExpr AS BIGINT) AS id, $embExpr AS emb,
+       |    CAST($labelExpr AS BIGINT) AS label
+       |  FROM $table WHERE $idExpr IS NOT NULL AND $embExpr IS NOT NULL
+       |), pos AS (
+       |  SELECT anchor, label, cand AS pos_id, sim AS pos_sim FROM (
+       |    SELECT a.id AS anchor, a.label AS label, b.id AS cand,
+       |      ${Sql.cosine("a.emb", "b.emb")} AS sim,
+       |      row_number() OVER (PARTITION BY a.id
+       |        ORDER BY ${Sql.cosine("a.emb", "b.emb")} DESC, b.id) AS rn
+       |    FROM base a JOIN base b
+       |      ON a.label = b.label AND a.id <> b.id)
+       |  WHERE rn = 1
+       |), neg AS (
+       |  SELECT anchor, cand AS neg_id, neg_label, sim AS neg_sim FROM (
+       |    SELECT a.id AS anchor, b.id AS cand, b.label AS neg_label,
+       |      ${Sql.cosine("a.emb", "b.emb")} AS sim,
+       |      row_number() OVER (PARTITION BY a.id
+       |        ORDER BY ${Sql.cosine("a.emb", "b.emb")} DESC, b.id) AS rn
+       |    FROM base a JOIN base b ON a.label <> b.label)
+       |  WHERE rn = 1
+       |)
+       |SELECT p.anchor, p.label, p.pos_id, p.pos_sim,
+       |  n.neg_id, n.neg_label, n.neg_sim
+       |FROM pos p JOIN neg n USING (anchor)""".stripMargin
+
   /** DuckDB twin of [[mine]]. */
   def mineSql(table: String, idExpr: String, embExpr: String,
               labelExpr: String): String =

