@@ -206,6 +206,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("Generate"), s"expected one generator:\n$plan")
   }
 
+  test("LSH triplet candidates meet on the band equi-join, never a nested loop") {
+    val emb = Tables.embeddings(spark, dir).where(col("vec_id") < 200)
+    val plan = executed(graft.ml.Triplets.mineLsh(emb, col("vec_id"),
+      col("embedding"), col("label"), dim = 64, bands = 8, bits = 8))
+    assert(!plan.contains("CartesianProduct"),
+      s"LSH candidate generation degenerated to a cross product:\n$plan")
+  }
+
   test("HLL registers aggregate in two phases (map-side partial before the exchange)") {
     val toks = Tables.documents(spark, dir)
       .select(col("lang").as("grp"),
