@@ -7,7 +7,9 @@ import org.apache.spark.sql.functions._
 import graft.oracle.Sql
 import graft.vector.VectorKernels
 
-/** Contrastive-training triplet mining over an embedding corpus —
+/** Contrastive-training triplet mining over an embedding corpus
+  * (triplet losses and (semi-)hard negative selection per Schroff et
+  * al. 2015, FaceNet) —
   * the dataset-preparation step for embedding-model training
   * ((anchor, positive, negative) rows for triplet/InfoNCE losses),
   * fully deterministic so the mined set is reproducible and

@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 
 import graft.oracle.Sql
 
-/** Cross-engine DETERMINISTIC cardinality/frequency sketches — the
+/** Cross-engine DETERMINISTIC cardinality/frequency sketches
+  * (HyperLogLog — Flajolet, Fusy, Gandouet & Meunier 2007; count–min
+  * — Cormode & Muthukrishnan 2005) — the
   * bounded-state summaries a 100 TB curation pass runs instead of
   * exact distinct/frequency shuffles, built so the estimate itself is
   * bit-replayable by the DuckDB oracle (unlike the engine-native

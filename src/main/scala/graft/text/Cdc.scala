@@ -3,7 +3,9 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Content-defined chunking — boundaries decided by the text itself
+/** Content-defined chunking (Muthitacharoen, Chen & Mazieres 2001,
+  * LBFS; the rsync rolling-checksum idea) — boundaries decided by the
+  * text itself
   * (a rolling window hash hitting a residue class), not by fixed
   * offsets. The property that matters for dedup pipelines: an edit
   * only moves the boundaries inside its own neighborhood, so two
