@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+import graft.text.BloomKernel
+
+/** Streaming benchmark-decontamination screen — the admission-time
+  * form of the batch `text_decontaminate_bloom` gate: documents
+  * arriving on a stream are annotated with whether any of their
+  * n-gram shingles appears in a benchmark suite, BEFORE they reach
+  * the training corpus. Contamination caught at ingest costs one
+  * dropped document; caught after training it costs the benchmark.
+  *
+  * Scale design: completely STATELESS — the benchmark's shingle set
+  * is compiled ONCE into a Bloom filter (benchmark-sized, typically
+  * ≪ MB) that ships to executors inside the codegen'd
+  * [[BloomKernel]] predicate; each micro-batch is then a narrow
+  * map + aggregation per document. No state store, no watermark, no
+  * join buffer — the filter is the only cross-batch artifact, and
+  * rebuilding it when the benchmark suite changes is a batch-side
+  * concern. False positives (rate `fpp`) can only over-flag: a
+  * screening decision errs toward quarantine, never toward silently
+  * admitting a contaminated document.
+  */
+object StreamingDecontam {
+
+  /** Compile the benchmark suite's distinct shingle set into a Bloom
+    * filter (batch side, run once per suite version).
+    */
+  def benchmarkFilter(benchmark: DataFrame, textCol: Column, n: Int = 3,
+                      fpp: Double = 0.01): BloomFilter = {
+    val shingles = benchmark
+      .select(explode(array_distinct(
+        graft.dedup.Dedup.shingles(textCol, n))).as("shingle"))
+      .distinct()
+    val count = math.max(shingles.count(), 1L)
+    shingles.stat.bloomFilter(xxhash64(col("shingle")), count, fpp)
+  }
+
+  /** Annotate a document STREAM with per-document flagged-shingle
+    * counts against the compiled benchmark filter. Input carries
+    * (`idCol`, `textCol`); output is (id, n_shingles, n_flagged,
+    * contaminated) per document.
+    *
+    * A pure PROJECTION — the per-document count is a higher-order
+    * `filter` over the shingle array, not an explode + aggregation,
+    * so the query needs no watermark, no output-mode negotiation, and
+    * no state: exactly one output row per input row, append-safe by
+    * construction.
+    */
+  def screen(stream: DataFrame, idCol: Column, textCol: Column,
+             filter: BloomFilter, n: Int = 3): DataFrame =
+    stream
+      .select(idCol.as("id"),
+        array_distinct(graft.dedup.Dedup.shingles(textCol, n)).as("__sh"))
+      .select(col("id"),
+        size(col("__sh")).cast("long").as("n_shingles"),
+        size(org.apache.spark.sql.functions.filter(col("__sh"),
+          s => BloomKernel.mightContainLong(xxhash64(s), filter)))
+          .cast("long").as("n_flagged"))
+      .select(col("id"), col("n_shingles"), col("n_flagged"),
+        (col("n_flagged") > 0L).as("contaminated"))
+}
