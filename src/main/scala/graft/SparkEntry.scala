@@ -1718,6 +1718,42 @@ object SparkEntry {
         "source", "doc_id", "q", "n_tok", maxTokens = 600L,
         selectCols = "doc_id, source, q, n_tok") + " ORDER BY source, doc_id")),
 
+    // Unicode NFC normalization (custom codegen Expression — Spark has
+    // no built-in): composed (U+00E9) and decomposed (e+U+0301) forms
+    // of the same visible text hash apart and silently survive every
+    // hash-keyed dedup stage; normalizing first closes the hole. The
+    // fixture plants both forms by doc_id residue; DuckDB's
+    // nfc_normalize is the twin (same UAX #15 target form)
+    Q("text_nfc_normalize",
+      (s, dir) => {
+        // markers are visually identical but byte-distinct: composed
+        // U+00E9 vs decomposed e + combining U+0301 (unicode escapes
+        // keep editors/tools from silently re-normalizing the source)
+        val marker = when(pmod(col("doc_id"), lit(3)) === 0,
+            lit("caf\u00e9"))
+          .when(pmod(col("doc_id"), lit(3)) === 1, lit("cafe\u0301"))
+          .otherwise(lit("cafe"))
+        val raw = concat(col("text"), marker)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), raw.as("raw"))
+          .select(col("doc_id"),
+            length(col("raw")).as("raw_len"),
+            length(graft.text.UnicodeNorm.nfc(col("raw"))).as("nfc_len"),
+            md5(graft.text.UnicodeNorm.nfc(col("raw"))).as("nfc_md5"),
+            (md5(col("raw")) =!= md5(graft.text.UnicodeNorm.nfc(col("raw"))))
+              .as("changed"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, length(raw) AS raw_len,
+             | length(nfc_normalize(raw)) AS nfc_len,
+             | md5(nfc_normalize(raw)) AS nfc_md5,
+             | md5(raw) <> md5(nfc_normalize(raw)) AS changed
+             |FROM (SELECT doc_id, text || CASE doc_id % 3
+             |  WHEN 0 THEN 'caf' || chr(233)
+             |  WHEN 1 THEN 'cafe' || chr(769)
+             |  ELSE 'cafe' END AS raw FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
     // Content-defined chunking (the rsync/LBFS boundary trick): chunk
     // ends where the rolling 8-char hash ≡ 0 mod 64, so an edit moves
     // only its neighborhood's boundaries and unchanged regions keep
