@@ -60,9 +60,10 @@ object Bpe {
     * histogram-sized jobs (count + argmax); the corpus is never
     * rescanned.
     */
-  def trainMerges(docs: DataFrame, textCol: Column, steps: Int): DataFrame = {
-    require(steps > 0 && steps <= 64,
-      "steps must be in [1, 64] (each step adds a round to the lineage)")
+  def trainMerges(docs: DataFrame, textCol: Column, steps: Int,
+                  checkpointEvery: Int = 16): DataFrame = {
+    require(steps > 0, "steps must be positive")
+    require(checkpointEvery > 0, "checkpointEvery must be positive")
     val spark = docs.sparkSession
     var words = wordHistogram(docs, textCol)
       .select(wrapChars(col("word")).as("w"), col("cnt"))
@@ -85,6 +86,11 @@ object Bpe {
         words = words.withColumn("w",
           replace(col("w"), lit(SEP + l + SEP + SEP + r + SEP),
             lit(SEP + l + r + SEP)))
+        // Real vocabularies need tens of thousands of rounds: cut the
+        // chained-replace lineage (and re-shrink the Tungsten plan) on a
+        // fixed cadence so per-round cost stays flat instead of growing
+        // with the merge index.
+        if (step % checkpointEvery == 0) words = words.localCheckpoint(true)
         step += 1
       }
     }
@@ -132,7 +138,7 @@ object Bpe {
   def trainMergesSql(table: String, textExpr: String, steps: Int): String = {
     require(steps > 0 && steps <= 64, "steps must be in [1, 64]")
     val out = (1 to steps)
-      .map(t => s"""SELECT $t AS step, l AS "left", r AS "right", merged, total AS pair_count FROM b$t""")
+      .map(t => s"""SELECT $t AS step, l AS "left", r AS "right", merged, CAST(total AS BIGINT) AS pair_count FROM b$t""")
       .mkString("\nUNION ALL ")
     s"""WITH ${trainMergesSqlCtes(table, textExpr, steps)}
        |SELECT CAST(step AS INTEGER) AS step, "left", "right", merged, pair_count

@@ -66,4 +66,60 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     val out = merges(d, 1)
     assert(out(0) == (1, "a", "b", "ab", 3L)) // the U+001F words dropped
   }
+
+  /** In-memory replay of the engine's exact algorithm over a word
+    * histogram: same wrapped-string representation, same leftmost
+    * non-overlapping `String.replace`, same (count desc, then lex
+    * (l, r)) argmax. ASCII fixture so Scala char order == UTF8 binary
+    * order.
+    */
+  private def refTrain(hist0: Map[String, Long],
+                       steps: Int): Seq[(Int, String, String, String, Long)] = {
+    val SEP = "\u001F"
+    def wrap(w: String) = w.map(c => s"$SEP$c$SEP").mkString
+    var hist: Seq[(String, Long)] =
+      hist0.toSeq.map { case (w, c) => wrap(w) -> c }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= steps && !done) {
+      val pairs = scala.collection.mutable.Map
+        .empty[(String, String), Long].withDefaultValue(0L)
+      for ((w, c) <- hist) {
+        val toks = w.substring(1, w.length - 1).split(SEP + SEP, -1)
+        var i = 0
+        while (i < toks.length - 1) {
+          pairs((toks(i), toks(i + 1))) += c; i += 1
+        }
+      }
+      if (pairs.isEmpty) done = true
+      else {
+        val ((l, r), total) =
+          pairs.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((step, l, r, l + r, total))
+        val (pat, rep) = (SEP + l + SEP + SEP + r + SEP, SEP + l + r + SEP)
+        hist = hist.map { case (w, c) => w.replace(pat, rep) -> c }
+        step += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("256 deep merges match an in-memory replay (checkpoint cadence 16)") {
+    // Synthetic vocabulary rich enough to sustain 256 distinct merges:
+    // ~220 fixed-seed words of length 6-10 over a-j with cycling counts.
+    val rnd = new scala.util.Random(42)
+    val vocab = Seq.tabulate(220) { i =>
+      val len = 6 + rnd.nextInt(5)
+      val w = Seq.fill(len)(('a' + rnd.nextInt(10)).toChar).mkString
+      (w, (i % 37) + 1L)
+    }.toMap // dedup collisions; counts deterministic per surviving word
+    val text = vocab.toSeq.sortBy(_._1)
+      .flatMap { case (w, c) => Seq.fill(c.toInt)(w) }.mkString(" ")
+    val expected = refTrain(vocab, 256)
+    assert(expected.size == 256, s"fixture exhausted at ${expected.size}")
+    val got = merges(docs(text), 256).toSeq
+    assert(got == expected)
+  }
 }
