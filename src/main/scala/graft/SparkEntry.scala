@@ -1831,6 +1831,50 @@ object SparkEntry {
       Some(graft.ml.Triplets.mineHardSql("embeddings", "vec_id", "embedding",
         "label") + " ORDER BY anchor")),
 
+    // Hard-negative mining, LSH SCALE tier, under its exactness dial:
+    // corpus = embeddings ∪ same-label ×2 copies ∪ other-label ×4
+    // copies (power-of-two scaling is float-exact, so every copy has
+    // cosine exactly 1.0 with its original and identical hyperplane
+    // signs — all bands collide deterministically). Each original
+    // anchor's positive AND hardest negative are therefore its planted
+    // copies, so the exact-route oracle replays the LSH route verbatim
+    // (dedup_embedding_lsh's trick, both sides of the triplet).
+    // Probabilistic-recall behavior at genuine near-miss geometry is
+    // pinned by TripletsSpec instead.
+    Q("mldata_triplets_hard_lsh",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+          .select(col("vec_id").cast("long").as("vid"), col("embedding"),
+            col("label").cast("long").as("label"))
+        val same = emb.select((col("vid") + 1000000L).as("vid"),
+          transform(col("embedding"), x => (x * lit(2.0f)).cast("float"))
+            .as("embedding"), col("label"))
+        val cross = emb.select((col("vid") + 2000000L).as("vid"),
+          transform(col("embedding"), x => (x * lit(4.0f)).cast("float"))
+            .as("embedding"), (col("label") + 1000L).as("label"))
+        graft.ml.Triplets.mineHardLsh(emb.unionAll(same).unionAll(cross),
+            col("vid"), col("embedding"), col("label"),
+            dim = 64, bands = 8, bits = 16)
+          .where(col("anchor") < 1000000L)
+          .orderBy("anchor")
+      },
+      Some {
+        val corpus =
+          """(SELECT CAST(vec_id AS BIGINT) AS vid, embedding,
+            |   CAST(label AS BIGINT) AS label FROM embeddings
+            | UNION ALL
+            | SELECT CAST(vec_id + 1000000 AS BIGINT),
+            |   list_transform(embedding, x -> CAST(x * CAST(2.0 AS FLOAT) AS FLOAT)),
+            |   CAST(label AS BIGINT) FROM embeddings
+            | UNION ALL
+            | SELECT CAST(vec_id + 2000000 AS BIGINT),
+            |   list_transform(embedding, x -> CAST(x * CAST(4.0 AS FLOAT) AS FLOAT)),
+            |   CAST(label + 1000 AS BIGINT) FROM embeddings) c""".stripMargin
+        s"""SELECT * FROM (
+           |${graft.ml.Triplets.mineHardSql(corpus, "vid", "embedding", "label")}
+           |) WHERE anchor < 1000000 ORDER BY anchor""".stripMargin
+      }),
+
     // Deterministic training order: shard in [0,16) + in-shard
     // position — a reproducible global permutation decoupled from
     // ingest order (no accidental curriculum), re-runnable bit-for-bit

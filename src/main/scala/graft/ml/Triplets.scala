@@ -189,6 +189,69 @@ object Triplets {
         col("neg_id"), col("neg_label"), col("neg_sim"))
   }
 
+  /** The SCALE route for HARD negatives — [[mineLsh]]'s trick with the
+    * label constraint FLIPPED, exactly as [[mineHard]]'s doc promises:
+    * negative candidates come from hyperplane-band collisions ACROSS
+    * labels (near-miss wrong-label vectors land in the same buckets
+    * precisely because they are angularly close), positives from
+    * same-label collisions; both sides exact-cosine verified with a
+    * per-anchor argmax. Pair work ∝ bucket collisions, not M×N.
+    *
+    * Recall-approximate on BOTH sides: an anchor whose true hardest
+    * negative never shares a band mines a softer negative (`neg_sim ≤`
+    * the exact route's, and `pos_sim ≤` likewise — TripletsSpec pins
+    * both, plus recovery of planted near-miss negatives). Mined rows
+    * are always genuine (other-label negative, same-label positive)
+    * with exact verified similarities. Cosine-1.0 candidates are
+    * mined DETERMINISTICALLY: parallel vectors produce identical
+    * hyperplane signs, so every band collides — the exactness dial the
+    * declared oracle gate runs on (planted scaled copies, same trick
+    * as `dedup_embedding_lsh`).
+    */
+  def mineHardLsh(df: DataFrame, idCol: Column, embCol: Column,
+                  labelCol: Column, dim: Int,
+                  bands: Int = graft.dedup.EmbeddingDedup.NumBands,
+                  bits: Int = graft.dedup.EmbeddingDedup.BitsPerBand,
+                  seed: Long = 42L): DataFrame = {
+    val base = prep(df, idCol, embCol, labelCol)
+    val planes = graft.dedup.EmbeddingDedup.hyperplanes(dim, bands, bits, seed)
+    val keys = base.select(col("id"), col("label"),
+      explode(VectorKernels.hyperplaneBandKeys(col("emb"), planes, dim,
+        bands, bits)).as("bk"))
+    def verified(cands: DataFrame): DataFrame = cands
+      .join(base.select(col("id").as("anchor"), col("emb").as("__ea")), "anchor")
+      .join(base.select(col("id").as("cand"), col("emb").as("__eb")), "cand")
+      .withColumn("sim",
+        round(VectorKernels.cosine(col("__ea"), col("__eb")), 4))
+    val posCands = keys.as("a")
+      .join(keys.as("b"), col("a.bk") === col("b.bk")
+        && col("a.label") === col("b.label") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("anchor"), col("a.label").as("label"),
+        col("b.id").as("cand"))
+      .distinct()
+    val wPos = Window.partitionBy(col("anchor"))
+      .orderBy(col("sim").desc, col("cand").asc)
+    val pos = verified(posCands).withColumn("__rn", row_number().over(wPos))
+      .where(col("__rn") === 1)
+      .select(col("anchor"), col("label"),
+        col("cand").as("pos_id"), col("sim").as("pos_sim"))
+    val negCands = keys.as("a")
+      .join(keys.as("b"), col("a.bk") === col("b.bk")
+        && col("a.label") =!= col("b.label"))
+      .select(col("a.id").as("anchor"), col("b.id").as("cand"),
+        col("b.label").as("neg_label"))
+      .distinct()
+    val wNeg = Window.partitionBy(col("anchor"))
+      .orderBy(col("sim").desc, col("cand").asc)
+    val neg = verified(negCands).withColumn("__rn", row_number().over(wNeg))
+      .where(col("__rn") === 1)
+      .select(col("anchor"), col("cand").as("neg_id"),
+        col("neg_label"), col("sim").as("neg_sim"))
+    pos.join(neg, "anchor")
+      .select(col("anchor"), col("label"), col("pos_id"), col("pos_sim"),
+        col("neg_id"), col("neg_label"), col("neg_sim"))
+  }
+
   /** DuckDB twin of [[mineHard]]. */
   def mineHardSql(table: String, idExpr: String, embExpr: String,
                   labelExpr: String): String =

@@ -31,9 +31,11 @@ import org.apache.spark.sql.functions._
   * `localCheckpoint`ed: it is read `iters` times, and each read would
   * otherwise re-run the (possibly expensive) edge-mining plan; the
   * checkpoint also truncates the growing per-iteration lineage at its
-  * root. At 100 TB scale, also checkpoint `ranks` every ~5 rounds —
-  * iteration count here is small and fixed, so per-round rank
-  * checkpoints are not worth their materialization cost.
+  * root. `ranks` itself is checkpointed every `checkpointEvery`
+  * rounds (and the previous rank checkpoint's blocks dropped), so the
+  * join-agg lineage never grows past the cadence — deep iteration
+  * counts run at flat per-round cost instead of re-planning an
+  * ever-taller tree.
   */
 object PageRank {
 
@@ -42,15 +44,19 @@ object PageRank {
     * @return (id, rank) for every node incident to an edge, rank in
     *         millionths (long).
     */
-  def pagerank(edges: DataFrame, iters: Int = 5): DataFrame = {
-    require(iters >= 1 && iters <= 50, s"iters must be 1..50, got $iters")
+  def pagerank(edges: DataFrame, iters: Int = 5,
+               checkpointEvery: Int = 5): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be >= 1, got $checkpointEvery")
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
     // materialize (src, dst, deg) once; re-read per iteration
     val symDeg = sym.join(deg, "src").localCheckpoint()
     var ranks = deg.select(col("src").as("id"), lit(1000000L).as("rank"))
-    for (_ <- 1 to iters) {
+    var prevCkpt: Option[DataFrame] = None
+    for (t <- 1 to iters) {
       ranks = symDeg
         .join(ranks, symDeg("src") === ranks("id"))
         .select(col("dst"),
@@ -58,6 +64,15 @@ object PageRank {
         .groupBy("dst")
         .agg((lit(150000L) + sum(col("contrib"))).as("rank"))
         .select(col("dst").as("id"), col("rank"))
+      if (t % checkpointEvery == 0 && t < iters) {
+        val ck = ranks.localCheckpoint() // eager: materialized now
+        // the previous rank checkpoint can no longer be read — drop
+        // its blocks instead of holding every cadence's ranks in the
+        // block manager for the session's lifetime
+        prevCkpt.foreach(org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint)
+        prevCkpt = Some(ck)
+        ranks = ck
+      }
     }
     ranks
   }

@@ -203,18 +203,23 @@ object Sketches {
 
   /** Point estimates for `probes` (a frame with a `term` column):
     * cms_n = min over the d rows of the probed counter — the classic
-    * CM upper bound, exact integers end-to-end. The sketch side
-    * aggregates the corpus; the probe side is a broadcast-size join
-    * against d·|probes| rows.
+    * CM upper bound, exact integers end-to-end, for ARBITRARY probe
+    * terms: a probed bucket the corpus never touched reads as counter
+    * 0 (probes LEFT-join the sketch; an inner join would drop or
+    * collision-inflate absent terms and break the 'min over d
+    * counters, never an undercount' contract). The sketch is d·w ≤
+    * 16384 rows by construction — broadcast it; the probe side stays
+    * distributed at any probe count.
     */
   def cmsEstimate(df: DataFrame, keyCol: Column, probes: DataFrame): DataFrame = {
     val probed = probes.select(col("term"),
       posexplode(cmsBuckets(col("term"))).as(Seq("depth", "bucket")))
-    cmsSketch(df, keyCol).as("s")
-      .join(broadcast(probed).as("p"),
-        col("s.depth") === col("p.depth") && col("s.bucket") === col("p.bucket"))
+    probed.as("p")
+      .join(broadcast(cmsSketch(df, keyCol)).as("s"),
+        col("s.depth") === col("p.depth") && col("s.bucket") === col("p.bucket"),
+        "left")
       .groupBy(col("p.term").as("term"))
-      .agg(min(col("s.n")).as("cms_n"))
+      .agg(min(coalesce(col("s.n"), lit(0L))).as("cms_n"))
   }
 
   /** DuckDB twin of [[cmsEstimate]] joined back with exact counts:
@@ -242,8 +247,8 @@ object Sketches {
        |), pb AS (
        |    $probeBuckets
        |), est AS (
-       |  SELECT pb.term, min(s.n) AS cms_n
-       |  FROM pb JOIN sketch s ON s.depth = pb.depth AND s.bucket = pb.bucket
+       |  SELECT pb.term, min(coalesce(s.n, 0)) AS cms_n
+       |  FROM pb LEFT JOIN sketch s ON s.depth = pb.depth AND s.bucket = pb.bucket
        |  GROUP BY 1
        |)
        |SELECT e.term, CAST(e.exact_n AS BIGINT) AS exact_n,

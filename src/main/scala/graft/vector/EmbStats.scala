@@ -22,13 +22,15 @@ import org.apache.spark.sql.functions._
   * max|x| = 2 and scale = 1e4 that stays inside decimal(38,0) for
   * N < ~10¹³ rows — past any corpus this engine targets.
   *
-  * Scale shape: ONE pass over the corpus. Each row explodes to its
-  * upper-triangle outer product (d(d+1)/2 entries) plus d first-moment
-  * sentinels, feeding a partial hash aggregate IN THE SAME STAGE — the
-  * shuffle carries only ~d²/2 rows per map partition, never the
-  * exploded stream. The d²-bounded covariance then trains the top
-  * eigenvector driver-side (power iteration; bounded by construction
-  * exactly like the IVF/PQ codebooks in [[Ann]]/[[Quantize]]), and the
+  * Scale shape: ONE pass over the corpus through a single primitive
+  * aggregate ([[MomentSumsAgg]]): per row, a tight upper-triangle loop
+  * into a `long[]` accumulator — no exploded struct stream, no
+  * per-entry hash-aggregate probes (the explode form this replaced is
+  * ~1.18M generated rows per document at dim 1536) — and the shuffle
+  * carries exactly one d²-bounded partial buffer per map partition.
+  * The d²-bounded covariance then trains the top eigenvector
+  * driver-side (power iteration; bounded by construction exactly like
+  * the IVF/PQ codebooks in [[Ann]]/[[Quantize]]), and the
   * corpus-scale APPLY step ([[pcaProject]]) is a narrow map against
   * the broadcast component.
   */
@@ -53,19 +55,28 @@ object EmbStats extends Serializable {
     */
   private def momentSums(df: DataFrame, embCol: Column, dim: Int,
                          scale: Int): DataFrame = {
-    val qe = quantized(embCol, scale)
-    val entries = flatten(transform(sequence(lit(1), lit(dim)), i =>
-      concat(
-        array(struct(i.as("i"), lit(0).as("j"), element_at(col("__qe"), i).as("v"))),
-        transform(sequence(i, lit(dim)), j =>
-          struct(i.as("i"), j.as("j"),
-            (element_at(col("__qe"), i) * element_at(col("__qe"), j)).as("v"))))))
-    df.where(embCol.isNotNull && size(embCol) === dim)
-      .select(qe.as("__qe"))
-      .select(explode(entries).as("p"))
-      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
-      .agg(sum(col("p.v").cast("decimal(38,0)")).as("s"),
-        count(lit(1)).as("n"))
+    val spark = df.sparkSession
+    val buf = df.where(embCol.isNotNull && size(embCol) === dim)
+      .select(quantized(embCol, scale).as("__qe"))
+      .agg(MomentAgg.momentSums(col("__qe"), dim).as("__b"))
+    // corpus-independent (i, j) index frame over the buffer layout:
+    // j = 0 carries the first-moment sentinel, j ≥ i the upper
+    // triangle — the same output domain as the explode form this
+    // replaced, derived from one dim²-bounded generator task
+    val idx = spark.range(1, dim + 1)
+      .select(col("id").cast("int").as("i"),
+        explode(concat(array(lit(0)),
+          sequence(col("id").cast("int"), lit(dim)))).as("j"))
+    val slot = when(col("j") === 0, col("i").cast("long"))
+      .otherwise(lit((dim + 1).toLong)
+        + (col("i") - 1).cast("long") * (dim + 1)
+        - (col("i") - 1).cast("long") * col("i") / 2
+        + (col("j") - col("i")).cast("long"))
+    idx.crossJoin(broadcast(buf))
+      .select(col("i"), col("j"),
+        element_at(col("__b"), (slot + 1).cast("int")).as("s"),
+        element_at(col("__b"), 1).cast("long").as("n"))
+      .where(col("n") > 0) // empty corpus → empty output, like groupBy
   }
 
   /** Population covariance matrix, upper triangle: `(i, j, cov)` for

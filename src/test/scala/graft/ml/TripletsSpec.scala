@@ -100,6 +100,66 @@ class TripletsSpec extends AnyFunSuite with SparkSpec {
     assert(!m.contains(20L))
   }
 
+  test("hard-LSH route: similarities never beat the exact route; rows genuine") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"),
+        col("label").cast("long").as("label"))
+    val exact = Triplets.mineHard(emb, col("vec_id"), col("embedding"),
+        col("label")).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3), r.getDouble(6))).toMap
+    val labels = emb.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val lsh = Triplets.mineHardLsh(emb, col("vec_id"), col("embedding"),
+        col("label"), dim = 64, bands = 8, bits = 4)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (a, (label, posId, posSim, negId, negLabel, negSim)) =>
+      val (ePos, eNeg) = exact(a)
+      assert(posSim <= ePos + 1e-12, s"anchor $a: LSH pos $posSim beats $ePos")
+      assert(negSim <= eNeg + 1e-12, s"anchor $a: LSH neg $negSim beats $eNeg")
+      assert(labels(posId) == label, s"anchor $a positive crosses labels")
+      assert(labels(negId) == negLabel && negLabel != label,
+        s"anchor $a negative is not other-label")
+    }
+  }
+
+  test("hard-LSH route: planted near-miss negatives are recovered") {
+    // each planted ×4 copy under a DIFFERENT label is its original's
+    // true hardest negative (cosine exactly 1.0) and shares every
+    // hyperplane sign — all bands collide, recovery is deterministic.
+    // Same-label ×2 copies ride along so every anchor also has a
+    // deterministic positive (rows need both sides, like mineHard)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"),
+        col("label").cast("long").as("label"))
+    val same = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => (x * lit(2.0f)).cast("float"))
+        .as("embedding"), col("label"))
+    val cross = emb.select((col("vec_id") + 2000000L).as("vec_id"),
+      transform(col("embedding"), x => (x * lit(4.0f)).cast("float"))
+        .as("embedding"), (col("label") + 1000L).as("label"))
+    val out = Triplets.mineHardLsh(emb.unionAll(same).unionAll(cross),
+        col("vec_id"), col("embedding"), col("label"),
+        dim = 64, bands = 8, bits = 16)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(4), r.getDouble(6)))
+      .toMap
+    emb.select("vec_id").collect().map(_.getLong(0)).foreach { id =>
+      val (posId, negId, negSim) = out(id)
+      assert(posId == id + 1000000L && negId == id + 2000000L && negSim == 1.0,
+        s"anchor $id did not mine its planted copies: ${out(id)}")
+    }
+  }
+
+  test("hard-LSH plan has no cross-label NLJ or cartesian product") {
+    val plan = Triplets.mineHardLsh(corpus, col("vec_id"), col("embedding"),
+        col("label"), dim = 3, bands = 4, bits = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("LSH positives never beat the exact route's similarity") {
     val exact = mined
     val lsh = Triplets.mineLsh(corpus, col("vec_id"), col("embedding"),

@@ -45,6 +45,21 @@ class PageRankSpec extends AnyFunSuite with SparkSpec {
     assert(once == reference(e, 4))
   }
 
+  test("deep iteration (20 rounds): exact, and lineage bounded by the cadence") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (4L, 5L), (5L, 6L), (2L, 6L))
+    val df = PageRank.pagerank(e.toDF("id_a", "id_b"), iters = 20,
+      checkpointEvery = 5)
+    // rank checkpoints at t = 5/10/15 truncate the plan: the final
+    // lineage holds only the last 5 join-agg rounds, not all 20
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.size
+    assert(joins <= 5, s"expected <= 5 joins in the post-checkpoint lineage, got $joins")
+    val out = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == reference(e, 20))
+  }
+
   test("pagerank rejects out-of-range iteration counts") {
     import spark.implicits._
     intercept[IllegalArgumentException] {

@@ -64,6 +64,25 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("CMS probes absent from the corpus estimate 0, not min-over-collisions") {
+    // an absent term's buckets may still carry collision counts from
+    // corpus terms; any EMPTY bucket must read as counter 0, making
+    // the min-over-depth estimate 0 (the correct CMS answer), and the
+    // probe row must survive the join
+    val rows = (0 until 50).flatMap(i => Seq.fill(50 - i)(s"t$i")).toDF("key")
+    val probes = Seq("t0", "never-in-corpus-1", "never-in-corpus-2").toDF("term")
+    val est = Sketches.cmsEstimate(rows, col("key"), probes)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet ==
+      Set("t0", "never-in-corpus-1", "never-in-corpus-2"))
+    assert(est("t0") == 50L)
+    // 500 tokens in 4×4096 counters: odds of ALL 4 of an absent term's
+    // buckets colliding are negligible; these fixed probes hit an
+    // empty bucket and must estimate exactly 0
+    assert(est("never-in-corpus-1") == 0L, est.toString)
+    assert(est("never-in-corpus-2") == 0L, est.toString)
+  }
+
   test("CMS sketch is bounded by depth×width rows") {
     val rows = (0 until 20000).map(i => s"u$i").toDF("key")
     val n = Sketches.cmsSketch(rows, col("key")).count()

@@ -55,6 +55,35 @@ class EmbStatsSpec extends AnyFunSuite with SparkSpec {
     assert(clean.map(_.getDouble(2)).toSeq == fromDirty.map(_.getDouble(2)).toSeq)
   }
 
+  test("dim-1536 covariance: primitive aggregate, no corpus-row explosion") {
+    import spark.implicits._
+    val d = 1536
+    // deterministic small corpus at the reference's real ada-002 width
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(20) { k =>
+      (k.toLong, Array.tabulate(d)(i => (rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val df = rows.toDF("id", "emb")
+    val cov = EmbStats.covariance(df, col("emb"), d)
+    // plan gate: moments come from the single primitive aggregate, not
+    // a per-row Generate over the corpus (the only Generate allowed is
+    // the corpus-independent dim²-bounded index frame over range())
+    val plan = cov.queryExecution.executedPlan.toString
+    assert(plan.contains("moment_sums"), plan.take(2000))
+    val spotChecks = cov.where(col("i") === col("j") && col("i") <= 3)
+      .orderBy("i").collect()
+    val n = rows.length
+    spotChecks.foreach { r =>
+      val i = r.getInt(0) - 1
+      val xs = rows.map(_._2(i).toDouble)
+      val mean = xs.sum / n
+      val naive = xs.map(x => (x - mean) * (x - mean)).sum / n
+      assert(math.abs(r.getDouble(2) - naive) < 1e-3,
+        s"var($i): ${r.getDouble(2)} vs $naive")
+    }
+    assert(cov.count() == d.toLong * (d + 1) / 2)
+  }
+
   test("pcaTop recovers the planted dominant direction, sign-fixed positive") {
     val out = EmbStats.pcaTop(vecs, col("emb"), dim).orderBy("i").collect()
     val v = out.map(_.getAs[Double]("v"))
