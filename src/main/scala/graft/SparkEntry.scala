@@ -10,10 +10,10 @@ import graft.dedup.{Components, Dedup, EmbeddingDedup, SemDedup}
 import graft.operators.{GapFill, PageRank, Skew, Splits}
 import graft.oracle.Sql
 import graft.search.{Hybrid, Mmr}
-import graft.sources.Tables
+import graft.sources.{BinaryDocs, PdfFixture, Tables}
 import graft.stats.WinStats
 import graft.text.{Bpe, ChunkPacker, TextAnalysis}
-import graft.vector.{Ann, BlockMatrix, Distance, EmbStats, GroupedTopK, Knn, Quantize}
+import graft.vector.{Ann, BlockMatrix, Distance, EmbStats, GroupedTopK, Knn, Quantize, VectorKernels}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -79,6 +79,86 @@ object SparkEntry {
               | s.invalid_decisions, s.result_count
               |FROM (${Sql.top5AtLevel(3)}) t, (${Sql.winStats(Sql.top5AtLevel(3))}) s
               |ORDER BY t.score, t.file_id""".stripMargin)),
+
+    // The flagship pipeline re-run END-TO-END from PDF BYTES: generated
+    // twin PDFs (sources/PdfFixture) → S1 page-tree/Flate extraction →
+    // F1 paragraph split + F2 greedy pack → C1 decision cascade → F4
+    // deterministic embeddings → KNN (each file's nearest neighbor is
+    // its content twin at cosine exactly 1.0 — identical text, identical
+    // hash vectors) → A1-A3 win stats. The oracle replays everything
+    // downstream of extraction from the parquet the fixture writes, so
+    // a drift anywhere in extract→chunk→classify→search→aggregate
+    // breaks the hash — closing S1's spec-only seam.
+    Q("flagship_from_pdfs",
+      (s, dir) => {
+        val pdfDir = PdfFixture.ensure(s)
+        val docs = BinaryDocs.scanPdfDir(s, pdfDir).toDF()
+        val emb = graft.embed.DeterministicEmbedder(dim = 16)
+        val chunks = ChunkPacker.chunkDocuments(s, docs,
+            "file_name", "text", maxWords = PdfFixture.MaxWords)
+          .groupBy(col("key").as("file_name"))
+          .agg(count(lit(1)).as("n_chunks"))
+        val scored = docs.select(col("file_name"), col("file_id"),
+          col("text"), Cascades.decision(col("text")).as("case_decision"),
+          emb.embed(col("text")).as("__v"))
+        val w = Window.partitionBy(col("file_name"))
+          .orderBy(col("top_score").desc, col("cand").asc)
+        val top1 = scored.as("l")
+          .join(scored.as("r"), col("l.file_name") =!= col("r.file_name"))
+          .select(col("l.file_name").as("file_name"),
+            col("r.file_name").as("cand"),
+            round(VectorKernels.cosine(col("l.__v"), col("r.__v")), 4)
+              .as("top_score"))
+          .withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1)
+          .select(col("file_name"), col("cand").as("top_match"),
+            col("top_score"))
+        val stats = WinStats.over(scored, col("case_decision"))
+        scored.select("file_name", "file_id", "case_decision")
+          .join(chunks, "file_name").join(top1, "file_name")
+          .crossJoin(broadcast(stats))
+          .orderBy("file_name")
+      },
+      Some {
+        val ws = "' ' || chr(10) || chr(9) || chr(13)"
+        val decRel = s"SELECT ${Cascades.decisionSql("text")} AS case_decision " +
+          s"FROM '${PdfFixture.ExtractedParquet}/*.parquet'"
+        s"""WITH pdocs AS (
+           |  SELECT file_name, file_id, text
+           |  FROM '${PdfFixture.ExtractedParquet}/*.parquet'
+           |), paras AS (
+           |  SELECT file_name,
+           |    trim(string_split(text, chr(10) || chr(10))[1], $ws) AS p1,
+           |    trim(string_split(text, chr(10) || chr(10))[2], $ws) AS p2
+           |  FROM pdocs
+           |), chunks AS (
+           |  -- the F2 greedy fold on two sub-budget paragraphs: one
+           |  -- chunk if they merge under the glued-word count (the
+           |  -- reference concatenates without a separator), else two
+           |  SELECT file_name,
+           |    CAST(CASE WHEN len(regexp_extract_all(p1 || p2, '\\S+'))
+           |      < ${PdfFixture.MaxWords} THEN 1 ELSE 2 END AS BIGINT) AS n_chunks
+           |  FROM paras
+           |), dec AS (
+           |  SELECT file_name, file_id,
+           |    ${Cascades.decisionSql("text")} AS case_decision
+           |  FROM pdocs
+           |), twin AS (
+           |  SELECT a.file_name, min(b.file_name) AS top_match,
+           |    CAST(1.0 AS DOUBLE) AS top_score
+           |  FROM pdocs a JOIN pdocs b
+           |    ON b.text = a.text AND b.file_name <> a.file_name
+           |  GROUP BY 1
+           |)
+           |SELECT d.file_name, d.file_id, d.case_decision, c.n_chunks,
+           |  t.top_match, t.top_score,
+           |  s.win_count, s.total_valid_decisions, s.win_percentage,
+           |  s.invalid_decisions, s.result_count
+           |FROM dec d
+           |JOIN chunks c USING (file_name)
+           |JOIN twin t USING (file_name), (${Sql.winStats(decRel)}) s
+           |ORDER BY d.file_name""".stripMargin
+      }),
 
     // F5: representative embedding = first chunk per group
     // (extract_and_search.py:73-91); rep_norm proves the vector rode along
@@ -304,6 +384,40 @@ object SparkEntry {
         .groupBy("bucket", "event_type")
         .agg(count(lit(1)).as("n"))
         .orderBy("bucket", "event_type"),
+      Some("""SELECT epoch_ns(ts) // 600000000000 AS bucket, event_type, count(*) AS n
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // The SAME 10-minute bucketing through Structured Streaming: the
+    // events table replays through a MemoryStream into the watermarked
+    // windowed aggregation (streaming/StreamingIngest
+    // .windowedEventCounts), run to completion in complete mode.
+    // Tumbling windows align to the epoch and the fixture timestamps
+    // are µs-aligned (timestamp_micros is lossless on them), so
+    // window.start // 600s IS q_events_time_buckets' bucket — the
+    // first streaming route under the DuckDB hash gate, not just
+    // MemoryStream-vs-batch spec equality.
+    Q("streaming_events_time_buckets",
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val rows = Tables.events(s, dir)
+          .select(col("ts"), col("event_type"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        val ms = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        ms.addData(rows)
+        val streamed = graft.streaming.StreamingIngest.windowedEventCounts(
+          ms.toDS().toDF("ts_ns", "event_type"),
+          timestamp_micros(expr("ts_ns div 1000")), col("event_type"))
+        val qName = "graft_streaming_time_buckets"
+        val q = streamed.writeStream.format("memory").queryName(qName)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(qName)
+          .select(expr("unix_timestamp(window.start) div 600").as("bucket"),
+            col("event_type"), col("count").as("n"))
+          .orderBy("bucket", "event_type")
+      },
       Some("""SELECT epoch_ns(ts) // 600000000000 AS bucket, event_type, count(*) AS n
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
@@ -1963,14 +2077,46 @@ object SparkEntry {
         Enrich.containmentContentSql("doc_id"),
         minContainment = 0.8) + " ORDER BY id_a, id_b")),
 
-    // MinHash+LSH near-dup pairs — the sub-quadratic scale path
-    // (xxhash64 signatures have no DuckDB twin → rows-only; recall vs the
-    // exact baseline is pinned by DedupSpec)
+    // MinHash+LSH near-dup pairs — the sub-quadratic scale path.
+    // xxhash64 signatures have no DuckDB twin, so the declared output
+    // is the route's QUALITY GATE instead of raw pairs (the
+    // q_approx_sketches trick), asserting exactly the contracts that
+    // are DETERMINISTIC for the 8-band × 8-row geometry: (1) precision
+    // — every emitted pair is exact-Jaccard verified, so LSH ⊆ exact;
+    // (2) identical-shingle-set pairs (J = 1.0) have identical
+    // signatures and collide in EVERY band, so their recall is exactly
+    // 1. Pairs near the J = 0.5 floor are recalled at the geometry's
+    // S-curve rate — the curve centers at (1/8)^(1/8) ≈ 0.77, which is
+    // the design point, not a defect — so no fixed recall bound over
+    // [0.5, 0.77) pairs is honest; the verified-threshold sibling
+    // dedup_minhash_verified stays the full per-pair hash gate there.
+    // The oracle recomputes both pair counts from its exact
+    // inverted-index Jaccard.
     Q("dedup_minhash_lsh",
-      (s, dir) => Dedup.minhashPairs(Tables.documents(s, dir),
-          col("doc_id"), Enrich.dedupContent(col("text"), col("doc_id")))
-        .orderBy("id_a", "id_b"),
-      None),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val content = Enrich.dedupContent(col("text"), col("doc_id"))
+        val lsh = Dedup.minhashPairs(docs, col("doc_id"), content)
+          .select(col("id_a"), col("id_b"), lit(1).as("__l"))
+        val exact = Dedup.ngramJaccardPairs(docs, col("doc_id"), content)
+          .select(col("id_a"), col("id_b"), col("jaccard"), lit(1).as("__e"))
+        exact.join(lsh, Seq("id_a", "id_b"), "full")
+          .agg(count(col("__e")).as("__n_exact"),
+            count(when(col("jaccard") === 1.0d, 1)).as("__n_identical"),
+            count(when(col("jaccard") === 1.0d && col("__l").isNotNull, 1))
+              .as("__n_identical_found"),
+            count(when(col("__e").isNull, 1)).as("__n_lsh_only"))
+          .select(col("__n_exact").as("n_exact"),
+            col("__n_identical").as("n_exact_identical"),
+            (col("__n_identical_found") === col("__n_identical"))
+              .as("identical_recall_eq_1"),
+            (col("__n_lsh_only") === 0).as("lsh_subset_of_exact"))
+      },
+      Some(s"""SELECT CAST(count(*) AS BIGINT) AS n_exact,
+              | CAST(count(*) FILTER (jaccard = 1.0) AS BIGINT) AS n_exact_identical,
+              | TRUE AS identical_recall_eq_1, TRUE AS lsh_subset_of_exact
+              |FROM (${Dedup.ngramJaccardPairsIndexedSql("documents", "doc_id",
+                 Enrich.dedupContentSql("text", "doc_id"))})""".stripMargin)),
 
     // Same LSH pipeline at threshold 0.9 — here it IS oracle-gateable:
     // the only fixture pairs at J ≥ 0.9 are identical-shingle-set pairs
@@ -1990,13 +2136,42 @@ object SparkEntry {
         Enrich.dedupContentSql("text", "doc_id"), minJaccard = 0.9) +
         " ORDER BY id_a, id_b")),
 
-    // SimHash 64-bit signatures (rows-only; properties pinned by DedupSpec)
+    // SimHash 64-bit signatures. The signature bits have no DuckDB
+    // twin, so the declared output is the sketch's soundness gate:
+    // identical content MUST hash to identical signatures (SimHash is
+    // a function of the token multiset — deterministic, not
+    // probabilistic), and no signature may be null. The oracle counts
+    // the identical-content pair set by fingerprint equality and
+    // asserts the booleans the Spark side measures over the real
+    // signature column. Near-dup pair behavior is hash-gated by
+    // dedup_simhash_pairs; distributional properties by DedupSpec.
     Q("dedup_simhash",
-      (s, dir) => Tables.documents(s, dir)
-        .select(col("doc_id"),
-          Dedup.simhash(Enrich.dedupContent(col("text"), col("doc_id"))).as("simhash"))
-        .orderBy("doc_id"),
-      None),
+      (s, dir) => {
+        val content = Enrich.dedupContent(col("text"), col("doc_id"))
+        val sigs = Tables.documents(s, dir)
+          .select(col("doc_id"), TextAnalysis.fingerprint(content).as("__f"),
+            Dedup.simhash(content).as("__sh"))
+        val totals = sigs.agg(count(lit(1)).as("__n_docs"),
+          count(when(col("__sh").isNull, 1)).as("__n_null"))
+        val pairs = sigs.as("l")
+          .join(sigs.as("r"), col("l.__f") === col("r.__f")
+            && col("l.doc_id") < col("r.doc_id"))
+          .agg(count(lit(1)).as("__n_pairs"),
+            count(when(col("l.__sh") =!= col("r.__sh"), 1)).as("__n_mismatch"))
+        totals.crossJoin(pairs)
+          .select(col("__n_docs").as("n_docs"),
+            col("__n_pairs").as("n_identical_pairs"),
+            (col("__n_mismatch") === 0).as("identical_content_same_sig"),
+            (col("__n_null") === 0).as("sigs_nonnull"))
+      },
+      Some {
+        val f = TextAnalysis.fingerprintSql(Enrich.dedupContentSql("text", "doc_id"))
+        s"""WITH f AS (SELECT doc_id, $f AS f FROM documents)
+           |SELECT (SELECT CAST(count(*) AS BIGINT) FROM f) AS n_docs,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM f l JOIN f r
+           |     ON l.f = r.f AND l.doc_id < r.doc_id) AS n_identical_pairs,
+           |  TRUE AS identical_content_same_sig, TRUE AS sigs_nonnull""".stripMargin
+      }),
 
     // SimHash pair detection via pigeonhole banding: 4 bands of 16 bits
     // make candidate generation LOSSLESS for Hamming ≤ 3 (≤3 differing
@@ -2182,16 +2357,42 @@ object SparkEntry {
 
     // The clustered route (nlist=8, the paper's centroid-distance keep
     // policy): recall-approximate by design — cross-cluster near-dups
-    // are invisible — so no SQL twin exists; its exact sibling
-    // dedup_semantic_keep is hash-gated above and SemDedupSpec pins
-    // pairs ⊆ exact, nlist=1 == exact, and partitioning invariance
+    // are invisible — so per-row verdicts have no SQL twin. The
+    // declared output is the route's soundness gate instead: a
+    // clustered-route drop requires a same-cluster neighbor at
+    // ≥ minCosine, which is a fortiori a GLOBAL neighbor — so every
+    // dropped id must belong to the global has-a-duplicate set, which
+    // the oracle enumerates exactly from all-pairs cosine. The exact
+    // sibling dedup_semantic_keep stays a per-row hash gate;
+    // SemDedupSpec pins nlist=1 == exact and partitioning invariance.
     Q("dedup_semantic_clustered",
-      (s, dir) => SemDedup.semanticKeep(
-          SemDedup.assignClusters(Tables.embeddings(s, dir),
-            col("vec_id"), col("embedding"), nlist = 8),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val verdicts = SemDedup.semanticKeep(
+          SemDedup.assignClusters(emb, col("vec_id"), col("embedding"),
+            nlist = 8),
           minCosine = 0.35, SemDedup.KeepFarthestFromCentroid)
-        .orderBy("id"),
-      None),
+        val pairs = EmbeddingDedup.cosinePairs(emb, col("vec_id"),
+          col("embedding"), minCosine = 0.35)
+        val hasDup = pairs.select(col("id_a").as("id"))
+          .unionAll(pairs.select(col("id_b").as("id"))).distinct()
+        val totals = emb.agg(count(lit(1)).as("__n_docs"))
+        val dupN = hasDup.agg(count(lit(1)).as("__n_with_dup"))
+        val bad = verdicts.where(!col("is_keeper")).select("id")
+          .join(hasDup, Seq("id"), "left_anti")
+          .agg(count(lit(1)).as("__n_bad"))
+        totals.crossJoin(dupN).crossJoin(bad)
+          .select(col("__n_docs").as("n_docs"),
+            col("__n_with_dup").as("n_with_global_dup"),
+            (col("__n_bad") === 0).as("drops_have_global_dup"))
+      },
+      Some(s"""WITH pairs AS (${EmbeddingDedup.cosinePairsSql("embeddings",
+                "vec_id", "embedding", minCosine = 0.35)})
+              |SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_docs,
+              |  (SELECT CAST(count(DISTINCT id) AS BIGINT) FROM (
+              |     SELECT id_a AS id FROM pairs
+              |     UNION ALL SELECT id_b FROM pairs)) AS n_with_global_dup,
+              |  TRUE AS drops_have_global_dup""".stripMargin)),
 
     // Exact brute-force cosine top-k — the ANN correctness baseline
     Q("ann_cosine_topk",
@@ -2568,16 +2769,40 @@ object SparkEntry {
               |WHERE rn <= 3 ORDER BY left_id, rank""".stripMargin)),
 
     // IVF (KMeans coarse quantizer) probe search — approximate scale
-    // path (rows-only; recall vs brute force pinned by AnnSpec)
+    // path. Probe pruning has no SQL twin, so the declared output is
+    // the search's recall gate: nprobe=8-of-16 results vs the
+    // full-probe exact top-10 (same index, so only the probe count
+    // differs). IVF never fabricates distances — probed candidates
+    // carry exact L2 — so approximate results are a SUBSET of the
+    // corpus ranking and recall@10 is the one quality dial. The
+    // oracle computes the exact 10th-nearest distance from brute
+    // force and asserts the recall boolean. Exact machinery is
+    // per-row hash-gated by ann_ivf_full_probe; recall behavior
+    // across probe counts by AnnSpec.
     Q("ann_ivf_topk",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val qv  = emb.where(col("vec_id") === 0L)
           .select(col("embedding")).head().getSeq[Float](0)
-        Ann.buildIvf(emb, nlist = 16).searchL2(qv, k = 10, nprobe = 8)
-          .select("vec_id", "label", "cluster_id", "score")
+        val idx = Ann.buildIvf(emb, nlist = 16)
+        val approx = idx.searchL2(qv, k = 10, nprobe = 8)
+          .select(col("vec_id"), lit(1).as("__a"))
+        val exact = idx.searchL2(qv, k = 10, nprobe = 16)
+          .select(col("vec_id"), col("score"))
+        exact.join(approx, Seq("vec_id"), "left")
+          .agg(count(lit(1)).as("__k"),
+            max(col("score")).as("__exact_kth"),
+            count(col("__a")).as("__n_found"))
+          .select(col("__k").as("k"),
+            col("__exact_kth").as("exact_kth_l2"),
+            (col("__n_found") >= col("__k") * 0.9).as("recall_ge_090"))
       },
-      None),
+      Some(s"""SELECT CAST(count(*) AS BIGINT) AS k,
+              |  max(score) AS exact_kth_l2, TRUE AS recall_ge_090
+              |FROM (
+              |  SELECT ${Sql.l2("e.embedding", "q.q_emb")} AS score
+              |  FROM embeddings e, (${Sql.queryVector(0)}) q
+              |  ORDER BY score, e.vec_id LIMIT 10)""".stripMargin)),
 
     // IVF with nprobe = nlist: probing every list degrades gracefully
     // to the exact scan, so the ENTIRE index machinery (quantizer

@@ -1,0 +1,123 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.zip.Deflater
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Deterministic PDF corpus for the end-to-end S1 gate: twelve
+  * three-page case PDFs (six content-twin pairs) generated from fixed
+  * strings, plus the extracted-text parquet the DuckDB oracle reads —
+  * the bridge that lets the PDF→chunks→classify→KNN pipeline run
+  * under the hash gate even though the oracle cannot parse PDF bytes
+  * itself (reference flow: `extract_and_embed.py` upload→extract→
+  * chunk→embed→insert, `extract_and_search_v2.py` search→classify).
+  *
+  * Layout choices that make the downstream pipeline deterministic:
+  *  - twins: files `case_<p>a.pdf` / `case_<p>b.pdf` carry IDENTICAL
+  *    text, so each file's nearest neighbor under the deterministic
+  *    hash embedder is its twin at cosine exactly 1.0 (4dp);
+  *  - page 2 is EMPTY, so the "\n"-joined page texts contain "\n\n" —
+  *    a real paragraph boundary for F1 (ChunkPacker.paragraphs);
+  *  - paragraph word counts (13 and 9-10) make the F2 greedy fold at
+  *    maxWords = 15 emit exactly two chunks per document — below the
+  *    budget singly, over it merged (with the reference's glued-word
+  *    counting quirk) — which the oracle replays arithmetically;
+  *  - page 3 cycles C1 cascade outcomes (won / lost / no-match) so the
+  *    decision and win-stat surfaces carry all three labels.
+  */
+object PdfFixture {
+
+  val PdfDir = "/tmp/graft_pdf_fixture"
+  val ExtractedParquet = "/tmp/graft_pdf_fixture_extracted"
+
+  val NumPairs = 6
+  val MaxWords = 15
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new Deflater()
+    d.setInput(data); d.finish()
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** Minimal PDF from page content streams; odd page indexes are
+    * Flate-compressed so both decode paths stay exercised.
+    */
+  private def buildPdf(pages: Seq[String]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    val n = pages.length
+    val pageIds = (0 until n).map(3 + _)
+    val contentIds = (0 until n).map(3 + n + _)
+    w("%PDF-1.4\n")
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    w(s"2 0 obj\n<< /Type /Pages /Kids [${pageIds.map(i => s"$i 0 R").mkString(" ")}] /Count $n >>\nendobj\n")
+    pageIds.zip(contentIds).foreach { case (p, c) =>
+      w(s"$p 0 obj\n<< /Type /Page /Parent 2 0 R /Contents $c 0 R >>\nendobj\n")
+    }
+    pages.zip(contentIds).zipWithIndex.foreach { case ((content, c), i) =>
+      val raw = content.getBytes(StandardCharsets.ISO_8859_1)
+      if (i % 2 == 1) {
+        val z = deflate(raw)
+        w(s"$c 0 obj\n<< /Length ${z.length} /Filter /FlateDecode >>\nstream\n")
+        out.write(z)
+      } else {
+        w(s"$c 0 obj\n<< /Length ${raw.length} >>\nstream\n")
+        out.write(raw)
+      }
+      w("\nendstream\nendobj\n")
+    }
+    w("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+    out.toByteArray
+  }
+
+  private def tj(lines: String*): String =
+    "BT /F1 12 Tf 72 720 Td " +
+      lines.map(l => s"($l) Tj").mkString(" 0 -14 Td ") + " ET"
+
+  /** The decision sentence for pair `p` — cycles won / lost / invalid
+    * through the real C1 cascade (allow the appeal → won; appeal
+    * dismissed → lost; no phrase → invalid).
+    */
+  private def decisionSentence(p: Int): String = (p % 3) match {
+    case 0 => "After hearing both sides we allow the appeal with costs"
+    case 1 => "For the reasons recorded the appeal dismissed as without merit"
+    case _ => "The registry shall list the matter for directions shortly"
+  }
+
+  /** Page content streams of pair `p`: 13-word heading paragraph,
+    * empty page, decision paragraph.
+    */
+  private def pages(p: Int): Seq[String] = Seq(
+    tj(s"Appeal No. ${100 + p} of 2024",
+      "In the matter of Alpha versus Beta Industries"),
+    "q Q", // textless page => empty page text => the \n\n para boundary
+    tj(decisionSentence(p)))
+
+  /** Write the PDF corpus and the extracted-text parquet (idempotent
+    * overwrite); returns [[PdfDir]]. The parquet carries exactly what
+    * [[BinaryDocs.scanPdfDir]] extracts, so the oracle consumes the
+    * same text the engine pipeline consumes.
+    */
+  def ensure(spark: SparkSession): String = synchronized {
+    val dir = Paths.get(PdfDir)
+    Files.createDirectories(dir)
+    (0 until NumPairs).foreach { p =>
+      val bytes = buildPdf(pages(p))
+      Seq("a", "b").foreach { t =>
+        Files.write(dir.resolve(s"case_$p$t.pdf"), bytes)
+      }
+    }
+    BinaryDocs.scanPdfDir(spark, PdfDir).toDF()
+      .select(col("file_name"), col("file_id"), col("n_bytes"), col("text"))
+      .coalesce(1).write.mode("overwrite").parquet(ExtractedParquet)
+    PdfDir
+  }
+}
