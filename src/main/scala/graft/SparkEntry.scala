@@ -1590,6 +1590,23 @@ object SparkEntry {
       Some(Bpe.encodeTokenCountsSql("documents", "doc_id", "text", steps = 10)
         + " ORDER BY id")),
 
+    // The SCALE encode route — broadcast merge list + per-partition
+    // memoized apply (arbitrary merge depth where the expression route
+    // chains ≤64 codegen replaces) — under the SAME oracle as
+    // tok_bpe_encode: identical semantics, different execution, so the
+    // hash gate proves route parity per document
+    Q("tok_bpe_encode_scalable",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val m = Bpe.trainMerges(docs, col("text"), steps = 10)
+          .orderBy("step").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        Bpe.encodeTokenCountsScalable(docs, col("doc_id"), col("text"), m)
+          .orderBy("id")
+      },
+      Some(Bpe.encodeTokenCountsSql("documents", "doc_id", "text", steps = 10)
+        + " ORDER BY id")),
+
     // CCNet-style LM perplexity filter: per-doc mean bigram cost under
     // an add-one bigram LM trained on the corpus itself, cut into
     // head/middle/tail terciles — per-feature costs are scaled-integer

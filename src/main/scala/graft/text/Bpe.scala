@@ -132,6 +132,85 @@ object Bpe {
           lit(0L), (a, x) => a + x), lit(0L)).as("n_bpe_tokens"))
   }
 
+  /** The SCALE form of [[encodeTokenCounts]] — arbitrary merge counts
+    * (real vocabularies are ~30k merges; the expression route chains
+    * one literal `replace` per merge and stops being codegen-practical
+    * past ~64). The ordered merge list ships as one broadcast rank
+    * list; each task applies the merges IN TRAINING ORDER, one
+    * leftmost-non-overlapping pass each — the exact semantics of the
+    * expression route's chained literal replaces, mirrored rather than
+    * the classic min-rank tokenizer loop (min-rank diverges from
+    * in-order single-pass on vocabularies where a later merge recreates
+    * an earlier token string; bit-parity with the declared contract
+    * beats the constant-factor win). Per-partition distinct-word
+    * memoization makes the cost ∝ distinct words per task, not tokens
+    * (Heaps-law sublinear), and the map is narrow — no shuffle, the
+    * same 100 TB shape as the expression route.
+    *
+    * Output and semantics are identical to [[encodeTokenCounts]]
+    * (BpeSpec pins route equality and a 256-merge fixture).
+    */
+  def encodeTokenCountsScalable(docs: DataFrame, idCol: Column,
+                                textCol: Column,
+                                mergesOrdered: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(mergesOrdered.toArray)
+    docs.select(idCol.cast("long").as("id"), textCol.as("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val merges = bc.value
+        val cache = new java.util.HashMap[String, Long]()
+        def tokensOf(word: String): Long = {
+          val hit = cache.get(word)
+          if (hit != 0L) hit
+          else {
+            var syms = word.map(_.toString).toArray
+            var m = 0
+            while (m < merges.length && syms.length >= 2) {
+              val (l, r) = merges(m)
+              // one leftmost-non-overlapping pass — replace() semantics
+              var i = 0
+              var hits = 0
+              while (i < syms.length - 1) { // cheap pre-scan
+                if (syms(i) == l && syms(i + 1) == r) { hits += 1; i += 2 }
+                else i += 1
+              }
+              if (hits > 0) {
+                val out = new Array[String](syms.length - hits)
+                var j = 0
+                var k = 0
+                while (j < syms.length) {
+                  if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+                    out(k) = l + r; j += 2
+                  } else { out(k) = syms(j); j += 1 }
+                  k += 1
+                }
+                syms = out
+              }
+              m += 1
+            }
+            val n = syms.length.toLong
+            cache.put(word, n)
+            n
+          }
+        }
+        rows.map { case (id, text) =>
+          val t = if (text == null) "" else text
+          var total = 0L
+          // same word stream as the Column route: \s+ split + empty
+          // filter (so the trim flavor is immaterial), ROOT lowercase
+          // (Spark `lower` is locale-independent), SEP words excluded
+          t.toLowerCase(java.util.Locale.ROOT).split("\\s+").foreach { w =>
+            if (w.nonEmpty && !w.contains(SEP)) total += tokensOf(w)
+          }
+          // Spark length() counts code points (as INT), not UTF-16 units
+          (id, t.codePointCount(0, t.length), total)
+        }
+      }
+      .toDF("id", "n_chars", "n_bpe_tokens")
+  }
+
   /** DuckDB twin of [[trainMerges]]: the identical rounds as chained
     * materialized CTEs (histogram → per-round argmax + replace).
     */

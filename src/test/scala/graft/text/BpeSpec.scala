@@ -122,4 +122,47 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     val got = merges(docs(text), 256).toSeq
     assert(got == expected)
   }
+
+test("scalable encode equals the expression route on trained merges") {
+    import spark.implicits._
+    val d = docs("low low low lower lower", "the lowest slower flower",
+      "unrelated words entirely", "")
+    val m = Bpe.trainMerges(d, col("text"), 8).orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val expr = Bpe.encodeTokenCounts(d, col("id"), col("text"), m)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+    val scal = Bpe.encodeTokenCountsScalable(d, col("id"), col("text"), m)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+    assert(expr.toSeq == scal.toSeq)
+  }
+
+  test("scalable encode at 256 merges matches a driver-side replay") {
+    import spark.implicits._
+    val SEP = "\u001F"
+    val rnd = new scala.util.Random(11)
+    val vocab = Seq.tabulate(200) { i =>
+      val len = 5 + rnd.nextInt(6)
+      (Seq.fill(len)(('a' + rnd.nextInt(8)).toChar).mkString, (i % 23) + 1)
+    }.toMap
+    val text = vocab.toSeq.sortBy(_._1)
+      .flatMap { case (w, c) => Seq.fill(c)(w) }.mkString(" ")
+    val d = docs(text)
+    val m = Bpe.trainMerges(d, col("text"), 256).orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(m.size == 256)
+    // driver-side replay of the in-order single-pass contract via the
+    // same wrapped-string String.replace the expression route uses
+    def wrap(w: String) = w.map(c => s"$SEP$c$SEP").mkString
+    def countTokens(w: String): Long = {
+      val enc = m.foldLeft(wrap(w)) { case (acc, (l, r)) =>
+        acc.replace(SEP + l + SEP + SEP + r + SEP, SEP + l + r + SEP)
+      }
+      enc.split(SEP + SEP, -1).length.toLong
+    }
+    val expected = text.split("\\s+").filter(_.nonEmpty).map(countTokens).sum
+    val out = Bpe.encodeTokenCountsScalable(d, col("id"), col("text"), m)
+      .collect().head
+    assert(out.getLong(2) == expected)
+    assert(out.getInt(1) == text.length)
+  }
 }
