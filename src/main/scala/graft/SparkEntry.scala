@@ -2389,7 +2389,10 @@ object SparkEntry {
           SemDedup.assignClusters(emb, col("vec_id"), col("embedding"),
             nlist = 8),
           minCosine = 0.35, SemDedup.KeepFarthestFromCentroid)
-        val pairs = EmbeddingDedup.cosinePairs(emb, col("vec_id"),
+        // auto-dispatching exact route: broadcast-NLJ small, block-tiled
+        // past the cutover — the gate's exact side must not reintroduce
+        // the quadratic tier the r5 scale audit flagged
+        val pairs = EmbeddingDedup.cosinePairsAuto(emb, col("vec_id"),
           col("embedding"), minCosine = 0.35)
         val hasDup = pairs.select(col("id_a").as("id"))
           .unionAll(pairs.select(col("id_b").as("id"))).distinct()
