@@ -421,6 +421,42 @@ object SparkEntry {
       Some("""SELECT epoch_ns(ts) // 600000000000 AS bucket, event_type, count(*) AS n
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Streaming first-arrival dedup under the oracle: documents replay
+    // through a MemoryStream into dropDuplicatesWithinWatermark. WHICH
+    // row of a duplicate group survives depends on micro-batch arrival
+    // order, so the declared surface is the route's DETERMINISTIC
+    // half: the kept fingerprint set (exactly one survivor per
+    // distinct normalized content, with the group's doc count) — which
+    // the oracle replays as a plain GROUP BY. StreamingDedupSpec pins
+    // the in-horizon ordering semantics the hash can't.
+    Q("streaming_dedup_first",
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val rows = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1),
+            new java.sql.Timestamp(1700000000000L + r.getLong(0)))).toSeq
+        val ms = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String, java.sql.Timestamp)]
+        ms.addData(rows)
+        val kept = graft.streaming.StreamingDedup.firstArrivals(
+          ms.toDS().toDF("doc_id", "text", "ts"), "text")
+        val qName = "graft_streaming_dedup_first"
+        val q = kept.writeStream.format("memory").queryName(qName)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        val groupSizes = Tables.documents(s, dir)
+          .groupBy(TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+          .agg(count(lit(1)).as("n_docs"))
+        s.table(qName).select(col("fingerprint")).distinct()
+          .join(groupSizes, "fingerprint")
+          .orderBy("fingerprint")
+      },
+      Some(s"""SELECT ${TextAnalysis.fingerprintSql("text")} AS fingerprint,
+              | count(*) AS n_docs
+              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Gap-fill / resample: densify hourly per-type buckets to each
     // type's full span — zero-filled counts, forward-filled max. Grid
     // rows ∝ span, window sort span-bounded (operators/GapFill)
@@ -2791,38 +2827,46 @@ object SparkEntry {
     // IVF (KMeans coarse quantizer) probe search — approximate scale
     // path. Probe pruning has no SQL twin, so the declared output is
     // the search's recall gate: nprobe=8-of-16 results vs the
-    // full-probe exact top-10 (same index, so only the probe count
-    // differs). IVF never fabricates distances — probed candidates
-    // carry exact L2 — so approximate results are a SUBSET of the
-    // corpus ranking and recall@10 is the one quality dial. The
-    // oracle computes the exact 10th-nearest distance from brute
-    // force and asserts the recall boolean. Exact machinery is
-    // per-row hash-gated by ann_ivf_full_probe; recall behavior
-    // across probe counts by AnnSpec.
+    // full-probe exact top-10 over a 20-QUERY panel (same index, only
+    // the probe count differs). The bound runs on the panel MEAN —
+    // single-query recall@10 swings 0.5-1.0 across data
+    // regenerations, while the 20-query mean measured 0.795-0.83 on
+    // four corpora (σ_mean ≈ 0.03, so ≥ 0.7 is a >3σ-stable gate;
+    // `tools/ProbeIvfRecall`). IVF never fabricates distances —
+    // probed candidates carry exact L2 — so approximate results are a
+    // subset of the corpus ranking and recall is the one quality
+    // dial. The oracle recomputes the panel size and query 0's exact
+    // 10th-nearest distance from brute force. Exact machinery is
+    // per-row hash-gated by ann_ivf_full_probe; per-probe-count
+    // recall behavior by AnnSpec.
     Q("ann_ivf_topk",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val qv  = emb.where(col("vec_id") === 0L)
-          .select(col("embedding")).head().getSeq[Float](0)
+        val queries = emb.select(col("vec_id").as("id"), col("embedding"))
+          .where(col("id") < 20)
         val idx = Ann.buildIvf(emb, nlist = 16)
-        val approx = idx.searchL2(qv, k = 10, nprobe = 8)
-          .select(col("vec_id"), lit(1).as("__a"))
-        val exact = idx.searchL2(qv, k = 10, nprobe = 16)
-          .select(col("vec_id"), col("score"))
-        exact.join(approx, Seq("vec_id"), "left")
-          .agg(count(lit(1)).as("__k"),
-            max(col("score")).as("__exact_kth"),
-            count(col("__a")).as("__n_found"))
-          .select(col("__k").as("k"),
-            col("__exact_kth").as("exact_kth_l2"),
-            (col("__n_found") >= col("__k") * 0.9).as("recall_ge_090"))
+        val approx = Ann.ivfKnnJoin(queries, idx, k = 10, nprobe = 8)
+          .select(col("left_id"), col("right_id"), lit(1).as("__a"))
+        val exact = Ann.ivfKnnJoin(queries, idx, k = 10, nprobe = 16)
+          .select(col("left_id"), col("right_id"), col("score"))
+        exact.join(approx, Seq("left_id", "right_id"), "left")
+          .agg(countDistinct(col("left_id")).as("__nq"),
+            count(lit(1)).as("__n"),
+            max(when(col("left_id") === 0L, col("score"))).as("__kth0"),
+            count(col("__a")).as("__found"))
+          .select(col("__nq").as("n_queries"),
+            col("__n").as("n_results"),
+            col("__kth0").as("exact_kth_l2_q0"),
+            (col("__found") >= col("__n") * 0.7).as("mean_recall_ge_070"))
       },
-      Some(s"""SELECT CAST(count(*) AS BIGINT) AS k,
-              |  max(score) AS exact_kth_l2, TRUE AS recall_ge_090
-              |FROM (
-              |  SELECT ${Sql.l2("e.embedding", "q.q_emb")} AS score
-              |  FROM embeddings e, (${Sql.queryVector(0)}) q
-              |  ORDER BY score, e.vec_id LIMIT 10)""".stripMargin)),
+      Some(s"""SELECT
+              |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id < 20) AS n_queries,
+              |  (SELECT CAST(count(*) * 10 AS BIGINT) FROM embeddings WHERE vec_id < 20) AS n_results,
+              |  (SELECT max(score) FROM (
+              |    SELECT ${Sql.l2("e.embedding", "q.q_emb")} AS score
+              |    FROM embeddings e, (${Sql.queryVector(0)}) q
+              |    ORDER BY score, e.vec_id LIMIT 10)) AS exact_kth_l2_q0,
+              |  TRUE AS mean_recall_ge_070""".stripMargin)),
 
     // IVF with nprobe = nlist: probing every list degrades gracefully
     // to the exact scan, so the ENTIRE index machinery (quantizer
