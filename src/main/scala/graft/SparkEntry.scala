@@ -1728,6 +1728,56 @@ object SparkEntry {
       Some(TextAnalysis.contaminationSql("documents", "doc_id", "text",
         probeIds = Seq(0L, 1L, 2L, 3L, 4L)) + " ORDER BY doc_id")),
 
+    // The STREAMING ingest-time decontamination screen under the
+    // oracle: the Bloom filter compiles from the probe docs (0-4, the
+    // same benchmark set as the batch queries), documents replay
+    // through a MemoryStream into the stateless screen, and the gate
+    // asserts the screen's deterministic contract — a Bloom filter has
+    // NO false negatives, so every truly contaminated document (exact
+    // shared-shingle route, oracle-replayable) must come back flagged.
+    // False-positive flags are fpp-probabilistic, so the per-doc flag
+    // column itself stays spec territory (StreamingDecontamSpec).
+    Q("streaming_decontam_screen",
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val probeIds = Seq(0L, 1L, 2L, 3L, 4L)
+        val docs = Tables.documents(s, dir)
+        val filter = graft.streaming.StreamingDecontam.benchmarkFilter(
+          docs.where(col("doc_id").isin(probeIds: _*)), col("text"))
+        val rows = docs.where(!col("doc_id").isin(probeIds: _*))
+          .select(col("doc_id"), col("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        val ms = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        ms.addData(rows)
+        val screened = graft.streaming.StreamingDecontam.screen(
+          ms.toDS().toDF("doc_id", "text"), col("doc_id"), col("text"), filter)
+        val qName = "graft_streaming_decontam"
+        val q = screened.writeStream.format("memory").queryName(qName)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        val flagged = s.table(qName)
+          .where(col("contaminated")).select(col("id"))
+        val truly = TextAnalysis.contaminationHits(docs, col("doc_id"),
+          col("text"), probeIds).select(col("doc_id").as("id"))
+        val totals = s.table(qName).agg(count(lit(1)).as("__n_screened"))
+        val trueN = truly.agg(count(lit(1)).as("__n_contaminated"))
+        val missed = truly.join(flagged, Seq("id"), "left_anti")
+          .agg(count(lit(1)).as("__n_missed"))
+        totals.crossJoin(trueN).crossJoin(missed)
+          .select(col("__n_screened").as("n_screened"),
+            col("__n_contaminated").as("n_contaminated"),
+            (col("__n_missed") === 0).as("no_false_negatives"))
+      },
+      Some(s"""SELECT
+              |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+              |     WHERE doc_id NOT IN (0, 1, 2, 3, 4)) AS n_screened,
+              |  (SELECT CAST(count(*) AS BIGINT) FROM (
+              |     ${TextAnalysis.contaminationSql("documents", "doc_id", "text",
+                      probeIds = Seq(0L, 1L, 2L, 3L, 4L))})) AS n_contaminated,
+              |  TRUE AS no_false_negatives""".stripMargin)),
+
     // Paragraph-level corpus dedup (CCNet-style): corpus-wide repeated
     // paragraphs dropped, first occurrence kept, documents reassembled
     // in paragraph order. Fixture plants a universal header, per-block
