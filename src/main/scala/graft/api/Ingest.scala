@@ -28,14 +28,29 @@ object Ingest {
     * metadata-enriched retry (C1+C4 over S2-extracted metadata).
     */
   def documentAttributes(docs: DataFrame, idCol: Column, textCol: Column,
-                         courtLevel: Column): DataFrame = {
-    val fileName = concat(lit("doc_"), idCol.cast("string"), lit(".pdf"))
+                         courtLevel: Column): DataFrame =
+    attributes(docs, idCol.cast("string"),
+      concat(lit("doc_"), idCol.cast("string"), lit(".pdf")),
+      textCol, courtLevel)
+
+  /** [[documentAttributes]] for documents that arrive with a REAL file
+    * name (the serving layer's S3 uploads, where
+    * `file_id = sha256(original filename)` per
+    * `/root/reference/extract_and_embed.py:95`); the name doubles as
+    * the chunking key.
+    */
+  def namedDocumentAttributes(docs: DataFrame, nameCol: Column,
+                              textCol: Column, courtLevel: Column): DataFrame =
+    attributes(docs, nameCol, nameCol, textCol, courtLevel)
+
+  private def attributes(docs: DataFrame, keyExpr: Column, fileName: Column,
+                         textCol: Column, courtLevel: Column): DataFrame = {
     val meta = concat_ws(" ",
       CaseMetadata.caseNumber(textCol),
       CaseMetadata.appellant(textCol),
       CaseMetadata.respondent(textCol))
     docs.select(
-      idCol.cast("string").as("key"),
+      keyExpr.as("key"),
       textCol.as("doc_text"),
       fileName.as("file_name"),
       sha2(fileName, 256).as("file_id"),
@@ -50,8 +65,15 @@ object Ingest {
     */
   def chunkTable(spark: SparkSession, docs: DataFrame, idCol: Column,
                  textCol: Column, courtLevel: Column,
-                 embedder: Embedder, maxWords: Int = 400): DataFrame = {
-    val attrs  = documentAttributes(docs, idCol, textCol, courtLevel)
+                 embedder: Embedder, maxWords: Int = 400): DataFrame =
+    chunkTableOf(spark, documentAttributes(docs, idCol, textCol, courtLevel),
+      embedder, maxWords)
+
+  /** Chunk-table rows from precomputed [[documentAttributes]] /
+    * [[namedDocumentAttributes]] rows.
+    */
+  def chunkTableOf(spark: SparkSession, attrs: DataFrame,
+                   embedder: Embedder, maxWords: Int = 400): DataFrame = {
     val chunks = ChunkPacker.chunkDocuments(spark, attrs, "key", "doc_text", maxWords)
       .toDF()
     chunks

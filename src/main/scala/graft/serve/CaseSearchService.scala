@@ -1,0 +1,324 @@
+package graft.serve
+
+import java.io.InputStream
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.Executors
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.api.Ingest
+import graft.embed.Embedder
+import graft.sources.PdfTextExtractor
+import graft.stats.WinStats
+import graft.text.ChunkPacker
+import graft.vector.{Distance, Knn}
+
+/** The reference's HTTP serving surface (S3 multipart source, X3 health
+  * probe, X4 CORS) on the JDK's built-in `HttpServer` — no framework,
+  * no new dependencies. Route-for-route analog of
+  * `/root/reference/extract_and_search_v2.py:297-443`:
+  *
+  *   - `POST /api/v1/search-similar-cases` — multipart `court_level` +
+  *     `case_file` (+ optional `collection`): PDF → S1 text extraction →
+  *     F1/F2 chunking → F5 representative (first-chunk) embedding →
+  *     filtered KNN at `court_level + 1` → per-file best-hit dedup →
+  *     ascending top-5 → A1–A3 win statistics, answered in the README
+  *     golden JSON shape (`/root/reference/README.md:17-64`).
+  *   - `POST /api/v1/ingest-legal-document` — multipart `file` +
+  *     `court_level` (+ `collection`): the §3.2 ingest pipeline
+  *     ([[Ingest.chunkTableOf]]) appended to the collection's parquet,
+  *     partitioned by `court_level`.
+  *   - `GET /api/v1/health` — static JSON
+  *     (`extract_and_embed.py:203-205`).
+  *   - CORS: all origins on every `/api/` route
+  *     (`extract_and_search_v2.py:25`),
+  *     including `OPTIONS` preflight.
+  *
+  * Request bodies are capped at 16 MB (`MAX_CONTENT_LENGTH`,
+  * `extract_and_embed.py:20`) → 413. Uploads never touch disk: the
+  * reference spools to a temp file only because PyMuPDF wants a path;
+  * [[PdfTextExtractor]] reads the bytes directly.
+  *
+  * A "collection" is a parquet directory under `root` — the vector
+  * store analog where Milvus held the `case_files` collection. Search
+  * reads it with the `court_level` filter pushed into partition
+  * pruning, so per-request cost is the one target level, not the
+  * corpus.
+  */
+final class CaseSearchService(spark: SparkSession, root: String,
+                              embedder: Embedder, maxWords: Int = 400) {
+
+  import CaseSearchService._
+
+  private var server: HttpServer = _
+
+  /** Bound port after [[start]]. */
+  def port: Int = server.getAddress.getPort
+
+  def start(requestedPort: Int = 0): Int = synchronized {
+    require(server == null, "already started")
+    Files.createDirectories(Paths.get(root))
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", requestedPort), 0)
+    server.createContext("/", (ex: HttpExchange) => handle(ex))
+    server.setExecutor(Executors.newFixedThreadPool(4))
+    server.start()
+    port
+  }
+
+  def stop(): Unit = synchronized {
+    if (server != null) { server.stop(0); server = null }
+  }
+
+  // ------------------------------------------------------------------ //
+  // Routing                                                            //
+  // ------------------------------------------------------------------ //
+
+  private def handle(ex: HttpExchange): Unit = {
+    val path = ex.getRequestURI.getPath
+    val method = ex.getRequestMethod.toUpperCase
+    try {
+      if (path.startsWith("/api/")) corsHeaders(ex)
+      (method, path) match {
+        case ("OPTIONS", p) if p.startsWith("/api/") =>
+          reply(ex, 204, None)
+        case ("GET", "/api/v1/health") =>
+          reply(ex, 200, Some(JObj.of(
+            "status" -> JStr("healthy"),
+            "service" -> JStr("legal-case-search-api")).render))
+        case ("POST", "/api/v1/search-similar-cases") =>
+          withBody(ex)(body => search(ex, body))
+        case ("POST", "/api/v1/ingest-legal-document") =>
+          withBody(ex)(body => ingest(ex, body))
+        case _ =>
+          replyJson(ex, 404, JObj.of("error" -> JStr("Not found")))
+      }
+    } catch {
+      case e: Throwable =>
+        replyJson(ex, 500,
+          JObj.of("error" -> JStr(Option(e.getMessage).getOrElse(e.toString))))
+    } finally ex.close()
+  }
+
+  private def withBody(ex: HttpExchange)(f: Array[Byte] => Unit): Unit =
+    readCapped(ex.getRequestBody, MaxContentLength) match {
+      case None =>
+        // drain so the client can finish writing and read the status
+        val buf = new Array[Byte](64 * 1024)
+        while (ex.getRequestBody.read(buf) >= 0) {}
+        replyJson(ex, 413, JObj.of("error" -> JStr("Request entity too large")))
+      case Some(body) => f(body)
+    }
+
+  private def parts(ex: HttpExchange, body: Array[Byte]): Seq[Multipart.Part] =
+    Multipart.boundary(Option(ex.getRequestHeaders.getFirst("Content-Type"))
+        .getOrElse(""))
+      .map(Multipart.parse(body, _)).getOrElse(Nil)
+
+  // ------------------------------------------------------------------ //
+  // POST /api/v1/search-similar-cases                                  //
+  // (extract_and_search_v2.py:297-418 — same validations, same order)  //
+  // ------------------------------------------------------------------ //
+
+  private def search(ex: HttpExchange, body: Array[Byte]): Unit = {
+    val ps = parts(ex, body)
+    val form = ps.filter(_.filename.isEmpty).map(p => p.name -> p.text).toMap
+    form.get("court_level") match {
+      case None =>
+        replyJson(ex, 400, JObj.of("error" -> JStr("Missing court_level parameter")))
+      case Some(levelRaw) => levelRaw.trim.toIntOption match {
+        case None =>
+          replyJson(ex, 400,
+            JObj.of("error" -> JStr("Invalid court_level. It must be an integer.")))
+        case Some(level) =>
+          val target = level + 1
+          ps.find(p => p.name == "case_file" && p.filename.isDefined) match {
+            case None =>
+              replyJson(ex, 400, JObj.of("error" -> JStr("No case_file in the request")))
+            case Some(file) if file.filename.exists(_.isEmpty) =>
+              replyJson(ex, 400, JObj.of("error" -> JStr("No file selected")))
+            case Some(file) if !file.filename.exists(_.toLowerCase.endsWith(".pdf")) =>
+              replyJson(ex, 400, JObj.of("error" -> JStr("Only PDF files are supported")))
+            case Some(file) =>
+              val collection = form.getOrElse("collection", DefaultCollection)
+              val fileName = baseName(file.filename.get)
+              val text = PdfTextExtractor.extract(file.data)
+              ChunkPacker.chunkText(text, maxWords).headOption match {
+                case None =>
+                  replyJson(ex, 500, JObj.of(
+                    "error" -> JStr("Failed to generate embedding from the document")))
+                case Some(representative) =>
+                  val rows = topMatches(representative, target, collection)
+                  val results = rows.map { case (fid, fname, dec, score) =>
+                    JObj.of("file_id" -> JStr(fid), "file_name" -> JStr(fname),
+                      "case_decision" -> JStr(dec), "score" -> JDouble(score))
+                  }
+                  val winCount = rows.count(_._3 == WinStats.Won)
+                  val totalValid = rows.count(r =>
+                    r._3 == WinStats.Won || r._3 == WinStats.Lost)
+                  val pct =
+                    if (totalValid > 0)
+                      math.rint(winCount * 100.0 / totalValid * 100.0) / 100.0
+                    else 0.0
+                  replyJson(ex, 200, JObj.of(
+                    "status" -> JStr("success"),
+                    "query" -> JObj.of(
+                      "input_court_level" -> JLong(level.toLong),
+                      "target_court_level" -> JLong(target.toLong),
+                      "file_name" -> JStr(fileName)),
+                    "results" -> JArr(results),
+                    "result_count" -> JLong(rows.size.toLong),
+                    "appellant_statistics" -> JObj.of(
+                      "win_percentage" -> JDouble(pct),
+                      "win_count" -> JLong(winCount.toLong),
+                      "total_valid_decisions" -> JLong(totalValid.toLong),
+                      "invalid_decisions" -> JLong((rows.size - totalValid).toLong))))
+              }
+          }
+      }
+    }
+  }
+
+  /** The flagship plan against one collection: pushed `court_level`
+    * partition filter → broadcast 1-row query vector → L2 score →
+    * per-file best hit → ascending top-5. Collected rows are bounded
+    * at 5 by construction.
+    */
+  private def topMatches(representative: String, targetLevel: Int,
+                         collection: String): Seq[(String, String, String, Double)] = {
+    import spark.implicits._
+    val query = Seq(representative).toDF("__t")
+      .select(embedder.embed(col("__t")).as("q_emb"))
+    val corpus = collectionFrame(collection)
+      .where(col("court_level") === targetLevel)
+      .select(col("chunk_id"), col("file_id"), col("file_name"),
+        col("case_decision"), col("embedding"))
+    val scored = Knn.scored(corpus, query, col("embedding"), Distance.l2)
+      .drop("embedding")
+    Knn.topK(Knn.bestPerGroup(scored, col("file_id"), col("chunk_id")),
+        5, col("file_id"))
+      .select(col("file_id"), col("file_name"), col("case_decision"),
+        col("score").cast("double"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
+      .toSeq
+  }
+
+  // ------------------------------------------------------------------ //
+  // POST /api/v1/ingest-legal-document                                 //
+  // (extract_and_search_v2.py:379-443)                                 //
+  // ------------------------------------------------------------------ //
+
+  private def ingest(ex: HttpExchange, body: Array[Byte]): Unit = {
+    val ps = parts(ex, body)
+    val form = ps.filter(_.filename.isEmpty).map(p => p.name -> p.text).toMap
+    ps.find(p => p.name == "file" && p.filename.isDefined) match {
+      case None =>
+        replyJson(ex, 400, JObj.of("error" -> JStr("No file part in the request")))
+      case Some(file) if file.filename.exists(_.isEmpty) =>
+        replyJson(ex, 400, JObj.of("error" -> JStr("No file selected")))
+      case Some(file) if !file.filename.exists(_.toLowerCase.endsWith(".pdf")) =>
+        replyJson(ex, 400, JObj.of("error" -> JStr("Only PDF files are supported")))
+      case Some(file) =>
+        val collection = form.getOrElse("collection", DefaultCollection)
+        form.get("court_level").flatMap(_.trim.toIntOption) match {
+          case None =>
+            replyJson(ex, 400, JObj.of(
+              "error" -> JStr("Invalid or missing court_level. It must be an integer.")))
+          case Some(level) =>
+            import spark.implicits._
+            val fileName = baseName(file.filename.get)
+            val text = PdfTextExtractor.extract(file.data)
+            val attrs = Ingest.namedDocumentAttributes(
+              Seq((fileName, text)).toDF("__name", "__text"),
+              col("__name"), col("__text"), lit(level))
+            val decision = attrs.select(col("case_decision"))
+              .head().getString(0)
+            val chunks = Ingest
+              .chunkTableOf(spark, attrs, embedder, maxWords).cache()
+            val inserted =
+              try {
+                val n = chunks.count()
+                Ingest.write(chunks, collectionPath(collection))
+                n
+              } finally chunks.unpersist()
+            replyJson(ex, 200, JObj.of(
+              "status" -> JStr("success"),
+              "message" -> JStr("Document processed successfully"),
+              "chunks_inserted" -> JLong(inserted),
+              "case_decision" -> JStr(decision),
+              "collection" -> JStr(collection)))
+        }
+    }
+  }
+
+  // ------------------------------------------------------------------ //
+  // Plumbing                                                           //
+  // ------------------------------------------------------------------ //
+
+  private def collectionPath(collection: String): String = {
+    val safe = collection.filter(c => c.isLetterOrDigit || c == '_' || c == '-')
+    require(safe.nonEmpty, s"invalid collection name: $collection")
+    Paths.get(root).resolve(safe).toString
+  }
+
+  private def collectionFrame(collection: String): DataFrame = {
+    val p = collectionPath(collection)
+    if (!Files.exists(Paths.get(p)))
+      throw new IllegalArgumentException(s"collection not found: $collection")
+    spark.read.parquet(p)
+  }
+
+  private def corsHeaders(ex: HttpExchange): Unit = {
+    val h = ex.getResponseHeaders
+    h.set("Access-Control-Allow-Origin", "*")
+    h.set("Access-Control-Allow-Methods", "GET, POST, OPTIONS")
+    h.set("Access-Control-Allow-Headers", "Content-Type")
+  }
+
+  private def replyJson(ex: HttpExchange, code: Int, body: JObj): Unit =
+    reply(ex, code, Some(body.render))
+
+  private def reply(ex: HttpExchange, code: Int, body: Option[String]): Unit =
+    body match {
+      case Some(s) =>
+        val bytes = s.getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(code, bytes.length.toLong)
+        ex.getResponseBody.write(bytes)
+      case None =>
+        ex.sendResponseHeaders(code, -1L)
+    }
+}
+
+object CaseSearchService {
+
+  /** `MAX_CONTENT_LENGTH` — `/root/reference/extract_and_embed.py:20`. */
+  val MaxContentLength: Int = 16 * 1024 * 1024
+
+  /** Default collection name — `extract_and_embed.py:164`. */
+  val DefaultCollection = "case_files"
+
+  /** `secure_filename` analog: strip any path components. */
+  private[serve] def baseName(name: String): String = {
+    val cut = math.max(name.lastIndexOf('/'), name.lastIndexOf('\\'))
+    name.substring(cut + 1)
+  }
+
+  /** Read at most `cap` bytes; `None` when the stream exceeds the cap. */
+  private[serve] def readCapped(in: InputStream, cap: Int): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](64 * 1024)
+    var n = in.read(buf)
+    while (n >= 0) {
+      out.write(buf, 0, n)
+      if (out.size > cap) return None
+      n = in.read(buf)
+    }
+    Some(out.toByteArray)
+  }
+}
