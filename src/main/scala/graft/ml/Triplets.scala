@@ -74,20 +74,41 @@ object Triplets {
         col("t.neg_label").as("neg_label"))
   }
 
+  /** Per-anchor positive argmax (sim desc, ties by ascending cand) as
+    * `max(struct(sim, -cand))` — a partial aggregation with map-side
+    * combine, so the exchange carries at most one row per (anchor,
+    * partition) where a window `row_number` would shuffle-and-sort the
+    * FULL pair set (the pair set is the quadratic object here; the
+    * argmax must collapse it before the wire). Negated cand makes the
+    * struct max pick the LOWEST candidate id on equal sims — the same
+    * order the windows used. NaN sims rank above all numbers under
+    * both `max` and `desc` ordering, so the winner is identical.
+    */
+  private def bestPos(pairs: DataFrame): DataFrame =
+    pairs.groupBy(col("anchor"), col("label"))
+      .agg(max(struct(col("sim"), (-col("cand")).as("__nc"))).as("__m"))
+      .select(col("anchor"), col("label"),
+        (-col("__m.__nc")).as("pos_id"), col("__m.sim").as("pos_sim"))
+
+  /** [[bestPos]] for the hard-negative side: payload `neg_label` rides
+    * in the struct after (sim, -cand), which is already unique per
+    * anchor — it never drives the comparison.
+    */
+  private def bestNeg(pairs: DataFrame): DataFrame =
+    pairs.groupBy(col("anchor"))
+      .agg(max(struct(col("sim"), (-col("cand")).as("__nc"),
+        col("neg_label"))).as("__m"))
+      .select(col("anchor"), (-col("__m.__nc")).as("neg_id"),
+        col("__m.neg_label").as("neg_label"), col("__m.sim").as("neg_sim"))
+
   /** Per-anchor argmax over a (anchor, label, cand, sim) candidate
     * frame, joined with the negatives.
     */
-  private def assemble(pairs: DataFrame, negs: DataFrame): DataFrame = {
-    val wPos = Window.partitionBy(col("anchor"))
-      .orderBy(col("sim").desc, col("cand").asc)
-    pairs.withColumn("__rn", row_number().over(wPos))
-      .where(col("__rn") === 1)
-      .select(col("anchor"), col("label"),
-        col("cand").as("pos_id"), col("sim").as("pos_sim"))
+  private def assemble(pairs: DataFrame, negs: DataFrame): DataFrame =
+    bestPos(pairs)
       .join(broadcast(negs), "label")
       .select(col("anchor"), col("label"), col("pos_id"), col("pos_sim"),
         col("neg_id"), col("neg_label"))
-  }
 
   /** (anchor, label, pos_id, pos_sim, neg_id, neg_label) — one row
     * per vector that has at least one same-label peer. EXACT route:
@@ -167,23 +188,13 @@ object Triplets {
       .select(col("a.id").as("anchor"), col("a.label").as("label"),
         col("b.id").as("cand"),
         round(VectorKernels.cosine(col("a.emb"), col("b.emb")), 4).as("sim"))
-    val wPos = Window.partitionBy(col("anchor"))
-      .orderBy(col("sim").desc, col("cand").asc)
-    val pos = posPairs.withColumn("__rn", row_number().over(wPos))
-      .where(col("__rn") === 1)
-      .select(col("anchor"), col("label"),
-        col("cand").as("pos_id"), col("sim").as("pos_sim"))
+    val pos = bestPos(posPairs)
     val negPairs = base.as("a")
       .join(base.as("b"), col("a.label") =!= col("b.label"))
       .select(col("a.id").as("anchor"), col("b.id").as("cand"),
         col("b.label").as("neg_label"),
         round(VectorKernels.cosine(col("a.emb"), col("b.emb")), 4).as("sim"))
-    val wNeg = Window.partitionBy(col("anchor"))
-      .orderBy(col("sim").desc, col("cand").asc)
-    val neg = negPairs.withColumn("__rn", row_number().over(wNeg))
-      .where(col("__rn") === 1)
-      .select(col("anchor"), col("cand").as("neg_id"),
-        col("neg_label"), col("sim").as("neg_sim"))
+    val neg = bestNeg(negPairs)
     pos.join(neg, "anchor")
       .select(col("anchor"), col("label"), col("pos_id"), col("pos_sim"),
         col("neg_id"), col("neg_label"), col("neg_sim"))
@@ -229,24 +240,16 @@ object Triplets {
       .select(col("a.id").as("anchor"), col("a.label").as("label"),
         col("b.id").as("cand"))
       .distinct()
-    val wPos = Window.partitionBy(col("anchor"))
-      .orderBy(col("sim").desc, col("cand").asc)
-    val pos = verified(posCands).withColumn("__rn", row_number().over(wPos))
-      .where(col("__rn") === 1)
-      .select(col("anchor"), col("label"),
-        col("cand").as("pos_id"), col("sim").as("pos_sim"))
+    val pos = bestPos(verified(posCands)
+      .select(col("anchor"), col("label"), col("cand"), col("sim")))
     val negCands = keys.as("a")
       .join(keys.as("b"), col("a.bk") === col("b.bk")
         && col("a.label") =!= col("b.label"))
       .select(col("a.id").as("anchor"), col("b.id").as("cand"),
         col("b.label").as("neg_label"))
       .distinct()
-    val wNeg = Window.partitionBy(col("anchor"))
-      .orderBy(col("sim").desc, col("cand").asc)
-    val neg = verified(negCands).withColumn("__rn", row_number().over(wNeg))
-      .where(col("__rn") === 1)
-      .select(col("anchor"), col("cand").as("neg_id"),
-        col("neg_label"), col("sim").as("neg_sim"))
+    val neg = bestNeg(verified(negCands)
+      .select(col("anchor"), col("cand"), col("neg_label"), col("sim")))
     pos.join(neg, "anchor")
       .select(col("anchor"), col("label"), col("pos_id"), col("pos_sim"),
         col("neg_id"), col("neg_label"), col("neg_sim"))
