@@ -106,6 +106,14 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // Broadcasts (and shuffle files) are reaped by ContextCleaner
+      // only when the JVM garbage-collects their driver-side handles;
+      // ~150 queries × several broadcasts each otherwise accumulate in
+      // the block manager until the tail of the suite measures memory
+      // pressure, not query cost (observed: text_lm_perplexity 22.3s
+      // in-suite vs 5.8s solo). One explicit GC per query keeps the
+      // cleaner current at a few ms cost.
+      System.gc()
     }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -119,12 +127,37 @@ object Bench {
       resetEngineState()
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_errors":${errors.size},"errors":$errJson,"sf":"$sfDir"}""")
+    def s3(v: Double): String = f"$v%.3f"
+    // Full per-query detail to a file: the harness only captures the
+    // LAST ~2000 chars of stdout, and a ~150-entry per-query map is
+    // ~5 KB — every prior round's single JSON line was truncated
+    // mid-object and unparseable. The printed line stays complete and
+    // small (totals + the slowest queries, which are what perf triage
+    // reads); the full map lives next to it on disk.
+    val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + s3(v) }
+      .mkString("{", ",", "}")
+    val detailPath = java.nio.file.Paths.get("bench_full.json").toAbsolutePath
+    java.nio.file.Files.write(detailPath,
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$fullQs,"n_errors":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
+        .getBytes("UTF-8"))
+    val budget = 1800
+    val slowest = results.toSeq.sortBy(-_._2)
+    val head = s"""{"metric":"total","value":${s3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"detail":"$detailPath","queries":{"""
+    val tail0 = s"""},"errors":$errJson}"""
+    val sb = new StringBuilder(head)
+    var kept = 0
+    slowest.foreach { case (k, v) =>
+      val ent = (if (kept > 0) "," else "") + "\"" + k + "\":" + s3(v)
+      if (sb.length + ent.length + tail0.length + 40 <= budget) {
+        sb.append(ent); kept += 1
+      }
+    }
+    sb.append("},\"queries_omitted\":").append(results.size - kept)
+      .append(s""","errors":$errJson}""")
+    println(sb.result())
     spark.stop()
   }
 }

@@ -1549,6 +1549,16 @@ object SparkEntry {
       Some(TextAnalysis.vocabSql("documents", "doc_id", "text") +
         " ORDER BY df DESC, cf DESC, token LIMIT 50")),
 
+    // Per-document TF-IDF keywords, top 3 — postings + df aggregates
+    // and a doc-bounded sort_array/slice top-k (no global window);
+    // score 4dp, total order (score desc, token asc) both engines
+    Q("text_tfidf_topk",
+      (s, dir) => TextAnalysis.tfidfTopK(Tables.documents(s, dir),
+          col("doc_id"), col("text"), k = 3)
+        .orderBy("id", "rank"),
+      Some(TextAnalysis.tfidfTopKSql("documents", "doc_id", "text", k = 3) +
+        " ORDER BY id, rank")),
+
     // Misra-Gries heavy hitters under the exactness gate: decrements
     // only fire past `capacity`, so capacity ≥ distinct-vocab makes
     // the bounded-state summary EXACTLY the frequency table under any
@@ -2105,6 +2115,30 @@ object SparkEntry {
       Some(graft.operators.Splits.shardOrderSql("documents", "doc_id",
         nShards = 16, salt = "order", selectCols = "doc_id, lang")
         + " ORDER BY shard, pos")),
+
+    // Latest-wins snapshot compaction (MERGE/upsert as a batch
+    // operator): base snapshot ∪ versioned updates → highest-version
+    // row per key through ONE max_by hash aggregate (map-side partial;
+    // no window over the union) — the incremental re-ingest path the
+    // reference's blind-insert store lacks. Updates derived
+    // deterministically from the corpus (every 7th doc gets a v2)
+    Q("mldata_upsert_latest",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val base = docs.select(col("doc_id"), lit(1L).as("version"),
+          col("lang"), col("text"))
+        val upd = docs.where(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), lit(2L).as("version"), col("lang"),
+            concat(lit("v2 "), col("text")).as("text"))
+        graft.operators.Upsert.latestByKey(base, upd, "doc_id", "version",
+            Seq("lang", "text"))
+          .orderBy("doc_id")
+      },
+      Some(graft.operators.Upsert.latestByKeySql(
+        "SELECT doc_id, CAST(1 AS BIGINT) AS version, lang, text FROM documents",
+        """SELECT doc_id, CAST(2 AS BIGINT) AS version, lang,
+          | 'v2 ' || text AS text FROM documents WHERE doc_id % 7 = 0""".stripMargin,
+        "doc_id", "version", Seq("lang", "text")) + " ORDER BY doc_id")),
   )
 
   // ---------------------------------------------------------------- //
@@ -2561,6 +2595,46 @@ object SparkEntry {
         .orderBy("id"),
       Some(EmbStats.pcaProjectSql("embeddings", "vec_id", "embedding", dim = 64)
         + " ORDER BY id")),
+
+    // Per-dimension z-score standardization — the whitening front step
+    // over the same exact-integer moment pass as emb_covariance (train
+    // is d-bounded; apply is a narrow map against broadcast (μ, σ)).
+    // The gate serializes z at 6dp integer CSV: floor() of
+    // bit-identical doubles is engine-stable, and CSV sidesteps the
+    // driver compare's scalar-column contract (the v_quantize_int8
+    // pattern)
+    Q("emb_standardize",
+      (s, dir) => EmbStats.standardize(Tables.embeddings(s, dir),
+          col("vec_id"), col("embedding").cast("array<float>"), dim = 64)
+        .select(col("id"),
+          concat_ws(",", transform(col("z"),
+            z => floor(z * 1e6d + 0.5d).cast("long").cast("string")))
+            .as("z6_csv"))
+        .orderBy("id"),
+      Some(s"""SELECT id, array_to_string(list_transform(z,
+              |    zz -> CAST(CAST(floor(zz * 1000000 + 0.5) AS BIGINT) AS VARCHAR)), ',')
+              |  AS z6_csv
+              |FROM (${EmbStats.standardizeSql("embeddings", "vec_id", "embedding", dim = 64)})
+              |ORDER BY id""".stripMargin)),
+
+    // Johnson–Lindenstrauss sign projection 64 → 16: seedless affine-
+    // hash sign matrix, exact long accumulation, narrow map — the
+    // pre-reduction step before LSH/clustering at the reference's
+    // native dim 1536. Same 4dp integer-CSV gate shape
+    Q("emb_random_projection",
+      (s, dir) => EmbStats.randomProjection(Tables.embeddings(s, dir),
+          col("vec_id"), col("embedding").cast("array<float>"),
+          dim = 64, k = 16)
+        .select(col("id"),
+          concat_ws(",", transform(col("y"),
+            y => floor(y * 1e4d + 0.5d).cast("long").cast("string")))
+            .as("y4_csv"))
+        .orderBy("id"),
+      Some(s"""SELECT id, array_to_string(list_transform(y,
+              |    yy -> CAST(CAST(floor(yy * 10000 + 0.5) AS BIGINT) AS VARCHAR)), ',')
+              |  AS y4_csv
+              |FROM (${EmbStats.randomProjectionSql("embeddings", "vec_id", "embedding", dim = 64, k = 16)})
+              |ORDER BY id""".stripMargin)),
 
     // Binary (sign-bit) quantization — the 32×-smaller coarsest rung
     // of the quantization ladder; MSB-first 32-bit words so both

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Latest-wins snapshot compaction — the MERGE/upsert step of an
+  * incremental ingest pipeline expressed as a pure batch operator:
+  * given a base snapshot and a stream of versioned updates, produce
+  * the compacted snapshot where every key carries its highest-version
+  * row (the reference's vector store re-inserts chunks blindly on
+  * every ingest — `/root/reference/extract_and_embed.py` has no
+  * update path at all; this is the §2.7 completion that makes
+  * re-ingesting a corrected document a first-class operation instead
+  * of a duplicate).
+  *
+  * Scale shape: ONE hash aggregate on the key with `max_by` — map-side
+  * partial aggregation combines locally before the shuffle, so the
+  * shuffle carries at most one candidate row per (task, key), not the
+  * full update history; no window over the union (a window form
+  * shuffles every version of every key to one task AND sorts it).
+  * This is the shape that survives a 100 TB base + daily-delta merge:
+  * cost ∝ rows scanned, state ∝ live keys.
+  *
+  * Determinism: callers must guarantee versions are unique per key
+  * (an ingest sequence number or commit timestamp) — `max_by` on a
+  * tied version is free to pick either row, same as DuckDB `arg_max`.
+  */
+object Upsert {
+
+  /** Compact `base ∪ updates` to the highest-version row per key.
+    * Both sides must share the schema `(key, version, payload…)`;
+    * `payloadCols` names the carried columns. Output:
+    * `(key, version, payload…)`, one row per key.
+    */
+  def latestByKey(base: DataFrame, updates: DataFrame, keyCol: String,
+                  versionCol: String, payloadCols: Seq[String]): DataFrame = {
+    val all = base.select(keyCol, (versionCol +: payloadCols): _*)
+      .unionByName(updates.select(keyCol, (versionCol +: payloadCols): _*))
+    val aggs = col(versionCol) +: payloadCols.map(c => col(c))
+    all.groupBy(col(keyCol))
+      .agg(max(col(versionCol)).as(versionCol),
+        payloadCols.map(c => max_by(col(c), col(versionCol)).as(c)): _*)
+  }
+
+  /** DuckDB twin of [[latestByKey]] over two inline relations (SQL
+    * text for the base and updates SELECTs).
+    */
+  def latestByKeySql(baseSql: String, updatesSql: String, keyExpr: String,
+                     versionExpr: String, payloadCols: Seq[String]): String = {
+    val pays = payloadCols
+      .map(c => s"arg_max($c, $versionExpr) AS $c").mkString(", ")
+    s"""SELECT $keyExpr, max($versionExpr) AS $versionExpr, $pays
+       |FROM (($baseSql) UNION ALL BY NAME ($updatesSql))
+       |GROUP BY $keyExpr""".stripMargin
+  }
+}

@@ -1131,6 +1131,71 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Per-document TF-IDF keyword extraction: the top-`k` terms of each
+    * document by `tf · ln((N+1)/(df+1))` (add-one smoothed idf), score
+    * at 4dp, ties broken by term ascending — the standard "what is
+    * this document about" surface a curation pipeline uses for topic
+    * caps and per-domain mixture audits (no reference analog; §2.7
+    * extension surface).
+    *
+    * Scale shape: one tokenize pass → postings `(id, token, tf)`
+    * (hash-aggregate, map-side partial), document frequencies from a
+    * second vocabulary-keyed aggregate, one equi-join postings ⋈ dfs
+    * on token (AQE picks broadcast only when the vocabulary is small
+    * — heavy-tailed corpora keep it a shuffle join), and the per-doc
+    * top-k is an AGGREGATE (sort_array + slice over the doc-bounded
+    * term list), not a global window — partial-aggregation-friendly
+    * and bounded by document vocabulary, never corpus vocabulary.
+    * Same determinism story as [[bm25Join]]: both engines emit
+    * bit-identical doubles for identical (tf, df, n) integer inputs,
+    * and the rank order is total (score desc, token asc).
+    */
+  def tfidfTopK(docs: org.apache.spark.sql.DataFrame, idCol: Column,
+                textCol: Column, k: Int): org.apache.spark.sql.DataFrame = {
+    require(k > 0, "k must be positive")
+    val toks = split(lower(trim(textCol)), "\\s+")
+    val postings = docs
+      .select(idCol.as("id"), explode(toks).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    val dfs = postings.groupBy("token").agg(count(lit(1)).as("df"))
+    val n1 = docs.agg((count(lit(1)) + 1L).cast("double").as("n1"))
+    postings.join(dfs, "token").crossJoin(broadcast(n1))
+      .select(col("id"), col("token"),
+        round(col("tf").cast("double")
+          * log(col("n1") / (col("df") + lit(1L)).cast("double")), 4)
+          .as("score"))
+      .groupBy("id")
+      .agg(slice(sort_array(collect_list(
+        struct((-col("score")).as("ns"), col("token").as("t")))), 1, k)
+        .as("top"))
+      .select(col("id"), posexplode(col("top")))
+      .select(col("id"), col("col.t").as("token"),
+        (-col("col.ns")).as("score"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** DuckDB twin of [[tfidfTopK]]. */
+  def tfidfTopKSql(table: String, idExpr: String, textExpr: String,
+                   k: Int): String =
+    s"""WITH p AS MATERIALIZED (
+       |  SELECT id, token, CAST(count(*) AS BIGINT) AS tf FROM (
+       |    SELECT $idExpr AS id,
+       |      unnest(string_split_regex(lower(trim($textExpr)), '$WsClassSql+')) AS token
+       |    FROM $table)
+       |  WHERE token <> '' GROUP BY 1, 2),
+       |d AS MATERIALIZED (SELECT token, count(*) AS df FROM p GROUP BY 1),
+       |nn AS (SELECT CAST(count(*) + 1 AS DOUBLE) AS n1 FROM $table),
+       |scored AS (
+       |  SELECT id, token,
+       |    round(CAST(tf AS DOUBLE) * ln(n1 / CAST(df + 1 AS DOUBLE)), 4)
+       |      AS score
+       |  FROM p JOIN d USING (token), nn)
+       |SELECT id, token, score,
+       |  CAST(row_number() OVER (PARTITION BY id ORDER BY score DESC, token)
+       |       AS INTEGER) AS rank
+       |FROM scored
+       |QUALIFY rank <= $k""".stripMargin
+
   /** DuckDB twin of [[contaminationHits]]. */
   def contaminationSql(table: String, idExpr: String, textExpr: String,
                        probeIds: Seq[Long], n: Int = 3): String = {

@@ -266,6 +266,152 @@ object EmbStats extends Serializable {
           / (scale.toDouble * 1e6d)).as("score"))
   }
 
+  /** Per-dimension z-score standardization — the whitening front step
+    * the module doc promises. Training is the same one-pass exact
+    * integer moment aggregate restricted to the diagonal (mean and
+    * variance per dimension; d-bounded driver state, the
+    * [[covMatrix]] contract), and the corpus-scale APPLY is a narrow
+    * map against the broadcast per-dim (mean, std) pair:
+    * `z_i = (qe_i − μ_i) / σ_i` at the quantized scale — the scale
+    * factor cancels, so z is the true z-score of the quantized
+    * component. μ and σ are single double operations on exact integer
+    * operands (one division; one sqrt of an exact integer), so every
+    * emitted double is bit-identical across engines and shuffle
+    * orders, per the module determinism contract. Zero-variance
+    * dimensions standardize to 0.0 (the convention that keeps
+    * constant columns from poisoning downstream distances).
+    */
+  def standardize(df: DataFrame, idCol: Column, embCol: Column, dim: Int,
+                  scale: Int = 10000): DataFrame = {
+    val ms = momentSums(df, embCol, dim, scale)
+    // diagonal + first moments only: (i, n, t, s_ii), d rows, bounded
+    val stats = ms.where(col("j") === 0)
+      .select(col("i"), col("s").as("t"), col("n"))
+      .join(ms.where(col("j") === col("i"))
+          .select(col("i"), col("s").as("sii")),
+        Seq("i"))
+      .collect()
+      .map { r =>
+        val (i, t, n, sii) =
+          (r.getInt(0), r.getDecimal(1).toBigInteger, r.getLong(2),
+            r.getDecimal(3).toBigInteger)
+        val nB = java.math.BigInteger.valueOf(n)
+        val mean = new java.math.BigDecimal(t).doubleValue() / n
+        // population variance numerator n·S_ii − T_i², exact
+        val num = sii.multiply(nB).subtract(t.multiply(t))
+        val std = math.sqrt(new java.math.BigDecimal(num).doubleValue()) / n
+        (i, mean, std)
+      }.sortBy(_._1)
+    require(stats.length == dim || stats.isEmpty,
+      s"moment stats rows ${stats.length} != dim $dim")
+    // empty corpus: the filter below emits no rows; any literal works
+    val safe = if (stats.nonEmpty) stats
+               else (1 to dim).map(i => (i, 0d, 0d)).toArray
+    val meanLit = array(safe.map(s => lit(s._2)): _*)
+    val stdLit = array(safe.map(s => lit(s._3)): _*)
+    df.where(embCol.isNotNull && size(embCol) === dim)
+      .select(idCol.as("id"),
+        zip_with(quantized(embCol, scale), meanLit, (q, m) => q.cast("double") - m)
+          .as("__c"), stdLit.as("__s"))
+      .select(col("id"),
+        zip_with(col("__c"), col("__s"),
+          (c, s) => when(s === 0d, 0d).otherwise(c / s)).as("z"))
+  }
+
+  /** DuckDB twin of [[standardize]] — identical moment arithmetic
+    * (HUGEINT exact), identical final double steps, identical
+    * zero-variance convention.
+    */
+  def standardizeSql(table: String, idExpr: String, embExpr: String,
+                     dim: Int, scale: Int = 10000): String = {
+    val qe = quantizedSql(embExpr, scale)
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT $qe AS qe FROM $table
+       |  WHERE $embExpr IS NOT NULL AND len($embExpr) = $dim),
+       |st AS MATERIALIZED (
+       |  SELECT i.range AS i,
+       |    CAST(SUM(CAST(qe[CAST(i.range AS INTEGER)] AS HUGEINT)) AS DOUBLE)
+       |      / COUNT(*) AS mean,
+       |    sqrt(CAST(COUNT(*) * SUM(CAST(qe[CAST(i.range AS INTEGER)] AS HUGEINT)
+       |                             * qe[CAST(i.range AS INTEGER)])
+       |              - SUM(CAST(qe[CAST(i.range AS INTEGER)] AS HUGEINT))
+       |                * SUM(CAST(qe[CAST(i.range AS INTEGER)] AS HUGEINT))
+       |         AS DOUBLE)) / COUNT(*) AS std
+       |  FROM q, range(1, ${dim + 1}) i GROUP BY 1),
+       |marr AS MATERIALIZED (
+       |  SELECT list(mean ORDER BY i) AS ms, list(std ORDER BY i) AS ss FROM st)
+       |SELECT $idExpr AS id,
+       |  list_transform(range(1, ${dim + 1}), k ->
+       |    CASE WHEN ss[CAST(k AS INTEGER)] = 0 THEN 0.0
+       |    ELSE (CAST($qe[CAST(k AS INTEGER)] AS DOUBLE)
+       |          - ms[CAST(k AS INTEGER)]) / ss[CAST(k AS INTEGER)] END) AS z
+       |FROM $table, marr
+       |WHERE $embExpr IS NOT NULL AND len($embExpr) = $dim""".stripMargin
+  }
+
+  // Sign-matrix hash constants for [[randomProjection]] — the affine
+  // mod-prime family of [[graft.operators.Splits.idHash]] (identical
+  // arithmetic both engines; (i·131071 + j) < 2³¹ keeps the pre-image
+  // distinct per (i, j) at any dim/k this engine targets, and the
+  // reduced multiply never overflows signed 64-bit).
+  private val RpM = 1000003L
+  private val RpA = 2654435761L
+  private val RpB = 40503L
+  private val RpP = 99991L
+
+  private def rpSign(i: Int, j: Int): Long = {
+    val h = (((i.toLong * 131071L + j) % RpM) * RpA + RpB) % RpP
+    if (h % 2 == 0) 1L else -1L
+  }
+
+  /** Johnson–Lindenstrauss sign random projection, `dim → k`:
+    * `y_j = Σ_i qe_i · s(i,j) / scale` with `s ∈ {±1}` a pure affine
+    * hash of `(i, j)` — the seedless-reproducible analog of a Gaussian
+    * projection (Achlioptas-style sign matrix). The accumulation is
+    * exact long arithmetic; the single final division makes the
+    * emitted doubles bit-identical across engines. A narrow map — no
+    * shuffle, no training pass, no broadcast state beyond the k·dim
+    * literal sign rows — THE pre-reduction step before LSH/clustering
+    * when the native dimensionality (1536 at the reference's model)
+    * makes per-pair work expensive.
+    */
+  def randomProjection(df: DataFrame, idCol: Column, embCol: Column,
+                       dim: Int, k: Int, scale: Int = 10000): DataFrame = {
+    require(k > 0 && dim > 0, "dim and k must be positive")
+    val qe = quantized(embCol, scale)
+    val ys = (1 to k).map { j =>
+      val signs = array((1 to dim).map(i => lit(rpSign(i, j))): _*)
+      (aggregate(zip_with(qe, signs, (q, s) => q * s), lit(0L),
+        (a, x) => a + x).cast("double") / scale.toDouble)
+    }
+    df.where(embCol.isNotNull && size(embCol) === dim)
+      .select(idCol.as("id"), array(ys: _*).as("y"))
+  }
+
+  /** DuckDB twin of [[randomProjection]] — the sign hash inlined as the
+    * same integer expression.
+    */
+  def randomProjectionSql(table: String, idExpr: String, embExpr: String,
+                          dim: Int, k: Int, scale: Int = 10000): String = {
+    val qe = quantizedSql(embExpr, scale)
+    s"""WITH s AS MATERIALIZED (
+       |  SELECT i.range AS i, j.range AS j,
+       |    CASE WHEN ((((i.range * 131071 + j.range) % $RpM) * $RpA + $RpB)
+       |               % $RpP) % 2 = 0 THEN 1 ELSE -1 END AS sg
+       |  FROM range(1, ${dim + 1}) i, range(1, ${k + 1}) j),
+       |sj AS MATERIALIZED (
+       |  SELECT j, list(CAST(sg AS BIGINT) ORDER BY i) AS sgs FROM s GROUP BY j),
+       |mat AS MATERIALIZED (SELECT list(sgs ORDER BY j) AS m FROM sj)
+       |SELECT $idExpr AS id,
+       |  list_transform(range(1, ${k + 1}), j0 ->
+       |    CAST(list_sum(list_transform(range(1, ${dim + 1}), i0 ->
+       |      ($qe)[CAST(i0 AS INTEGER)]
+       |        * m[CAST(j0 AS INTEGER)][CAST(i0 AS INTEGER)])) AS DOUBLE)
+       |      / $scale) AS y
+       |FROM $table, mat
+       |WHERE $embExpr IS NOT NULL AND len($embExpr) = $dim""".stripMargin
+  }
+
   /** DuckDB twin of [[pcaProject]]. */
   def pcaProjectSql(table: String, idExpr: String, embExpr: String, dim: Int,
                     iters: Int = 12, scale: Int = 10000): String =

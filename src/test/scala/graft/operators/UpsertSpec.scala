@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class UpsertSpec extends AnyFunSuite with SparkSpec {
+
+  private def base = {
+    import spark.implicits._
+    Seq(
+      (1L, 1L, "en", "one"),
+      (2L, 1L, "en", "two"),
+      (3L, 1L, "de", "drei")).toDF("k", "version", "lang", "text")
+  }
+
+  private def updates = {
+    import spark.implicits._
+    Seq(
+      (2L, 3L, "en", "two-v3"),
+      (2L, 2L, "en", "two-v2"),   // superseded by v3 in the same batch
+      (4L, 2L, "fr", "quatre")    // brand-new key (insert path)
+    ).toDF("k", "version", "lang", "text")
+  }
+
+  test("latest-wins across base, superseded updates, and inserts") {
+    val out = Upsert.latestByKey(base, updates, "k", "version",
+        Seq("lang", "text"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, "en", "one"),        // untouched base row
+      (2L, 3L, "en", "two-v3"),     // highest of three versions
+      (3L, 1L, "de", "drei"),
+      (4L, 2L, "fr", "quatre")))    // pure insert
+  }
+
+  test("compaction is one partial-friendly aggregate, not a window") {
+    val plan = Upsert.latestByKey(base, updates, "k", "version",
+      Seq("lang", "text")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window-free contract:\n$plan")
+    // two-phase agg: a partial aggregate below the key exchange
+    assert(plan.contains("partial"), s"map-side combine expected:\n$plan")
+  }
+}

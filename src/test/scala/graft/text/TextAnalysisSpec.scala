@@ -214,6 +214,38 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(hits == Map(10L -> 1L, 11L -> 1L))
   }
 
+  test("tfidf keywords: distinctive terms beat ubiquitous ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common common apple apple apple"),
+      (2L, "common banana banana"),
+      (3L, "common cherry")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopK(docs, col("doc_id"), col("text"), k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // "common" has df = 3 → idf = ln(4/4) = 0; the per-doc term wins
+    assert(top == Map(1L -> "apple", 2L -> "banana", 3L -> "cherry"))
+  }
+
+  test("tfidf rank is dense per document with deterministic tie-break") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "zz aa zz aa mid"),
+      (2L, "mid other")).toDF("doc_id", "text")
+    val rows = TextAnalysis.tfidfTopK(docs, col("doc_id"), col("text"), k = 3)
+      .where(col("id") === 1L).orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getInt(3)))
+    // aa and zz tie on (tf=2, df=1) — token ascending breaks the tie
+    assert(rows.take(2).toSeq == Seq(("aa", 1), ("zz", 2)))
+  }
+
+  test("tfidf top-k is an aggregate, not a global window") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    val plan = TextAnalysis.tfidfTopK(docs, col("doc_id"), col("text"), 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window-free top-k contract:\n$plan")
+  }
+
   test("contamination plan broadcasts the probe side") {
     import spark.implicits._
     val docs = Seq((0L, "a b c d"), (5L, "b c d e")).toDF("doc_id", "text")

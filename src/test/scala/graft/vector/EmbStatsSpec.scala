@@ -117,4 +117,56 @@ class EmbStatsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(s(3L)) > math.abs(s(1L)) && math.abs(s(1L)) > math.abs(s(5L)))
     assert(s(3L) * s(4L) < 0, "opposite-side rows must project with opposite signs")
   }
+
+  test("standardize matches a naive z-score and zeroes constant dimensions") {
+    import spark.implicits._
+    // dim 3 constant: σ = 0 must standardize to 0.0, not NaN
+    val df = Seq(
+      (1L, Array(1.0f, 10.0f, 7.0f)),
+      (2L, Array(2.0f, 20.0f, 7.0f)),
+      (3L, Array(3.0f, 30.0f, 7.0f))).toDF("id", "emb")
+    val out = EmbStats.standardize(df, col("id"), col("emb"), dim = 3)
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+    // quantized components are exact here (1dp inputs at scale 1e4):
+    // population σ of (1,2,3)·1e4 is √(2/3)·1e4
+    val sd = math.sqrt(2.0 / 3.0)
+    out.zip(Seq(-1.0, 0.0, 1.0)).foreach { case ((_, z), e) =>
+      assert(math.abs(z(0) - e / sd) < 1e-12, s"z0 ${z(0)} vs ${e / sd}")
+      assert(math.abs(z(1) - e / sd) < 1e-12, s"z1 ${z(1)}")
+      assert(z(2) == 0.0, "constant dim must standardize to exactly 0.0")
+    }
+    // standardized column means are 0 and variances 1 (up to quantization)
+    val zs = out.map(_._2)
+    (0 to 1).foreach { d =>
+      val m = zs.map(_(d)).sum / zs.length
+      val v = zs.map(z => z(d) * z(d)).sum / zs.length
+      assert(math.abs(m) < 1e-9 && math.abs(v - 1.0) < 1e-6)
+    }
+  }
+
+  test("random projection is the exact sign-hash dot and preserves scaling") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, -2.0f, 0.5f, 3.0f)),
+      (2L, Array(2.0f, -4.0f, 1.0f, 6.0f))).toDF("id", "emb") // row2 = 2·row1
+    val out = EmbStats.randomProjection(df, col("id"), col("emb"),
+        dim = 4, k = 8)
+      .orderBy("id").collect().map(r => r.getSeq[Double](1))
+    assert(out.forall(_.length == 8))
+    // linearity of the sign projection: y(2x) = 2·y(x) exactly (the
+    // quantized components of 2·x are exactly 2·quantized(x) here)
+    out(0).zip(out(1)).foreach { case (a, b) =>
+      assert(b == 2.0 * a, s"$b != 2*$a")
+    }
+    // projection is not degenerate: some coordinate is non-zero
+    assert(out(0).exists(_ != 0.0))
+  }
+
+  test("standardize and random projection plans stay narrow after training") {
+    val plan = EmbStats.randomProjection(vecs, col("id"), col("emb"),
+      dim = 4, k = 4).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"projection apply must not shuffle:\n$plan")
+  }
 }
