@@ -2139,6 +2139,41 @@ object SparkEntry {
         """SELECT doc_id, CAST(2 AS BIGINT) AS version, lang,
           | 'v2 ' || text AS text FROM documents WHERE doc_id % 7 = 0""".stripMargin,
         "doc_id", "version", Seq("lang", "text")) + " ORDER BY doc_id")),
+
+    // The same compaction as a STREAMING aggregation (fourth streaming
+    // hash gate): base snapshot in trigger 1, the v2 updates in
+    // trigger 2, latest-wins folded by the state store (one candidate
+    // per live key), complete-mode snapshot compared against the
+    // identical batch-MERGE oracle
+    Q("streaming_upsert_latest",
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("text")).collect()
+        val base = docs.map(r =>
+          (r.getLong(0), 1L, r.getString(1), r.getString(2))).toSeq
+        val upd = docs.filter(_.getLong(0) % 7 == 0).map(r =>
+          (r.getLong(0), 2L, r.getString(1), "v2 " + r.getString(2))).toSeq
+        val ms = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Long, String, String)]
+        val out = graft.streaming.StreamingUpsert.latestByKey(
+          ms.toDS().toDF("doc_id", "version", "lang", "text"),
+          "doc_id", "version", Seq("lang", "text"))
+        val qName = "graft_streaming_upsert_latest"
+        val q = out.writeStream.format("memory").queryName(qName)
+          .outputMode("complete").start()
+        try {
+          ms.addData(base); q.processAllAvailable()
+          ms.addData(upd); q.processAllAvailable()
+        } finally q.stop()
+        s.table(qName).orderBy("doc_id")
+      },
+      Some(graft.operators.Upsert.latestByKeySql(
+        "SELECT doc_id, CAST(1 AS BIGINT) AS version, lang, text FROM documents",
+        """SELECT doc_id, CAST(2 AS BIGINT) AS version, lang,
+          | 'v2 ' || text AS text FROM documents WHERE doc_id % 7 = 0""".stripMargin,
+        "doc_id", "version", Seq("lang", "text")) + " ORDER BY doc_id")),
   )
 
   // ---------------------------------------------------------------- //
