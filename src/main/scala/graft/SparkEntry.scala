@@ -1549,6 +1549,16 @@ object SparkEntry {
       Some(TextAnalysis.vocabSql("documents", "doc_id", "text") +
         " ORDER BY df DESC, cf DESC, token LIMIT 50")),
 
+    // PMI collocations, top 30 at count ≥ 5 — bigram table built once,
+    // marginals derived FROM it (no re-tokenize), double-space marginal
+    // product (long l1·r2 overflows at corpus scale), global top-k via
+    // TakeOrderedAndProject
+    Q("text_pmi_collocations",
+      (s, dir) => TextAnalysis.pmiCollocations(Tables.documents(s, dir),
+        col("text"), minCount = 5, k = 30),
+      Some(TextAnalysis.pmiCollocationsSql("documents", "text",
+        minCount = 5, k = 30))),
+
     // Per-document TF-IDF keywords, top 3 — postings + df aggregates
     // and a doc-bounded sort_array/slice top-k (no global window);
     // score 4dp, total order (score desc, token asc) both engines
@@ -2174,6 +2184,36 @@ object SparkEntry {
         """SELECT doc_id, CAST(2 AS BIGINT) AS version, lang,
           | 'v2 ' || text AS text FROM documents WHERE doc_id % 7 = 0""".stripMargin,
         "doc_id", "version", Seq("lang", "text")) + " ORDER BY doc_id")),
+
+    // Snapshot diff — added / removed / changed keys between two
+    // corpus versions via ONE full-outer equi-join, unchanged overlap
+    // dropped (at scale the overlap IS the corpus). Current snapshot
+    // derived deterministically: every 11th doc removed, every 7th
+    // edited, every 13th re-added under a shifted id
+    Q("mldata_snapshot_diff",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val base = docs.select(col("doc_id"), col("lang"), col("text"))
+        val curr = docs.where(col("doc_id") % 11 =!= 0)
+          .select(col("doc_id"), col("lang"),
+            when(col("doc_id") % 7 === 0, concat(lit("v2 "), col("text")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(docs.where(col("doc_id") % 13 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+              col("text")))
+        graft.operators.Upsert.snapshotDiff(base, curr, "doc_id",
+            Seq("lang", "text"))
+          .orderBy("doc_id", "status")
+      },
+      Some(graft.operators.Upsert.snapshotDiffSql(
+        "SELECT doc_id, lang, text FROM documents",
+        """SELECT doc_id, lang,
+          |  CASE WHEN doc_id % 7 = 0 THEN 'v2 ' || text ELSE text END AS text
+          |FROM documents WHERE doc_id % 11 <> 0
+          |UNION ALL
+          |SELECT doc_id + 1000000 AS doc_id, lang, text
+          |FROM documents WHERE doc_id % 13 = 0""".stripMargin,
+        "doc_id", Seq("lang", "text")) + " ORDER BY doc_id, status")),
   )
 
   // ---------------------------------------------------------------- //
@@ -2374,6 +2414,28 @@ object SparkEntry {
     // round, rounds = diameter, lineage truncated per round); keeper =
     // min id per cluster. The DuckDB oracle recomputes the clustering
     // independently with a recursive CTE over the same edge set.
+    // Community detection over the same near-dup pair graph — 3
+    // synchronous majority-vote rounds (Jacobi, min-label ties, fixed
+    // round count), the granularity view next to dedup_clusters'
+    // connectivity view; oracle replays the identical rounds as
+    // unrolled CTEs
+    Q("dedup_label_prop",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val edges = graft.dedup.Dedup.ngramJaccardPairsPrefix(docs,
+            col("doc_id"), Enrich.dedupContent(col("text"), col("doc_id")),
+            minJaccard = 0.5)
+          .select("id_a", "id_b")
+        graft.dedup.LabelProp.labelPropagation(
+            docs.select(col("doc_id").as("id")), edges, rounds = 3)
+          .orderBy("id")
+      },
+      Some(graft.dedup.LabelProp.labelPropagationSql(
+        "SELECT doc_id AS id FROM documents",
+        Dedup.ngramJaccardPairsIndexedSql("documents", "doc_id",
+          Enrich.dedupContentSql("text", "doc_id")),
+        rounds = 3) + " ORDER BY id")),
+
     Q("dedup_clusters",
       (s, dir) => Components.dupClusters(Tables.documents(s, dir),
           col("doc_id"), Enrich.dedupContent(col("text"), col("doc_id")),

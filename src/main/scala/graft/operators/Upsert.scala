@@ -53,4 +53,47 @@ object Upsert {
        |FROM (($baseSql) UNION ALL BY NAME ($updatesSql))
        |GROUP BY $keyExpr""".stripMargin
   }
+
+  /** Snapshot diff — the audit half of the merge story: which keys
+    * were `added`, `removed`, or `changed` between two corpus
+    * snapshots (payload equality via null-safe comparison of the
+    * carried columns). The row-count of each class is what an
+    * incremental pipeline reads before deciding to re-embed / re-index
+    * — and the diff itself is the minimal update set to feed
+    * [[latestByKey]]. Unchanged keys are dropped (at 100 TB the
+    * overlap IS the corpus; emitting it would be the bug).
+    *
+    * One full-outer hash equi-join on the key, nothing else — both
+    * sides pruned to `key + payload` at the scan, so the shuffle
+    * carries compared bytes only.
+    */
+  def snapshotDiff(base: DataFrame, curr: DataFrame, keyCol: String,
+                   payloadCols: Seq[String]): DataFrame = {
+    val b = base.select(col(keyCol).as("k"),
+      struct(payloadCols.map(col): _*).as("b_p"))
+    val c = curr.select(col(keyCol).as("k"),
+      struct(payloadCols.map(col): _*).as("c_p"))
+    b.join(c, Seq("k"), "full_outer")
+      .select(col("k").as(keyCol),
+        when(col("b_p").isNull, "added")
+          .when(col("c_p").isNull, "removed")
+          .when(!(col("b_p") <=> col("c_p")), "changed")
+          .otherwise("unchanged").as("status"))
+      .where(col("status") =!= "unchanged")
+  }
+
+  /** DuckDB twin of [[snapshotDiff]]. */
+  def snapshotDiffSql(baseSql: String, currSql: String, keyExpr: String,
+                      payloadCols: Seq[String]): String = {
+    val bp = payloadCols.map(c => s"b.$c").mkString("ROW(", ", ", ")")
+    val cp = payloadCols.map(c => s"c.$c").mkString("ROW(", ", ", ")")
+    s"""SELECT coalesce(b.$keyExpr, c.$keyExpr) AS $keyExpr,
+       |  CASE WHEN b.$keyExpr IS NULL THEN 'added'
+       |       WHEN c.$keyExpr IS NULL THEN 'removed'
+       |       ELSE 'changed' END AS status
+       |FROM ($baseSql) b FULL OUTER JOIN ($currSql) c
+       |  ON b.$keyExpr = c.$keyExpr
+       |WHERE b.$keyExpr IS NULL OR c.$keyExpr IS NULL
+       |   OR $bp IS DISTINCT FROM $cp""".stripMargin
+  }
 }

@@ -628,6 +628,75 @@ object TextAnalysis {
        |  WHERE len(t) >= $n)
        |GROUP BY ngram""".stripMargin
 
+  /** PMI collocation mining — the top-`k` adjacent token pairs by
+    * pointwise mutual information, `ln(c12·N / (l1·r2))`, over the
+    * corpus bigram space: `c12` the bigram count, `l1`/`r2` the
+    * left/right MARGINALS derived from the bigram table itself
+    * (`l1(w1) = Σ_w2 c12`, `r2(w2) = Σ_w1 c12`, `N = Σ c12`) — so the
+    * tokenizer runs ONCE and everything downstream aggregates
+    * model-sized state, the [[graft.text.LmQuality.bigramLogPpl]]
+    * derivation trick. `minCount` floors `c12` (PMI is noise-dominated
+    * at singleton counts — the standard collocation-mining guard).
+    * The phrase surface feeds tokenizer-vocabulary seeding and
+    * boilerplate phrase detection (no reference analog; §2.7).
+    *
+    * Scale shape: one tokenize+explode pass → bigram hash-aggregate
+    * (map-side partial), two vocabulary-sized re-aggregates, two
+    * equi-joins on a token key each (AQE broadcasts when small), and
+    * a global top-k (TakeOrderedAndProject — no full sort). Score 4dp;
+    * total order (pmi desc, w1 asc, w2 asc) both engines.
+    */
+  def pmiCollocations(docs: org.apache.spark.sql.DataFrame, textCol: Column,
+                      minCount: Long, k: Int): org.apache.spark.sql.DataFrame = {
+    require(k > 0 && minCount >= 1, "k and minCount must be positive")
+    val toks = split(lower(trim(textCol)), "\\s+")
+    val grams = element_at(
+      transform(array(toks), t =>
+        when(size(t) >= 2,
+          transform(sequence(lit(1), size(t) - 1),
+            i => struct(element_at(t, i).as("w1"),
+                        element_at(t, i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))), 1)
+    val big = docs.select(explode(grams).as("g"))
+      .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val left = big.groupBy("w1").agg(sum("c12").as("l1"))
+    val right = big.groupBy("w2").agg(sum("c12").as("r2"))
+    val n = big.agg(sum("c12").as("nb"))
+    big.where(col("c12") >= minCount)
+      .join(left, "w1").join(right, "w2")
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c12"),
+        // marginal product in DOUBLE: l1·r2 overflows long past ~3e9
+        // bigram occurrences (ANSI mode throws); identical double ops
+        // both engines keep the 4dp round deterministic
+        round(log(col("c12").cast("double") * col("nb").cast("double")
+          / (col("l1").cast("double") * col("r2").cast("double"))), 4)
+          .as("pmi"))
+      .orderBy(desc("pmi"), asc("w1"), asc("w2")).limit(k)
+  }
+
+  /** DuckDB twin of [[pmiCollocations]]. */
+  def pmiCollocationsSql(table: String, textExpr: String, minCount: Long,
+                         k: Int): String =
+    s"""WITH big AS MATERIALIZED (
+       |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM (
+       |    SELECT t[i] AS w1, t[i + 1] AS w2 FROM (
+       |      SELECT t, unnest(range(1, len(t))) AS i FROM (
+       |        SELECT string_split_regex(lower(trim($textExpr)), '$WsClassSql+') AS t
+       |        FROM $table)
+       |      WHERE len(t) >= 2))
+       |  GROUP BY 1, 2),
+       |l AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS l1 FROM big GROUP BY 1),
+       |r AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS r2 FROM big GROUP BY 1),
+       |n AS (SELECT CAST(sum(c12) AS BIGINT) AS nb FROM big)
+       |SELECT w1, w2, c12,
+       |  round(ln(CAST(c12 AS DOUBLE) * CAST(nb AS DOUBLE)
+       |           / (CAST(l1 AS DOUBLE) * CAST(r2 AS DOUBLE))), 4) AS pmi
+       |FROM big JOIN l USING (w1) JOIN r USING (w2), n
+       |WHERE c12 >= $minCount
+       |ORDER BY pmi DESC, w1, w2 LIMIT $k""".stripMargin
+
   /** Span-level duplication signals: for every token n-gram POSITION in
     * every document, whether that n-gram occurs elsewhere in the corpus
     * and whether this position is its globally-first occurrence — the

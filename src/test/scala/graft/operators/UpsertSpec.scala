@@ -36,6 +36,32 @@ class UpsertSpec extends AnyFunSuite with SparkSpec {
       (4L, 2L, "fr", "quatre")))    // pure insert
   }
 
+  test("snapshot diff classifies added, removed, and changed; drops overlap") {
+    import spark.implicits._
+    val curr = Seq(
+      (1L, "en", "one"),          // unchanged → dropped
+      (2L, "en", "two CHANGED"),  // payload differs
+      (5L, "it", "cinque"))       // new key
+    .toDF("k", "lang", "text")
+    val out = Upsert.snapshotDiff(base.drop("version"), curr, "k",
+        Seq("lang", "text"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((2L, "changed"), (3L, "removed"), (5L, "added")))
+  }
+
+  test("snapshot diff treats null payload fields null-safely") {
+    import spark.implicits._
+    val a = Seq((1L, null.asInstanceOf[String]), (2L, "x"))
+      .toDF("k", "text")
+    val b = Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]))
+      .toDF("k", "text")
+    val out = Upsert.snapshotDiff(a, b, "k", Seq("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // null == null per null-safe compare → key 1 unchanged (dropped);
+    // key 2 went x → null → changed
+    assert(out.toSeq == Seq((2L, "changed")))
+  }
+
   test("compaction is one partial-friendly aggregate, not a window") {
     val plan = Upsert.latestByKey(base, updates, "k", "version",
       Seq("lang", "text")).queryExecution.executedPlan.toString

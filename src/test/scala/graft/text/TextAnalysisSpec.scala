@@ -238,6 +238,34 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(rows.take(2).toSeq == Seq(("aa", 1), ("zz", 2)))
   }
 
+  test("pmi collocations: a glued pair outranks independent co-occurrence") {
+    import spark.implicits._
+    // "new york" always adjacent (perfect association); "the" spreads
+    // over three right tokens, diluting "the cat"'s association
+    val docs = Seq(
+      (1L, "new york new york new york"),
+      (2L, "the cat the dog the pig the cat")).toDF("doc_id", "text")
+    val rows = TextAnalysis.pmiCollocations(docs, col("text"),
+        minCount = 2, k = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(3)))
+    val m = rows.toMap
+    assert(m(("new", "york")) > m(("the", "cat")),
+      s"glued pair must outrank shared-token pair: $rows")
+    // every emitted pair meets the count floor
+    assert(rows.nonEmpty)
+  }
+
+  test("pmi collocations equals the hand formula on a fixed corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b c a b")).toDF("doc_id", "text")
+    // bigrams: ab, ba, ab, bc, ca, ab → c12(a,b)=3, l1(a)=3, r2(b)=3, N=6
+    val rows = TextAnalysis.pmiCollocations(docs, col("text"),
+        minCount = 3, k = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val expected = math.rint(math.log(3.0 * 6.0 / (3.0 * 3.0)) * 1e4) / 1e4
+    assert(rows.toSeq == Seq(("a", "b", 3L, expected)))
+  }
+
   test("tfidf top-k is an aggregate, not a global window") {
     import spark.implicits._
     val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
