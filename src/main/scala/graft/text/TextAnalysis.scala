@@ -657,9 +657,13 @@ object TextAnalysis {
             i => struct(element_at(t, i).as("w1"),
                         element_at(t, i + 1).as("w2"))))
         .otherwise(array().cast("array<struct<w1:string,w2:string>>"))), 1)
+    // materialize the bigram table ONCE: marginals, the total, and the
+    // scored join all consume it, and each un-checkpointed reference
+    // would re-run the tokenize+explode+aggregate corpus pass
     val big = docs.select(explode(grams).as("g"))
       .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
     val left = big.groupBy("w1").agg(sum("c12").as("l1"))
     val right = big.groupBy("w2").agg(sum("c12").as("r2"))
     val n = big.agg(sum("c12").as("nb"))
