@@ -1609,6 +1609,24 @@ object SparkEntry {
       Some(Bpe.trainMergesSql("documents", "text", steps = 10)
         + " ORDER BY step")),
 
+    // Unigram-LM (SentencePiece-style) vocabulary: every single char +
+    // top-200 multi-char substrings by corpus mass, scaled-integer
+    // costs — the optimal-segmentation counterpart of the BPE family
+    Q("tok_unigram_vocab",
+      (s, dir) => graft.text.Unigram.vocab(Tables.documents(s, dir),
+        col("text"), k = 200).orderBy("piece"),
+      Some(graft.text.Unigram.vocabSql("documents", "text", k = 200)
+        + " ORDER BY piece")),
+
+    // Unigram-LM encode: per-doc piece count + exact scaled-integer
+    // Viterbi cost against the trained vocabulary; the oracle replays
+    // the DP as 24 unrolled per-position CTE steps
+    Q("tok_unigram_encode",
+      (s, dir) => graft.text.Unigram.encode(Tables.documents(s, dir),
+        col("doc_id"), col("text"), k = 200).orderBy("id"),
+      Some(graft.text.Unigram.encodeSql("documents", "doc_id", "text",
+        k = 200) + " ORDER BY id")),
+
     // In-engine quality-classifier training (fastText/DCLM pattern):
     // full-batch GD on document statistics with a hard-sigmoid loss —
     // every step exact-integer or IEEE-exact, so the oracle replays

@@ -1,0 +1,66 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class UnigramSpec extends AnyFunSuite with SparkSpec {
+
+  test("vocab contains every character and ranks multi-char pieces by mass") {
+    import spark.implicits._
+    val docs = Seq((1L, "abab abab cd")).toDF("doc_id", "text")
+    val v = Unigram.vocab(docs, col("text"), k = 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // chars a, b, c, d all present
+    assert(Set("a", "b", "c", "d").subsetOf(v.keySet))
+    // "ab" occurs 2x in each "abab" -> cnt 4; "ba" once per word -> 2
+    assert(v("ab")._1 == 4L && v.get("ba").forall(_._1 <= 2L))
+    // costs are decreasing in count (monotone -ln)
+    assert(!v.contains("ba") || v("ab")._2 < v("ba")._2)
+  }
+
+  test("viterbi encode picks the cheap multi-char segmentation") {
+    import spark.implicits._
+    // k=1 admits only "ab" (mass 8) next to the chars; cost(ab) ==
+    // cost(a) == cost(b) (equal masses), so ab|ab (2 pieces) strictly
+    // beats a|b|a|b (4 pieces of the same unit cost)
+    val docs = Seq(
+      (1L, "abab abab abab abab"),
+      (2L, "x y")).toDF("doc_id", "text")
+    val e = Unigram.encode(docs, col("doc_id"), col("text"), k = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (w1, p1, _) = e(1L)
+    assert(w1 == 4L, "four words")
+    assert(p1 == 8L, s"each abab must segment as ab|ab -> 8 pieces, got $p1")
+    val (w2, p2, _) = e(2L)
+    assert(w2 == 2L && p2 == 2L, "single-char words are one piece each")
+  }
+
+  test("encode cost equals the hand-computed DP on a fixed corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa aa b")).toDF("doc_id", "text")
+    // word histogram: aa x2, b x1. pieces: a cnt 4, aa cnt 2, b cnt 1
+    // (k=1 multi-char -> aa selected). total = 4 + 1 + 2 = 7
+    def cost(c: Long) = math.floor(-math.log(c / 7.0) * 10000d).toLong
+    val cAA = cost(2); val cA = cost(4); val cB = cost(1)
+    // with these masses TWO cheap chars beat the one rarer bigram —
+    // the DP must take a|a, not aa
+    assert(2 * cA < cAA)
+    val e = Unigram.encode(docs, col("doc_id"), col("text"), k = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).head
+    assert(e == ((3L, 5L, 2 * (2 * cA) + cB)),
+      s"expected (3, 5, ${2 * (2 * cA) + cB}), got $e")
+  }
+
+  test("words past the DP bound take the exact char fallback") {
+    import spark.implicits._
+    val long = "z" * (Unigram.MaxWordLen + 5)
+    val docs = Seq((1L, s"$long ab")).toDF("doc_id", "text")
+    val e = Unigram.encode(docs, col("doc_id"), col("text"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).head
+    // the long word contributes one piece per char
+    assert(e._2 >= (Unigram.MaxWordLen + 5).toLong,
+      s"char fallback must count per-char pieces, got $e")
+  }
+}
