@@ -1549,6 +1549,15 @@ object SparkEntry {
       Some(TextAnalysis.vocabSql("documents", "doc_id", "text") +
         " ORDER BY df DESC, cf DESC, token LIMIT 50")),
 
+    // Per-doc character entropy — compressibility-proxy quality
+    // signal; exact-integer ln arguments + char-sorted fold keep the
+    // doubles engine- and shuffle-order-identical before the 4dp round
+    Q("text_char_entropy",
+      (s, dir) => TextAnalysis.charEntropy(Tables.documents(s, dir),
+        col("doc_id"), col("text")).orderBy("id"),
+      Some(TextAnalysis.charEntropySql("documents", "doc_id", "text")
+        + " ORDER BY id")),
+
     // PMI collocations, top 30 at count ≥ 5 — bigram table built once,
     // marginals derived FROM it (no re-tokenize), double-space marginal
     // product (long l1·r2 overflows at corpus scale), global top-k via
@@ -2731,6 +2740,16 @@ object SparkEntry {
               |  AS z6_csv
               |FROM (${EmbStats.standardizeSql("embeddings", "vec_id", "embedding", dim = 64)})
               |ORDER BY id""".stripMargin)),
+
+    // Diagonal-Mahalanobis outlier scores in the standardized space —
+    // the embedding-space prune before clustering; E[m2] = dim for
+    // in-distribution rows, flag at 2·dim
+    Q("emb_outlier_scores",
+      (s, dir) => EmbStats.outlierScores(Tables.embeddings(s, dir),
+          col("vec_id"), col("embedding").cast("array<float>"), dim = 64)
+        .orderBy("id"),
+      Some(EmbStats.outlierScoresSql("embeddings", "vec_id", "embedding",
+        dim = 64) + " ORDER BY id")),
 
     // Johnson–Lindenstrauss sign projection 64 → 16: seedless affine-
     // hash sign matrix, exact long accumulation, narrow map — the

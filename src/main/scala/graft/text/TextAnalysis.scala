@@ -628,6 +628,51 @@ object TextAnalysis {
        |  WHERE len(t) >= $n)
        |GROUP BY ngram""".stripMargin
 
+  /** Per-document character entropy — `H = ln(n) − (Σ c·ln c)/n` in
+    * nats over the document's character histogram (the algebraic form
+    * keeps every ln argument an exact integer, so both engines emit
+    * bit-identical doubles before the 4dp round). Low entropy marks
+    * repeated-char / boilerplate / degenerate documents, high entropy
+    * marks binary-ish noise — the cheap compressibility proxy quality
+    * filters use where running a real compressor per doc is not
+    * engine-replayable. One explode + two aggregates, all map-side
+    * partial; cost ∝ corpus characters, one pass.
+    */
+  def charEntropy(docs: org.apache.spark.sql.DataFrame, idCol: Column,
+                  textCol: Column): org.apache.spark.sql.DataFrame =
+    docs.select(idCol.as("id"), explode(split(textCol, "")).as("ch"))
+      .where(col("ch") =!= "")
+      .groupBy("id", "ch").agg(count(lit(1)).as("c"))
+      // char-sorted LEFT FOLD, not a float SUM aggregate: float
+      // addition is non-associative and a plain sum would be
+      // shuffle-order-dependent (the bm25Join determinism trick)
+      .groupBy("id")
+      .agg(sum("c").as("n"),
+        sort_array(collect_list(struct(col("ch"), col("c")))).as("cs"))
+      .select(col("id"), col("n").as("n_chars"),
+        round(log(col("n").cast("double"))
+          - aggregate(col("cs"), lit(0.0d),
+              (a, x) => a + x("c").cast("double") * log(x("c").cast("double")))
+            / col("n").cast("double"), 4).as("entropy"))
+
+  /** DuckDB twin of [[charEntropy]] (`list(... ORDER BY ch)` +
+    * `list_sum` left-folds in the same char order).
+    */
+  def charEntropySql(table: String, idExpr: String,
+                     textExpr: String): String =
+    s"""SELECT id, n AS n_chars,
+       |  round(ln(CAST(n AS DOUBLE)) - clc / CAST(n AS DOUBLE), 4) AS entropy
+       |FROM (
+       |  SELECT id, CAST(sum(c) AS BIGINT) AS n,
+       |    list_sum(list_transform(list(c ORDER BY ch),
+       |      cc -> CAST(cc AS DOUBLE) * ln(CAST(cc AS DOUBLE)))) AS clc
+       |  FROM (
+       |    SELECT id, ch, CAST(count(*) AS BIGINT) AS c FROM (
+       |      SELECT $idExpr AS id, unnest(string_split($textExpr, '')) AS ch
+       |      FROM $table)
+       |    WHERE ch <> '' GROUP BY 1, 2)
+       |  GROUP BY 1)""".stripMargin
+
   /** PMI collocation mining — the top-`k` adjacent token pairs by
     * pointwise mutual information, `ln(c12·N / (l1·r2))`, over the
     * corpus bigram space: `c12` the bigram count, `l1`/`r2` the

@@ -349,6 +349,36 @@ object EmbStats extends Serializable {
        |WHERE $embExpr IS NOT NULL AND len($embExpr) = $dim""".stripMargin
   }
 
+  /** Diagonal-Mahalanobis outlier scores over [[standardize]]'s
+    * z-space: `m2 = Σ z_i²` (the squared Mahalanobis distance under a
+    * diagonal covariance assumption — E[m2] = dim for in-distribution
+    * rows), plus the `is_outlier` flag at `m2 > threshold·dim`. The
+    * embedding-space pruning step a curation pipeline runs before
+    * clustering (broken encoders, empty inputs, and wrong-domain rows
+    * all land in the tail). Same shape as standardize: d-bounded
+    * train, narrow apply; the index-ordered fold keeps the float sum
+    * shuffle-order-free in both engines.
+    */
+  def outlierScores(df: DataFrame, idCol: Column, embCol: Column, dim: Int,
+                    threshold: Double = 2.0,
+                    scale: Int = 10000): DataFrame =
+    standardize(df, idCol, embCol, dim, scale)
+      .select(col("id"),
+        round(aggregate(col("z"), lit(0.0d), (a, zz) => a + zz * zz), 4)
+          .as("m2"))
+      .select(col("id"), col("m2"),
+        (col("m2") > threshold * dim).as("is_outlier"))
+
+  /** DuckDB twin of [[outlierScores]]. */
+  def outlierScoresSql(table: String, idExpr: String, embExpr: String,
+                       dim: Int, threshold: Double = 2.0,
+                       scale: Int = 10000): String =
+    s"""SELECT id,
+       |  round(list_sum(list_transform(z, zz -> zz * zz)), 4) AS m2,
+       |  round(list_sum(list_transform(z, zz -> zz * zz)), 4)
+       |    > ${threshold * dim} AS is_outlier
+       |FROM (${standardizeSql(table, idExpr, embExpr, dim, scale)})""".stripMargin
+
   // Sign-matrix hash constants for [[randomProjection]] — the affine
   // mod-prime family of [[graft.operators.Splits.idHash]] (identical
   // arithmetic both engines; (i·131071 + j) < 2³¹ keeps the pre-image

@@ -238,6 +238,19 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(rows.take(2).toSeq == Seq(("aa", 1), ("zz", 2)))
   }
 
+  test("char entropy: uniform text maxes, repeated char floors at zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abcd"),      // 4 distinct chars, uniform → ln 4
+      (2L, "aaaa"),      // degenerate → 0
+      (3L, "aabb")).toDF("doc_id", "text")
+    val e = TextAnalysis.charEntropy(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(e(1L) == ((4L, math.rint(math.log(4.0) * 1e4) / 1e4)))
+    assert(e(2L) == ((4L, 0.0)))
+    assert(e(3L) == ((4L, math.rint(math.log(2.0) * 1e4) / 1e4)))
+  }
+
   test("pmi collocations: a glued pair outranks independent co-occurrence") {
     import spark.implicits._
     // "new york" always adjacent (perfect association); "the" spreads

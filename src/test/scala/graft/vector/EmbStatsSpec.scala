@@ -163,6 +163,20 @@ class EmbStatsSpec extends AnyFunSuite with SparkSpec {
     assert(out(0).exists(_ != 0.0))
   }
 
+  test("outlier scores: planted far row flags, typical rows do not") {
+    import spark.implicits._
+    val rows = (1L to 20L).map { i =>
+      (i, Array(math.sin(i.toDouble).toFloat, math.cos(i.toDouble).toFloat))
+    } :+ (99L, Array(40.0f, -40.0f)) // far outside the unit disc
+    val df = rows.toDF("id", "emb")
+    val out = EmbStats.outlierScores(df, col("id"), col("emb"), dim = 2)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(out(99L)._2, s"planted outlier must flag: ${out(99L)}")
+    assert(out.count(_._2._2) == 1, s"only the planted row flags: $out")
+    // m2 is non-negative and the outlier's dominates
+    assert(out(99L)._1 > out.filterKeys(_ != 99L).values.map(_._1).max * 5)
+  }
+
   test("standardize and random projection plans stay narrow after training") {
     val plan = EmbStats.randomProjection(vecs, col("id"), col("emb"),
       dim = 4, k = 4).queryExecution.executedPlan.toString
