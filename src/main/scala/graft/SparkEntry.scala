@@ -2483,6 +2483,65 @@ object SparkEntry {
               |SELECT id, min(r) AS cluster_id, (id = min(r)) AS is_keeper
               |FROM reach GROUP BY id ORDER BY id""".stripMargin)),
 
+    // c-TF-IDF cluster labeling: the top-3 distinctive tokens of each
+    // duplicate cluster (cluster-level tf, cluster-level df, add-one
+    // idf over the cluster count) — "what boilerplate family is this"
+    // next to the clustering itself; the composition showcase (cluster
+    // mining → postings regroup → the shared tfidf scoring tail)
+    Q("dedup_cluster_labels",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val content = Enrich.dedupContent(col("text"), col("doc_id"))
+        val clusters = Components.dupClusters(docs, col("doc_id"), content,
+            minJaccard = 0.5)
+          .select(col("id").as("doc_id"), col("cluster_id"))
+        val toks = docs.select(col("doc_id"),
+            explode(split(lower(trim(content)), "\\s+")).as("token"))
+          .where(col("token") =!= "")
+        val postings = clusters.join(toks, "doc_id")
+          .groupBy(col("cluster_id").as("id"), col("token"))
+          .agg(count(lit(1)).as("tf"))
+        val n1 = clusters.agg(
+          (countDistinct(col("cluster_id")) + 1L).cast("double").as("n1"))
+        TextAnalysis.tfidfTopKFromPostings(postings, n1, k = 3)
+          .select(col("id").as("cluster_id"), col("token"), col("score"),
+            col("rank"))
+          .orderBy("cluster_id", "rank")
+      },
+      Some(s"""WITH RECURSIVE edges AS MATERIALIZED (
+              |  ${Dedup.ngramJaccardPairsIndexedSql("documents", "doc_id",
+                   Enrich.dedupContentSql("text", "doc_id"))}
+              |), sym AS (
+              |  SELECT id_a AS src, id_b AS dst FROM edges
+              |  UNION ALL
+              |  SELECT id_b, id_a FROM edges
+              |), reach AS (
+              |  SELECT src AS id, src AS r FROM sym
+              |  UNION
+              |  SELECT sym.src, reach.r FROM sym JOIN reach ON sym.dst = reach.id
+              |), cl AS MATERIALIZED (
+              |  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+              |), p AS MATERIALIZED (
+              |  SELECT cl.cluster_id AS id, token, CAST(count(*) AS BIGINT) AS tf
+              |  FROM cl JOIN (
+              |    SELECT doc_id AS id, unnest(string_split_regex(
+              |      lower(trim(${Enrich.dedupContentSql("text", "doc_id")})),
+              |      '${TextAnalysis.WsClassSqlPublic}+')) AS token
+              |    FROM documents) t USING (id)
+              |  WHERE token <> '' GROUP BY 1, 2
+              |), d AS (SELECT token, count(*) AS df FROM p GROUP BY 1),
+              |nn AS (
+              |  SELECT CAST(count(DISTINCT id) + 1 AS DOUBLE) AS n1 FROM p)
+              |SELECT id AS cluster_id, token,
+              |  round(CAST(tf AS DOUBLE) * ln(n1 / CAST(df + 1 AS DOUBLE)), 4)
+              |    AS score,
+              |  CAST(row_number() OVER (PARTITION BY id ORDER BY
+              |    round(CAST(tf AS DOUBLE) * ln(n1 / CAST(df + 1 AS DOUBLE)), 4)
+              |      DESC, token) AS INTEGER) AS rank
+              |FROM p JOIN d USING (token), nn
+              |QUALIFY rank <= 3
+              |ORDER BY cluster_id, rank""".stripMargin)),
+
     // Scaled-integer PageRank over the near-dup graph: which document
     // is the hub of a template family. Long arithmetic end to end —
     // bit-identical under any shuffle order, so the full hash gate

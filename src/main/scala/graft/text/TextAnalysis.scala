@@ -1276,8 +1276,21 @@ object TextAnalysis {
       .select(idCol.as("id"), explode(toks).as("token"))
       .where(col("token") =!= "")
       .groupBy("id", "token").agg(count(lit(1)).as("tf"))
-    val dfs = postings.groupBy("token").agg(count(lit(1)).as("df"))
     val n1 = docs.agg((count(lit(1)) + 1L).cast("double").as("n1"))
+    tfidfTopKFromPostings(postings, n1, k)
+  }
+
+  /** The scoring tail of [[tfidfTopK]] over an arbitrary postings
+    * frame `(id, token, tf)` and a 1-row `(n1)` group-count frame —
+    * the same math labels any GROUPING (documents, duplicate
+    * clusters, domains): df = groups containing the token, idf
+    * add-one smoothed against n1 = group count + 1.
+    */
+  def tfidfTopKFromPostings(postings: org.apache.spark.sql.DataFrame,
+                            n1: org.apache.spark.sql.DataFrame,
+                            k: Int): org.apache.spark.sql.DataFrame = {
+    require(k > 0, "k must be positive")
+    val dfs = postings.groupBy("token").agg(count(lit(1)).as("df"))
     postings.join(dfs, "token").crossJoin(broadcast(n1))
       .select(col("id"), col("token"),
         round(col("tf").cast("double")
