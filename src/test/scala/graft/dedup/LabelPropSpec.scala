@@ -28,6 +28,38 @@ class LabelPropSpec extends AnyFunSuite with SparkSpec {
     assert(lp(7L) == 7L && cc(7L) == 7L)
   }
 
+  test("distributed rounds equal a local reference vote on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val n = 40
+    val edges = (for (_ <- 1 to 60) yield {
+      val a = 1L + rnd.nextInt(n); val b = 1L + rnd.nextInt(n)
+      if (a < b) Some((a, b)) else if (b < a) Some((b, a)) else None
+    }).flatten.distinct
+    val nodes = (1L to n.toLong)
+    // local replica of the contract: Jacobi rounds, majority vote,
+    // min-label ties, isolated nodes keep their label
+    val adj = nodes.map(v => v -> (edges.collect {
+      case (a, b) if a == v => b
+      case (a, b) if b == v => a
+    })).toMap
+    var lbl = nodes.map(v => v -> v).toMap
+    for (_ <- 1 to 3) {
+      lbl = nodes.map { v =>
+        val votes = adj(v).map(lbl)
+        if (votes.isEmpty) v -> lbl(v)
+        else {
+          val counts = votes.groupBy(identity).view.mapValues(_.size)
+          v -> counts.toSeq.maxBy { case (l, c) => (c, -l) }._1
+        }
+      }.toMap
+    }
+    val got = LabelProp.labelPropagation(nodes.toDF("id"),
+        edges.toDF("id_a", "id_b"), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == lbl, s"distributed != local reference:\n$got\nvs\n$lbl")
+  }
+
   test("tie-break is minimum label and rounds are exactly replayed") {
     import spark.implicits._
     // star: center 10 with leaves 1, 2, 3 — all leaf votes tie at 1

@@ -53,6 +53,52 @@ class UnigramSpec extends AnyFunSuite with SparkSpec {
       s"expected (3, 5, ${2 * (2 * cA) + cB}), got $e")
   }
 
+  test("DP equals brute-force enumeration over every segmentation (random words)") {
+    import spark.implicits._
+    // seeded random corpus of short words; the test enumerates all
+    // 2^(L-1) segmentations per word against the trained vocab
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abc"
+    val wordsList = Seq.fill(30)(
+      (1 to (1 + rnd.nextInt(7))).map(_ => alphabet(rnd.nextInt(3))).mkString)
+    val docs = Seq((1L, wordsList.mkString(" "))).toDF("doc_id", "text")
+    val k = 10
+    val vmap = Unigram.vocab(docs, col("text"), k)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    def brute(w: String): (Long, Long) = {
+      // all segmentations via cut-point bitmasks; skip those using a
+      // piece not in the vocab or longer than MaxPieceLen
+      var best = (Long.MaxValue, Long.MaxValue)
+      val n = w.length
+      for (mask <- 0 until (1 << (n - 1))) {
+        var cost = 0L; var pieces = 0L; var start = 0; var ok = true
+        for (cut <- 0 until n) {
+          val isEnd = cut == n - 1 || ((mask >> cut) & 1) == 1
+          if (isEnd) {
+            val piece = w.substring(start, cut + 1)
+            vmap.get(piece) match {
+              case Some(c) if piece.length <= Unigram.MaxPieceLen =>
+                cost += c; pieces += 1
+              case _ => ok = false
+            }
+            start = cut + 1
+          }
+        }
+        if (ok && (cost < best._1 || (cost == best._1 && pieces < best._2)))
+          best = (cost, pieces)
+      }
+      best
+    }
+    val expected = wordsList.distinct.map(w => w -> brute(w)).toMap
+    val whExp = wordsList.groupBy(identity).view.mapValues(_.size).toMap
+    val expTotal = whExp.toSeq.map { case (w, c) =>
+      (c.toLong * expected(w)._2, c.toLong * expected(w)._1)
+    }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    val got = Unigram.encode(docs, col("doc_id"), col("text"), k)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).head
+    assert(got == expTotal, s"DP (pieces, cost) $got != brute $expTotal")
+  }
+
   test("words past the DP bound take the exact char fallback") {
     import spark.implicits._
     val long = "z" * (Unigram.MaxWordLen + 5)
