@@ -49,8 +49,13 @@ object PageRank {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(checkpointEvery >= 1,
       s"checkpointEvery must be >= 1, got $checkpointEvery")
-    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // materialize the mined edge set FIRST: `sym` is referenced by both
+    // the degree aggregate and the symDeg join, and edge mining (a
+    // similarity join upstream) would otherwise re-run once per
+    // reference — measured 11.1s -> 6.8s on the near-dup graph at sf0.1
+    val e0 = edges.select(col("id_a"), col("id_b")).localCheckpoint()
+    val sym = e0.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(e0.select(col("id_b").as("src"), col("id_a").as("dst")))
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
     // materialize (src, dst, deg) once; re-read per iteration
     val symDeg = sym.join(deg, "src").localCheckpoint()

@@ -235,7 +235,11 @@ object LmQuality {
   def dsirLogWeights(docs: DataFrame, idCol: Column, textCol: Column,
                      isTarget: Column, buckets: Int = 1024): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    // materialize the feature stream once: the per-bucket stats and the
+    // per-doc weight join both consume it, and each un-checkpointed
+    // reference re-runs the sha256-per-feature hashing pass
     val occ = featureOcc(docs, idCol, textCol, isTarget, buckets)
+      .localCheckpoint()
     val stats = occ.groupBy("bucket").agg(
       count(lit(1)).as("r_b"),
       sum(when(col("tgt"), 1L).otherwise(0L)).as("t_b"))
