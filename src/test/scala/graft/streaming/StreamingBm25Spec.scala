@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.sources.Bucketing
+import graft.text.TextAnalysis
+
+class StreamingBm25Spec extends AnyFunSuite with SparkSpec {
+
+  test("index served after streamed appends equals a full rebuild") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-sbm25").toString
+    val batch1 = Seq(
+      (1L, "spark shuffles data between stages"),
+      (2L, "the postings table is bucketed by token"))
+    val batch2 = Seq(
+      (3L, "bucketed layouts avoid exchanges in joins"),
+      (4L, "token statistics drive bm25 scores"))
+    val batch3 = Seq((5L, "spark serves bm25 from the bucketed table"))
+    val queries = Seq((100L, Seq("spark", "bucketed", "token")))
+      .toDF("query_id", "terms")
+
+    // batch-build on batch1, then stream batches 2 and 3 through the
+    // maintenance sink
+    Bucketing.dropTable(spark, "sbm25_idx")
+    Bucketing.dropTable(spark, "sbm25_idx_stats")
+    TextAnalysis.buildBm25Index(batch1.toDF("doc_id", "text"),
+      col("doc_id"), col("text"), "sbm25_idx", s"$dir/idx", numBuckets = 4)
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingBm25.maintain(ms.toDS().toDF("doc_id", "text"),
+      "doc_id", "text", "sbm25_idx", s"$dir/idx", s"$dir/ckpt",
+      numBuckets = 4)
+    try {
+      ms.addData(batch2); q.processAllAvailable()
+      ms.addData(batch3); q.processAllAvailable()
+    } finally q.stop()
+
+    val served = TextAnalysis.bm25JoinIndexed(spark, "sbm25_idx",
+        queries, k = 5)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+
+    // reference: one-shot index over the full corpus
+    Bucketing.dropTable(spark, "sbm25_full")
+    Bucketing.dropTable(spark, "sbm25_full_stats")
+    TextAnalysis.buildBm25Index(
+      (batch1 ++ batch2 ++ batch3).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), "sbm25_full", s"$dir/full", numBuckets = 4)
+    val rebuilt = TextAnalysis.bm25JoinIndexed(spark, "sbm25_full",
+        queries, k = 5)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+
+    assert(served.toSeq == rebuilt.toSeq,
+      s"served-after-appends must equal full rebuild:\n${served.toSeq}\nvs\n${rebuilt.toSeq}")
+    assert(served.nonEmpty && served.exists(_._1 == 5L),
+      "a document from the last streamed batch must be retrievable")
+
+    // the serving join must stay exchange-free on the postings side
+    // after appends (bucket spec preserved — same gate as the batch
+    // index test: no token re-shuffle; per-query grouping remains)
+    val plan = TextAnalysis.bm25JoinIndexed(spark, "sbm25_idx", queries, 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(token"),
+      s"appends must not break the bucketed layout:\n$plan")
+  }
+}
