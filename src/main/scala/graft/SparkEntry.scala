@@ -1531,6 +1531,45 @@ object SparkEntry {
           (3L, "merge"), (3L, "sort"), (3L, "window")), k = 5)
         + " ORDER BY query_id, rank")),
 
+    // The same serving contract with the index maintained BY STREAM
+    // (fifth streaming hash gate): batch-build on the first half of
+    // the corpus, stream the second half through StreamingBm25's
+    // bucketed-append maintenance, serve — identical oracle to the
+    // one-shot build over the full corpus
+    Q("streaming_bm25_serve",
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-bm25-stream").toString
+        val docs = Tables.documents(s, dir)
+        graft.sources.Bucketing.dropTable(s, "graft_bm25_streamed")
+        graft.sources.Bucketing.dropTable(s, "graft_bm25_streamed_stats")
+        TextAnalysis.buildBm25Index(docs.where(col("doc_id") % 2 === 0),
+          col("doc_id"), col("text"), "graft_bm25_streamed", s"$tmp/idx",
+          numBuckets = 8)
+        val rest = docs.where(col("doc_id") % 2 =!= 0)
+          .select(col("doc_id"), col("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        val ms = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val q = graft.streaming.StreamingBm25.maintain(
+          ms.toDS().toDF("doc_id", "text"), "doc_id", "text",
+          "graft_bm25_streamed", s"$tmp/idx", s"$tmp/ckpt", numBuckets = 8)
+        try {
+          ms.addData(rest.take(rest.length / 2)); q.processAllAvailable()
+          ms.addData(rest.drop(rest.length / 2)); q.processAllAvailable()
+        } finally q.stop()
+        val queries = Seq(
+          (1L, Seq("hash", "join")),
+          (2L, Seq("vector", "scan"))).toDF("query_id", "terms")
+        TextAnalysis.bm25JoinIndexed(s, "graft_bm25_streamed", queries, k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(TextAnalysis.bm25JoinSql("documents", "doc_id", "text",
+        Seq((1L, "hash"), (1L, "join"), (2L, "vector"), (2L, "scan")), k = 5)
+        + " ORDER BY query_id, rank")),
+
     // Document fingerprint (whitespace-normalized md5)
     Q("text_fingerprint",
       (s, dir) => Tables.documents(s, dir)
