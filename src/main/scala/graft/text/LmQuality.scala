@@ -106,7 +106,10 @@ object LmQuality {
     */
   def bigramLogPpl(docs: DataFrame, idCol: Column,
                    textCol: Column): DataFrame = {
-    val occ = bigramOcc(docs, idCol, textCol)
+    // materialize the bigram stream once: the model build (`big`) and
+    // the per-occurrence costing join both consume it, and each
+    // reference otherwise re-runs the tokenize+explode corpus pass
+    val occ = bigramOcc(docs, idCol, textCol).localCheckpoint()
     val big = occ.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     // ctx and vocab DERIVE from the distinct-bigram table: c(w1) =
     // Σ_w2 c(w1,w2) and V = |distinct w2| are identities over `big`,
