@@ -2522,6 +2522,54 @@ object SparkEntry {
               |SELECT id, min(r) AS cluster_id, (id = min(r)) AS is_keeper
               |FROM reach GROUP BY id ORDER BY id""".stripMargin)),
 
+    // Quality-aware keeper per duplicate cluster: keep the LONGEST
+    // member (ties to lowest id) instead of the min-id one — near-dup
+    // clusters routinely hold one clean original and several truncated
+    // copies. One max_by hash aggregate over the cluster labels
+    Q("dedup_keep_best",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val content = Enrich.dedupContent(col("text"), col("doc_id"))
+        val clusters = Components.dupClusters(docs, col("doc_id"), content,
+            minJaccard = 0.5)
+          .select(col("id"), col("cluster_id"))
+        val scores = docs.select(col("doc_id").as("id"),
+          length(content).cast("long").as("score"))
+        Components.keeperByScore(clusters, scores).orderBy("cluster_id")
+      },
+      Some(s"""WITH RECURSIVE edges AS MATERIALIZED (
+              |  ${Dedup.ngramJaccardPairsIndexedSql("documents", "doc_id",
+                   Enrich.dedupContentSql("text", "doc_id"))}
+              |), sym AS (
+              |  SELECT id_a AS src, id_b AS dst FROM edges
+              |  UNION ALL
+              |  SELECT id_b, id_a FROM edges
+              |), reach AS (
+              |  SELECT src AS id, src AS r FROM sym
+              |  UNION
+              |  SELECT sym.src, reach.r FROM sym JOIN reach ON sym.dst = reach.id
+              |), cl AS MATERIALIZED (
+              |  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+              |), j AS MATERIALIZED (
+              |  SELECT cl.cluster_id, cl.id,
+              |    CAST(length(${Enrich.dedupContentSql("text", "doc_id")})
+              |         AS BIGINT) AS score
+              |  FROM cl JOIN documents d ON cl.id = d.doc_id
+              |), agg AS (
+              |  SELECT cluster_id, max(score) AS keeper_score,
+              |    CAST(count(*) AS BIGINT) AS n_members
+              |  FROM j GROUP BY 1
+              |), k AS (
+              |  SELECT cluster_id, id AS keeper_id FROM (
+              |    SELECT cluster_id, id,
+              |      row_number() OVER (PARTITION BY cluster_id
+              |        ORDER BY score DESC, id) AS rn
+              |    FROM j) WHERE rn = 1
+              |)
+              |SELECT cluster_id, keeper_id, keeper_score, n_members
+              |FROM k JOIN agg USING (cluster_id)
+              |ORDER BY cluster_id""".stripMargin)),
+
     // c-TF-IDF cluster labeling: the top-3 distinctive tokens of each
     // duplicate cluster (cluster-level tf, cluster-level df, add-one
     // idf over the cluster count) — "what boilerplate family is this"

@@ -250,6 +250,29 @@ object Components {
     * clustered document with its cluster id and keeper flag; singleton
     * documents (no near-dup) are omitted — they are all keepers.
     */
+  /** Quality-aware keeper selection: given cluster labels `(id,
+    * cluster_id)` and per-document scores `(id, score)`, pick each
+    * cluster's highest-scoring member (ties to the LOWEST id — the
+    * deterministic fallback that reduces to [[dupClusters]]' min-id
+    * keeper under constant scores). THE curation refinement over
+    * "keep the smallest id": near-dup clusters routinely contain one
+    * clean original and several truncated or boilerplate-wrapped
+    * copies, and the keeper should be the best one, not the first
+    * one. ONE max_by hash aggregate — map-side partial, shuffle ≤ 1
+    * candidate per (task, cluster), the same shape as
+    * [[graft.operators.Upsert.latestByKey]].
+    */
+  def keeperByScore(clusterLabels: DataFrame,
+                    scores: DataFrame): DataFrame =
+    clusterLabels.select(col("id"), col("cluster_id"))
+      .join(scores.select(col("id"), col("score")), "id")
+      .groupBy("cluster_id")
+      .agg(
+        max_by(col("id"), struct(col("score"), (-col("id")).as("ni")))
+          .as("keeper_id"),
+        max(col("score")).as("keeper_score"),
+        count(lit(1)).as("n_members"))
+
   def dupClusters(corpus: DataFrame, idCol: Column, textCol: Column,
                   minJaccard: Double = 0.5): DataFrame = {
     // checkpoint the mined pairs HERE: both the node derivation below

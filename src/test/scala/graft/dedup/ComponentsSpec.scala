@@ -133,4 +133,21 @@ class ComponentsSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
     assert(out == Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false)))
   }
+
+  test("keeperByScore picks the best member; constant scores reduce to min id") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
+      .toDF("id", "cluster_id")
+    val scores = Seq((1L, 10L), (2L, 50L), (3L, 50L), (7L, 5L), (9L, 5L))
+      .toDF("id", "score")
+    val out = Components.keeperByScore(clusters, scores)
+      .orderBy("cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // cluster 1: 2 and 3 tie at 50 -> lowest id (2) wins;
+    // cluster 7: constant scores -> min id, the dupClusters convention
+    assert(out.toSeq == Seq((1L, 2L, 50L, 3L), (7L, 7L, 5L, 2L)))
+    val plan = Components.keeperByScore(clusters, scores)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"one aggregate, no window:\n$plan")
+  }
 }
