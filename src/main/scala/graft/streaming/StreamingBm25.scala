@@ -57,26 +57,38 @@ object StreamingBm25 {
     val serveSession = stream.sparkSession
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        postingsOf(batch, idCol, textCol)
-          .repartition(numBuckets, col("token"))
-          .write.mode(SaveMode.Append)
-          .format("parquet")
-          .option("path", path)
-          .bucketBy(numBuckets, "token")
-          .sortBy("token")
-          .saveAsTable(table)
-        spark.catalog.refreshTable(table)
-        spark.table(table)
-          .select(col("id"), col("dl")).distinct()
-          .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
-          .write.mode(SaveMode.Overwrite)
-          .format("parquet").option("path", s"$path/__stats")
-          .saveAsTable(s"${table}_stats")
-        spark.catalog.refreshTable(s"${table}_stats")
-        serveSession.catalog.refreshTable(table)
-        serveSession.catalog.refreshTable(s"${table}_stats")
+        // foreachBatch is AT-LEAST-ONCE: after a crash the last batch
+        // replays, and a blind append would double its postings
+        // (doubling tf/df in every served score). A per-batch marker
+        // file makes the append idempotent — the standard manual
+        // exactly-once pattern for non-transactional batch sinks.
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$path/__batches/batch-$batchId")
+        val fs = marker.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker)) {
+          postingsOf(batch, idCol, textCol)
+            .repartition(numBuckets, col("token"))
+            .write.mode(SaveMode.Append)
+            .format("parquet")
+            .option("path", path)
+            .bucketBy(numBuckets, "token")
+            .sortBy("token")
+            .saveAsTable(table)
+          spark.catalog.refreshTable(table)
+          spark.table(table)
+            .select(col("id"), col("dl")).distinct()
+            .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+            .write.mode(SaveMode.Overwrite)
+            .format("parquet").option("path", s"$path/__stats")
+            .saveAsTable(s"${table}_stats")
+          spark.catalog.refreshTable(s"${table}_stats")
+          serveSession.catalog.refreshTable(table)
+          serveSession.catalog.refreshTable(s"${table}_stats")
+          fs.create(marker, true).close()
+        }
         ()
       }
       .start()

@@ -68,4 +68,30 @@ class StreamingBm25Spec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning(token"),
       s"appends must not break the bucketed layout:\n$plan")
   }
+
+  test("a replayed batch id appends nothing (at-least-once made idempotent)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-sbm25r").toString
+    Bucketing.dropTable(spark, "sbm25r_idx")
+    Bucketing.dropTable(spark, "sbm25r_idx_stats")
+    TextAnalysis.buildBm25Index(Seq((1L, "seed doc")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), "sbm25r_idx", s"$dir/idx", numBuckets = 2)
+    def runOnce(ckpt: String): Long = {
+      val ms = MemoryStream[(Long, String)]
+      val q = StreamingBm25.maintain(ms.toDS().toDF("doc_id", "text"),
+        "doc_id", "text", "sbm25r_idx", s"$dir/idx", ckpt, numBuckets = 2)
+      try { ms.addData(Seq((2L, "streamed doc"))); q.processAllAvailable() }
+      finally q.stop()
+      spark.catalog.refreshTable("sbm25r_idx")
+      spark.table("sbm25r_idx").count()
+    }
+    val afterFirst = runOnce(s"$dir/ckpt1")
+    // a fresh checkpoint restarts batch ids at 0 — exactly what a
+    // crash-replay of the same batch id looks like to the sink
+    val afterReplay = runOnce(s"$dir/ckpt2")
+    assert(afterFirst > 2L, "first run must append")
+    assert(afterReplay == afterFirst,
+      s"replayed batch id must be a no-op: $afterFirst -> $afterReplay")
+  }
 }
