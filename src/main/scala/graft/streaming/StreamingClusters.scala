@@ -20,6 +20,12 @@ import graft.dedup.Components
   * `localCheckpoint`ed (bounds lineage growth across unbounded
   * batches) and the superseded round's blocks are dropped eagerly, so
   * storage stays one labels-table regardless of stream lifetime.
+  *
+  * Replay safety: foreachBatch is at-least-once, and re-folding an
+  * already-folded edge batch is structurally a NO-OP for connected
+  * components (the union of an edge set with itself), so no batch-id
+  * bookkeeping is needed — unlike the append-shaped
+  * [[StreamingBm25]] sink, where a replay would double counts.
   */
 final class ClusterMaintainer(spark: SparkSession) {
 
