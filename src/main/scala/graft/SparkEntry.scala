@@ -460,6 +460,20 @@ object SparkEntry {
     // Gap-fill / resample: densify hourly per-type buckets to each
     // type's full span — zero-filled counts, forward-filled max. Grid
     // rows ∝ span, window sort span-bounded (operators/GapFill)
+    // Peak-preserving downsample: one most-anomalous row per
+    // (type, hour) — exact-integer |n·v − S| argmax, no float mean in
+    // the criterion, ties to earliest ts; two aggregates + one join,
+    // no windows
+    Q("q_events_downsample",
+      (s, dir) => graft.operators.Downsample.peaks(Tables.events(s, dir),
+          col("event_type"), expr("ts div 3600000000000"), col("ts"),
+          col("value"))
+        .orderBy("key", "bucket"),
+      Some(graft.operators.Downsample.peaksSql(
+        """SELECT event_type AS key, epoch_ns(ts) // 3600000000000 AS bucket,
+          | epoch_ns(ts) AS ts, value AS v FROM events""".stripMargin)
+        + " ORDER BY key, bucket")),
+
     Q("q_events_gapfill",
       (s, dir) => {
         val obs = Tables.events(s, dir)
