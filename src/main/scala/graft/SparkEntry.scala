@@ -460,6 +460,18 @@ object SparkEntry {
     // Gap-fill / resample: densify hourly per-type buckets to each
     // type's full span — zero-filled counts, forward-filled max. Grid
     // rows ∝ span, window sort span-bounded (operators/GapFill)
+    // Ordered funnel view → click → purchase: per user, each stage's
+    // first completion STRICTLY AFTER the previous one — one filtered
+    // aggregate + equi-join per stage, no windows, greedy-min optimal
+    Q("q_events_funnel",
+      (s, dir) => graft.operators.Funnel.stages(Tables.events(s, dir),
+          col("user_id"), col("ts"), col("event_type"),
+          Seq("view", "click", "purchase"))
+        .orderBy("entity"),
+      Some(graft.operators.Funnel.stagesSql(
+        "SELECT user_id AS entity, epoch_ns(ts) AS ts, event_type AS et FROM events",
+        Seq("view", "click", "purchase")) + " ORDER BY entity")),
+
     // Peak-preserving downsample: one most-anomalous row per
     // (type, hour) — exact-integer |n·v − S| argmax, no float mean in
     // the criterion, ties to earliest ts; two aggregates + one join,
