@@ -15,6 +15,13 @@ Test / fork := true
 // leak gates) racy. Serial execution keeps those gates exact.
 Test / parallelExecution := false
 run / fork := true
+// The bench/verify drivers parse the forked program's FINAL stdout
+// line as JSON. sbt's default LoggedOutput wraps every line in
+// "[info] " and appends a "[success] Total time" trailer — both have
+// made the bench line unparseable every round. Route forked output
+// raw and drop the success banner.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

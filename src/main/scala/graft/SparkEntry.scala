@@ -380,7 +380,11 @@ object SparkEntry {
     // integer nanos arithmetic — engine-alignment-free)
     Q("q_events_time_buckets",
       (s, dir) => Tables.events(s, dir)
-        .select(expr("ts div 600000000000").as("bucket"), col("event_type"))
+        // floor-div (pmod-adjusted), not `div`: `div` truncates toward
+        // zero while the DuckDB twin's `//` floors — they disagree on
+        // pre-1970 (negative epoch-nanos) timestamps
+        .select(expr("(ts - pmod(ts, 600000000000)) div 600000000000")
+          .as("bucket"), col("event_type"))
         .groupBy("bucket", "event_type")
         .agg(count(lit(1)).as("n"))
         .orderBy("bucket", "event_type"),
@@ -478,7 +482,9 @@ object SparkEntry {
     // no windows
     Q("q_events_downsample",
       (s, dir) => graft.operators.Downsample.peaks(Tables.events(s, dir),
-          col("event_type"), expr("ts div 3600000000000"), col("ts"),
+          col("event_type"),
+          // floor-div to match DuckDB `//` on negative epoch-nanos
+          expr("(ts - pmod(ts, 3600000000000)) div 3600000000000"), col("ts"),
           col("value"))
         .orderBy("key", "bucket"),
       Some(graft.operators.Downsample.peaksSql(
@@ -489,7 +495,8 @@ object SparkEntry {
     Q("q_events_gapfill",
       (s, dir) => {
         val obs = Tables.events(s, dir)
-          .select(col("event_type"), expr("ts div 3600000000000").as("bucket"),
+          .select(col("event_type"),
+            expr("(ts - pmod(ts, 3600000000000)) div 3600000000000").as("bucket"),
             col("value"))
           .groupBy("event_type", "bucket")
           .agg(count(lit(1)).as("n"), round(max("value"), 4).as("mx"))

@@ -261,14 +261,21 @@ object Components {
     * one. ONE max_by hash aggregate — map-side partial, shuffle ≤ 1
     * candidate per (task, cluster), the same shape as
     * [[graft.operators.Upsert.latestByKey]].
+    *
+    * Members missing from `scores` still count toward `n_members`
+    * (left join) but can never win keeper selection unless the whole
+    * cluster is unscored — then the keeper falls back to the min id
+    * and `keeper_score` is null.
     */
   def keeperByScore(clusterLabels: DataFrame,
                     scores: DataFrame): DataFrame =
     clusterLabels.select(col("id"), col("cluster_id"))
-      .join(scores.select(col("id"), col("score")), "id")
+      .join(scores.select(col("id"), col("score")), Seq("id"), "left")
       .groupBy("cluster_id")
       .agg(
-        max_by(col("id"), struct(col("score"), (-col("id")).as("ni")))
+        max_by(col("id"),
+            struct(coalesce(col("score"), lit(Double.NegativeInfinity)).as("s"),
+              (-col("id")).as("ni")))
           .as("keeper_id"),
         max(col("score")).as("keeper_score"),
         count(lit(1)).as("n_members"))

@@ -26,8 +26,10 @@ import org.apache.spark.sql.functions._
 object Downsample {
 
   /** Downsample to one peak row per (key, bucket).
-    * `bucketCol` must be integral (e.g. `ts div 3600e9` for hourly
-    * epoch-nanos buckets). Returns
+    * `bucketCol` must be integral, with FLOOR-division semantics if
+    * derived by division (e.g. `(ts - pmod(ts, 3600e9)) div 3600e9`
+    * for hourly epoch-nanos buckets — a bare `div` truncates toward
+    * zero and mis-buckets pre-1970 timestamps). Returns
     * (key, bucket, peak_ts, peak_value, n_rows, bucket_mean) with
     * `peak_value`/`bucket_mean` at the quantization grid.
     */
@@ -35,10 +37,16 @@ object Downsample {
             tsCol: Column, valueCol: Column,
             scale: Int = 1000000): DataFrame = {
     require(scale > 0, "scale must be positive")
+    // null AND non-finite values carry no peak information: a NaN
+    // would otherwise quantize to vq=0 via the non-ANSI double→long
+    // cast (silently fabricating an observation at value 0) and an
+    // infinity would saturate to Long.Max/Min and win every argmax
+    val v = valueCol.cast("double")
     val obs = df.select(keyCol.as("key"), bucketCol.as("bucket"),
       tsCol.as("ts"),
-      floor(valueCol.cast("double") * scale + 0.5d).cast("long").as("vq"))
-      .where(col("vq").isNotNull) // null values carry no peak information
+      floor(v * scale + 0.5d).cast("long").as("vq"))
+      .where(v.isNotNull && !isnan(v) &&
+        v =!= Double.PositiveInfinity && v =!= Double.NegativeInfinity)
     val stats = obs.groupBy("key", "bucket")
       .agg(sum("vq").as("s"), count(lit(1)).as("n"))
     obs.join(stats, Seq("key", "bucket"))
@@ -63,7 +71,7 @@ object Downsample {
     s"""WITH obs AS MATERIALIZED (
        |  SELECT key, bucket, ts,
        |    CAST(floor(CAST(v AS DOUBLE) * $scale + 0.5) AS BIGINT) AS vq
-       |  FROM ($fromSql) WHERE v IS NOT NULL),
+       |  FROM ($fromSql) WHERE v IS NOT NULL AND isfinite(CAST(v AS DOUBLE))),
        |st AS MATERIALIZED (
        |  SELECT key, bucket, CAST(sum(vq) AS BIGINT) AS s,
        |    CAST(count(*) AS BIGINT) AS n

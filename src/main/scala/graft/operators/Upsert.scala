@@ -36,7 +36,6 @@ object Upsert {
                   versionCol: String, payloadCols: Seq[String]): DataFrame = {
     val all = base.select(keyCol, (versionCol +: payloadCols): _*)
       .unionByName(updates.select(keyCol, (versionCol +: payloadCols): _*))
-    val aggs = col(versionCol) +: payloadCols.map(c => col(c))
     all.groupBy(col(keyCol))
       .agg(max(col(versionCol)).as(versionCol),
         payloadCols.map(c => max_by(col(c), col(versionCol)).as(c)): _*)

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -17,29 +18,48 @@ import graft.text.TextAnalysis
   * time, so a query issued after any number of appended batches sees
   * exactly the index a full rebuild would produce.
   *
-  * Scale design: each micro-batch is tokenize → per-doc tf aggregate →
-  * one bucketed append (batch bucketBy inside foreachBatch — the
-  * streaming parquet sink cannot bucket) → a stats overwrite derived
-  * from the postings table's pruned (id, dl) columns. No state store,
-  * no watermark: the INDEX is the state, exactly where a serving
-  * system wants it. Callers ingesting documents with ids already
-  * indexed should dedup upstream ([[StreamingDedup]]) or compact with
-  * [[graft.operators.Upsert]] semantics at rebuild time — appends are
-  * add-only, the same contract as the reference's insert-only vector
-  * store.
+  * Scale design: each micro-batch is tokenize → per-doc tf aggregate
+  * (the SAME [[TextAnalysis.bm25Postings]] derivation the batch build
+  * uses — one definition, so the served-equals-rebuild invariant can't
+  * drift) → one bucketed append (batch bucketBy inside foreachBatch —
+  * the streaming parquet sink cannot bucket) → a stats overwrite
+  * derived from the postings table's pruned (id, dl) columns. No state
+  * store, no watermark: the INDEX is the state, exactly where a
+  * serving system wants it. Callers ingesting documents with ids
+  * already indexed should dedup upstream ([[StreamingDedup]]) or
+  * compact with [[graft.operators.Upsert]] semantics at rebuild time —
+  * appends are add-only, the same contract as the reference's
+  * insert-only vector store.
+  *
+  * == Exactly-once commit protocol ==
+  *
+  * foreachBatch is AT-LEAST-ONCE: after a crash the last batch
+  * replays, and a blind append would double its postings (doubling
+  * tf/df in every served score). A marker file alone only covers
+  * replays of batches that COMPLETED — a crash after the parquet
+  * append commits but before the marker lands would still double on
+  * replay. The sink therefore stages and commits each batch:
+  *
+  *  1. write the batch's postings bucketed into a batch-scoped STAGING
+  *     dir (a crash here touches nothing the serving table lists);
+  *  2. write a MANIFEST of the staged file names (temp file + atomic
+  *     rename);
+  *  3. move each staged file into the table dir — bucket identity
+  *     lives in the part-file NAME (the `_0000N` suffix Spark's
+  *     bucketed reader parses), so a rename preserves the bucket
+  *     layout and the exchange-free serving join;
+  *  4. refresh + overwrite the stats side table (idempotent);
+  *  5. create the batch MARKER — the commit point.
+  *
+  * Replay of batch b: marker present → fully committed, skip. Marker
+  * absent but manifest present → the crash hit between steps 2 and 5;
+  * delete every manifest-listed file from the table dir (files not yet
+  * moved are simply absent) and redo from step 1. Marker and manifest
+  * both absent → the crash hit before step 2 and the table dir was
+  * never touched; redo from step 1. Every served read therefore sees
+  * each document's postings exactly once.
   */
 object StreamingBm25 {
-
-  /** The batch-build's postings derivation, shared per micro-batch:
-    * (id, dl, token, tf).
-    */
-  private def postingsOf(docs: DataFrame, idCol: String,
-                         textCol: String): DataFrame = {
-    val toks = split(lower(trim(col(textCol))), "\\s+")
-    docs.select(col(idCol).as("id"), size(toks).cast("long").as("dl"),
-        explode(toks).as("token"))
-      .groupBy("id", "dl", "token").agg(count(lit(1)).as("tf"))
-  }
 
   /** Start the maintenance sink over a document stream: per batch,
     * append postings into `table` (must exist — built by
@@ -59,24 +79,47 @@ object StreamingBm25 {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        // foreachBatch is AT-LEAST-ONCE: after a crash the last batch
-        // replays, and a blind append would double its postings
-        // (doubling tf/df in every served score). A per-batch marker
-        // file makes the append idempotent — the standard manual
-        // exactly-once pattern for non-transactional batch sinks.
-        val marker = new org.apache.hadoop.fs.Path(
-          s"$path/__batches/batch-$batchId")
-        val fs = marker.getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
+        val root = new Path(path)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val marker = new Path(s"$path/__batches/batch-$batchId")
         if (!fs.exists(marker)) {
-          postingsOf(batch, idCol, textCol)
+          val manifest = new Path(s"$path/__batches/manifest-$batchId")
+          // reconcile a mid-move crash: remove whatever subset of this
+          // batch's files already reached the table dir before redoing
+          if (fs.exists(manifest)) {
+            val in = fs.open(manifest)
+            val names = scala.io.Source.fromInputStream(in, "UTF-8")
+              .getLines().filter(_.nonEmpty).toList
+            in.close()
+            names.foreach(n => fs.delete(new Path(root, n), false))
+            fs.delete(manifest, false)
+          }
+          // stage: bucketed write into a batch-scoped dir (bucketBy
+          // requires saveAsTable; the staging table is transient)
+          val stagePath = new Path(s"$path/__staging/batch-$batchId")
+          fs.delete(stagePath, true)
+          val stageTable = s"${table}_stage"
+          spark.sql(s"DROP TABLE IF EXISTS $stageTable")
+          TextAnalysis.bm25Postings(batch, col(idCol), col(textCol))
             .repartition(numBuckets, col("token"))
-            .write.mode(SaveMode.Append)
+            .write.mode(SaveMode.Overwrite)
             .format("parquet")
-            .option("path", path)
+            .option("path", stagePath.toString)
             .bucketBy(numBuckets, "token")
             .sortBy("token")
-            .saveAsTable(table)
+            .saveAsTable(stageTable)
+          val staged = fs.listStatus(stagePath).toSeq.map(_.getPath)
+            .filter(_.getName.startsWith("part-"))
+          // manifest before any move, via atomic rename
+          val mTmp = new Path(s"$path/__batches/.manifest-$batchId.tmp")
+          val out = fs.create(mTmp, true)
+          out.write(staged.map(_.getName).mkString("\n").getBytes("UTF-8"))
+          out.close()
+          fs.rename(mTmp, manifest)
+          // commit: move staged files into the serving table dir
+          staged.foreach(p => fs.rename(p, new Path(root, p.getName)))
+          spark.sql(s"DROP TABLE IF EXISTS $stageTable")
+          fs.delete(stagePath, true)
           spark.catalog.refreshTable(table)
           spark.table(table)
             .select(col("id"), col("dl")).distinct()

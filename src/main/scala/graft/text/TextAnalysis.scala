@@ -460,19 +460,31 @@ object TextAnalysis {
     * join and the df aggregation both run WITHOUT an exchange (the
     * bucketing fixed the hash distribution at write time).
     */
+  /** The postings derivation — (id, dl, token, tf) per document —
+    * shared by the batch index build and the streaming maintainer
+    * ([[graft.streaming.StreamingBm25]]). ONE definition on purpose:
+    * tokenize = split on `\s+` with no empty-token filter (an empty
+    * text yields the `""` token, so dl counts it), and any change here
+    * reaches both sides — otherwise the streamed index silently
+    * diverges from a full rebuild.
+    */
+  private[graft] def bm25Postings(docs: org.apache.spark.sql.DataFrame,
+                                  idCol: Column, textCol: Column): org.apache.spark.sql.DataFrame = {
+    val toks = split(lower(trim(textCol)), "\\s+")
+    docs.select(idCol.as("id"), size(toks).cast("long").as("dl"),
+        explode(toks).as("token"))
+      .groupBy("id", "dl", "token").agg(count(lit(1)).as("tf"))
+  }
+
   def buildBm25Index(docs: org.apache.spark.sql.DataFrame, idCol: Column,
                      textCol: Column, table: String, path: String,
                      numBuckets: Int = 32): Unit = {
-    val toks = split(lower(trim(textCol)), "\\s+")
     // spread a narrow source before the tokenize stage (same rationale
     // as bm25Join: one parquet file = one task otherwise)
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val src = if (docs.rdd.getNumPartitions < par) docs.repartition(par)
       else docs
-    val postings = src
-      .select(idCol.as("id"), size(toks).cast("long").as("dl"),
-        explode(toks).as("token"))
-      .groupBy("id", "dl", "token").agg(count(lit(1)).as("tf"))
+    val postings = bm25Postings(src, idCol, textCol)
     graft.sources.Bucketing.writeBucketed(postings, table, path,
       key = "token", numBuckets = numBuckets)
     // corpus stats from the postings table just written, NOT a second

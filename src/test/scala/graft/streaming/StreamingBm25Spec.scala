@@ -94,4 +94,52 @@ class StreamingBm25Spec extends AnyFunSuite with SparkSpec {
     assert(afterReplay == afterFirst,
       s"replayed batch id must be a no-op: $afterFirst -> $afterReplay")
   }
+
+  test("crash between append commit and marker does not double postings on replay") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-sbm25c").toString
+    Bucketing.dropTable(spark, "sbm25c_idx")
+    Bucketing.dropTable(spark, "sbm25c_idx_stats")
+    TextAnalysis.buildBm25Index(Seq((1L, "seed doc")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), "sbm25c_idx", s"$dir/idx", numBuckets = 2)
+    def runOnce(ckpt: String): Unit = {
+      val ms = MemoryStream[(Long, String)]
+      val q = StreamingBm25.maintain(ms.toDS().toDF("doc_id", "text"),
+        "doc_id", "text", "sbm25c_idx", s"$dir/idx", ckpt, numBuckets = 2)
+      try { ms.addData(Seq((2L, "streamed doc words"))); q.processAllAvailable() }
+      finally q.stop()
+    }
+    runOnce(s"$dir/ckpt1")
+    spark.catalog.refreshTable("sbm25c_idx")
+    val committed = spark.table("sbm25c_idx").count()
+    // simulate the worst-case crash window: the batch's files reached
+    // the table dir (append "committed") but the marker never landed —
+    // delete the marker, keep the manifest, exactly the on-disk state
+    // a crash between the moves and fs.create(marker) leaves
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/idx").getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/idx/__batches/batch-0")
+    val manifest = new org.apache.hadoop.fs.Path(s"$dir/idx/__batches/manifest-0")
+    assert(fs.exists(marker) && fs.exists(manifest),
+      "protocol must leave marker + manifest after a clean batch")
+    fs.delete(marker, false)
+    // replay the same batch id: the sink must reconcile (delete the
+    // manifest-listed files) before re-appending — net effect, the
+    // batch's postings appear exactly once
+    runOnce(s"$dir/ckpt2")
+    spark.catalog.refreshTable("sbm25c_idx")
+    val afterReplay = spark.table("sbm25c_idx").count()
+    assert(afterReplay == committed,
+      s"crash-window replay must not double postings: $committed -> $afterReplay")
+    // and the content equals a full rebuild (not just the row count)
+    Bucketing.dropTable(spark, "sbm25c_full")
+    Bucketing.dropTable(spark, "sbm25c_full_stats")
+    TextAnalysis.buildBm25Index(
+      Seq((1L, "seed doc"), (2L, "streamed doc words")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), "sbm25c_full", s"$dir/full", numBuckets = 2)
+    val got = spark.table("sbm25c_idx").orderBy("id", "token").collect().toSeq
+    val want = spark.table("sbm25c_full").orderBy("id", "token").collect().toSeq
+    assert(got == want, s"replayed index must equal rebuild:\n$got\nvs\n$want")
+  }
 }
