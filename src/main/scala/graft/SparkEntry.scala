@@ -461,6 +461,68 @@ object SparkEntry {
               | count(*) AS n_docs
               |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Gap-sessionization through the streaming state machine
+    // (streaming/Sessions.sessionize, flatMapGroupsWithState +
+    // event-time timeout) under the DuckDB hash gate: the events table
+    // replays through a MemoryStream, a far-future sentinel event
+    // advances the watermark past every open session's timeout, and
+    // the emitted (user, start, end, n_events) boundaries must equal
+    // the batch lag/cumsum sessionizer's. Timestamps at ms precision —
+    // the state machine keeps epoch-millis (java.sql.Timestamp), so
+    // the oracle buckets the same way. total_value is NOT declared
+    // (float sum order varies with merge order); SessionsSpec pins it.
+    Q("streaming_sessions",
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val rows = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"))
+          .collect().map(r => (r.getLong(0),
+            new java.sql.Timestamp(r.getLong(1) / 1000000L), 0.0)).toSeq
+        val ms = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, java.sql.Timestamp, Double)]
+        ms.addData(rows)
+        val out = graft.streaming.Sessions.sessionize(
+          ms.toDS().toDF("user_id", "ts", "value"), gapMinutes = 30)
+        val qName = "graft_streaming_sessions"
+        val q = out.writeStream.format("memory").queryName(qName)
+          .outputMode("append").start()
+        try {
+          q.processAllAvailable()
+          // sentinel (user -1) a day past the corpus max: watermark
+          // passes every open session's (last + gap) timeout...
+          val maxMs = rows.iterator.map(_._2.getTime).max
+          ms.addData(Seq((-1L, new java.sql.Timestamp(maxMs + 86400000L), 0.0)))
+          q.processAllAvailable()
+          // ...and the timeout sweep fires on the NEXT trigger
+          ms.addData(Seq.empty[(Long, java.sql.Timestamp, Double)])
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table(qName).where(col("user_id") >= 0)
+          .select(col("user_id"),
+            unix_millis(col("session_start")).as("session_start_ms"),
+            unix_millis(col("session_end")).as("session_end_ms"),
+            col("n_events"))
+          .orderBy("user_id", "session_start_ms")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_ns(ts) // 1000000 AS ms FROM events),
+             |flg AS (
+             |  SELECT user_id, ms,
+             |    CASE WHEN lag(ms) OVER w IS NULL THEN 1
+             |         WHEN ms - lag(ms) OVER w > 1800000 THEN 1
+             |         ELSE 0 END AS new_s
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+             |sess AS (
+             |  SELECT user_id, ms,
+             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ms
+             |      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM flg)
+             |SELECT user_id, min(ms) AS session_start_ms,
+             |  max(ms) AS session_end_ms, CAST(count(*) AS BIGINT) AS n_events
+             |FROM sess GROUP BY user_id, sid
+             |ORDER BY user_id, session_start_ms""".stripMargin)),
+
     // Gap-fill / resample: densify hourly per-type buckets to each
     // type's full span — zero-filled counts, forward-filled max. Grid
     // rows ∝ span, window sort span-bounded (operators/GapFill)
@@ -475,6 +537,20 @@ object SparkEntry {
       Some(graft.operators.Funnel.stagesSql(
         "SELECT user_id AS entity, epoch_ns(ts) AS ts, event_type AS et FROM events",
         Seq("view", "click", "purchase")) + " ORDER BY entity")),
+
+    // Time-boxed funnel: the same view → click → purchase chain but
+    // each stage must also land within 2 h of the user's first view —
+    // the conversion-window form. Same aggregate+join shape (one
+    // filtered min per stage, no windows), horizon in exact nanos
+    Q("q_events_funnel_windowed",
+      (s, dir) => graft.operators.Funnel.stagesWindowed(Tables.events(s, dir),
+          col("user_id"), col("ts"), col("event_type"),
+          Seq("view", "click", "purchase"), horizon = 7200000000000L)
+        .orderBy("entity"),
+      Some(graft.operators.Funnel.stagesWindowedSql(
+        "SELECT user_id AS entity, epoch_ns(ts) AS ts, event_type AS et FROM events",
+        Seq("view", "click", "purchase"), horizon = 7200000000000L)
+        + " ORDER BY entity")),
 
     // Peak-preserving downsample: one most-anomalous row per
     // (type, hour) — exact-integer |n·v − S| argmax, no float mean in
@@ -2725,6 +2801,54 @@ object SparkEntry {
               |SELECT id, min(r) AS cluster_id, (id = min(r)) AS is_keeper
               |FROM reach GROUP BY id ORDER BY id""".stripMargin)),
 
+    // The SAME maintained labeling through the CONTINUOUS route: the
+    // mined near-dup edges replay through a MemoryStream in three
+    // micro-batches into streaming/ClusterMaintainer (foreachBatch →
+    // Components.foldInto, per-batch work ∝ delta), and the post-fold
+    // labels must equal the full-recompute recursive-CTE oracle —
+    // components are order-independent, so ANY batch split folds to
+    // the same labeling (replay of a folded batch is a structural
+    // no-op, ClusterMaintainer's documented contract).
+    Q("streaming_clusters_maintained",
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val content = Enrich.dedupContent(col("text"), col("doc_id"))
+        val edgeRows = Dedup.ngramJaccardPairsPrefix(
+            Tables.documents(s, dir), col("doc_id"), content,
+            minJaccard = 0.5)
+          .select(col("id_a"), col("id_b"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        val ms = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Long)]
+        val maintainer = new graft.streaming.ClusterMaintainer(s)
+        val q = maintainer.attach(ms.toDS().toDF("id_a", "id_b")).start()
+        try {
+          edgeRows.grouped(math.max(1, edgeRows.size / 3 + 1)).foreach { b =>
+            ms.addData(b)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        maintainer.labels
+          .select(col("id"), col("component").as("cluster_id"),
+            (col("id") === col("component")).as("is_keeper"))
+          .orderBy("id")
+      },
+      Some(s"""WITH RECURSIVE edges AS MATERIALIZED (
+              |  ${Dedup.ngramJaccardPairsIndexedSql("documents", "doc_id",
+                   Enrich.dedupContentSql("text", "doc_id"))}
+              |), sym AS (
+              |  SELECT id_a AS src, id_b AS dst FROM edges
+              |  UNION ALL
+              |  SELECT id_b, id_a FROM edges
+              |), reach AS (
+              |  SELECT src AS id, src AS r FROM sym
+              |  UNION
+              |  SELECT sym.src, reach.r FROM sym JOIN reach ON sym.dst = reach.id
+              |)
+              |SELECT id, min(r) AS cluster_id, (id = min(r)) AS is_keeper
+              |FROM reach GROUP BY id ORDER BY id""".stripMargin)),
+
     // Embedding-cosine near-dup pairs, exact tier: all-pairs with the
     // fused codegen cosine kernel, threshold on the 4dp-rounded value
     // so boundary pairs resolve identically in both engines
@@ -3260,6 +3384,54 @@ object SparkEntry {
               |    ORDER BY ${Sql.l2("l.embedding", "r.embedding")}, r.vec_id) AS rn
               | FROM (SELECT * FROM embeddings WHERE vec_id < 20) l, embeddings r)
               |WHERE rn <= 3 ORDER BY left_id, rank""".stripMargin)),
+
+    // The same exact KNN through the CONTINUOUS route
+    // (streaming/StreamingSearch.knnPerQuery): five query vectors
+    // arrive on a MemoryStream, fan out over the broadcast static
+    // corpus, and the bounded-state windowed top-k aggregate emits
+    // each query's final ranking in append mode once a far-future
+    // sentinel closes the window. Hash-gated against the brute-force
+    // all-pairs oracle — stream and batch must agree row for row.
+    Q("streaming_search_topk",
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val corpus = Tables.embeddings(s, dir)
+          .select(col("vec_id").as("id"), col("embedding"))
+        val t0 = 1700000000000L
+        val qRows = Tables.embeddings(s, dir).where(col("vec_id") < 5)
+          .select(col("vec_id"), col("embedding"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Float](1),
+            new java.sql.Timestamp(t0))).toSeq
+        val ms = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Seq[Float], java.sql.Timestamp)]
+        ms.addData(qRows)
+        val out = graft.streaming.StreamingSearch.knnPerQuery(
+          ms.toDS().toDF("query_id", "q_emb", "ts"), corpus, k = 3)
+        val qName = "graft_streaming_search"
+        val q = out.writeStream.format("memory").queryName(qName)
+          .outputMode("append").start()
+        try {
+          q.processAllAvailable()
+          // sentinel an hour later: watermark (5 min delay) passes the
+          // queries' 1-minute window end, closing it for append
+          ms.addData(Seq((-1L, qRows.head._2,
+            new java.sql.Timestamp(t0 + 3600000L))))
+          q.processAllAvailable()
+          ms.addData(Seq.empty[(Long, Seq[Float], java.sql.Timestamp)])
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table(qName).where(col("query_id") >= 0)
+          .select(col("query_id"), col("corpus_id"), col("score"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""SELECT query_id, corpus_id, score, CAST(rn AS INTEGER) AS rank FROM (
+              | SELECT q.vec_id AS query_id, r.vec_id AS corpus_id,
+              |  ${Sql.l2("q.embedding", "r.embedding")} AS score,
+              |  row_number() OVER (PARTITION BY q.vec_id
+              |    ORDER BY ${Sql.l2("q.embedding", "r.embedding")}, r.vec_id) AS rn
+              | FROM (SELECT * FROM embeddings WHERE vec_id < 5) q, embeddings r)
+              |WHERE rn <= 3 ORDER BY query_id, rank""".stripMargin)),
 
     // IVF (KMeans coarse quantizer) probe search — approximate scale
     // path. Probe pruning has no SQL twin, so the declared output is

@@ -55,6 +55,84 @@ object Funnel {
       reached.cast("int").as("reached"): _*)
   }
 
+  /** Time-boxed funnel — [[stages]] with a completion horizon: stage k
+    * must land strictly after stage k−1 AND within `horizon` of the
+    * entity's stage-1 time (the common product-analytics form: "did
+    * the user purchase within 2 h of the first view?").
+    *
+    * Anchoring: the window opens at the entity's EARLIEST stage-1
+    * event — deterministic and O(1) state per entity. (A sliding
+    * variant that searches every stage-1 occurrence for the best
+    * chain needs per-entity event retention; this form keeps the
+    * aggregate+join shape, and re-anchoring is a caller-side filter
+    * on the stage-1 events before calling.) Greedy-min stays optimal
+    * given the anchor: the horizon bound is fixed once ts_1 is, so an
+    * earlier stage-(k−1) completion still only admits more stage-k
+    * candidates. `horizon` is in `tsCol`'s unit (epoch nanos for the
+    * harness events table).
+    */
+  def stagesWindowed(df: DataFrame, entityCol: Column, tsCol: Column,
+                     typeCol: Column, funnel: Seq[String],
+                     horizon: Long): DataFrame = {
+    require(funnel.nonEmpty, "funnel must have at least one stage")
+    require(funnel.distinct.size == funnel.size, "stages must be distinct")
+    require(horizon > 0, "horizon must be positive")
+    val ev = df.select(entityCol.as("entity"), tsCol.as("ts"),
+      typeCol.as("et"))
+    var acc = ev.where(col("et") === funnel.head)
+      .groupBy("entity").agg(min("ts").as("ts_1"))
+    for ((st, i) <- funnel.tail.zipWithIndex) {
+      val k = i + 2
+      val carry =
+        if (k == 2) acc.select(col("entity"), col("ts_1"))
+        else acc.select(col("entity"), col("ts_1"), col(s"ts_${k - 1}"))
+      val nxt = ev.where(col("et") === st)
+        .join(carry, "entity")
+        .where(col("ts") > col(s"ts_${k - 1}") &&
+          col("ts") <= col("ts_1") + lit(horizon))
+        .groupBy("entity").agg(min("ts").as(s"ts_$k"))
+      acc = acc.join(nxt, Seq("entity"), "left")
+    }
+    val reached = funnel.indices
+      .map(i => when(col(s"ts_${i + 1}").isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    acc.select(col("entity") +:
+      funnel.indices.map(i => col(s"ts_${i + 1}")) :+
+      reached.cast("int").as("reached"): _*)
+  }
+
+  /** DuckDB twin of [[stagesWindowed]] over a FROM-able relation
+    * exposing (entity, ts, et).
+    */
+  def stagesWindowedSql(fromSql: String, funnel: Seq[String],
+                        horizon: Long): String = {
+    require(funnel.nonEmpty, "funnel must have at least one stage")
+    def q(s: String) = s.replace("'", "''")
+    val steps = funnel.tail.zipWithIndex.map { case (st, i) =>
+      val k = i + 2
+      s"""s$k AS MATERIALIZED (
+         |  SELECT e.entity, min(e.ts) AS ts_$k
+         |  FROM ev e JOIN s${k - 1} p ON e.entity = p.entity
+         |       JOIN s1 a ON e.entity = a.entity
+         |  WHERE e.et = '${q(st)}' AND e.ts > p.ts_${k - 1}
+         |    AND e.ts <= a.ts_1 + $horizon
+         |  GROUP BY 1)""".stripMargin
+    }
+    val joins = (2 to funnel.size)
+      .map(k => s"LEFT JOIN s$k USING (entity)").mkString(" ")
+    val tsCols = (1 to funnel.size).map(k => s"ts_$k").mkString(", ")
+    val reached = (1 to funnel.size)
+      .map(k => s"CASE WHEN ts_$k IS NULL THEN 0 ELSE 1 END")
+      .mkString(" + ")
+    s"""WITH ev AS MATERIALIZED (SELECT entity, ts, et FROM ($fromSql)),
+       |s1 AS MATERIALIZED (
+       |  SELECT entity, min(ts) AS ts_1 FROM ev
+       |  WHERE et = '${q(funnel.head)}' GROUP BY 1)${
+        if (steps.nonEmpty) steps.mkString(",\n", ",\n", "") else ""}
+       |SELECT entity, $tsCols, CAST($reached AS INTEGER) AS reached
+       |FROM s1 $joins""".stripMargin
+  }
+
   /** DuckDB twin of [[stages]] over a FROM-able relation exposing
     * (entity, ts, et).
     */
