@@ -6,9 +6,16 @@ import org.apache.spark.sql.functions._
 /** Multimodal columns for training-data pipelines: image/audio/video
   * travel as opaque `binary` columns with typed metadata, processed
   * per-partition so a real decoder amortizes library init across a
-  * batch of rows (the Spark-side plumbing — schema, batch shape,
-  * partition parallelism — is real; the codec itself is STUBBED:
-  * no image/audio libraries exist in this container).
+  * batch of rows. TWO codec arms share the Spark plumbing (schema,
+  * batch shape, partition parallelism, bounded task memory):
+  *
+  *  - a STUB arm (deterministic integer functions of the payload
+  *    bytes) for the synthetic fixture corpus and its DuckDB-replayable
+  *    oracle gates — also the honest stand-in for codecs with no JDK
+  *    implementation (audio/video containers);
+  *  - a REAL image arm over JDK ImageIO (PNG/JPEG/GIF/BMP, no new
+  *    dependency): header-only metadata probe, full decode + integer
+  *    box-average resize, and color-layout feature extraction.
   */
 object Multimodal {
 
@@ -227,6 +234,164 @@ object Multimodal {
       i += 1
     }
     out
+  }
+
+  // ---- REAL image arm (JDK ImageIO: PNG/JPEG/GIF/BMP, zero new deps) --
+  //
+  // The stub arm above exists for the synthetic fixture corpus (text
+  // bytes dressed as media) and its DuckDB-replayable oracle gates.
+  // Real corpora go through the functions below: same Spark plumbing
+  // (per-partition map, codec init per task, bounded memory), actual
+  // codecs. PNG decode is spec-exact; pixel RESAMPLING is implemented
+  // here as integer box-averaging rather than Graphics2D so outputs
+  // are bit-stable across JREs/platforms (the AWT rendering pipeline
+  // makes no such promise).
+
+  /** Header-only probe: (format, width, height) without decoding any
+    * pixels — the metadata pass over 100 TB of media must not pay a
+    * full decode per file. None when no installed reader claims the
+    * payload.
+    */
+  private[multimodal] def probeImage(data: Array[Byte]): Option[(String, Int, Int)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(data))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis, true, true)
+          Some((r.getFormatName.toLowerCase(java.util.Locale.ROOT),
+            r.getWidth(0), r.getHeight(0)))
+        } catch { case _: Exception => None } finally r.dispose()
+      }
+    } catch { case _: Exception => None } finally iis.close()
+  }
+
+  /** Full pixel decode. None for unreadable payloads. */
+  private[multimodal] def readImage(data: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data)))
+    catch { case _: Exception => None }
+
+  /** Deterministic integer box-average resample to (w, h): each output
+    * pixel averages its source box's RGB channels in long arithmetic —
+    * no AWT rendering, so the result is identical on every platform.
+    */
+  private[multimodal] def resampleBox(img: java.awt.image.BufferedImage,
+                                      w: Int, h: Int): java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val sw = img.getWidth; val sh = img.getHeight
+    var y = 0
+    while (y < h) {
+      val y0 = (y.toLong * sh / h).toInt
+      val y1 = math.max(y0 + 1, ((y + 1).toLong * sh / h).toInt)
+      var x = 0
+      while (x < w) {
+        val x0 = (x.toLong * sw / w).toInt
+        val x1 = math.max(x0 + 1, ((x + 1).toLong * sw / w).toInt)
+        var r = 0L; var g = 0L; var b = 0L; var n = 0L
+        var yy = y0
+        while (yy < y1) {
+          var xx = x0
+          while (xx < x1) {
+            val p = img.getRGB(xx, yy)
+            r += (p >> 16) & 0xFF; g += (p >> 8) & 0xFF; b += p & 0xFF
+            n += 1; xx += 1
+          }
+          yy += 1
+        }
+        out.setRGB(x, y,
+          (((r / n).toInt) << 16) | (((g / n).toInt) << 8) | (b / n).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  private def pngBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL metadata pass: header-only probe per row (no pixel decode),
+    * same output schema as the stub [[decodeMeta]]. Unreadable
+    * payloads surface as `format = "unreadable"` with zero dims —
+    * a curation filter downstream, never a task failure.
+    */
+  def decodeImageMeta(spark: SparkSession, media: DataFrame,
+                      idCol: String, dataCol: String): Dataset[MediaMeta] = {
+    import spark.implicits._
+    media.selectExpr(s"CAST($idCol AS BIGINT)", dataCol).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, data) =>
+          probeImage(data) match {
+            case Some((fmt, w, h)) => MediaMeta(id, data.length.toLong, fmt, w, h, 1)
+            case None => MediaMeta(id, data.length.toLong, "unreadable", 0, 0, 0)
+          }
+        }
+      }
+  }
+
+  /** REAL resize: decode → integer box-average to (targetW, targetH) →
+    * re-encode PNG. Undecodable rows are DROPPED (the thumbnail pass
+    * doubles as the decode-validity filter; pair with
+    * [[decodeImageMeta]] when the drop set must be audited).
+    */
+  def resizeImages(spark: SparkSession, media: DataFrame,
+                   idCol: String, dataCol: String,
+                   targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    require(targetW > 0 && targetH > 0, "target dimensions must be positive")
+    import spark.implicits._
+    media.selectExpr(s"CAST($idCol AS BIGINT)", dataCol).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, data) =>
+          readImage(data).map { img =>
+            ResizedMedia(id, targetW, targetH,
+              pngBytes(resampleBox(img, targetW, targetH)))
+          }
+        }
+      }
+  }
+
+  /** REAL feature extraction: decode → box-average to a `grid`×`grid`
+    * patch → per-patch RGB channel means in [0,1], row-major —
+    * 3·grid² floats, the classic color-layout descriptor (a cheap,
+    * fully deterministic stand-in for a vision-model embedding with
+    * the same Spark shape: fixed dim, one pass, bounded memory).
+    * Undecodable rows are dropped.
+    */
+  def extractImageFeatures(spark: SparkSession, media: DataFrame,
+                           idCol: String, dataCol: String,
+                           grid: Int = 4): Dataset[MediaFeatures] = {
+    require(grid > 0, "grid must be positive")
+    import spark.implicits._
+    media.selectExpr(s"CAST($idCol AS BIGINT)", dataCol).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, data) =>
+          readImage(data).map { img =>
+            val s = resampleBox(img, grid, grid)
+            val out = new Array[Float](3 * grid * grid)
+            var y = 0
+            while (y < grid) {
+              var x = 0
+              while (x < grid) {
+                val p = s.getRGB(x, y)
+                val base = 3 * (y * grid + x)
+                out(base) = ((p >> 16) & 0xFF) / 255.0f
+                out(base + 1) = ((p >> 8) & 0xFF) / 255.0f
+                out(base + 2) = (p & 0xFF) / 255.0f
+                x += 1
+              }
+              y += 1
+            }
+            MediaFeatures(id, data.length.toLong, out)
+          }
+        }
+      }
   }
 
   /** Sample every `everyN`-th frame (0, everyN, 2·everyN, …, capped at
