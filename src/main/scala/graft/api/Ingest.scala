@@ -89,6 +89,40 @@ object Ingest {
         col("document_type"))
   }
 
+  /** [[chunkTableOf]] with the embedding computed OUT-OF-PLAN by the
+    * batched HTTP client (F4's production arm,
+    * `/root/reference/extract_and_embed_v2.py:352-369` fixed to one
+    * RPC per batch instead of one per chunk): chunk rows are pinned
+    * first (`localCheckpoint` — `monotonically_increasing_id` must not
+    * re-evaluate between the embed pass and the join-back), the client
+    * embeds (chunk_id, text) per-partition-batch, and the vectors
+    * equi-join back on chunk_id. With `cfg.dropFailedBatches`, chunks
+    * whose batch exhausted retries drop out of the table — the
+    * reference's per-chunk `except: continue` at batch granularity.
+    */
+  def chunkTableRemote(spark: SparkSession, attrs: DataFrame,
+                       cfg: graft.embed.HttpEmbedder.Config,
+                       maxWords: Int = 400): DataFrame = {
+    val chunks = ChunkPacker.chunkDocuments(spark, attrs, "key", "doc_text", maxWords)
+      .toDF()
+    val base = chunks
+      .join(attrs.drop("doc_text"), "key")
+      .select(
+        monotonically_increasing_id().as("chunk_id"),
+        col("chunk_text").as("text"),
+        col("file_name"), col("file_id"), col("court_level"),
+        col("case_decision"),
+        col("key").as("doc_key"), col("chunk_idx"), col("n_words"),
+        col("document_type"))
+      .localCheckpoint()
+    val vecs = graft.embed.HttpEmbedder.embed(spark, base, "chunk_id", "text", cfg)
+    base.join(vecs, "chunk_id")
+      .select(col("chunk_id"), col("text"), col("embedding"),
+        col("file_name"), col("file_id"), col("court_level"),
+        col("case_decision"), col("doc_key"), col("chunk_idx"),
+        col("n_words"), col("document_type"))
+  }
+
   /** S5 sink analog: append to the chunk-table parquet, partitioned by
     * court_level (the only scalar filter the flagship query uses —
     * partition pruning replaces Milvus's bitset pre-filter). The atomic

@@ -106,6 +106,16 @@ object HttpChatFallback {
         coalesce(col("__llm"), col("__rule")).as("case_decision"))
   }
 
+  /** One document's remote decision — the serving layer's per-upload
+    * tail ([[graft.serve.CaseSearchService]] ingests one PDF per
+    * request, so the driver-side single call IS the right granularity
+    * there; batch pipelines use [[decideWithFallback]]).
+    */
+  def decideDocument(conclusion: String, docContext: String,
+                     cfg: Config): String =
+    decideOne(Option(conclusion).getOrElse(""),
+      Option(docContext).getOrElse(DecisionRules.GenericDocContext), cfg)
+
   // Jackson is thread-safe after configuration; one instance per JVM.
   private lazy val mapper = new ObjectMapper()
 

@@ -49,9 +49,30 @@ import graft.vector.{Distance, Knn}
   * reads it with the `court_level` filter pushed into partition
   * pruning, so per-request cost is the one target level, not the
   * corpus.
+  *
+  * == Live clients ==
+  *
+  * By default the service embeds with the deterministic in-plan
+  * `embedder` and classifies with the regex cascade only — the
+  * reproducible configuration the correctness gates run. Production
+  * wiring mirrors `extract_and_embed_v2.py:432-492`:
+  *
+  *  - `remoteEmbedder = Some(cfg)` routes BOTH ingest chunk embedding
+  *    ([[Ingest.chunkTableRemote]] — batched, one RPC per partition
+  *    batch) and the search path's representative-chunk embedding
+  *    through the OpenAI-compatible `/embeddings` client (F4);
+  *  - `chatFallback = Some(cfg)` gives ingest the gpt-4o tail (F8):
+  *    only when the C1 cascade (with the C4 metadata retry) leaves the
+  *    upload `invalid` does the request pay one chat RPC over the F7
+  *    conclusion + C3 context, enum-validated like
+  *    `extract_and_embed_v2.py:295-297`. Search stays regex-only —
+  *    the reference's search service has no AI fallback
+  *    (`extract_and_search_v2.py:173-232`).
   */
 final class CaseSearchService(spark: SparkSession, root: String,
-                              embedder: Embedder, maxWords: Int = 400) {
+                              embedder: Embedder, maxWords: Int = 400,
+                              remoteEmbedder: Option[graft.embed.HttpEmbedder.Config] = None,
+                              chatFallback: Option[graft.classify.HttpChatFallback.Config] = None) {
 
   import CaseSearchService._
 
@@ -191,8 +212,16 @@ final class CaseSearchService(spark: SparkSession, root: String,
   private def topMatches(representative: String, targetLevel: Int,
                          collection: String): Seq[(String, String, String, Double)] = {
     import spark.implicits._
-    val query = Seq(representative).toDF("__t")
-      .select(embedder.embed(col("__t")).as("q_emb"))
+    val query = remoteEmbedder match {
+      case Some(cfg) =>
+        graft.embed.HttpEmbedder.embed(spark,
+            Seq((0L, representative)).toDF("chunk_id", "__t"),
+            "chunk_id", "__t", cfg)
+          .select(col("embedding").as("q_emb"))
+      case None =>
+        Seq(representative).toDF("__t")
+          .select(embedder.embed(col("__t")).as("q_emb"))
+    }
     val corpus = collectionFrame(collection)
       .where(col("court_level") === targetLevel)
       .select(col("chunk_id"), col("file_id"), col("file_name"),
@@ -233,13 +262,32 @@ final class CaseSearchService(spark: SparkSession, root: String,
             import spark.implicits._
             val fileName = baseName(file.filename.get)
             val text = PdfTextExtractor.extract(file.data)
-            val attrs = Ingest.namedDocumentAttributes(
+            val attrs0 = Ingest.namedDocumentAttributes(
               Seq((fileName, text)).toDF("__name", "__text"),
               col("__name"), col("__text"), lit(level))
-            val decision = attrs.select(col("case_decision"))
+            val ruleDecision = attrs0.select(col("case_decision"))
               .head().getString(0)
-            val chunks = Ingest
-              .chunkTableOf(spark, attrs, embedder, maxWords).cache()
+            // F8 tail: only a cascade-invalid upload pays the chat RPC
+            // (`extract_and_embed_v2.py:146-156`); the validated label
+            // replaces `invalid` on every written chunk row
+            val decision = chatFallback match {
+              case Some(cfg)
+                  if ruleDecision == graft.classify.DecisionRules.Invalid =>
+                val row = attrs0.select(
+                  graft.classify.Conclusion.extractCol(
+                    col("doc_text"), col("document_type")),
+                  graft.classify.Cascades.docContext(col("doc_text"))).head()
+                graft.classify.HttpChatFallback.decideDocument(
+                  row.getString(0), row.getString(1), cfg)
+              case _ => ruleDecision
+            }
+            val attrs =
+              if (decision == ruleDecision) attrs0
+              else attrs0.withColumn("case_decision", lit(decision))
+            val chunks = (remoteEmbedder match {
+              case Some(cfg) => Ingest.chunkTableRemote(spark, attrs, cfg, maxWords)
+              case None => Ingest.chunkTableOf(spark, attrs, embedder, maxWords)
+            }).cache()
             val inserted =
               try {
                 val n = chunks.count()
