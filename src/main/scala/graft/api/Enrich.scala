@@ -215,19 +215,45 @@ object Enrich {
        | ELSE ($textExpr || ${Sql.lit(" " + gPad)}) END""".stripMargin
   }
 
+  /** Id stride the 10× scale fixture offsets copies by
+    * ([[graft.tools.ScaleData]]): keys below it are the harness corpus
+    * proper (copy 0), keys at or above it belong to a synthesized
+    * copy. The dup-phrase templates below namespace PER COPY past the
+    * stride — without it, every copy shares the template vocabulary
+    * ("alpha beta gamma…"), shingle candidates collide ACROSS copies,
+    * and the cluster family's 10× ratios read ~99× candidate growth
+    * that a real 10× corpus would not have. Harness keys are all
+    * copy 0, so the DuckDB twins (which only ever see the harness
+    * tables) are unchanged.
+    */
+  private val CopyStride = 100000000L
+
+  private def copyOf(key: Column): Column =
+    floor(key.cast("double") / CopyStride.toDouble).cast("long")
+
+  /** Suffix every token of `phrase` with the copy namespace (identity
+    * on copy 0 — the gate-visible corpus).
+    */
+  private def nsPhrase(phrase: Column, key: Column): Column = {
+    val c = copyOf(key)
+    when(c === 0, phrase)
+      .otherwise(regexp_replace(phrase, lit("(\\S+)"),
+        concat(lit("$1_q"), c.cast("string"))))
+  }
+
   def dedupContent(text: Column, key: Column): Column =
     when(pmod(key, lit(7)) === 0,
-      concat(lit("dup block exact "), blockId(key).cast("string"),
-        lit(" alpha beta gamma delta epsilon zeta eta theta")))
+      nsPhrase(concat(lit("dup block exact "), blockId(key).cast("string"),
+        lit(" alpha beta gamma delta epsilon zeta eta theta")), key))
       .when(pmod(key, lit(7)) === 1,
         // block id interleaved through the shared run so shingles
         // straddling it differ across blocks (cross-block Jaccard ≈ 0.2,
         // below threshold); within a block, variants differ only in the
         // trailing token (Jaccard ≈ 0.87, above threshold)
-        concat(lit("near block "), blockId(key).cast("string"),
+        nsPhrase(concat(lit("near block "), blockId(key).cast("string"),
           lit(" shared one two three "), blockId(key).cast("string"),
           lit(" four five six seven "), blockId(key).cast("string"),
-          lit(" eight nine ten tail"), pmod(key, lit(2)).cast("string")))
+          lit(" eight nine ten tail"), pmod(key, lit(2)).cast("string")), key))
       .otherwise(text)
 
   def dedupContentSql(textExpr: String, keyExpr: String): String =
