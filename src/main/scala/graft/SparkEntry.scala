@@ -523,6 +523,56 @@ object SparkEntry {
              |FROM sess GROUP BY user_id, sid
              |ORDER BY user_id, session_start_ms""".stripMargin)),
 
+    // Watermarked STREAM-STREAM join under the hash gate: views and
+    // purchases replay on separate MemoryStreams through
+    // Sessions.attributedPurchases (each purchase joined to every view
+    // by the same user in the preceding 30 min; both sides
+    // watermarked so the join buffers purge). Inner joins emit
+    // eagerly, so no sentinel flush is needed — the oracle is the
+    // plain interval join at the same ms precision.
+    Q("streaming_join_attributed",
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        def rowsOf(t: String) = Tables.events(s, dir)
+          .where(col("event_type") === t)
+          .select(col("user_id"), col("ts"), coalesce(col("value"), lit(0.0)))
+          .collect().map(r => (r.getLong(0),
+            new java.sql.Timestamp(r.getLong(1) / 1000000L),
+            r.getDouble(2))).toSeq
+        val vs = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, java.sql.Timestamp, Double)]
+        val ps = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, java.sql.Timestamp, Double)]
+        vs.addData(rowsOf("view"))
+        ps.addData(rowsOf("purchase"))
+        val out = graft.streaming.Sessions.attributedPurchases(
+          vs.toDS().toDF("user_id", "ts", "value"),
+          ps.toDS().toDF("user_id", "ts", "value"), windowMinutes = 30)
+        val qName = "graft_streaming_join_attr"
+        val q = out.writeStream.format("memory").queryName(qName)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(qName)
+          .select(col("user_id"),
+            unix_millis(col("v_ts")).as("v_ts_ms"),
+            unix_millis(col("p_ts")).as("p_ts_ms"),
+            col("view_value"), col("purchase_value"))
+          .orderBy("user_id", "v_ts_ms", "p_ts_ms", "view_value",
+            "purchase_value")
+      },
+      Some("""SELECT v.user_id,
+             |  epoch_ns(v.ts) // 1000000 AS v_ts_ms,
+             |  epoch_ns(p.ts) // 1000000 AS p_ts_ms,
+             |  coalesce(v.value, 0) AS view_value,
+             |  coalesce(p.value, 0) AS purchase_value
+             |FROM (SELECT * FROM events WHERE event_type = 'view') v
+             |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+             |  ON v.user_id = p.user_id
+             | AND epoch_ns(p.ts) // 1000000 >= epoch_ns(v.ts) // 1000000
+             | AND epoch_ns(p.ts) // 1000000 <= epoch_ns(v.ts) // 1000000 + 1800000
+             |ORDER BY 1, 2, 3, 4, 5""".stripMargin)),
+
     // Gap-fill / resample: densify hourly per-type buckets to each
     // type's full span — zero-filled counts, forward-filled max. Grid
     // rows ∝ span, window sort span-bounded (operators/GapFill)
@@ -2130,6 +2180,58 @@ object SparkEntry {
         "source", "doc_id", "q", "n_tok", maxTokens = 600L,
         selectCols = "doc_id, source, q, n_tok") + " ORDER BY source, doc_id")),
 
+    // Admission control through the CONTINUOUS route
+    // (streaming/StreamingCuration): per-domain lifetime token budget,
+    // arrival-order greedy — a too-large doc is rejected but the
+    // domain stays open. All docs arrive in ONE micro-batch, where the
+    // contract sorts by doc_id, so the oracle can replay the greedy
+    // fold as a per-domain recursive CTE (the F2 chunk-packer replay
+    // pattern). Budget 5000 forces a mix of admits, skips, and
+    // post-skip re-admits per fixture domain.
+    Q("streaming_curation_admitted",
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val rows = Tables.documents(s, dir)
+          .select(col("source"), col("doc_id"),
+            TextAnalysis.nTokensWs(col("text")).cast("long").as("n_tok"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .toSeq
+        val ms = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(String, Long, Long)]
+        ms.addData(rows)
+        val out = graft.streaming.StreamingCuration.admitWithBudget(
+          ms.toDS().toDF("domain", "doc_id", "n_tokens"), maxTokens = 600L)
+        val qName = "graft_streaming_curation"
+        val q = out.writeStream.format("memory").queryName(qName)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(qName)
+          .select(col("domain"), col("doc_id"), col("n_tokens"),
+            col("cum_tokens"))
+          .orderBy("domain", "doc_id")
+      },
+      Some(s"""WITH RECURSIVE d AS MATERIALIZED (
+              |  SELECT source AS domain, doc_id,
+              |    CAST(${TextAnalysis.nTokensWsSql("text")} AS BIGINT) AS n_tokens,
+              |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+              |  FROM documents
+              |), rec AS (
+              |  SELECT domain, rn, doc_id, n_tokens,
+              |    CASE WHEN n_tokens <= 600 THEN n_tokens ELSE 0 END AS cum,
+              |    (n_tokens <= 600) AS admitted
+              |  FROM d WHERE rn = 1
+              |  UNION ALL
+              |  SELECT d.domain, d.rn, d.doc_id, d.n_tokens,
+              |    CASE WHEN rec.cum + d.n_tokens <= 600
+              |         THEN rec.cum + d.n_tokens ELSE rec.cum END,
+              |    rec.cum + d.n_tokens <= 600
+              |  FROM rec JOIN d ON d.domain = rec.domain AND d.rn = rec.rn + 1
+              |)
+              |SELECT domain, doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+              |FROM rec WHERE admitted
+              |ORDER BY domain, doc_id""".stripMargin)),
+
     // Unicode NFC normalization (custom codegen Expression — Spark has
     // no built-in): composed (U+00E9) and decomposed (e+U+0301) forms
     // of the same visible text hash apart and silently survive every
@@ -3262,6 +3364,75 @@ object SparkEntry {
               |FROM lex l FULL OUTER JOIN vec v ON l.id = v.id
               |ORDER BY rrf DESC, id LIMIT 10""".stripMargin)),
 
+    // Hybrid RRF through the CONTINUOUS route: one query (embedding +
+    // terms) arrives on a MemoryStream, both routes generate
+    // candidates statelessly (vector = broadcast corpus fan-out with
+    // the L2 kernel; lexical = term → postings equi-join with the
+    // shared bm25Contrib), and ONE windowed RrfAggregator owns the
+    // per-route ranking + fusion. Candidate pools are FULL here (no
+    // per-route top-50 like the batch gate), so the oracle ranks the
+    // whole corpus per route: vector ascending rounded L2, lexical =
+    // bm25Sql over the query terms (term order is token-sorted, so
+    // the float fold matches the aggregator's token-sorted sum).
+    Q("streaming_hybrid_rrf",
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val docs = Tables.documents(s, dir)
+        val corpus = Tables.embeddings(s, dir)
+          .select(col("vec_id").as("id"), col("embedding"))
+        val postings = TextAnalysis.bm25Postings(docs, col("doc_id"),
+          col("text")).localCheckpoint()
+        val dfs = postings.groupBy("token")
+          .agg(count(lit(1)).as("df")).localCheckpoint()
+        val stats = postings.select(col("id"), col("dl")).distinct()
+          .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+          .localCheckpoint()
+        val qEmb = Pipelines.queryVector(s, dir)
+          .collect().head.getSeq[Float](0)
+        val t0 = 1700000000000L
+        val ms = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Seq[Float], Seq[String], java.sql.Timestamp)]
+        ms.addData(Seq((0L, qEmb, Seq("hash", "join", "vector"),
+          new java.sql.Timestamp(t0))))
+        val out = graft.streaming.StreamingHybrid.rrfPerQuery(
+          ms.toDS().toDF("query_id", "q_emb", "terms", "ts"),
+          corpus, postings, dfs, stats, k = 10)
+        val qName = "graft_streaming_hybrid"
+        val q = out.writeStream.format("memory").queryName(qName)
+          .outputMode("append").start()
+        try {
+          q.processAllAvailable()
+          // close the query's window for append mode
+          ms.addData(Seq((-1L, qEmb, Seq.empty[String],
+            new java.sql.Timestamp(t0 + 3600000L))))
+          q.processAllAvailable()
+          ms.addData(Seq.empty[(Long, Seq[Float], Seq[String], java.sql.Timestamp)])
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table(qName).where(col("query_id") === 0)
+          .select(col("doc_id"), col("rrf"), col("rank"))
+          .orderBy("rank")
+      },
+      Some(s"""WITH lex AS (
+              |  SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rank
+              |  FROM (${TextAnalysis.bm25Sql("documents", "doc_id", "text",
+                     Seq("hash", "join", "vector"))})
+              |), vec AS (
+              |  SELECT e.vec_id AS id,
+              |    row_number() OVER (ORDER BY ${Sql.l2("e.embedding", "q.q_emb")},
+              |      e.vec_id) AS rank
+              |  FROM embeddings e, (${Sql.queryVector(0)}) q
+              |), fused AS (
+              |  SELECT COALESCE(l.id, v.id) AS doc_id,
+              |    round(coalesce(1.0 / (60 + l.rank), 0)
+              |      + coalesce(1.0 / (60 + v.rank), 0), 4) AS rrf
+              |  FROM lex l FULL OUTER JOIN vec v ON l.id = v.id
+              |)
+              |SELECT doc_id, rrf, CAST(row_number() OVER (
+              |  ORDER BY rrf DESC, doc_id) AS INTEGER) AS rank
+              |FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)),
+
     // Grouped top-k via the bounded-state aggregate (scale alternative
     // to window row_number): top-3 nearest per court level
     Q("grouped_topk_per_level",
@@ -3290,6 +3461,49 @@ object SparkEntry {
           .select(col("vec_id").as("id"), col("embedding"))
         val idx = Ann.buildIvf(Tables.embeddings(s, dir), nlist = 8)
         Ann.ivfKnnJoin(emb.where(col("id") < 20), idx, k = 3, nprobe = 8)
+          .orderBy("left_id", "rank")
+      },
+      Some(s"""SELECT left_id, right_id, score, CAST(rn AS INTEGER) AS rank FROM (
+              | SELECT l.vec_id AS left_id, r.vec_id AS right_id,
+              |  ${Sql.l2("l.embedding", "r.embedding")} AS score,
+              |  row_number() OVER (PARTITION BY l.vec_id
+              |    ORDER BY ${Sql.l2("l.embedding", "r.embedding")}, r.vec_id) AS rn
+              | FROM (SELECT * FROM embeddings WHERE vec_id < 20) l, embeddings r)
+              |WHERE rn <= 3 ORDER BY left_id, rank""".stripMargin)),
+
+    // IVF maintenance through the CONTINUOUS route: centroids batch-
+    // trained on the first half of the corpus, then BOTH halves stream
+    // through StreamingIvf.assignAndWrite into the cluster-partitioned
+    // layout (a streaming parquet sink owns the dir via its
+    // _spark_metadata log — batch files appended beside it would be
+    // invisible to readers, so everything goes through the sink). The
+    // maintained layout served at FULL probe must equal brute force —
+    // the same full-probe trick that gates the batch IVF machinery.
+    Q("streaming_ivf_maintained",
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val emb = Tables.embeddings(s, dir)
+        val idx0 = Ann.buildIvf(emb.where(col("vec_id") < 250), nlist = 8)
+        def rowsOf(pred: Column) = emb.where(pred)
+          .select(col("vec_id"), col("embedding"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-sivf-gate").toString
+        val ms = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Seq[Float])]
+        val q = graft.streaming.StreamingIvf.assignAndWrite(
+          ms.toDS().toDF("vec_id", "embedding"), idx0.centroids,
+          s"$tmp/layout", s"$tmp/ckpt")
+        try {
+          ms.addData(rowsOf(col("vec_id") < 250)); q.processAllAvailable()
+          ms.addData(rowsOf(col("vec_id") >= 250)); q.processAllAvailable()
+        } finally q.stop()
+        val maintained = Ann.IvfIndex(
+          s.read.parquet(s"$tmp/layout"), idx0.centroids)
+        Ann.ivfKnnJoin(emb.where(col("vec_id") < 20)
+            .select(col("vec_id").as("id"), col("embedding")),
+          maintained, k = 3, nprobe = 8)
           .orderBy("left_id", "rank")
       },
       Some(s"""SELECT left_id, right_id, score, CAST(rn AS INTEGER) AS rank FROM (
