@@ -3381,19 +3381,30 @@ object SparkEntry {
         val docs = Tables.documents(s, dir)
         val corpus = Tables.embeddings(s, dir)
           .select(col("vec_id").as("id"), col("embedding"))
-        val postings = TextAnalysis.bm25Postings(docs, col("doc_id"),
-          col("text")).localCheckpoint()
+        val terms = Seq("hash", "join", "vector")
+        // corpus stats straight off the documents (one narrow pass, no
+        // postings explode); postings/dfs only ever join on the
+        // query's terms — pre-bounding them is the module's documented
+        // state-tightening move (df per kept token is unchanged by
+        // dropping other tokens' rows). Spread the one-file source
+        // before the tokenize, same move as buildBm25Index.
+        val spread = docs.repartition(s.sparkContext.defaultParallelism)
+        val toks = split(lower(trim(col("text"))), "\\s+")
+        val stats = spread
+          .agg(count(lit(1)).as("n"), avg(size(toks).cast("long")).as("avgdl"))
+          .localCheckpoint()
+        val postings = TextAnalysis.bm25Postings(spread, col("doc_id"),
+            col("text"))
+          .where(col("token").isin(terms: _*))
+          .localCheckpoint()
         val dfs = postings.groupBy("token")
           .agg(count(lit(1)).as("df")).localCheckpoint()
-        val stats = postings.select(col("id"), col("dl")).distinct()
-          .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
-          .localCheckpoint()
         val qEmb = Pipelines.queryVector(s, dir)
           .collect().head.getSeq[Float](0)
         val t0 = 1700000000000L
         val ms = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[(Long, Seq[Float], Seq[String], java.sql.Timestamp)]
-        ms.addData(Seq((0L, qEmb, Seq("hash", "join", "vector"),
+        ms.addData(Seq((0L, qEmb, terms,
           new java.sql.Timestamp(t0))))
         val out = graft.streaming.StreamingHybrid.rrfPerQuery(
           ms.toDS().toDF("query_id", "q_emb", "terms", "ts"),
@@ -3403,11 +3414,10 @@ object SparkEntry {
           .outputMode("append").start()
         try {
           q.processAllAvailable()
-          // close the query's window for append mode
+          // close the query's window for append mode (processAll runs
+          // the post-watermark no-data eviction batch itself)
           ms.addData(Seq((-1L, qEmb, Seq.empty[String],
             new java.sql.Timestamp(t0 + 3600000L))))
-          q.processAllAvailable()
-          ms.addData(Seq.empty[(Long, Seq[Float], Seq[String], java.sql.Timestamp)])
           q.processAllAvailable()
         } finally q.stop()
         s.table(qName).where(col("query_id") === 0)
