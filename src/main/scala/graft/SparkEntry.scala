@@ -471,11 +471,17 @@ object SparkEntry {
     // the state machine keeps epoch-millis (java.sql.Timestamp), so
     // the oracle buckets the same way. total_value is NOT declared
     // (float sum order varies with merge order); SessionsSpec pins it.
+    // Replay is bounded to the deterministic `user_id % 3 == 0` slice
+    // (oracle filtered identically): the gate's cost is the
+    // single-stream MemoryStream replay, and a third of the users
+    // exercises exactly the same state-machine paths (open, extend,
+    // timeout-sweep) at a third of the harness wall.
     Q("streaming_sessions",
       (s, dir) => {
         import s.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
         val rows = Tables.events(s, dir)
+          .where(pmod(col("user_id"), lit(3)) === 0)
           .select(col("user_id"), col("ts"))
           .collect().map(r => (r.getLong(0),
             new java.sql.Timestamp(r.getLong(1) / 1000000L), 0.0)).toSeq
@@ -506,7 +512,8 @@ object SparkEntry {
           .orderBy("user_id", "session_start_ms")
       },
       Some("""WITH e AS (
-             |  SELECT user_id, epoch_ns(ts) // 1000000 AS ms FROM events),
+             |  SELECT user_id, epoch_ns(ts) // 1000000 AS ms FROM events
+             |  WHERE user_id % 3 = 0),
              |flg AS (
              |  SELECT user_id, ms,
              |    CASE WHEN lag(ms) OVER w IS NULL THEN 1
@@ -529,13 +536,17 @@ object SparkEntry {
     // by the same user in the preceding 30 min; both sides
     // watermarked so the join buffers purge). Inner joins emit
     // eagerly, so no sentinel flush is needed — the oracle is the
-    // plain interval join at the same ms precision.
+    // plain interval join at the same ms precision. Replay bounded to
+    // the deterministic `user_id % 3 == 0` slice (oracle filtered
+    // identically) — same operator, same buffer/purge paths, a third
+    // of the single-streamed harness wall.
     Q("streaming_join_attributed",
       (s, dir) => {
         import s.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
         def rowsOf(t: String) = Tables.events(s, dir)
-          .where(col("event_type") === t)
+          .where(col("event_type") === t &&
+            pmod(col("user_id"), lit(3)) === 0)
           .select(col("user_id"), col("ts"), coalesce(col("value"), lit(0.0)))
           .collect().map(r => (r.getLong(0),
             new java.sql.Timestamp(r.getLong(1) / 1000000L),
@@ -566,8 +577,10 @@ object SparkEntry {
              |  epoch_ns(p.ts) // 1000000 AS p_ts_ms,
              |  coalesce(v.value, 0) AS view_value,
              |  coalesce(p.value, 0) AS purchase_value
-             |FROM (SELECT * FROM events WHERE event_type = 'view') v
-             |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+             |FROM (SELECT * FROM events
+             |      WHERE event_type = 'view' AND user_id % 3 = 0) v
+             |JOIN (SELECT * FROM events
+             |      WHERE event_type = 'purchase' AND user_id % 3 = 0) p
              |  ON v.user_id = p.user_id
              | AND epoch_ns(p.ts) // 1000000 >= epoch_ns(v.ts) // 1000000
              | AND epoch_ns(p.ts) // 1000000 <= epoch_ns(v.ts) // 1000000 + 1800000
@@ -1674,7 +1687,7 @@ object SparkEntry {
       (s, dir) => {
         import s.implicits._
         val tmp = java.nio.file.Files
-          .createTempDirectory("graft-bm25-serve").toString
+          .createTempDirectory(graft.TempDirs.token + "bm25-serve").toString
         TextAnalysis.buildBm25Index(Tables.documents(s, dir),
           col("doc_id"), col("text"), "graft_bm25_serving", tmp,
           numBuckets = 8)
@@ -1700,7 +1713,7 @@ object SparkEntry {
         import s.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
         val tmp = java.nio.file.Files
-          .createTempDirectory("graft-bm25-stream").toString
+          .createTempDirectory(graft.TempDirs.token + "bm25-stream").toString
         val docs = Tables.documents(s, dir)
         graft.sources.Bucketing.dropTable(s, "graft_bm25_streamed")
         graft.sources.Bucketing.dropTable(s, "graft_bm25_streamed_stats")
@@ -2186,7 +2199,8 @@ object SparkEntry {
     // domain stays open. All docs arrive in ONE micro-batch, where the
     // contract sorts by doc_id, so the oracle can replay the greedy
     // fold as a per-domain recursive CTE (the F2 chunk-packer replay
-    // pattern). Budget 5000 forces a mix of admits, skips, and
+    // pattern). Budget 600 (the maxTokens below AND in the oracle
+    // SQL — keep them in lockstep) forces a mix of admits, skips, and
     // post-skip re-admits per fixture domain.
     Q("streaming_curation_admitted",
       (s, dir) => {
@@ -3499,7 +3513,7 @@ object SparkEntry {
           .select(col("vec_id"), col("embedding"))
           .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
         val tmp = java.nio.file.Files
-          .createTempDirectory("graft-sivf-gate").toString
+          .createTempDirectory(graft.TempDirs.token + "sivf-gate").toString
         val ms = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[(Long, Seq[Float])]
         val q = graft.streaming.StreamingIvf.assignAndWrite(
@@ -3535,7 +3549,7 @@ object SparkEntry {
         val emb = Tables.embeddings(s, dir)
           .select(col("vec_id").as("id"), col("embedding"))
         val built = Ann.buildIvf(Tables.embeddings(s, dir), nlist = 8)
-        val path = java.nio.file.Files.createTempDirectory("graft-ivf-q").toString
+        val path = java.nio.file.Files.createTempDirectory(graft.TempDirs.token + "ivf-q").toString
         Ann.saveIvf(built, path)
         val idx = Ann.loadIvf(s, path)
         Ann.ivfKnnJoin(emb.where(col("id") < 20), idx, k = 3, nprobe = 8)

@@ -214,10 +214,20 @@ final class CaseSearchService(spark: SparkSession, root: String,
     import spark.implicits._
     val query = remoteEmbedder match {
       case Some(cfg) =>
-        graft.embed.HttpEmbedder.embed(spark,
+        val embedded = graft.embed.HttpEmbedder.embed(spark,
             Seq((0L, representative)).toDF("chunk_id", "__t"),
             "chunk_id", "__t", cfg)
           .select(col("embedding").as("q_emb"))
+          .localCheckpoint()
+        // With cfg.dropFailedBatches the embed client returns an EMPTY
+        // frame after retry exhaustion; joining that against the corpus
+        // would render an embedding-service outage as a legitimate
+        // zero-result response. Surface it as the 500 it is (the outer
+        // handler turns this throw into an error reply).
+        if (embedded.isEmpty)
+          throw new RuntimeException(
+            "Embedding service failed to embed the query text")
+        embedded
       case None =>
         Seq(representative).toDF("__t")
           .select(embedder.embed(col("__t")).as("q_emb"))

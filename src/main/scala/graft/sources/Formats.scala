@@ -29,7 +29,7 @@ object Formats {
     * the write scatters.
     */
   private def tempDir(tag: String): String =
-    Files.createTempDirectory(s"graft-$tag").toString
+    graft.TempDirs.create(tag).toString
 
   /** Write `df` as JSONL under `path` (shared storage on a cluster;
     * defaults to local scratch for local-mode runs) and read it back

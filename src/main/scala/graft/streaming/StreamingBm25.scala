@@ -115,9 +115,21 @@ object StreamingBm25 {
           val out = fs.create(mTmp, true)
           out.write(staged.map(_.getName).mkString("\n").getBytes("UTF-8"))
           out.close()
-          fs.rename(mTmp, manifest)
+          // Hadoop rename signals failure by RETURNING FALSE, not by
+          // throwing (e.g. destination exists, cross-volume move). A
+          // swallowed false here would let the cleanup below delete the
+          // staged postings while the marker still lands — the batch
+          // would be recorded committed with its postings silently
+          // missing from the served index. Fail the micro-batch instead
+          // so the checkpoint replays it.
+          def renameOrFail(src: Path, dst: Path): Unit =
+            if (!fs.rename(src, dst))
+              throw new java.io.IOException(
+                s"StreamingBm25 commit: rename $src -> $dst returned false; " +
+                "failing batch so the checkpoint replays it")
+          renameOrFail(mTmp, manifest)
           // commit: move staged files into the serving table dir
-          staged.foreach(p => fs.rename(p, new Path(root, p.getName)))
+          staged.foreach(p => renameOrFail(p, new Path(root, p.getName)))
           spark.sql(s"DROP TABLE IF EXISTS $stageTable")
           fs.delete(stagePath, true)
           spark.catalog.refreshTable(table)

@@ -86,7 +86,7 @@ object Dim1536Probe {
 
   def main(args: Array[String]): Unit = {
     val rows = if (args.length > 0) args(0).toInt else 20000
-    val outPath = if (args.length > 1) args(1) else "DIMCHECK_r07.json"
+    val outPath = if (args.length > 1) args(1) else "DIMCHECK.json"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -31,7 +31,7 @@ object ProfileBm25Indexed {
       (3L, Seq("merge", "sort", "window"))).toDF("query_id", "terms")
     for (round <- 1 to 3) {
       val tmp = java.nio.file.Files
-        .createTempDirectory(s"graft-bm25-prof$round").toString
+        .createTempDirectory(s"${graft.TempDirs.token}bm25-prof$round").toString
       time(s"build index r$round") {
         TextAnalysis.buildBm25Index(docs, col("doc_id"), col("text"),
           "graft_bm25_prof", tmp, numBuckets = 8)
