@@ -3139,6 +3139,23 @@ object SparkEntry {
       Some(EmbStats.pcaProjectSql("embeddings", "vec_id", "embedding", dim = 64)
         + " ORDER BY id")),
 
+    // Randomized (Halko) PCA scores — the d-LINEAR route to the same
+    // per-row quantity as emb_pca_project: sign-sketch to k=8, exact
+    // cross moments (Cov·S, one pass, d·k state — never a d² object),
+    // quantized Gram–Schmidt basis, exact k×k subspace moments, the
+    // same integer power iteration. At d=1536 the exact route's d²
+    // per-row accumulation costs 24.4s on 20k rows (DIMCHECK r7); this
+    // is the scale sibling. Rayleigh–Ritz exactness at k ≥ rank is
+    // spec-gated (EmbStatsRandomizedSpec); the hash gate replays every
+    // quantized step in DuckDB bit-identically.
+    Q("emb_pca_randomized",
+      (s, dir) => EmbStats.pcaRandomized(Tables.embeddings(s, dir),
+          col("vec_id"), col("embedding").cast("array<float>"), dim = 64, k = 8)
+        .orderBy("id"),
+      Some(EmbStats.pcaRandomizedSql("embeddings", "vec_id", "embedding",
+          dim = 64, k = 8)
+        + " ORDER BY id")),
+
     // Per-dimension z-score standardization — the whitening front step
     // over the same exact-integer moment pass as emb_covariance (train
     // is d-bounded; apply is a narrow map against broadcast (μ, σ)).

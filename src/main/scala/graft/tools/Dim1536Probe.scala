@@ -49,6 +49,13 @@ object Dim1536Probe {
     out += "emb_pca_power" -> time {
       EmbStats.pcaTop(df, col("embedding"), dim, iters = 12).count()
     }
+    out += "emb_pca_randomized" -> time {
+      // the d-LINEAR sibling of emb_pca_power: sketch to k=32, exact
+      // cross moments (d·k), subspace power iteration — the route that
+      // should hold flat-ish while exact covariance pays d²
+      EmbStats.pcaRandomized(df, col("vec_id"), col("embedding"), dim,
+        k = math.min(32, dim), iters = 12).count()
+    }
     out += "emb_standardize" -> time {
       EmbStats.standardize(df, col("vec_id"), col("embedding"), dim).count()
     }

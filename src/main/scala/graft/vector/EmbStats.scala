@@ -54,10 +54,19 @@ object EmbStats extends Serializable {
     * out of n).
     */
   private def momentSums(df: DataFrame, embCol: Column, dim: Int,
-                         scale: Int): DataFrame = {
-    val spark = df.sparkSession
-    val buf = df.where(embCol.isNotNull && size(embCol) === dim)
-      .select(quantized(embCol, scale).as("__qe"))
+                         scale: Int): DataFrame =
+    momentSumsOfInts(
+      df.where(embCol.isNotNull && size(embCol) === dim)
+        .select(quantized(embCol, scale).as("__qe")), dim)
+
+  /** [[momentSums]] over a frame whose single `__qe` column is ALREADY
+    * an exact `array<long>` (no quantization applied) — the entry
+    * point the randomized-PCA second pass uses on its basis-projected
+    * integers.
+    */
+  private def momentSumsOfInts(qdf: DataFrame, dim: Int): DataFrame = {
+    val spark = qdf.sparkSession
+    val buf = qdf
       .agg(MomentAgg.momentSums(col("__qe"), dim).as("__b"))
     // corpus-independent (i, j) index frame over the buffer layout:
     // j = 0 carries the first-moment sentinel, j ≥ i the upper
@@ -88,11 +97,19 @@ object EmbStats extends Serializable {
   def covariance(df: DataFrame, embCol: Column, dim: Int,
                  scale: Int = 10000): DataFrame = {
     require(dim > 0 && scale > 0, "dim and scale must be positive")
-    val ms = momentSums(df, embCol, dim, scale)
+    covarianceOfMoments(momentSums(df, embCol, dim, scale), scale.toDouble)
+  }
+
+  /** Covariance assembly over a [[momentSums]]-shaped frame with an
+    * explicit per-x-unit quantization scale (the divisor is
+    * `n² · unitScale²`).
+    */
+  private def covarianceOfMoments(ms: DataFrame,
+                                  unitScale: Double): DataFrame = {
     val second = ms.where(col("j") > 0)
     val first = ms.where(col("j") === 0)
       .select(col("i").as("ti"), col("s").as("t"))
-    val denom = (col("n").cast("double") * col("n")) * (scale.toDouble * scale)
+    val denom = (col("n").cast("double") * col("n")) * (unitScale * unitScale)
     second
       .join(broadcast(first.select(col("ti"), col("t").as("t_i"))), col("i") === col("ti"))
       .drop("ti")
@@ -454,4 +471,294 @@ object EmbStats extends Serializable {
        |    / (CAST($scale AS DOUBLE) * 1000000) AS score
        |FROM $table, varr
        |WHERE $embExpr IS NOT NULL AND len($embExpr) = $dim""".stripMargin
+
+  // ------------------------------------------------------------------ //
+  // Randomized (sketched) PCA — Halko-style range finder               //
+  // ------------------------------------------------------------------ //
+
+  /** Exact integer projections onto the seedless ±1 sign matrix,
+    * WITHOUT the unit rescale [[randomProjection]] applies:
+    * `yq_j = Σ_i qe_i · s(i,j)` as exact longs — the sketch column the
+    * cross-moment pass consumes.
+    */
+  private def signProjectInts(qe: Column, dim: Int, k: Int): Column =
+    array((1 to k).map { j =>
+      val signs = array((1 to dim).map(i => lit(rpSign(i, j))): _*)
+      aggregate(zip_with(qe, signs, (a, b) => a * b), lit(0L), (a, x) => a + x)
+    }: _*)
+
+  /** Exact integer projection of a quantized row onto the trained
+    * basis, rescaled back to the quantization unit:
+    * `bs_j = floor(Σ_i qe_i · Q_ij / 1e6 + 0.5)` — since each basis
+    * column is ~unit at the 1e6 integer scale, `bs` is `⟨x, q̂_j⟩` at
+    * the original `scale`, which keeps the second-moment products
+    * inside [[MomentSumsAgg]]'s per-row long bound.
+    */
+  private def basisProject(qe: Column, q: Array[Array[Long]]): Column =
+    array(q.map { qj =>
+      val qLit = array(qj.map(lit): _*)
+      floor(aggregate(zip_with(qe, qLit, (a, b) => a * b), lit(0L),
+          (a, x) => a + x).cast("double") / 1e6d + 0.5d).cast("long")
+    }: _*)
+
+  /** Collected k×k covariance of an already-integer `__qe` frame with
+    * an explicit per-x-unit scale — the randomized second pass's
+    * bounded driver state (same contract as [[covMatrix]]).
+    */
+  private def covMatrixOfInts(qdf: DataFrame, dim: Int,
+                              unitScale: Double): Array[Array[Double]] = {
+    val m = Array.ofDim[Double](dim, dim)
+    covarianceOfMoments(momentSumsOfInts(qdf, dim), unitScale)
+      .collect().foreach { r =>
+        val (i, j, c) = (r.getInt(0) - 1, r.getInt(1) - 1, r.getDouble(2))
+        m(i)(j) = c
+        m(j)(i) = c
+      }
+    m
+  }
+
+  /** Halko-style randomized top principal component, O(d·k) per row
+    * where exact PCA pays O(d²) ([[MomentSumsAgg]]'s upper-triangle
+    * loop — 24.4 s of pure accumulation for just 20k rows at the
+    * reference's d = 1536; the DIMCHECK motivation for this route):
+    *
+    *  1. sketch pass: `Y = Sᵀ X` with the seedless sign matrix, and
+    *     exact integer CROSS moments ([[CrossMomentSumsAgg]]) so that
+    *     `Zc = n·Σxyᵀ − (Σx)(Σy)ᵀ ∝ Cov(X)·S` — a d×k image whose
+    *     columns span range(Cov) once `k ≥ rank` (the Halko range
+    *     finder, one corpus pass, d·k state);
+    *  2. driver: Gram–Schmidt over Zc's columns with the house
+    *     integer-quantization recipe (exact-integer dot products and
+    *     norms, one double division per entry, floor(+0.5) to the 1e6
+    *     grid) → an orthonormal-to-1e-6 basis Q; dependent columns
+    *     (k > rank) collapse to zero norms and are emitted as zeros;
+    *  3. projection pass: `B = Qᵀ X` per row (d·k), exact k×k moments
+    *     of B ([[MomentSumsAgg]] at dim k), and the SAME integer power
+    *     iteration [[powerIterate]] on the k×k subspace covariance.
+    *
+    * Rayleigh–Ritz exactness: with `k ≥ rank(Cov)` the subspace
+    * contains every eigenvector, so the returned eigenvalue and the
+    * per-row scores equal exact PCA's ([[pcaTop]]/[[pcaProject]]) up
+    * to the 1e-6 quantization grid — the gate
+    * EmbStatsRandomizedSpec pins on a planted low-rank corpus. Every
+    * step is the determinism contract's shape (exact integer sums,
+    * single double divisions, floor(+0.5)), so the DuckDB twin
+    * [[pcaRandomizedSql]] replays it bit-identically.
+    *
+    * Returns (basis columns Q as k×d 1e6-scaled longs, subspace top
+    * eigenvector w as 1e6-scaled longs, eigenvalue).
+    */
+  private[vector] def randomizedTop(df: DataFrame, embCol: Column, dim: Int,
+                                    k: Int, iters: Int, scale: Int)
+      : (Array[Array[Long]], Array[Long], Double) = {
+    require(k > 0 && k <= dim, "k must be in 1..dim")
+    val qdf = df.where(embCol.isNotNull && size(embCol) === dim)
+      .select(quantized(embCol, scale).as("__qe"))
+      .localCheckpoint() // two passes below; quantize the corpus once
+    val bufRow = qdf
+      .select(col("__qe"), signProjectInts(col("__qe"), dim, k).as("__yq"))
+      .agg(CrossMomentAgg.crossMomentSums(
+        col("__qe"), col("__yq"), dim, k).as("__b"))
+      .head()
+    val buf = bufRow.getSeq[java.math.BigDecimal](0)
+      .map(bd => BigInt(bd.toBigInteger)).toArray
+    val n = buf(0)
+    require(n > 0, "pcaRandomized requires a non-empty corpus")
+    val t = Array.tabulate(dim)(i => buf(1 + i))
+    val u = Array.tabulate(k)(j => buf(1 + dim + j))
+    val zc = Array.tabulate(dim, k)((i, j) =>
+      n * buf(1 + dim + k + i * k + j) - t(i) * u(j))
+    // quantized Gram–Schmidt over Zc's columns → Q (1e6-scaled)
+    val QS = 1000000L
+    val q = Array.ofDim[Long](k, dim)
+    for (j <- 0 until k) {
+      val wd = new Array[Double](dim)
+      var i = 0
+      while (i < dim) { wd(i) = zc(i)(j).toDouble; i += 1 }
+      for (l <- 0 until j) {
+        var r = BigInt(0)
+        i = 0
+        while (i < dim) { r += zc(i)(j) * q(l)(i); i += 1 }
+        i = 0
+        while (i < dim) { wd(i) -= (r * q(l)(i)).toDouble / 1e12; i += 1 }
+      }
+      val wq = wd.map(x => BigDecimal(math.floor(x + 0.5d)).toBigInt)
+      val n2 = wq.foldLeft(BigInt(0))((a, x) => a + x * x)
+      // Rank cutoff: a DEPENDENT column's residual after the
+      // projections is not zero — it is the 1e-6-grid quantization
+      // crumbs of q1..q{j-1}, which normalize into a coherent spurious
+      // direction 0.99-correlated with the earlier basis (measured),
+      // wrecking orthonormality and inflating the Rayleigh eigenvalue.
+      // Keep the column only when its residual norm exceeds 1e-4 of
+      // its ORIGINAL norm (crumbs sit at ~1e-6 relative, genuine new
+      // directions at O(1)): exact-integer compare, engine-identical.
+      val zn2 = (0 until dim).foldLeft(BigInt(0))((a, i) =>
+        a + zc(i)(j) * zc(i)(j))
+      if (n2 > zn2 / 100000000L) {
+        val nrm = math.sqrt(n2.doubleValue)
+        i = 0
+        while (i < dim) {
+          q(j)(i) = math.floor(wq(i).doubleValue / nrm * QS + 0.5d).toLong
+          i += 1
+        }
+      } // else: dependent column (k > rank) — stays all zeros
+    }
+    val covB = covMatrixOfInts(
+      qdf.select(basisProject(col("__qe"), q).as("__qe")), k, scale.toDouble)
+    val (w, lambda) = powerIterate(covB, iters)
+    (q, w, lambda)
+  }
+
+  /** Corpus-scale apply of the randomized route: per-row top-PC score
+    * `⟨x, Q·ŵ⟩ = ⟨QᵀX, ŵ⟩` — the identical quantity [[pcaProject]]
+    * emits, computed from the k-dim basis projection instead of a
+    * d-dim component (O(d·k) per row end to end; nothing d² anywhere).
+    */
+  def pcaRandomized(df: DataFrame, idCol: Column, embCol: Column, dim: Int,
+                    k: Int, iters: Int = 12, scale: Int = 10000): DataFrame = {
+    val (q, w, _) = randomizedTop(df, embCol, dim, k, iters, scale)
+    val wLit = array(w.map(lit): _*)
+    df.where(embCol.isNotNull && size(embCol) === dim)
+      .select(idCol.as("id"),
+        (aggregate(
+          zip_with(basisProject(quantized(embCol, scale), q), wLit,
+            (b, ww) => b * ww),
+          lit(0L), (a, x) => a + x).cast("double")
+          / (scale.toDouble * 1e6d)).as("score"))
+  }
+
+  /** DuckDB twin of [[pcaRandomized]] — the full pipeline (sign
+    * sketch, cross moments, k unrolled Gram–Schmidt steps, basis
+    * projection, k×k covariance, `iters` unrolled power steps, score)
+    * as the identical integer arithmetic.
+    */
+  def pcaRandomizedSql(table: String, idExpr: String, embExpr: String,
+                       dim: Int, k: Int, iters: Int = 12,
+                       scale: Int = 10000): String = {
+    val qe = quantizedSql(embExpr, scale)
+    // Gram–Schmidt step j (1-based): project column j of zc against
+    // g1..g{j-1} (exact HUGEINT dots), subtract in fixed order as
+    // doubles, floor(+0.5) to integers, exact norm, 1e6 quantize.
+    val gsSteps = (1 to k).map { j =>
+      val rs = (1 until j).map { l =>
+        s"""r${j}_$l AS MATERIALIZED (
+           |  SELECT SUM(z.zc * g$l.q) AS r
+           |  FROM zcol$j z JOIN g$l ON z.i = g$l.i)""".stripMargin
+      }
+      val rJoins = (1 until j).map(l => s", g$l, r${j}_$l rr$l").mkString
+      val rConds = (1 until j).map(l => s"z.i = g$l.i").mkString(" AND ")
+      val where = if (j > 1) s"\n  WHERE $rConds" else ""
+      val terms = (1 until j)
+        .map(l => s" - CAST(rr$l.r * g$l.q AS DOUBLE) / 1e12").mkString
+      val step =
+        s"""zcol$j AS MATERIALIZED (SELECT i, zc FROM zc WHERE j = $j),
+           |w$j AS MATERIALIZED (
+           |  SELECT z.i AS i,
+           |    CAST(floor(CAST(z.zc AS DOUBLE)$terms + 0.5) AS HUGEINT) AS wq
+           |  FROM zcol$j z$rJoins$where),
+           |n2_$j AS MATERIALIZED (SELECT SUM(wq * wq) AS n2 FROM w$j),
+           |zn2_$j AS MATERIALIZED (SELECT SUM(zc * zc) AS zn2 FROM zcol$j),
+           |g$j AS MATERIALIZED (
+           |  SELECT i, CASE WHEN n2 <= zn2 // 100000000 THEN CAST(0 AS BIGINT)
+           |    ELSE CAST(floor(CAST(wq AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE))
+           |                    * 1000000 + 0.5) AS BIGINT) END AS q
+           |  FROM w$j, n2_$j, zn2_$j)""".stripMargin
+      (rs :+ step).mkString(",\n")
+    }.mkString(",\n")
+    val gall = (1 to k)
+      .map(j => s"SELECT $j AS j, i, q FROM g$j").mkString("\n  UNION ALL ")
+    // power iteration on the k×k subspace covariance (pw/pn/pv names —
+    // the gs steps own w/n2): the powerCtes recipe verbatim
+    val pSteps = (1 to iters).map { t =>
+      s"""pw$t AS MATERIALIZED (
+         |  SELECT c.i, SUM(c.cint * v.v) AS w FROM cint c
+         |  JOIN pv${t - 1} v ON c.j = v.i GROUP BY c.i),
+         |pn$t AS MATERIALIZED (SELECT sqrt(CAST(SUM(CAST(w AS HUGEINT) * w) AS DOUBLE)) AS nrm FROM pw$t),
+         |pv$t AS MATERIALIZED (
+         |  SELECT i, CAST(floor(CAST(w AS DOUBLE) / nrm * 1000000 + 0.5) AS BIGINT) AS v
+         |  FROM pw$t, pn$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT $idExpr AS id, $qe AS qe FROM $table
+       |  WHERE $embExpr IS NOT NULL AND len($embExpr) = $dim),
+       |s AS MATERIALIZED (
+       |  SELECT i.range AS i, j.range AS j,
+       |    CASE WHEN ((((i.range * 131071 + j.range) % $RpM) * $RpA + $RpB)
+       |               % $RpP) % 2 = 0 THEN 1 ELSE -1 END AS sg
+       |  FROM range(1, ${dim + 1}) i, range(1, ${k + 1}) j),
+       |sj AS MATERIALIZED (
+       |  SELECT j, list(CAST(sg AS BIGINT) ORDER BY i) AS sgs FROM s GROUP BY j),
+       |smat AS MATERIALIZED (SELECT list(sgs ORDER BY j) AS m FROM sj),
+       |y AS MATERIALIZED (
+       |  SELECT id, qe,
+       |    list_transform(range(1, ${k + 1}), j0 ->
+       |      list_sum(list_transform(range(1, ${dim + 1}), i0 ->
+       |        qe[CAST(i0 AS INTEGER)]
+       |          * m[CAST(j0 AS INTEGER)][CAST(i0 AS INTEGER)]))) AS yq
+       |  FROM q, smat),
+       |cn AS MATERIALIZED (SELECT COUNT(*) AS n FROM y),
+       |tx AS MATERIALIZED (
+       |  SELECT i.range AS i,
+       |    SUM(CAST(qe[CAST(i.range AS INTEGER)] AS HUGEINT)) AS t
+       |  FROM y, range(1, ${dim + 1}) i GROUP BY 1),
+       |uy AS MATERIALIZED (
+       |  SELECT j.range AS j,
+       |    SUM(CAST(yq[CAST(j.range AS INTEGER)] AS HUGEINT)) AS u
+       |  FROM y, range(1, ${k + 1}) j GROUP BY 1),
+       |zx AS MATERIALIZED (
+       |  SELECT i.range AS i, j.range AS j,
+       |    SUM(CAST(qe[CAST(i.range AS INTEGER)] AS HUGEINT)
+       |        * yq[CAST(j.range AS INTEGER)]) AS z
+       |  FROM y, range(1, ${dim + 1}) i, range(1, ${k + 1}) j GROUP BY 1, 2),
+       |zc AS MATERIALIZED (
+       |  SELECT zx.i AS i, zx.j AS j, cn.n * zx.z - tx.t * uy.u AS zc
+       |  FROM zx, cn, tx, uy WHERE zx.i = tx.i AND zx.j = uy.j),
+       |$gsSteps,
+       |gall AS MATERIALIZED (
+       |  $gall),
+       |gj AS MATERIALIZED (SELECT j, list(q ORDER BY i) AS qs FROM gall GROUP BY j),
+       |gmat AS MATERIALIZED (SELECT list(qs ORDER BY j) AS gm FROM gj),
+       |b AS MATERIALIZED (
+       |  SELECT id, list_transform(range(1, ${k + 1}), j0 ->
+       |    CAST(floor(CAST(list_sum(list_transform(range(1, ${dim + 1}), i0 ->
+       |      qe[CAST(i0 AS INTEGER)]
+       |        * gm[CAST(j0 AS INTEGER)][CAST(i0 AS INTEGER)])) AS DOUBLE)
+       |      / 1000000 + 0.5) AS BIGINT)) AS bs
+       |  FROM q, gmat),
+       |bsec AS MATERIALIZED (
+       |  SELECT i.range AS i, j.range AS j,
+       |    SUM(CAST(bs[CAST(i.range AS INTEGER)] AS HUGEINT)
+       |        * bs[CAST(j.range AS INTEGER)]) AS s,
+       |    COUNT(*) AS n
+       |  FROM b, range(1, ${k + 1}) i, range(1, ${k + 1}) j
+       |  WHERE j.range >= i.range GROUP BY 1, 2),
+       |bfirst AS MATERIALIZED (
+       |  SELECT i.range AS i,
+       |    SUM(CAST(bs[CAST(i.range AS INTEGER)] AS HUGEINT)) AS t
+       |  FROM b, range(1, ${k + 1}) i GROUP BY 1),
+       |covq AS MATERIALIZED (
+       |  SELECT s.i AS i, s.j AS j,
+       |    CAST(s.s * s.n - ti.t * tj.t AS DOUBLE)
+       |      / ((CAST(s.n AS DOUBLE) * s.n)
+       |         * (CAST($scale AS DOUBLE) * $scale)) AS cov
+       |  FROM bsec s JOIN bfirst ti ON s.i = ti.i JOIN bfirst tj ON s.j = tj.i),
+       |cfull AS MATERIALIZED (
+       |  SELECT i, j, cov FROM covq
+       |  UNION ALL SELECT j, i, cov FROM covq WHERE i <> j),
+       |cint AS MATERIALIZED (
+       |  SELECT i, j, CAST(floor(cov * 1000000 + 0.5) AS BIGINT) AS cint FROM cfull),
+       |pv0 AS MATERIALIZED (
+       |  SELECT range AS i, CAST(1000000 AS BIGINT) AS v FROM range(1, ${k + 1})),
+       |$pSteps,
+       |sgn AS MATERIALIZED (
+       |  SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS sg FROM pv$iters
+       |  ORDER BY abs(v) DESC, i LIMIT 1),
+       |vf AS MATERIALIZED (SELECT i, v * sg AS v FROM pv$iters, sgn),
+       |varr AS MATERIALIZED (SELECT list(v ORDER BY i) AS vs FROM vf)
+       |SELECT b.id AS id,
+       |  CAST(list_sum(list_transform(range(1, ${k + 1}), j0 ->
+       |    bs[CAST(j0 AS INTEGER)] * vs[CAST(j0 AS INTEGER)])) AS DOUBLE)
+       |    / (CAST($scale AS DOUBLE) * 1000000) AS score
+       |FROM b, varr""".stripMargin
+  }
 }
