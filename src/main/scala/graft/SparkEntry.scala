@@ -1901,6 +1901,32 @@ object SparkEntry {
       Some(Bpe.encodeTokenCountsSql("documents", "doc_id", "text", steps = 10)
         + " ORDER BY id")),
 
+    // Byte-level BPE training (GPT-2 style): GPT-2 regex pre-tokens
+    // (lookahead-free so Java regex and RE2 agree), UTF-8 bytes as
+    // hex symbols, case-sensitive, space prefixes kept — the
+    // production-tokenizer sibling of tok_bpe_merges under the same
+    // merge-replay oracle
+    Q("tok_bpe_bytes_merges",
+      (s, dir) => Bpe.trainMergesBytes(Tables.documents(s, dir),
+        col("text"), steps = 10).orderBy("step"),
+      Some(Bpe.trainMergesBytesSql("documents", "text", steps = 10)
+        + " ORDER BY step")),
+
+    // Byte-level encode: per-doc token count vs UTF-8 byte count (the
+    // tokens-per-byte compression surface) against the trained byte
+    // merges — narrow map, oracle replays train + encode end to end
+    Q("tok_bpe_bytes_encode",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val m = Bpe.trainMergesBytes(docs, col("text"), steps = 10)
+          .orderBy("step").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        Bpe.encodeTokenCountsBytes(docs, col("doc_id"), col("text"), m)
+          .orderBy("id")
+      },
+      Some(Bpe.encodeTokenCountsBytesSql("documents", "doc_id", "text",
+        steps = 10) + " ORDER BY id")),
+
     // CCNet-style LM perplexity filter: per-doc mean bigram cost under
     // an add-one bigram LM trained on the corpus itself, cut into
     // head/middle/tail terciles — per-feature costs are scaled-integer

@@ -61,13 +61,23 @@ object Bpe {
     * rescanned.
     */
   def trainMerges(docs: DataFrame, textCol: Column, steps: Int,
-                  checkpointEvery: Int = 16): DataFrame = {
+                  checkpointEvery: Int = 16): DataFrame =
+    mergeRounds(
+      wordHistogram(docs, textCol)
+        .select(wrapChars(col("word")).as("w"), col("cnt"))
+        .localCheckpoint(true), // histogram-sized; cut corpus lineage once
+      steps, checkpointEvery)
+
+  /** The merge-round loop shared by the char and byte arms: `steps`
+    * rounds of pair-count → deterministic argmax → literal replace
+    * over an already-wrapped `(w, cnt)` histogram.
+    */
+  private def mergeRounds(words0: DataFrame, steps: Int,
+                          checkpointEvery: Int): DataFrame = {
     require(steps > 0, "steps must be positive")
     require(checkpointEvery > 0, "checkpointEvery must be positive")
-    val spark = docs.sparkSession
-    var words = wordHistogram(docs, textCol)
-      .select(wrapChars(col("word")).as("w"), col("cnt"))
-      .localCheckpoint(true) // histogram-sized; cut the corpus lineage once
+    val spark = words0.sparkSession
+    var words = words0
     val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
     var step = 1
     var exhausted = false
@@ -276,7 +286,15 @@ object Bpe {
          |    FROM $table)
          |  WHERE word <> '' AND NOT contains(word, chr(31))
          |  GROUP BY word)""".stripMargin
-    val rounds = (1 to steps).map { t =>
+    s"$hist,\n${mergeRoundCtes(steps)}"
+  }
+
+  /** The per-round `b$t`/`w$t` CTE pair shared by the char and byte
+    * twins (each round reads only `w{t-1}`, so the alphabet is
+    * entirely the histogram CTE's concern).
+    */
+  private def mergeRoundCtes(steps: Int): String =
+    (1 to steps).map { t =>
       s"""b$t AS MATERIALIZED (
          |  SELECT l, r, total, l || r AS merged FROM (
          |    SELECT u[1] AS l, u[2] AS r, SUM(cnt) AS total FROM (
@@ -290,6 +308,148 @@ object Bpe {
          |                 chr(31) || b.merged || chr(31)) END AS w, w.cnt
          |  FROM w${t - 1} w LEFT JOIN b$t b ON TRUE)""".stripMargin
     }.mkString(",\n")
-    s"$hist,\n$rounds"
+
+  // ------------------------------------------------------------------ //
+  // Byte-level arm (GPT-2-style)                                       //
+  // ------------------------------------------------------------------ //
+
+  /** GPT-2-style pre-tokenization pattern (Radford et al. 2019),
+    * lookahead-free so Java regex (Spark) and RE2 (DuckDB) parse it
+    * identically — the original's `\s+(?!\S)` alternative needs
+    * negative lookahead, which RE2 rejects, so trailing-space runs
+    * fold into the plain whitespace-run alternative. Whitespace is the
+    * explicit ASCII class both engines already share for the word arm
+    * ([[TextAnalysis.WsClassSql]]); `\p{L}`/`\p{N}` are Unicode in
+    * both. Case-SENSITIVE, exactly like the production byte tokenizers
+    * this models.
+    */
+  val BytePretokenPattern: String = {
+    val w = " \\t\\n\\x0B\\f\\r" // class body of TextAnalysis.WsClassSql
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^" + w +
+      "\\p{L}\\p{N}]+|[" + w + "]+"
+  }
+
+  private def bytePretokenPatternSql: String =
+    BytePretokenPattern.replace("'", "''")
+
+  /** Pre-token histogram for the byte arm: GPT-2 regex matches, kept
+    * case-sensitive, space prefixes retained (they are part of the
+    * token, the property that lets byte BPE learn ` the`-style units).
+    */
+  private def byteHistogram(docs: DataFrame, textCol: Column): DataFrame =
+    docs.select(explode(regexp_extract_all(textCol,
+        lit(BytePretokenPattern), lit(0))).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** `⟂b₁⟂⟂b₂⟂…` wrap of a pre-token's UTF-8 BYTES, each byte as its
+    * two-hex-digit symbol — the byte-alphabet analog of [[wrapChars]]
+    * (hex is the engine-portable stand-in for GPT-2's byte↔unicode
+    * table: separator-safe, case-stable, and merged tokens are just
+    * concatenated hex strings).
+    */
+  private def wrapBytes(word: Column): Column = {
+    val h = hex(encode(word, "UTF-8"))
+    concat_ws("", transform(
+      sequence(lit(1), (length(h) / lit(2)).cast("int")),
+      i => concat(lit(SEP), h.substr(i * 2 - 1, lit(2)), lit(SEP))))
+  }
+
+  /** Byte-level BPE merge training: the SAME histogram trick and merge
+    * rounds as [[trainMerges]], over GPT-2 pre-tokens and a byte
+    * alphabet — `left`/`right`/`merged` are hex byte strings.
+    */
+  def trainMergesBytes(docs: DataFrame, textCol: Column, steps: Int,
+                       checkpointEvery: Int = 16): DataFrame =
+    mergeRounds(
+      byteHistogram(docs, textCol)
+        .select(wrapBytes(col("word")).as("w"), col("cnt"))
+        .localCheckpoint(true),
+      steps, checkpointEvery)
+
+  /** Byte-level encode: per-doc BPE token count against a trained byte
+    * merge list, next to the document's UTF-8 byte count — the
+    * tokens-per-byte compression surface. Narrow map, same shape as
+    * [[encodeTokenCounts]].
+    */
+  def encodeTokenCountsBytes(docs: DataFrame, idCol: Column, textCol: Column,
+                             mergesOrdered: Seq[(String, String)]): DataFrame = {
+    require(mergesOrdered.size <= 64, "merge list must be driver-bounded (≤ 64)")
+    val words = filter(
+      regexp_extract_all(textCol, lit(BytePretokenPattern), lit(0)),
+      w => w =!= "")
+    def tokensOf(w: Column): Column = {
+      val enc = mergesOrdered.foldLeft(wrapBytes(w)) { case (acc, (l, r)) =>
+        replace(acc, lit(SEP + l + SEP + SEP + r + SEP), lit(SEP + l + r + SEP))
+      }
+      size(split(enc, SEP + SEP))
+    }
+    docs.select(idCol.as("id"), words.as("__ws"),
+        coalesce(length(encode(textCol, "UTF-8")), lit(0)).as("n_bytes"))
+      .select(col("id"), col("n_bytes"),
+        coalesce(aggregate(transform(col("__ws"), w => tokensOf(w).cast("long")),
+          lit(0L), (a, x) => a + x), lit(0L)).as("n_bpe_tokens"))
+  }
+
+  /** DuckDB twin of [[trainMergesBytes]] — the byte histogram CTE +
+    * the shared merge rounds.
+    */
+  def trainMergesBytesSql(table: String, textExpr: String,
+                          steps: Int): String = {
+    require(steps > 0 && steps <= 64, "steps must be in [1, 64]")
+    val out = (1 to steps)
+      .map(t => s"""SELECT $t AS step, l AS "left", r AS "right", merged, CAST(total AS BIGINT) AS pair_count FROM b$t""")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${trainMergesBytesSqlCtes(table, textExpr, steps)}
+       |SELECT CAST(step AS INTEGER) AS step, "left", "right", merged, pair_count
+       |FROM ($out)""".stripMargin
+  }
+
+  /** DuckDB twin of train-then-[[encodeTokenCountsBytes]]. */
+  def encodeTokenCountsBytesSql(table: String, idExpr: String,
+                                textExpr: String, steps: Int): String = {
+    require(steps > 0 && steps <= 64, "steps must be in [1, 64]")
+    val hist = trainMergesBytesSqlCtes(table, textExpr, steps)
+    val pairCols = (1 to steps).map { t =>
+      s"""coalesce((SELECT chr(31) || l || chr(31) || chr(31) || r || chr(31) FROM b$t), chr(1)) AS p$t,
+         |  coalesce((SELECT chr(31) || merged || chr(31) FROM b$t), chr(1)) AS r$t""".stripMargin
+    }.mkString(",\n  ")
+    val wrap = byteWrapSql("w")
+    val enc = (1 to steps).foldLeft(wrap) { (acc, t) =>
+      s"replace($acc, p$t, r$t)"
+    }
+    s"""WITH $hist,
+       |pc AS MATERIALIZED (SELECT $pairCols),
+       |wordsper AS (
+       |  SELECT $idExpr AS id,
+       |    CAST(coalesce(octet_length(encode($textExpr)), 0) AS INTEGER) AS n_bytes,
+       |    list_filter(regexp_extract_all($textExpr, '$bytePretokenPatternSql'),
+       |      w -> w <> '') AS wl
+       |  FROM $table)
+       |SELECT id, n_bytes,
+       |  CAST(coalesce(list_sum(list_transform(wl,
+       |    w -> len(string_split($enc, chr(31) || chr(31))))), 0) AS BIGINT)
+       |    AS n_bpe_tokens
+       |FROM wordsper, pc""".stripMargin
+  }
+
+  /** Hex-byte ⟂-wrap of SQL expression `e` (a string). */
+  private def byteWrapSql(e: String): String =
+    s"""list_aggregate(list_transform(range(1, len(hex(encode($e))) // 2 + 1),
+       |      i -> chr(31) || substr(hex(encode($e)), CAST(2 * i - 1 AS INTEGER), 2) || chr(31)),
+       |      'string_agg', '')""".stripMargin
+
+  private def trainMergesBytesSqlCtes(table: String, textExpr: String,
+                                      steps: Int): String = {
+    val hist =
+      s"""w0 AS MATERIALIZED (
+         |  SELECT ${byteWrapSql("word")} AS w,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (
+         |    SELECT unnest(regexp_extract_all($textExpr, '$bytePretokenPatternSql')) AS word
+         |    FROM $table)
+         |  WHERE word <> ''
+         |  GROUP BY word)""".stripMargin
+    s"$hist,\n${mergeRoundCtes(steps)}"
   }
 }
