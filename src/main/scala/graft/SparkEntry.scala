@@ -80,6 +80,61 @@ object SparkEntry {
               |FROM (${Sql.top5AtLevel(3)}) t, (${Sql.winStats(Sql.top5AtLevel(3))}) s
               |ORDER BY t.score, t.file_id""".stripMargin)),
 
+    // The SAME flagship, driven entirely through spark.sql — the SQL
+    // analog of the reference's HTTP surface: registered graft kernels
+    // (graft_l2 is the codegen L2 expression the Column route uses) +
+    // one temp view, zero Column-API calls in the query itself. Gated
+    // against the flagship oracle, so SQL-route == DataFrame-route ==
+    // DuckDB, row for row.
+    Q("flagship_sql",
+      (s, dir) => {
+        graft.ext.GraftFunctions.register(s)
+        Tables.embeddings(s, dir).createOrReplaceTempView("g_embeddings")
+        s.sql("""
+          WITH corpus AS (
+            SELECT vec_id, embedding, vec_id % 100 AS file_id,
+              label AS court_level,
+              CASE WHEN vec_id % 100 % 3 = 0 THEN 'appellant_won'
+                   WHEN vec_id % 100 % 3 = 1 THEN 'appellant_lost'
+                   ELSE 'invalid' END AS case_decision
+            FROM g_embeddings),
+          qv AS (SELECT embedding AS q_emb FROM g_embeddings WHERE vec_id = 0),
+          scored AS (
+            SELECT vec_id, file_id, case_decision,
+              round(graft_l2(embedding, q_emb), 4) AS score
+            FROM corpus CROSS JOIN qv
+            WHERE court_level = 3),
+          best AS (
+            SELECT vec_id, file_id, case_decision, score FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY file_id ORDER BY score ASC, vec_id ASC) AS rn
+              FROM scored) WHERE rn = 1),
+          top5 AS (
+            SELECT file_id, vec_id, case_decision, score
+            FROM best ORDER BY score ASC, file_id ASC LIMIT 5),
+          stats AS (
+            SELECT win_count, total_valid_decisions,
+              CASE WHEN total_valid_decisions > 0
+                THEN round(win_count * 100.0D / total_valid_decisions, 2)
+                ELSE 0.0D END AS win_percentage,
+              result_count - total_valid_decisions AS invalid_decisions,
+              result_count
+            FROM (SELECT
+                sum(CASE WHEN case_decision = 'appellant_won' THEN 1L ELSE 0L END) AS win_count,
+                sum(CASE WHEN case_decision IN ('appellant_won', 'appellant_lost') THEN 1L ELSE 0L END) AS total_valid_decisions,
+                count(1) AS result_count
+              FROM top5))
+          SELECT t.file_id, t.vec_id, t.case_decision, t.score,
+            s.win_count, s.total_valid_decisions, s.win_percentage,
+            s.invalid_decisions, s.result_count
+          FROM top5 t CROSS JOIN stats s""")
+      },
+      Some(s"""SELECT t.file_id, t.vec_id, t.case_decision, t.score,
+              | s.win_count, s.total_valid_decisions, s.win_percentage,
+              | s.invalid_decisions, s.result_count
+              |FROM (${Sql.top5AtLevel(3)}) t, (${Sql.winStats(Sql.top5AtLevel(3))}) s
+              |ORDER BY t.score, t.file_id""".stripMargin)),
+
     // The flagship pipeline re-run END-TO-END from PDF BYTES: generated
     // twin PDFs (sources/PdfFixture) → S1 page-tree/Flate extraction →
     // F1 paragraph split + F2 greedy pack → C1 decision cascade → F4
@@ -2543,6 +2598,35 @@ object SparkEntry {
       (s, dir) => Dedup.exactDuplicates(Tables.documents(s, dir),
           col("doc_id"), Enrich.dedupContent(col("text"), col("doc_id")))
         .orderBy("fingerprint"),
+      Some(s"""SELECT ${TextAnalysis.fingerprintSql(Enrich.dedupContentSql("text", "doc_id"))} AS fingerprint,
+              | count(*) AS n_dups, min(doc_id) AS keeper_id
+              |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin)),
+
+    // The SAME exact-dedup pass, driven entirely through spark.sql
+    // (the SQL-only reach twin of flagship_sql): one temp view + one
+    // SQL string — fixture enrichment, fingerprint, group, keeper all
+    // in SQL — gated against the dedup_exact oracle, so SQL-route ==
+    // Column-route == DuckDB
+    Q("dedup_exact_sql",
+      (s, dir) => {
+        Tables.documents(s, dir).createOrReplaceTempView("g_documents")
+        s.sql("""
+          WITH content AS (
+            SELECT doc_id,
+              CASE WHEN doc_id % 7 = 0
+                THEN 'dup block exact ' || CAST(CAST(floor(doc_id / 70.0) AS BIGINT) AS STRING)
+                  || ' alpha beta gamma delta epsilon zeta eta theta'
+              WHEN doc_id % 7 = 1
+                THEN 'near block ' || CAST(CAST(floor(doc_id / 70.0) AS BIGINT) AS STRING)
+                  || ' shared one two three ' || CAST(CAST(floor(doc_id / 70.0) AS BIGINT) AS STRING)
+                  || ' four five six seven ' || CAST(CAST(floor(doc_id / 70.0) AS BIGINT) AS STRING)
+                  || ' eight nine ten tail' || CAST(doc_id % 2 AS STRING)
+              ELSE text END AS content
+            FROM g_documents)
+          SELECT md5(regexp_replace(lower(trim(content)), '\\s+', ' ')) AS fingerprint,
+            count(*) AS n_dups, min(doc_id) AS keeper_id
+          FROM content GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""")
+      },
       Some(s"""SELECT ${TextAnalysis.fingerprintSql(Enrich.dedupContentSql("text", "doc_id"))} AS fingerprint,
               | count(*) AS n_dups, min(doc_id) AS keeper_id
               |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin)),

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.dedup.{Dedup, MinHashKernel}
+import graft.dedup.{Dedup, MinHashKernel, ShingleKernel}
+import graft.text.UnicodeNorm
 import graft.vector.VectorKernels
 
 /** The engine's custom kernels as SQL functions, so `spark.sql(...)`
@@ -56,7 +57,41 @@ object GraftFunctions {
         VectorKernels.HyperplaneBandKeys(exprs.head,
           graft.dedup.EmbeddingDedup.hyperplanes(dim, bands, bits, seed),
           dim, bands, bits)
-      }))
+      }),
+    ("graft_nfc", "graft_nfc(s) - Unicode NFC normalization (codegen)",
+      exprs => UnicodeNorm.NfcNormalize(exprs.head)),
+    ("graft_term_stats",
+      "graft_term_stats(text, array('t1', ...)) - per-term counts over one byte scan; terms must be a string-array literal",
+      exprs => {
+        val usage = "graft_term_stats(text, array('term1', 'term2', ...)) — " +
+          "the term list must be a foldable string-array literal"
+        require(exprs.length == 2, s"wrong argument count ${exprs.length}; usage: $usage")
+        require(exprs(1).foldable, s"non-literal term list; usage: $usage")
+        val terms = exprs(1).eval(null) match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            (0 until a.numElements()).map(i =>
+              a.getUTF8String(i).toString)
+          case other => throw new IllegalArgumentException(
+            s"argument 2 is ${if (other == null) "NULL" else other.getClass.getSimpleName}; usage: $usage")
+        }
+        graft.text.TextKernels.TermStats(exprs.head, terms)
+      }),
+    ("graft_shingle_hash64",
+      "graft_shingle_hash64(tokens, n) - sorted distinct 64-bit n-gram shingle hashes; n must be an integer literal",
+      exprs => {
+        val usage = "graft_shingle_hash64(tokens ARRAY<STRING>, n INT) — n must be an integer literal"
+        require(exprs.length == 2, s"wrong argument count ${exprs.length}; usage: $usage")
+        require(exprs(1).foldable, s"non-literal shingle width; usage: $usage")
+        val n = exprs(1).eval(null) match {
+          case x: Number => x.intValue
+          case other => throw new IllegalArgumentException(
+            s"argument 2 is ${if (other == null) "NULL" else other.getClass.getSimpleName}, expected integer; usage: $usage")
+        }
+        ShingleKernel.ShingleHash64(exprs.head, n)
+      }),
+    ("graft_sorted_intersect_count",
+      "graft_sorted_intersect_count(a, b) - intersection size of two sorted distinct long arrays (linear merge)",
+      exprs => ShingleKernel.SortedIntersectCount(exprs(0), exprs(1))))
 
   /** Register on an already-running session (idempotent). */
   def register(spark: SparkSession): Unit =

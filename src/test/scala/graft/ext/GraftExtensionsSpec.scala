@@ -51,6 +51,40 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
       s"foldability error lacks reason: ${e2.getMessage}")
   }
 
+  test("text kernels: graft_nfc, graft_term_stats, shingles, intersect") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      s"""SELECT
+        |  graft_nfc('e\u0301') AS nfc,
+        |  graft_term_stats('the cat and the hat', array('the', 'cat')) AS ts,
+        |  graft_shingle_hash64(array('a', 'b', 'c'), 2) AS sh2,
+        |  graft_sorted_intersect_count(
+        |    graft_shingle_hash64(array('a', 'b', 'c'), 2),
+        |    graft_shingle_hash64(array('a', 'b', 'd'), 2)) AS inter
+        |""".stripMargin).collect().head
+    assert(row.getAs[String]("nfc") == "\u00e9") // e + combining acute composes
+    assert(row.getSeq[Long](1) == Seq(5L, 2L, 1L)) // [dl, tf_the, tf_cat]
+    assert(row.getSeq[Long](2).length == 2) // shingles "a b", "b c"
+    assert(row.getAs[Long]("inter") == 1L)  // shared shingle: "a b"
+    // SQL route equals the Column-API kernels
+    import org.apache.spark.sql.functions.{col, lit, split}
+    import spark.implicits._
+    val viaColumn = Seq(Tuple1("a b c")).toDF("t")
+      .select(graft.dedup.Dedup.shingleHashes(col("t"), 2).as("sh"))
+      .collect().head.getSeq[Long](0)
+    assert(row.getSeq[Long](2) == viaColumn)
+  }
+
+  test("graft_term_stats misuse raises a clear usage error") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.range(1).selectExpr(
+        "graft_term_stats('x', array(CAST(id AS STRING)))").collect()
+    }
+    assert(e.getMessage.contains("non-literal"),
+      s"foldability error lacks reason: ${e.getMessage}")
+  }
+
   test("graft_hyperplane_bands matches the Column-API kernel") {
     GraftFunctions.register(spark)
     val sqlKeys = spark.sql(
