@@ -222,8 +222,12 @@ object Multimodal {
                                 frame: Array[Byte])
 
   /** STUB frame extraction — a deterministic fake frame payload per
-    * index (a real implementation seeks the container and decodes the
-    * frame here — crucially WITHOUT materializing all frames first).
+    * index, kept for the synthetic fixture corpus and its DuckDB
+    * oracle gate (`mm_frame_sample`). REAL containers go through
+    * [[Mp4Parser.sampleFramesReal]]: stbl-resolved MP4 sample slices
+    * and marker-scanned MJPEG frames (one slice in memory at a time —
+    * never a materialized frame set), with the codec boundary
+    * documented on [[Mp4Parser]].
     */
   private[multimodal] def frameStub(data: Array[Byte], idx: Int): Array[Byte] = {
     val len = math.max(1, data.length / 4)
