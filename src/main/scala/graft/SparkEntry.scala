@@ -1593,6 +1593,34 @@ object SparkEntry {
       Some("""SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Bloom-filter point lookup: the fingerprint table is WRITTEN with
+    // parquet.bloom.filter.enabled#fingerprint (sources/Layout
+    // .writeWithBloom — the storage answer to 100 TB point probes on
+    // hash keys, where min/max stats prune nothing) and read back
+    // through an equality probe. The oracle computes the same lookup
+    // from the raw table, so the gate proves the enabled filter
+    // changes IO, never results; BloomSkipSpec proves the row-group
+    // pruning itself via scan metrics
+    Q("s9_bloom_pointlookup",
+      (s, dir) => {
+        val path = graft.TempDirs.create("bloom-fp").toString
+        graft.sources.Layout.writeWithBloom(
+          Tables.documents(s, dir).select(col("doc_id"),
+            TextAnalysis.fingerprint(col("text")).as("fingerprint")),
+          path, Seq("fingerprint"), expectedNdv = 10000L)
+        val probe = Tables.documents(s, dir).where(col("doc_id") === 42)
+          .select(TextAnalysis.fingerprint(col("text"))).head().getString(0)
+        s.read.parquet(path)
+          .where(col("fingerprint") === probe)
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, ${TextAnalysis.fingerprintSql("text")} AS fingerprint
+              |FROM documents
+              |WHERE ${TextAnalysis.fingerprintSql("text")} =
+              |  (SELECT ${TextAnalysis.fingerprintSql("text")} FROM documents
+              |   WHERE doc_id = 42)
+              |ORDER BY doc_id""".stripMargin)),
+
     // C4 cleaning rules (Raffel et al. 2020 §2.2) over the mixed-line
     // fixture: line-level filter (terminal punctuation, ≥3 words, no
     // "javascript") + page-level gate (≥5 sentences after cleaning, no

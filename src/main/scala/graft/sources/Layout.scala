@@ -93,4 +93,35 @@ object Layout {
       .write.mode(SaveMode.Overwrite).parquet(dest)
     n
   }
+
+  /** Parquet write with a BLOOM FILTER on the named columns — the
+    * storage-side answer to point lookups on high-cardinality keys
+    * (fingerprints, upsert ids, chunk hashes). Min/max row-group
+    * stats cannot prune a hash-distributed key (every row group spans
+    * nearly the full hash range), so without the bloom a single
+    * `fingerprint = 'abc…'` probe scans EVERY row group of a 100 TB
+    * table; with it, the reader's row-group filter drops non-matching
+    * groups from the read list at footer time — IO proportional to
+    * matches, not corpus. Pruning is proven by scan metrics in
+    * BloomSkipSpec; result equality with/without the filter is gated
+    * by the `s9_bloom_pointlookup` oracle row.
+    *
+    * `expectedNdv` sizes the filter (parquet-mr derives bits from it;
+    * over-estimating costs footer bytes, under-estimating costs false
+    * positives — i.e. lost pruning, never lost rows).
+    */
+  def writeWithBloom(df: DataFrame, path: String, bloomCols: Seq[String],
+                     expectedNdv: Long = 1000000L,
+                     rowGroupBytes: Long = 128L * 1024 * 1024,
+                     extraOptions: Map[String, String] = Map.empty): Unit = {
+    require(bloomCols.nonEmpty, "at least one bloom column required")
+    require(expectedNdv > 0 && rowGroupBytes > 0,
+      "expectedNdv and rowGroupBytes must be positive")
+    val opts = Map("parquet.block.size" -> rowGroupBytes.toString) ++
+      bloomCols.flatMap(c => Seq(
+        s"parquet.bloom.filter.enabled#$c" -> "true",
+        s"parquet.bloom.filter.expected.ndv#$c" -> expectedNdv.toString)) ++
+      extraOptions
+    df.write.mode(SaveMode.Overwrite).options(opts).parquet(path)
+  }
 }
