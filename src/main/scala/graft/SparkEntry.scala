@@ -29,6 +29,24 @@ object SparkEntry {
                        fn: (SparkSession, String) => DataFrame,
                        oracle: Option[String])
 
+  /** Run a streaming gate body under a small shuffle-partition count:
+    * every stateful operator materializes one state store PER shuffle
+    * partition PER micro-batch, so a MemoryStream replay pays 32×
+    * fixed store/commit/checkpoint cost for row volumes one partition
+    * could hold — pure harness overhead at gate scale (a production
+    * stream sizes partitions to ITS volume). 8 keeps the operators
+    * genuinely parallel while cutting the fixed cost; results are
+    * partition-count-independent (the hash gate would catch anything
+    * else). The conf is restored before the returned batch frame is
+    * executed.
+    */
+  private def withStreamShuffle[A](s: SparkSession)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "8")
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Pipelines.similarCases(spark, "/root/testdata/sf0.001")
@@ -532,7 +550,7 @@ object SparkEntry {
     // exercises exactly the same state-machine paths (open, extend,
     // timeout-sweep) at a third of the harness wall.
     Q("streaming_sessions",
-      (s, dir) => {
+      (s, dir) => withStreamShuffle(s) {
         import s.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
         val rows = Tables.events(s, dir)
@@ -596,7 +614,7 @@ object SparkEntry {
     // identically) — same operator, same buffer/purge paths, a third
     // of the single-streamed harness wall.
     Q("streaming_join_attributed",
-      (s, dir) => {
+      (s, dir) => withStreamShuffle(s) {
         import s.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
         def rowsOf(t: String) = Tables.events(s, dir)
@@ -1792,7 +1810,7 @@ object SparkEntry {
     // bucketed-append maintenance, serve — identical oracle to the
     // one-shot build over the full corpus
     Q("streaming_bm25_serve",
-      (s, dir) => {
+      (s, dir) => withStreamShuffle(s) {
         import s.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
         val tmp = java.nio.file.Files
@@ -3064,7 +3082,7 @@ object SparkEntry {
     // the same labeling (replay of a folded batch is a structural
     // no-op, ClusterMaintainer's documented contract).
     Q("streaming_clusters_maintained",
-      (s, dir) => {
+      (s, dir) => withStreamShuffle(s) {
         import s.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
         val content = Enrich.dedupContent(col("text"), col("doc_id"))
@@ -3544,7 +3562,7 @@ object SparkEntry {
     // bm25Sql over the query terms (term order is token-sorted, so
     // the float fold matches the aggregator's token-sorted sum).
     Q("streaming_hybrid_rrf",
-      (s, dir) => {
+      (s, dir) => withStreamShuffle(s) {
         import s.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
         val docs = Tables.documents(s, dir)
@@ -3786,7 +3804,7 @@ object SparkEntry {
     // sentinel closes the window. Hash-gated against the brute-force
     // all-pairs oracle — stream and batch must agree row for row.
     Q("streaming_search_topk",
-      (s, dir) => {
+      (s, dir) => withStreamShuffle(s) {
         import s.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
         val corpus = Tables.embeddings(s, dir)
