@@ -4227,6 +4227,78 @@ object SparkEntry {
            |    i -> (codes[CAST((i + frame_idx * 7) % len AS INT) + 1] + frame_idx) % 256)) AS BIGINT) AS frame_sum
            |FROM x ORDER BY media_id, frame_idx""".stripMargin
       }),
+
+    // REAL audio under the differential gate (the flagship_from_pdfs
+    // move applied to media): per doc, a byte-exact RIFF/WAVE file is
+    // BUILT from a closed-form sample formula (MediaFixture), parsed
+    // back through the real WavParser arm (chunk walk → PCM decode →
+    // integer-exact features), while the oracle computes RMS/peak/ZCR
+    // straight from the formula — a drift anywhere in build → parse →
+    // decode → feature arithmetic breaks the hash
+    Q("mm_wav_features",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id =>
+            (id, graft.multimodal.MediaFixture.wavBytes(id))))
+          .toDF("media_id", "data")
+        graft.multimodal.WavParser
+          .extractAudioFeatures(s, media, "media_id", "data")
+          .toDF().orderBy("media_id")
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id, 800 + doc_id % 50 AS n FROM documents),
+             |sv AS (
+             |  SELECT doc_id, n, i,
+             |    ((doc_id * 31 + i * 17) % 2001) - 1000 AS s
+             |  FROM (SELECT doc_id, n, unnest(range(0, n)) AS i FROM f)),
+             |agg AS (
+             |  SELECT doc_id, any_value(n) AS n, SUM(s * s) AS ss,
+             |    MAX(abs(s)) AS pk
+             |  FROM sv GROUP BY doc_id),
+             |zc AS (
+             |  SELECT doc_id,
+             |    COUNT(*) FILTER (pg IS NOT NULL AND g <> pg) AS z
+             |  FROM (SELECT doc_id, sign(s) AS g,
+             |          lag(sign(s)) OVER (PARTITION BY doc_id ORDER BY i) AS pg
+             |        FROM sv WHERE s <> 0)
+             |  GROUP BY doc_id)
+             |SELECT a.doc_id AS media_id,
+             |  CAST(a.n * 1000 // 8000 AS BIGINT) AS duration_ms,
+             |  CAST(floor(sqrt(CAST(a.ss AS DOUBLE) / a.n) / 32767 * 1000000
+             |             + 0.5) AS BIGINT) AS rms_millionths,
+             |  CAST(floor(CAST(a.pk AS DOUBLE) / 32767 * 1000000 + 0.5)
+             |    AS BIGINT) AS peak_millionths,
+             |  CAST(coalesce(z.z, 0) AS BIGINT) AS zero_crossings
+             |FROM agg a LEFT JOIN zc z ON a.doc_id = z.doc_id
+             |ORDER BY media_id""".stripMargin)),
+
+    // REAL MP4 under the differential gate: per doc, a spec-conformant
+    // ISO BMFF file built from closed-form parameters, parsed back
+    // through the real atom walk; the oracle states those parameters
+    // directly (duration_ms exercises the timescale division)
+    Q("mm_mp4_meta",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id =>
+            (id, graft.multimodal.MediaFixture.mp4Bytes(id))))
+          .toDF("media_id", "data")
+        graft.multimodal.Mp4Parser
+          .decodeVideoMeta(s, media, "media_id", "data")
+          .toDF()
+          .select(col("media_id"), col("brand"), col("codec"),
+            col("timescale"), col("duration_ms"), col("width"),
+            col("height"), col("n_samples"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id, 'isom' AS brand, 'jpeg' AS codec,
+             |  CAST(600 AS BIGINT) AS timescale,
+             |  CAST((1500 + doc_id % 997) * 1000 // 600 AS BIGINT) AS duration_ms,
+             |  CAST(16 + doc_id % 64 AS INTEGER) AS width,
+             |  CAST(9 + doc_id % 32 AS INTEGER) AS height,
+             |  CAST(1 + doc_id % 7 AS INTEGER) AS n_samples
+             |FROM documents ORDER BY media_id""".stripMargin)),
   )
 
   private def specs: Seq[Q] =
