@@ -4299,6 +4299,32 @@ object SparkEntry {
              |  CAST(9 + doc_id % 32 AS INTEGER) AS height,
              |  CAST(1 + doc_id % 7 AS INTEGER) AS n_samples
              |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // REAL frame extraction under the gate: the stbl seek table
+    // (stsc × stco × stsz) must slice sample i back out of mdat
+    // byte-exactly — fixture sample i is i+1 bytes of (id+i) mod 256,
+    // so length and byte-sum are closed-form for the oracle
+    Q("mm_mp4_frames",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id =>
+            (id, graft.multimodal.MediaFixture.mp4Bytes(id))))
+          .toDF("media_id", "data")
+        graft.multimodal.Mp4Parser
+          .sampleFramesReal(s, media, "media_id", "data", everyN = 2)
+          .map(f => (f.media_id, f.frame_idx, f.frame.length,
+            graft.multimodal.Multimodal.byteSumUnsigned(f.frame)))
+          .toDF("media_id", "frame_idx", "frame_bytes", "frame_sum")
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("""SELECT doc_id AS media_id, CAST(i AS INTEGER) AS frame_idx,
+             |  CAST(i + 1 AS INTEGER) AS frame_bytes,
+             |  CAST((i + 1) * ((doc_id + i) % 256) AS BIGINT) AS frame_sum
+             |FROM (SELECT doc_id,
+             |        unnest(range(0, 1 + doc_id % 7, 2)) AS i
+             |      FROM documents)
+             |ORDER BY media_id, frame_idx""".stripMargin)),
   )
 
   private def specs: Seq[Q] =

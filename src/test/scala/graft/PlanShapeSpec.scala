@@ -48,6 +48,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"nested-loop join building the streamed side: $nljs\n$plan")
   }
 
+  test("SQL-route flagship plans the same scale shape as the Column route") {
+    graft.ext.GraftFunctions.register(spark)
+    val plan = executed(SparkEntry.queries("flagship_sql")(spark, dir))
+    // same invariants as the DataFrame flagship: bounded top-k, no
+    // cartesian, nested loops only as 1-row broadcasts — SQL text must
+    // not cost the user the plan the Column API gets
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"SQL flagship lost the bounded top-k:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in SQL flagship:\n$plan")
+    val nljs = "BroadcastNestedLoopJoin \\w+".r.findAllIn(plan).toSeq
+    assert(nljs.forall(_.endsWith("BuildRight")),
+      s"nested-loop join building the streamed side: $nljs\n$plan")
+  }
+
   test("block-matrix tiles meet through an equi-join, never a nested loop") {
     val emb = Tables.embeddings(spark, dir).where(col("vec_id") < 100)
     val plan = executed(BlockMatrix.cosineTopK(emb, col("vec_id"), col("embedding"),
