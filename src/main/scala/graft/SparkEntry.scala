@@ -2028,6 +2028,21 @@ object SparkEntry {
       Some(Bpe.encodeTokenCountsBytesSql("documents", "doc_id", "text",
         steps = 10) + " ORDER BY id")),
 
+    // The SCALE byte encode (broadcast merge list + per-partition
+    // memoized apply, arbitrary merge depth) under the SAME oracle as
+    // tok_bpe_bytes_encode — the hash gate proves route parity
+    Q("tok_bpe_bytes_encode_scalable",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val m = Bpe.trainMergesBytes(docs, col("text"), steps = 10)
+          .orderBy("step").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        Bpe.encodeTokenCountsBytesScalable(docs, col("doc_id"), col("text"), m)
+          .orderBy("id")
+      },
+      Some(Bpe.encodeTokenCountsBytesSql("documents", "doc_id", "text",
+        steps = 10) + " ORDER BY id")),
+
     // CCNet-style LM perplexity filter: per-doc mean bigram cost under
     // an add-one bigram LM trained on the corpus itself, cut into
     // head/middle/tail terciles — per-feature costs are scaled-integer

@@ -391,6 +391,74 @@ object Bpe {
           lit(0L), (a, x) => a + x), lit(0L)).as("n_bpe_tokens"))
   }
 
+  /** The SCALE form of [[encodeTokenCountsBytes]] — the byte-arm twin
+    * of [[encodeTokenCountsScalable]]: arbitrary merge depth via a
+    * broadcast rank list applied IN TRAINING ORDER (one
+    * leftmost-non-overlapping pass per merge — replace() semantics),
+    * GPT-2 regex pre-tokenization compiled once per task, per-partition
+    * distinct-pre-token memoization. Same output and semantics as the
+    * expression route; gated under the SAME oracle.
+    */
+  def encodeTokenCountsBytesScalable(docs: DataFrame, idCol: Column,
+                                     textCol: Column,
+                                     mergesOrdered: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(mergesOrdered.toArray)
+    docs.select(idCol.cast("long").as("id"), textCol.as("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val merges = bc.value
+        val pat = java.util.regex.Pattern.compile(BytePretokenPattern)
+        val cache = new java.util.HashMap[String, Long]()
+        def tokensOf(word: String): Long = {
+          val hit = cache.get(word)
+          if (hit != 0L) hit
+          else {
+            // uppercase hex pairs — the same symbols Spark's hex() emits
+            var syms = word.getBytes("UTF-8").map(b => f"${b & 0xFF}%02X")
+            var m = 0
+            while (m < merges.length && syms.length >= 2) {
+              val (l, r) = merges(m)
+              var i = 0
+              var hits = 0
+              while (i < syms.length - 1) {
+                if (syms(i) == l && syms(i + 1) == r) { hits += 1; i += 2 }
+                else i += 1
+              }
+              if (hits > 0) {
+                val out = new Array[String](syms.length - hits)
+                var j = 0
+                var k = 0
+                while (j < syms.length) {
+                  if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+                    out(k) = l + r; j += 2
+                  } else { out(k) = syms(j); j += 1 }
+                  k += 1
+                }
+                syms = out
+              }
+              m += 1
+            }
+            val n = syms.length.toLong
+            cache.put(word, n)
+            n
+          }
+        }
+        rows.map { case (id, text) =>
+          val t = if (text == null) "" else text
+          var total = 0L
+          val matcher = pat.matcher(t)
+          while (matcher.find()) {
+            val w = matcher.group()
+            if (w.nonEmpty) total += tokensOf(w)
+          }
+          (id, t.getBytes("UTF-8").length, total)
+        }
+      }
+      .toDF("id", "n_bytes", "n_bpe_tokens")
+  }
+
   /** DuckDB twin of [[trainMergesBytes]] — the byte histogram CTE +
     * the shared merge rounds.
     */

@@ -53,6 +53,20 @@ class BpeBytesSpec extends AnyFunSuite with SparkSpec {
     assert(out.getLong(2) == 4L)
   }
 
+  test("scalable byte route equals the expression route, deep merges included") {
+    import org.apache.spark.sql.functions.col
+    val corpus = docs("the cat sat on the mat", "don't stop the Müller café",
+      "aa aa ab", "émigré émigré", "")
+    val m = Bpe.trainMergesBytes(corpus, col("text"), steps = 12)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val expr = Bpe.encodeTokenCountsBytes(corpus, col("id"), col("text"), m)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val scal = Bpe.encodeTokenCountsBytesScalable(corpus, col("id"), col("text"), m)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(scal == expr)
+  }
+
   test("contractions split as their own pre-tokens") {
     // "don't" → pre-tokens "don" + "'t" — the GPT-2 contraction rule;
     // with no merges the token count is just the byte count
