@@ -4340,6 +4340,45 @@ object SparkEntry {
              |        unnest(range(0, 1 + doc_id % 7, 2)) AS i
              |      FROM documents)
              |ORDER BY media_id, frame_idx""".stripMargin)),
+
+    // REAL audio window sampling under the gate: 50 ms windows (400
+    // frames at 8 kHz) sliced frame-aligned out of the built WAV; the
+    // oracle reconstructs each window's little-endian byte sum from
+    // the sample formula (16-bit two's complement split into lo/hi
+    // unsigned bytes) — the seek arithmetic and the PCM layout both
+    // sit under the hash
+    Q("mm_wav_windows",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id =>
+            (id, graft.multimodal.MediaFixture.wavBytes(id))))
+          .toDF("media_id", "data")
+        graft.multimodal.WavParser
+          .sampleWindows(s, media, "media_id", "data", windowMs = 50)
+          .map(w => (w.media_id, w.window_idx, w.start_frame, w.pcm.length,
+            graft.multimodal.Multimodal.byteSumUnsigned(w.pcm)))
+          .toDF("media_id", "window_idx", "start_frame", "pcm_bytes", "pcm_sum")
+          .orderBy("media_id", "window_idx")
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id, 800 + doc_id % 50 AS n FROM documents),
+             |w AS (
+             |  SELECT doc_id, n, unnest(range(0, (n + 399) // 400)) AS w FROM f),
+             |sv AS (
+             |  SELECT doc_id, w,
+             |    CASE WHEN s < 0 THEN s + 65536 ELSE s END AS u
+             |  FROM (SELECT doc_id, w,
+             |          ((doc_id * 31 + i * 17) % 2001) - 1000 AS s
+             |        FROM (SELECT doc_id, w,
+             |                unnest(range(w * 400, least(n, (w + 1) * 400))) AS i
+             |              FROM w)))
+             |SELECT doc_id AS media_id, CAST(w AS INTEGER) AS window_idx,
+             |  CAST(w * 400 AS BIGINT) AS start_frame,
+             |  CAST(2 * count(*) AS INTEGER) AS pcm_bytes,
+             |  CAST(SUM(u % 256 + u // 256) AS BIGINT) AS pcm_sum
+             |FROM sv GROUP BY doc_id, w
+             |ORDER BY media_id, window_idx""".stripMargin)),
   )
 
   private def specs: Seq[Q] =
