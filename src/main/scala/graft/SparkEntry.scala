@@ -2301,6 +2301,22 @@ object SparkEntry {
            |    '${TextAnalysis.WsClassSqlPublic}+')) AS t FROM documents)
            |WHERE t <> ''""".stripMargin, topN = 20))),
 
+    // Deterministic log-bucket quantile sketch — the bounded-state
+    // percentile answer (percentile() sorts per group; the engine's
+    // t-digest is sampling-based and not cross-engine replayable).
+    // Bit-length buckets + 6 mantissa bits: ≤ 2^-6 relative error,
+    // fixed-size commutative merge state (the streaming combiner for
+    // free), and the oracle replays the identical integer bucketing
+    Q("q_quantile_sketch",
+      (s, dir) => graft.operators.Sketches.logQuantiles(
+        Tables.lineitem(s, dir)
+          .select(floor(col("l_extendedprice") * 100d + 0.5d)
+            .cast("long").as("cents")),
+        col("cents"), Seq(0.5, 0.9, 0.99)),
+      Some(graft.operators.Sketches.logQuantilesSql("lineitem",
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)",
+        Seq(0.5, 0.9, 0.99)))),
+
     // RefinedWeb-style per-domain document cap: at most 10 docs per
     // source, preferring quality score (10 of ~25 fixture docs survive) — row_number ≤ n plans as a
     // map-side WindowGroupLimit, so a mega-domain costs its cap (not

@@ -266,4 +266,92 @@ object Sketches {
        |  SELECT $grpExpr, unnest(string_split_regex(lower(trim($textExpr)),
        |    '${graft.text.TextAnalysis.WsClassSqlPublic}+')) AS t FROM $table)
        |WHERE t <> ''""".stripMargin
+
+  /** Deterministic mergeable QUANTILE sketch: base-2 log buckets with
+    * `subBits` sub-buckets per octave — the bounded-state percentile
+    * answer at 100 TB, where `percentile()` needs a per-group sort and
+    * the engine-native t-digest/KLL sketches are sampling-based (not
+    * replayable cross-engine). Every nonnegative value lands in the
+    * bucket keyed by its bit length (`length(bin(v))` — the HLL trick,
+    * no float log2) and its top `subBits` mantissa bits; the quantile
+    * estimate is the LOWER BOUND of the bucket holding the rank-
+    * `ceil(q·n)` value, under-estimating by a relative error of at
+    * most 2^-subBits. Bucket ids order exactly like values, values
+    * `< 2^subBits` get exact singleton buckets.
+    *
+    * Scale shape: one map-side partial `groupBy(bucket)` into at most
+    * `64·2^(subBits+1)` counters (fixed-size, commutative merge — the
+    * streaming/multi-shard combiner for free); the cumulative pass
+    * runs on that bounded bucket table (a single-partition window over
+    * ≤ ~8k rows, bounded by construction, not by data).
+    *
+    * Input contract: a LONG column; nulls and negatives are dropped
+    * (count them upstream if they matter).
+    */
+  def logQuantiles(df: DataFrame, valueCol: Column, qs: Seq[Double],
+                   subBits: Int = 6): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      "quantiles must be in (0, 1]")
+    require(subBits >= 1 && subBits <= 16, "subBits must be in [1, 16]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val small = 1L << subBits
+    val buckets = df.select(valueCol.cast("long").as("__v"))
+      .where(col("__v").isNotNull && col("__v") >= 0)
+      .withColumn("__msb", (length(bin(col("__v"))) - 1).cast("long"))
+      .withColumn("__t", expr(s"shiftright(__v, CAST(__msb AS INT) - $subBits)"))
+      .select(
+        when(col("__v") < small, col("__v"))
+          .otherwise(col("__msb") * (small * 2) + col("__t")).as("__bucket"),
+        when(col("__v") < small, col("__v"))
+          .otherwise(expr(s"shiftleft(__t, CAST(__msb AS INT) - $subBits)"))
+          .as("__lower"))
+      .groupBy("__bucket")
+      .agg(min(col("__lower")).as("__lower"), count(lit(1)).as("__cnt"))
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.orderBy("__bucket")
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val cum = buckets
+      .withColumn("__cum", sum(col("__cnt")).over(w))
+      .crossJoin(broadcast(buckets.agg(sum(col("__cnt")).as("__n"))))
+    val qframe = qs.sorted.toDF("q")
+    cum.crossJoin(broadcast(qframe))
+      .withColumn("__rank", greatest(lit(1L), ceil(col("q") * col("__n"))))
+      .where(col("__cum") >= col("__rank") &&
+        col("__cum") - col("__cnt") < col("__rank"))
+      .select(col("q"), col("__lower").as("value_lb"))
+      .orderBy("q")
+  }
+
+  /** DuckDB twin of [[logQuantiles]] — identical integer bucketing
+    * (`len(bin(v))` bit length, shift arithmetic) and rank selection.
+    */
+  def logQuantilesSql(table: String, valueExpr: String, qs: Seq[Double],
+                      subBits: Int = 6): String = {
+    val small = 1L << subBits
+    val qList = qs.sorted.mkString(", ")
+    s"""WITH vals AS (
+       |  SELECT CAST($valueExpr AS BIGINT) AS v FROM $table
+       |  WHERE $valueExpr IS NOT NULL AND $valueExpr >= 0),
+       |b AS (
+       |  SELECT CASE WHEN v < $small THEN v
+       |           ELSE (len(bin(v)) - 1) * ${small * 2}
+       |                + (v >> (len(bin(v)) - 1 - $subBits)) END AS bucket,
+       |    min(CASE WHEN v < $small THEN v
+       |          ELSE (v >> (len(bin(v)) - 1 - $subBits))
+       |               << (len(bin(v)) - 1 - $subBits) END) AS lower,
+       |    count(*) AS cnt
+       |  FROM vals GROUP BY 1),
+       |c AS (
+       |  SELECT bucket, lower, cnt,
+       |    SUM(cnt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM b),
+       |n AS (SELECT SUM(cnt) AS n FROM b),
+       |qq AS (SELECT CAST(unnest([$qList]) AS DOUBLE) AS q)
+       |SELECT q, CAST(lower AS BIGINT) AS value_lb
+       |FROM c, n, qq
+       |WHERE cum >= greatest(1, ceil(q * n))
+       |  AND cum - cnt < greatest(1, ceil(q * n))
+       |ORDER BY q""".stripMargin
+  }
 }

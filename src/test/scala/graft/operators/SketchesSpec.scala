@@ -88,4 +88,30 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
     val n = Sketches.cmsSketch(rows, col("key")).count()
     assert(n <= Sketches.CmsDepth.toLong * Sketches.CmsWidth)
   }
+
+  test("log-bucket quantiles: lower bound within 2^-subBits of the exact rank value") {
+    // heavy-tailed deterministic values exercise many octaves
+    val vals = (1 to 20000).map(i => (i.toLong * i * 7 + i) % 9999991L)
+    val df = vals.toDF("v")
+    val qs = Seq(0.1, 0.5, 0.9, 0.99, 1.0)
+    val est = Sketches.logQuantiles(df, col("v"), qs, subBits = 6)
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val sorted = vals.sorted
+    qs.foreach { q =>
+      val exact = sorted(math.max(0, math.ceil(q * sorted.length).toInt - 1))
+      val lb = est(q)
+      assert(lb <= exact, s"q=$q: lower bound $lb above exact $exact")
+      assert(exact - lb <= exact / 64.0 + 1,
+        s"q=$q: bound $lb misses exact $exact by more than 2^-6 relative")
+    }
+  }
+
+  test("log-bucket quantiles are partitioning-invariant (mergeable state)") {
+    val vals = (1 to 5000).map(i => (i.toLong * 31 + 7) % 100000L)
+    val one = Sketches.logQuantiles(vals.toDF("v").coalesce(1), col("v"),
+      Seq(0.5, 0.95)).collect().map(_.toSeq).toSeq
+    val many = Sketches.logQuantiles(vals.toDF("v").repartition(17), col("v"),
+      Seq(0.5, 0.95)).collect().map(_.toSeq).toSeq
+    assert(one == many)
+  }
 }
