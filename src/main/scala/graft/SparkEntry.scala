@@ -2317,6 +2317,39 @@ object SparkEntry {
         "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)",
         Seq(0.5, 0.9, 0.99)))),
 
+    // The same sketch maintained as a STREAM (13th streaming route):
+    // the bucket table is a complete-mode streaming groupBy — the
+    // fixed-size commutative state needs no new code to become the
+    // streaming combiner — replayed in three micro-batches, quantiles
+    // read from the maintained state, same oracle as the batch row
+    Q("streaming_quantiles",
+      (s, dir) => withStreamShuffle(s) {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val cents = Tables.lineitem(s, dir)
+          .select(floor(col("l_extendedprice") * 100d + 0.5d)
+            .cast("long").as("cents"))
+          .collect().map(_.getLong(0)).toSeq
+        val ms = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[Long]
+        val buckets = graft.operators.Sketches.bucketCounts(
+          ms.toDS().toDF("cents"), col("cents"))
+        val qName = "graft_streaming_quantiles"
+        val q = buckets.writeStream.format("memory").queryName(qName)
+          .outputMode("complete").start()
+        try {
+          cents.grouped(cents.length / 3 + 1).foreach { chunk =>
+            ms.addData(chunk)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        graft.operators.Sketches.quantilesFromBuckets(
+          s.table(qName), Seq(0.5, 0.9, 0.99))
+      },
+      Some(graft.operators.Sketches.logQuantilesSql("lineitem",
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)",
+        Seq(0.5, 0.9, 0.99)))),
+
     // RefinedWeb-style per-domain document cap: at most 10 docs per
     // source, preferring quality score (10 of ~25 fixture docs survive) — row_number ≤ n plans as a
     // map-side WindowGroupLimit, so a mega-domain costs its cap (not

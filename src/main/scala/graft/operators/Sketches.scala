@@ -289,37 +289,54 @@ object Sketches {
     * (count them upstream if they matter).
     */
   def logQuantiles(df: DataFrame, valueCol: Column, qs: Seq[Double],
+                   subBits: Int = 6): DataFrame =
+    quantilesFromBuckets(bucketCounts(df, valueCol, subBits), qs)
+
+  /** THE mergeable sketch state: `(bucket, lower, cnt)` — bounded at
+    * `64·2^(subBits+1)` rows, commutative under count-sum merge. This
+    * aggregation runs unchanged as a streaming complete-mode groupBy
+    * ([[graft.streaming]] `streaming_quantiles` gate), which is the
+    * point: the batch state IS the streaming combiner.
+    */
+  def bucketCounts(df: DataFrame, valueCol: Column,
                    subBits: Int = 6): DataFrame = {
-    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
-      "quantiles must be in (0, 1]")
     require(subBits >= 1 && subBits <= 16, "subBits must be in [1, 16]")
-    val spark = df.sparkSession
-    import spark.implicits._
     val small = 1L << subBits
-    val buckets = df.select(valueCol.cast("long").as("__v"))
+    df.select(valueCol.cast("long").as("__v"))
       .where(col("__v").isNotNull && col("__v") >= 0)
       .withColumn("__msb", (length(bin(col("__v"))) - 1).cast("long"))
       .withColumn("__t", expr(s"shiftright(__v, CAST(__msb AS INT) - $subBits)"))
       .select(
         when(col("__v") < small, col("__v"))
-          .otherwise(col("__msb") * (small * 2) + col("__t")).as("__bucket"),
+          .otherwise(col("__msb") * (small * 2) + col("__t")).as("bucket"),
         when(col("__v") < small, col("__v"))
           .otherwise(expr(s"shiftleft(__t, CAST(__msb AS INT) - $subBits)"))
-          .as("__lower"))
-      .groupBy("__bucket")
-      .agg(min(col("__lower")).as("__lower"), count(lit(1)).as("__cnt"))
+          .as("lower"))
+      .groupBy("bucket")
+      .agg(min(col("lower")).as("lower"), count(lit(1)).as("cnt"))
+  }
+
+  /** Rank selection over a `(bucket, lower, cnt)` state table —
+    * bounded input by construction, so the single-partition cumulative
+    * window is a deliberate non-issue.
+    */
+  def quantilesFromBuckets(buckets: DataFrame, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      "quantiles must be in (0, 1]")
+    val spark = buckets.sparkSession
+    import spark.implicits._
     val W = org.apache.spark.sql.expressions.Window
-    val w = W.orderBy("__bucket")
+    val w = W.orderBy("bucket")
       .rowsBetween(W.unboundedPreceding, W.currentRow)
     val cum = buckets
-      .withColumn("__cum", sum(col("__cnt")).over(w))
-      .crossJoin(broadcast(buckets.agg(sum(col("__cnt")).as("__n"))))
+      .withColumn("__cum", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(buckets.agg(sum(col("cnt")).as("__n"))))
     val qframe = qs.sorted.toDF("q")
     cum.crossJoin(broadcast(qframe))
       .withColumn("__rank", greatest(lit(1L), ceil(col("q") * col("__n"))))
       .where(col("__cum") >= col("__rank") &&
-        col("__cum") - col("__cnt") < col("__rank"))
-      .select(col("q"), col("__lower").as("value_lb"))
+        col("__cum") - col("cnt") < col("__rank"))
+      .select(col("q"), col("lower").as("value_lb"))
       .orderBy("q")
   }
 
