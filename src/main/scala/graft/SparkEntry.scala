@@ -2326,7 +2326,11 @@ object SparkEntry {
       (s, dir) => withStreamShuffle(s) {
         import s.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        // deterministic quarter-corpus replay (oracle filtered
+        // identically) — the maintained-state semantics need the
+        // micro-batches, not the volume
         val cents = Tables.lineitem(s, dir)
+          .where(pmod(col("l_orderkey"), lit(4)) === 0)
           .select(floor(col("l_extendedprice") * 100d + 0.5d)
             .cast("long").as("cents"))
           .collect().map(_.getLong(0)).toSeq
@@ -2346,7 +2350,8 @@ object SparkEntry {
         graft.operators.Sketches.quantilesFromBuckets(
           s.table(qName), Seq(0.5, 0.9, 0.99))
       },
-      Some(graft.operators.Sketches.logQuantilesSql("lineitem",
+      Some(graft.operators.Sketches.logQuantilesSql(
+        "(SELECT * FROM lineitem WHERE l_orderkey % 4 = 0) l4",
         "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)",
         Seq(0.5, 0.9, 0.99)))),
 
