@@ -69,8 +69,11 @@ object GraftFunctions {
         require(exprs(1).foldable, s"non-literal term list; usage: $usage")
         val terms = exprs(1).eval(null) match {
           case a: org.apache.spark.sql.catalyst.util.ArrayData =>
-            (0 until a.numElements()).map(i =>
-              a.getUTF8String(i).toString)
+            (0 until a.numElements()).map { i =>
+              if (a.isNullAt(i)) throw new IllegalArgumentException(
+                s"term $i is NULL; usage: $usage")
+              a.getUTF8String(i).toString
+            }
           case other => throw new IllegalArgumentException(
             s"argument 2 is ${if (other == null) "NULL" else other.getClass.getSimpleName}; usage: $usage")
         }

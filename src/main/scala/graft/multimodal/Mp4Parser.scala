@@ -152,23 +152,36 @@ object Mp4Parser {
     } yield r).getOrElse(return Array.empty)
     val (ss, se) = stbl
 
+    // Entry counts are UNTRUSTED u32 fields from the file: clamp each
+    // table to what fits in its box payload (and the uniform-size
+    // sample count to what fits in the file), so a corrupt or hostile
+    // count can neither drive a multi-GB allocation nor read past the
+    // box end — corrupt files are data, not exceptions.
+    def clamped(declared: Long, payloadCap: Long): Int =
+      math.min(declared, math.max(0L, payloadCap)).toInt
+
     val sizes: Array[Long] = findBox(data, ss, se, "stsz").map { case (s, e) =>
       if (s + 12 > e) Array.empty[Long]
       else {
         val uniform = u32(data, s + 4)
-        val n = u32(data, s + 8).toInt
-        if (uniform != 0) Array.fill(n)(uniform)
-        else Array.tabulate(n)(i => u32(data, s + 12 + 4 * i))
+        val declared = u32(data, s + 8)
+        if (uniform > 0) {
+          // no per-sample table; total bytes can't exceed the file
+          Array.fill(clamped(declared, data.length.toLong / uniform))(uniform)
+        } else {
+          val n = clamped(declared, (e - (s + 12)).toLong / 4)
+          Array.tabulate(n)(i => u32(data, s + 12 + 4 * i))
+        }
       }
     }.getOrElse(Array.empty)
     if (sizes.isEmpty) return Array.empty
 
     val chunkOffsets: Array[Long] =
       findBox(data, ss, se, "stco").map { case (s, e) =>
-        val n = u32(data, s + 4).toInt
+        val n = clamped(u32(data, s + 4), (e - (s + 8)).toLong / 4)
         Array.tabulate(n)(i => u32(data, s + 8 + 4 * i))
       }.orElse(findBox(data, ss, se, "co64").map { case (s, e) =>
-        val n = u32(data, s + 4).toInt
+        val n = clamped(u32(data, s + 4), (e - (s + 8)).toLong / 8)
         Array.tabulate(n)(i => u64(data, s + 8 + 8 * i))
       }).getOrElse(Array.empty)
     if (chunkOffsets.isEmpty) return Array.empty
@@ -176,7 +189,7 @@ object Mp4Parser {
     // stsc runs: (first_chunk, samples_per_chunk); absent → 1 per chunk
     val stscRuns: Array[(Int, Int)] = findBox(data, ss, se, "stsc")
       .map { case (s, e) =>
-        val n = u32(data, s + 4).toInt
+        val n = clamped(u32(data, s + 4), (e - (s + 8)).toLong / 12)
         Array.tabulate(n)(i =>
           (u32(data, s + 8 + 12 * i).toInt, u32(data, s + 12 + 12 * i).toInt))
       }.filter(_.nonEmpty).getOrElse(Array((1, 1)))
@@ -201,9 +214,14 @@ object Mp4Parser {
     out.take(sample)
   }
 
-  /** Frame byte-ranges of a raw MJPEG stream (concatenated JPEGs):
-    * SOI..EOI spans with FF00-stuffing skipped and nested SOI depth
-    * tracked (EXIF thumbnails embed complete JPEGs).
+  /** Frame byte-ranges of a raw MJPEG stream (concatenated JPEGs).
+    * Length-prefixed marker segments (APPn/DQT/DHT/SOFn/SOS/COM…) are
+    * skipped wholesale by their declared length, so an incidental
+    * `FF D9` byte pair inside table data is never misread as EOI;
+    * consecutive `FF` bytes are JPEG fill (advance one, so the real
+    * marker after a fill run is still seen). Bare nested SOI depth is
+    * still tracked for EXIF-thumbnail-shaped embeddings that aren't
+    * wrapped in a length-prefixed segment.
     */
   def jpegFrameRanges(data: Array[Byte]): Array[(Int, Int)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
@@ -213,17 +231,29 @@ object Mp4Parser {
       if (u8(data, i) == 0xFF && u8(data, i + 1) == 0xD8) {
         val start = i
         var depth = 1
+        var broken = false
         i += 2
-        while (depth > 0 && i + 1 < n) {
-          if (u8(data, i) == 0xFF) {
+        while (depth > 0 && !broken && i + 1 < n) {
+          if (u8(data, i) != 0xFF) i += 1 // entropy-coded byte
+          else {
             val m = u8(data, i + 1)
-            if (m == 0xD8) { depth += 1; i += 2 }
-            else if (m == 0xD9) { depth -= 1; i += 2 }
-            else i += 2 // stuffing (FF00), restarts, segment markers
-          } else i += 1
+            if (m == 0xFF) i += 1 // fill byte: the next FF may start a marker
+            else if (m == 0xD8) { depth += 1; i += 2 } // bare nested SOI
+            else if (m == 0xD9) { depth -= 1; i += 2 } // EOI
+            else if (m == 0x00 || m == 0x01 || (m >= 0xD0 && m <= 0xD7))
+              i += 2 // stuffing / TEM / RSTn: standalone, no length
+            else {
+              // length-prefixed segment: skip its payload entirely
+              if (i + 3 < n) {
+                val len = (u8(data, i + 2) << 8) | u8(data, i + 3)
+                if (len < 2 || i + 2 + len > n) broken = true
+                else i += 2 + len
+              } else broken = true
+            }
+          }
         }
-        if (depth == 0) out += ((start, i))
-        // depth > 0: truncated trailing frame — dropped, not guessed
+        if (depth == 0 && !broken) out += ((start, i))
+        // truncated/corrupt trailing frame — dropped, not guessed
       } else i += 1
     }
     out.toArray

@@ -83,6 +83,14 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     }
     assert(e.getMessage.contains("non-literal"),
       s"foldability error lacks reason: ${e.getMessage}")
+    // a NULL literal inside the term list gets the same friendly usage
+    // error, not a raw NullPointerException at analysis time
+    val eNull = intercept[Exception] {
+      spark.range(1).selectExpr(
+        "graft_term_stats('x', array('a', NULL))").collect()
+    }
+    assert(eNull.getMessage.contains("usage"),
+      s"NULL-term error lacks usage text: ${eNull.getMessage}")
   }
 
   test("graft_hyperplane_bands matches the Column-API kernel") {

@@ -145,4 +145,59 @@ class Mp4ParserSpec extends AnyFunSuite with SparkSpec {
     assert(ranges(0) == ((0, outer.length)))
     assert(ranges(1) == ((outer.length, outer.length + follow.length)))
   }
+
+  test("jpegFrameRanges skips marker segments by length (FF D9 in table data)") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // COM segment whose PAYLOAD contains the byte pair FF D9 — a naive
+    // marker scan reads it as EOI and splits the frame early
+    val frame = b(0xFF, 0xD8, 0xFF, 0xFE, 0x00, 0x04, 0xFF, 0xD9,
+      0xFF, 0xD9)
+    assert(Mp4Parser.jpegFrameRanges(frame).toSeq == Seq((0, frame.length)))
+    // FF FF fill byte directly before the real EOI marker: advancing 2
+    // per FF would skip the marker entirely
+    val filled = b(0xFF, 0xD8, 0xFF, 0xFF, 0xD9)
+    assert(Mp4Parser.jpegFrameRanges(filled).toSeq == Seq((0, filled.length)))
+    // segment length running past the buffer → frame dropped, no throw
+    val truncated = b(0xFF, 0xD8, 0xFF, 0xFE, 0x7F, 0xFF, 0x00)
+    assert(Mp4Parser.jpegFrameRanges(truncated).isEmpty)
+  }
+
+  test("sampleRanges clamps hostile/corrupt sample-table counts") {
+    val (file, samples) = buildMp4()
+    // locate the stsz box in the valid file and corrupt its count field
+    def corruptAt(marker: String, fieldOff: Int, v: Long): Array[Byte] = {
+      val idx = {
+        val pat = marker.getBytes("ISO-8859-1")
+        (0 until file.length - 4).find(i =>
+          file(i) == pat(0) && file(i + 1) == pat(1) &&
+          file(i + 2) == pat(2) && file(i + 3) == pat(3)).get
+      }
+      val copy = file.clone()
+      val bytes = be32(v)
+      System.arraycopy(bytes, 0, copy, idx + 4 + fieldOff, 4)
+      copy
+    }
+    // stsz sample_count = 0xFFFFFFFF with a 4-entry table: clamped to
+    // what fits in the box payload — no huge allocation, no OOB read
+    val hostileCount = corruptAt("stsz", 8, 0xFFFFFFFFL)
+    val r1 = Mp4Parser.sampleRanges(hostileCount)
+    assert(r1.length == samples.length) // payload holds exactly 4 entries
+    // uniform-size stsz with a huge count: clamped by file size
+    val uniformHuge = {
+      val c = corruptAt("stsz", 4, 1024L) // uniform sample size 1 KiB
+      val c2 = {
+        val idx = (0 until c.length - 4).find(i =>
+          c(i) == 's'.toByte && c(i + 1) == 't'.toByte &&
+          c(i + 2) == 's'.toByte && c(i + 3) == 'z'.toByte).get
+        val bytes = be32(0x7FFFFFFFL)
+        System.arraycopy(bytes, 0, c, idx + 4 + 8, 4); c
+      }
+      c2
+    }
+    val r2 = Mp4Parser.sampleRanges(uniformHuge)
+    assert(r2.length <= uniformHuge.length / 1024 + 1)
+    // stco chunk count inflated past its payload: clamped, no throw
+    val hostileStco = corruptAt("stco", 4, 0x10000000L)
+    Mp4Parser.sampleRanges(hostileStco) // must not throw
+  }
 }
