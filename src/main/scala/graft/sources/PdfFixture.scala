@@ -48,21 +48,31 @@ object PdfFixture {
   }
 
   /** Minimal PDF from page content streams; odd page indexes are
-    * Flate-compressed so both decode paths stay exercised.
+    * Flate-compressed so both decode paths stay exercised. Pages
+    * flagged `type0` carry a /Resources → /Font entry selecting a
+    * shared CID/Type0 font whose Flate-compressed /ToUnicode CMap
+    * ([[cmapSource]]) maps the fixture's 2-byte codes — exercising the
+    * composite-font extraction path under the flagship hash gate
+    * (real court PDFs embed CID-keyed fonts; the reference's fitz
+    * handles them, `/root/reference/extract_and_search.py:40-47`).
     */
-  private def buildPdf(pages: Seq[String]): Array[Byte] = {
+  private def buildPdf(pages: Seq[(String, Boolean)]): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
     val n = pages.length
     val pageIds = (0 until n).map(3 + _)
     val contentIds = (0 until n).map(3 + n + _)
+    val fontId = 3 + 2 * n
+    val cmapId = fontId + 1
     w("%PDF-1.4\n")
     w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
     w(s"2 0 obj\n<< /Type /Pages /Kids [${pageIds.map(i => s"$i 0 R").mkString(" ")}] /Count $n >>\nendobj\n")
-    pageIds.zip(contentIds).foreach { case (p, c) =>
-      w(s"$p 0 obj\n<< /Type /Page /Parent 2 0 R /Contents $c 0 R >>\nendobj\n")
+    pageIds.zip(contentIds).zip(pages).foreach { case ((p, c), (_, type0)) =>
+      val res =
+        if (type0) s" /Resources << /Font << /T0 $fontId 0 R >> >>" else ""
+      w(s"$p 0 obj\n<< /Type /Page /Parent 2 0 R /Contents $c 0 R$res >>\nendobj\n")
     }
-    pages.zip(contentIds).zipWithIndex.foreach { case ((content, c), i) =>
+    pages.map(_._1).zip(contentIds).zipWithIndex.foreach { case ((content, c), i) =>
       val raw = content.getBytes(StandardCharsets.ISO_8859_1)
       if (i % 2 == 1) {
         val z = deflate(raw)
@@ -74,8 +84,59 @@ object PdfFixture {
       }
       w("\nendstream\nendobj\n")
     }
+    if (pages.exists(_._2)) {
+      w(s"$fontId 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /GraftCID" +
+        s" /Encoding /Identity-H /ToUnicode $cmapId 0 R >>\nendobj\n")
+      val z = deflate(cmapSource.getBytes(StandardCharsets.ISO_8859_1))
+      w(s"$cmapId 0 obj\n<< /Length ${z.length} /Filter /FlateDecode >>\nstream\n")
+      out.write(z)
+      w("\nendstream\nendobj\n")
+    }
     w("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
     out.toByteArray
+  }
+
+  // ---- shared Type0 code table ---------------------------------------
+  // Deliberately NON-identity codes: lowercase letters ride one
+  // bfrange at 0x0200, every other fixture char gets a bfchar at
+  // 0x0300+i — so a Latin-1 fallback would visibly garble the page and
+  // the hash gate proves the CMap path ran.
+
+  private val BfRangeLo = 0x0200
+  private val BfCharBase = 0x0300
+
+  private lazy val bfCharCodes: Map[Char, Int] =
+    (0 until NumPairs).flatMap(p => decisionSentence(p)).distinct
+      .filterNot(c => c >= 'a' && c <= 'z').sorted.zipWithIndex
+      .map { case (c, i) => c -> (BfCharBase + i) }.toMap
+
+  private def type0Hex(text: String): String =
+    text.map { c =>
+      val code = if (c >= 'a' && c <= 'z') BfRangeLo + (c - 'a')
+                 else bfCharCodes(c)
+      f"$code%04X"
+    }.mkString
+
+  private lazy val cmapSource: String = {
+    val chars = bfCharCodes.toSeq.sortBy(_._2)
+      .map { case (c, code) => f"<$code%04X> <${c.toInt}%04X>" }
+      .mkString("\n")
+    s"""/CIDInit /ProcSet findresource begin
+       |12 dict begin
+       |begincmap
+       |1 begincodespacerange
+       |<0000> <FFFF>
+       |endcodespacerange
+       |1 beginbfrange
+       |<0200> <0219> <0061>
+       |endbfrange
+       |${bfCharCodes.size} beginbfchar
+       |$chars
+       |endbfchar
+       |endcmap
+       |CMapName currentdict /CMap defineresource pop
+       |end
+       |end""".stripMargin
   }
 
   private def tj(lines: String*): String =
@@ -93,13 +154,17 @@ object PdfFixture {
   }
 
   /** Page content streams of pair `p`: 13-word heading paragraph,
-    * empty page, decision paragraph.
+    * empty page, decision paragraph. The decision page renders through
+    * the shared CID/Type0 font — its text only extracts correctly
+    * through the /ToUnicode CMap path, so every flagship row exercises
+    * composite-font extraction.
     */
-  private def pages(p: Int): Seq[String] = Seq(
-    tj(s"Appeal No. ${100 + p} of 2024",
-      "In the matter of Alpha versus Beta Industries"),
-    "q Q", // textless page => empty page text => the \n\n para boundary
-    tj(decisionSentence(p)))
+  private def pages(p: Int): Seq[(String, Boolean)] = Seq(
+    (tj(s"Appeal No. ${100 + p} of 2024",
+      "In the matter of Alpha versus Beta Industries"), false),
+    ("q Q", false), // textless page => empty text => the \n\n boundary
+    (s"BT /T0 12 Tf 72 720 Td <${type0Hex(decisionSentence(p))}> Tj ET",
+      true))
 
   /** Write the PDF corpus and the extracted-text parquet (idempotent
     * overwrite); returns [[PdfDir]]. The parquet carries exactly what

@@ -29,8 +29,16 @@ import scala.util.matching.Regex
   * line moves → `"\n"`. Literal strings handle the full escape set
   * (octal, line continuations); hex strings decode pairwise. Bytes map
   * through Latin-1 — correct for the WinAnsi/ASCII text these
-  * documents carry; CID/Type0 composite fonts need the PDFBox path.
-  * Scanned (image-only) PDFs correctly produce "" — there is no text.
+  * documents carry. CID/Type0 composite fonts (ubiquitous in real
+  * court PDFs — the reference's fitz `get_text` handles their embedded
+  * CID-keyed fonts, `/root/reference/extract_and_search.py:40-47`) are
+  * mapped through their embedded `/ToUnicode` CMap: the page's
+  * /Resources → /Font dictionary is resolved, each Type0 font's CMap
+  * (`begincodespacerange`/`beginbfchar`/`beginbfrange`, 1- and 2-byte
+  * codes, UTF-16BE targets incl. array-form ranges) is parsed once,
+  * and `Tf` font selection switches string decoding to the CMap —
+  * covering digitally-born Type0 documents without PDFBox. Scanned
+  * (image-only) PDFs correctly produce "" — there is no text.
   */
 object PdfTextExtractor {
 
@@ -125,6 +133,184 @@ object PdfTextExtractor {
     }
   }
 
+  // ---- /ToUnicode CMap (CID/Type0 composite fonts) -------------------
+
+  /** Minimal embedded `/ToUnicode` CMap: codespace byte-lengths plus
+    * bfchar/bfrange mappings. Codes are matched against the declared
+    * codespaces (2-byte Identity-H style when none declared), targets
+    * are UTF-16BE; unmapped-but-in-codespace codes emit nothing (the
+    * glyph has no text meaning). This is the class of CMap
+    * digitally-born Type0 court PDFs embed.
+    */
+  private[sources] final class ToUnicodeCMap(
+      codeSpaces: Seq[(Int, Int, Int)], // (byteLen, lo, hi)
+      chars: Map[Int, String],
+      ranges: Seq[(Int, Int, Either[String, IndexedSeq[String]])]) {
+
+    private def lookup(code: Int): Option[String] =
+      chars.get(code).orElse {
+        ranges.collectFirst {
+          case (lo, hi, dst) if code >= lo && code <= hi => dst match {
+            case Right(arr) =>
+              if (code - lo < arr.length) arr(code - lo) else ""
+            case Left(start) =>
+              // increment the last UTF-16 code unit by the offset
+              if (start.isEmpty) ""
+              else start.substring(0, start.length - 1) +
+                (start.charAt(start.length - 1) + (code - lo)).toChar
+          }
+        }
+      }
+
+    /** Decode a raw byte-string (chars 0–255, as produced by the
+      * literal/hex string readers) through the CMap.
+      */
+    def decode(raw: String): String = {
+      val spaces = if (codeSpaces.nonEmpty) codeSpaces else Seq((2, 0, 0xFFFF))
+      val out = new StringBuilder
+      var i = 0
+      while (i < raw.length) {
+        var used = 0
+        spaces.foreach { case (len, lo, hi) =>
+          if (used == 0 && i + len <= raw.length) {
+            var code = 0
+            var k = 0
+            while (k < len) { code = (code << 8) | (raw.charAt(i + k) & 0xFF); k += 1 }
+            if (code >= lo && code <= hi) {
+              lookup(code).foreach(out.append(_))
+              used = len
+            }
+          }
+        }
+        if (used == 0) { // outside every declared space: one byte, best effort
+          lookup(raw.charAt(i) & 0xFF).foreach(out.append(_))
+          used = 1
+        }
+        i += used
+      }
+      out.toString
+    }
+  }
+
+  private val cmapHexTok: Regex = """<([0-9A-Fa-f]+)>""".r
+
+  /** UTF-16BE hex → String (whole 4-digit code units; CMap targets are
+    * UTF-16BE per the spec).
+    */
+  private def utf16(hex: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i + 4 <= hex.length) {
+      sb.append(Integer.parseInt(hex.substring(i, i + 4), 16).toChar)
+      i += 4
+    }
+    // a dangling 2-digit tail (non-conformant but seen in the wild):
+    // treat as a single byte value
+    if (i + 2 <= hex.length) sb.append(Integer.parseInt(hex.substring(i, i + 2), 16).toChar)
+    sb.toString
+  }
+
+  private[sources] def parseToUnicode(cmap: String): ToUnicodeCMap = {
+    def sections(kw: String): Iterator[String] =
+      (s"(?s)begin$kw(.*?)end$kw").r.findAllMatchIn(cmap).map(_.group(1))
+    val spaces = sections("codespacerange").flatMap { body =>
+      cmapHexTok.findAllMatchIn(body).map(_.group(1)).grouped(2).collect {
+        case Seq(lo, hi) if lo.length == hi.length =>
+          (lo.length / 2, Integer.parseInt(lo, 16), Integer.parseInt(hi, 16))
+      }
+    }.toSeq
+    val chars = sections("bfchar").flatMap { body =>
+      cmapHexTok.findAllMatchIn(body).map(_.group(1)).grouped(2).collect {
+        case Seq(src, dst) => Integer.parseInt(src, 16) -> utf16(dst)
+      }
+    }.toMap
+    val ranges = sections("bfrange").flatMap { body =>
+      val out = mutable.ArrayBuffer[(Int, Int, Either[String, IndexedSeq[String]])]()
+      var i = 0
+      def skipWs(): Unit =
+        while (i < body.length && body.charAt(i).isWhitespace) i += 1
+      def readHex(): Option[String] = {
+        skipWs()
+        if (i < body.length && body.charAt(i) == '<') {
+          val j = body.indexOf('>', i)
+          if (j < 0) None
+          else { val h = body.substring(i + 1, j); i = j + 1; Some(h) }
+        } else None
+      }
+      var ok = true
+      while (ok) {
+        (readHex(), readHex()) match {
+          case (Some(lo), Some(hi)) =>
+            val (loI, hiI) = (Integer.parseInt(lo, 16), Integer.parseInt(hi, 16))
+            skipWs()
+            if (i < body.length && body.charAt(i) == '[') {
+              i += 1
+              val arr = mutable.ArrayBuffer[String]()
+              var h = readHex()
+              while (h.isDefined) { arr += utf16(h.get); h = readHex() }
+              skipWs()
+              if (i < body.length && body.charAt(i) == ']') i += 1
+              out += ((loI, hiI, Right(arr.toIndexedSeq)))
+            } else readHex() match {
+              case Some(d) => out += ((loI, hiI, Left(utf16(d))))
+              case None => ok = false
+            }
+          case _ => ok = false
+        }
+      }
+      out
+    }.toSeq
+    new ToUnicodeCMap(spaces, chars, ranges)
+  }
+
+  /** A balanced `<< … >>` dictionary starting at/after `from`. */
+  private def balancedDict(s: String, from: Int): String = {
+    val start = s.indexOf("<<", from)
+    if (start < 0) return ""
+    var depth = 0
+    var i = start
+    while (i + 1 < s.length) {
+      if (s.charAt(i) == '<' && s.charAt(i + 1) == '<') { depth += 1; i += 2 }
+      else if (s.charAt(i) == '>' && s.charAt(i + 1) == '>') {
+        depth -= 1; i += 2
+        if (depth == 0) return s.substring(start, i)
+      } else i += 1
+    }
+    s.substring(start)
+  }
+
+  /** Resource-name → CMap for the page's Type0 fonts that carry a
+    * /ToUnicode stream (simple fonts keep the Latin-1 path — their
+    * bytes ARE the text for the WinAnsi documents this parser targets).
+    */
+  private def fontCMaps(page: Obj, byNum: Map[Int, Obj]): Map[String, ToUnicodeCMap] = {
+    val resDict: String = {
+      val inline = page.dict.indexOf("/Resources")
+      """/Resources\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(page.dict)
+        .flatMap(m => byNum.get(m.group(1).toInt)).map(_.dict)
+        .getOrElse(if (inline >= 0) balancedDict(page.dict, inline) else "")
+    }
+    if (resDict.isEmpty) return Map.empty
+    val fi = resDict.indexOf("/Font")
+    if (fi < 0) return Map.empty
+    val fontDict: String =
+      """/Font\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(resDict)
+        .flatMap(m => byNum.get(m.group(1).toInt)).map(_.dict)
+        .getOrElse(balancedDict(resDict, fi))
+    """/([A-Za-z0-9_.]+)\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(fontDict)
+      .flatMap { m =>
+        byNum.get(m.group(2).toInt)
+          .filter(f => """/Subtype\s*/Type0\b""".r.findFirstIn(f.dict).isDefined)
+          .flatMap { f =>
+            """/ToUnicode\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(f.dict)
+              .flatMap(r => byNum.get(r.group(1).toInt))
+              .flatMap(o => o.stream.map(s => decodeStream(o.dict, s)))
+              .map(bytes => m.group(1) ->
+                parseToUnicode(new String(bytes, StandardCharsets.ISO_8859_1)))
+          }
+      }.toMap
+  }
+
   // ---- built-in minimal parser ---------------------------------------
 
   private final case class Obj(num: Int, dict: String, stream: Option[Array[Byte]])
@@ -151,7 +337,8 @@ object PdfTextExtractor {
       val streams: Seq[Array[Byte]] =
         if (page.dict.matches("(?s).*\\/Contents\\b.*")) contentsOf(page, byNum)
         else page.stream.toSeq.map(s => decodeStream(page.dict, s))
-      val text = streams.map(s => textFromContent(s)).mkString
+      val fonts = fontCMaps(page, byNum)
+      val text = streams.map(s => textFromContent(s, fonts)).mkString
       Some(text)
     }
     pages.mkString("\n")
@@ -244,8 +431,14 @@ object PdfTextExtractor {
     } finally inf.end()
   }
 
-  /** Text from one decoded content stream: BT…ET blocks only. */
-  private[sources] def textFromContent(content: Array[Byte]): String = {
+  /** Text from one decoded content stream: BT…ET blocks only. Strings
+    * shown under a Type0 font (selected via `Tf` against `fonts`)
+    * decode through that font's /ToUnicode CMap; all others pass
+    * through as Latin-1 bytes.
+    */
+  private[sources] def textFromContent(
+      content: Array[Byte],
+      fonts: Map[String, ToUnicodeCMap] = Map.empty): String = {
     val s = new String(content, StandardCharsets.ISO_8859_1)
     val sb = new StringBuilder
     def newline(): Unit =
@@ -253,6 +446,10 @@ object PdfTextExtractor {
 
     var i = 0
     var inText = false
+    var cmap: Option[ToUnicodeCMap] = None
+    var pendingName = "" // last /Name operand (for Tf font selection)
+    def emit(raw: String): Unit =
+      sb.append(cmap.map(_.decode(raw)).getOrElse(raw))
     // operand stack of decoded strings since the last operator — `Tj`
     // consumes one, `TJ` is handled at the array level, `"` takes the
     // last string operand
@@ -267,8 +464,14 @@ object PdfTextExtractor {
           val (str, next) = hexString(s, i)
           pendingStrings ::= str; i = next
         case '<' => i += 2 // dict open «<<»
+        case '/' =>
+          val start = i + 1
+          var j = start
+          while (j < s.length && !s.charAt(j).isWhitespace &&
+            !"()<>[]{}/%".contains(s.charAt(j))) j += 1
+          pendingName = s.substring(start, j); i = j
         case '[' if inText =>
-          val (txt, next) = tjArray(s, i)
+          val (txt, next) = tjArray(s, i, cmap)
           sb.append(txt); i = next
           pendingStrings = Nil
         case '%' => // comment to EOL
@@ -282,12 +485,14 @@ object PdfTextExtractor {
             case "BT" => // new text block → new line (if any text yet)
               inText = true; pendingStrings = Nil; newline()
             case "ET" => inText = false; pendingStrings = Nil
+            case "Tf" => // font selection: switch the string decoder
+              cmap = fonts.get(pendingName); pendingStrings = Nil
             case "Tj" if inText =>
-              pendingStrings.headOption.foreach(sb.append(_)); pendingStrings = Nil
+              pendingStrings.headOption.foreach(emit); pendingStrings = Nil
             case "'" if inText =>
-              newline(); pendingStrings.headOption.foreach(sb.append(_)); pendingStrings = Nil
+              newline(); pendingStrings.headOption.foreach(emit); pendingStrings = Nil
             case "\"" if inText =>
-              newline(); pendingStrings.headOption.foreach(sb.append(_)); pendingStrings = Nil
+              newline(); pendingStrings.headOption.foreach(emit); pendingStrings = Nil
             case "Td" | "TD" | "T*" if inText =>
               newline(); pendingStrings = Nil
             case _ => pendingStrings = Nil // any other operator clears operands
@@ -356,18 +561,22 @@ object PdfTextExtractor {
   }
 
   /** `[ (a) -120 (b) ] TJ` array at `from`: strings concatenated,
-    * kerning numbers dropped. Consumes through the closing `]` (the
-    * following `TJ` operator is then a no-op with no operands).
+    * kerning numbers dropped; each element decodes through the active
+    * font's CMap (element-level, so code boundaries never straddle
+    * array entries). Consumes through the closing `]` (the following
+    * `TJ` operator is then a no-op with no operands).
     */
-  private def tjArray(s: String, from: Int): (String, Int) = {
+  private def tjArray(s: String, from: Int,
+                      cmap: Option[ToUnicodeCMap]): (String, Int) = {
+    def dec(raw: String): String = cmap.map(_.decode(raw)).getOrElse(raw)
     val sb = new StringBuilder
     var i = from + 1
     while (i < s.length && s.charAt(i) != ']') {
       s.charAt(i) match {
         case '(' =>
-          val (str, next) = literalString(s, i); sb.append(str); i = next
+          val (str, next) = literalString(s, i); sb.append(dec(str)); i = next
         case '<' =>
-          val (str, next) = hexString(s, i); sb.append(str); i = next
+          val (str, next) = hexString(s, i); sb.append(dec(str)); i = next
         case _ => i += 1
       }
     }

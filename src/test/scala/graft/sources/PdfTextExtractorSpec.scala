@@ -109,6 +109,71 @@ class PdfTextExtractorSpec extends AnyFunSuite with SparkSpec {
     assert(BinaryDocs.extractText(pdf) == s"$wantPage1\n$wantPage2")
   }
 
+  test("Type0 font strings decode through the embedded /ToUnicode CMap") {
+    // Hand-built CMap covering every mapping form: bfchar (incl. a
+    // multi-code-unit ligature target), single-dst bfrange (increment
+    // semantics), and array-form bfrange. Codes are deliberately
+    // non-identity so a Latin-1 fallback would garble visibly.
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |begincmap
+        |1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |2 beginbfchar
+        |<0101> <0020>
+        |<0102> <006600660069>
+        |endbfchar
+        |2 beginbfrange
+        |<0200> <0219> <0061>
+        |<0300> <0302> [<0058> <0059> <005A>]
+        |endbfrange
+        |endcmap
+        |endcmap
+        |end""".stripMargin
+    def hex(codes: Int*): String = codes.map(c => f"$c%04X").mkString
+    // "o" + ligature-ffi + "ce" = "office"; then space, bfrange-array XYZ
+    val word = hex(0x020E, 0x0102, 0x0202, 0x0204) // o ffi c e
+    val tail = hex(0x0101, 0x0300, 0x0301, 0x0302) // ' ' X Y Z
+    // one Type0 string via Tj, one via TJ array, plus a simple-font
+    // string on the SAME page proving Tf switches the decoder back
+    val content = s"BT /T0 12 Tf 72 720 Td <$word> Tj " +
+      s"0 -14 Td [<$tail> -120 <${hex(0x0200)}>] TJ " +
+      "/F1 12 Tf 0 -14 Td (plain latin) Tj ET"
+    val c = content.getBytes(StandardCharsets.ISO_8859_1)
+    val cm = cmap.getBytes(StandardCharsets.ISO_8859_1)
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.4\n")
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    w("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    w("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /Font << /T0 5 0 R >> >> >>\nendobj\n")
+    w(s"4 0 obj\n<< /Length ${c.length} >>\nstream\n"); out.write(c)
+    w("\nendstream\nendobj\n")
+    w("5 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /T /Encoding " +
+      "/Identity-H /ToUnicode 6 0 R >>\nendobj\n")
+    w(s"6 0 obj\n<< /Length ${cm.length} >>\nstream\n"); out.write(cm)
+    w("\nendstream\nendobj\n")
+    w("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+    val got = PdfTextExtractor.extract(out.toByteArray)
+    assert(got == "office\n XYZa\nplain latin")
+  }
+
+  test("fixture corpus Type0 decision pages extract ground-truth text") {
+    // The flagship gate is self-consistent (oracle reads the engine's
+    // extraction), so the exact sentence is pinned HERE: if the CMap
+    // path garbled, the cascade-bearing decision text would differ.
+    val dir = PdfFixture.ensure(spark)
+    val pdf = Files.readAllBytes(java.nio.file.Paths.get(dir, "case_0a.pdf"))
+    assert(PdfTextExtractor.extract(pdf) ==
+      "Appeal No. 100 of 2024\nIn the matter of Alpha versus Beta Industries" +
+      "\n\nAfter hearing both sides we allow the appeal with costs")
+    val pdf1 = Files.readAllBytes(java.nio.file.Paths.get(dir, "case_1b.pdf"))
+    assert(PdfTextExtractor.extract(pdf1).endsWith(
+      "For the reasons recorded the appeal dismissed as without merit"))
+  }
+
   test("binaryFile scan extracts a generated PDF end to end") {
     val dir: Path = Files.createTempDirectory("graft_pdf_scan")
     try {
