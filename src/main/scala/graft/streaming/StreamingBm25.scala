@@ -61,6 +61,132 @@ import graft.text.TextAnalysis
   */
 object StreamingBm25 {
 
+  // Hadoop rename signals failure by RETURNING FALSE, not by throwing
+  // (e.g. destination exists, cross-volume move). A swallowed false
+  // lets a later cleanup delete staged postings while a marker still
+  // lands — the batch/compact would be recorded committed with files
+  // silently missing. Fail loudly instead.
+  private def renameOrFail(fs: org.apache.hadoop.fs.FileSystem,
+                           src: Path, dst: Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(
+        s"StreamingBm25 commit: rename $src -> $dst returned false; " +
+        "failing so the operation is retried")
+
+  /** Data files of the serving table dir (top level only — the
+    * protocol dirs live under `__…` subdirectories).
+    */
+  private def dataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                        root: Path): Seq[String] =
+    fs.listStatus(root).toSeq.filter(_.isFile).map(_.getPath.getName)
+      .filter(_.startsWith("part-"))
+
+  /** Roll a crashed [[compact]] forward. The compact manifest only
+    * lands AFTER staging completed, so its presence means every
+    * compacted file exists (in the stage dir or already moved):
+    * finish the moves, delete the listed obsolete originals, then
+    * drop the manifest — idempotent at every crash point. Without a
+    * manifest there is nothing to reconcile (a crash before the
+    * manifest left the table dir untouched; stage litter is reaped by
+    * the next compact's fresh staging write).
+    */
+  private[streaming] def recoverCompact(
+      fs: org.apache.hadoop.fs.FileSystem, root: Path): Unit = {
+    val manifest = new Path(root, "__compact/manifest")
+    if (fs.exists(manifest)) {
+      val in = fs.open(manifest)
+      val lines = scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toList
+      in.close()
+      val stage = new Path(root, "__compact/stage")
+      lines.foreach { line =>
+        val (tag, name) = (line.charAt(0), line.substring(2))
+        if (tag == 'A') {
+          val src = new Path(stage, name)
+          if (fs.exists(src)) renameOrFail(fs, src, new Path(root, name))
+        } else if (tag == 'D') fs.delete(new Path(root, name), false)
+      }
+      fs.delete(new Path(root, "__compact"), true)
+    }
+  }
+
+  /** Bucket-preserving compaction of the streamed postings table.
+    *
+    * Every appended micro-batch adds one file per bucket; over
+    * thousands of batches the per-bucket file count grows without
+    * bound and serve-time listing + parquet-footer opens dominate.
+    * This rewrites the table back to (at most) one file per bucket —
+    * `maxRecordsPerFile` splits oversized buckets into extra files,
+    * never a straggler — THROUGH a bucketed staging write, so the
+    * `_0000N` bucket identity in the part-file names (what Spark's
+    * bucketed reader parses) is preserved and the serving join stays
+    * exchange-free.
+    *
+    * Crash safety reuses the append commit's staged-write + manifest
+    * protocol, rolled FORWARD: stage the full compacted file set, land
+    * a manifest (`A <new>` / `D <old>` lines, temp file + atomic
+    * rename), move the new files in, delete the old, drop the
+    * manifest. A crash at any point either left the table untouched
+    * (no manifest) or is finished by [[recoverCompact]], which runs at
+    * the head of every compact and every maintenance batch.
+    *
+    * Single-maintenance-writer contract (same as [[maintain]]): run
+    * from the maintenance driver between batches, not concurrently
+    * with an append. Concurrent READS during the move window can see a
+    * transiently incomplete/doubled listing — pause serving or accept
+    * the window, as with any in-place file-level reorganization.
+    *
+    * Returns the number of data files after compaction.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, table: String,
+              path: String, bucketCol: String = "token",
+              numBuckets: Int = 32, maxRecordsPerFile: Long = 0L): Int = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompact(fs, root)
+    spark.catalog.refreshTable(table)
+    val old = dataFiles(fs, root)
+    if (old.size <= numBuckets) return old.size // already ≤1 file/bucket
+    val stagePath = new Path(root, "__compact/stage")
+    fs.delete(stagePath, true)
+    val stageTable = s"${table}_compact_stage"
+    spark.sql(s"DROP TABLE IF EXISTS $stageTable")
+    // group rows by their BUCKET ID (pmod(murmur3, n) — what the
+    // spark-native bucketed writer assigns) so every bucket lands
+    // whole in one task: the writer then emits one file per bucket
+    // (plus maxRecordsPerFile splits), never a bucket split across
+    // tasks. Repartitioning on the raw column does NOT guarantee this
+    // — the shuffle's partition assignment need not equal the bucket
+    // id (observed: buckets split across tasks → files per bucket
+    // MULTIPLIED instead of compacted).
+    import org.apache.spark.sql.functions.{col => fcol, hash, lit, pmod}
+    val reader = spark.table(table)
+      .repartition(numBuckets, pmod(hash(fcol(bucketCol)), lit(numBuckets)))
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .option("path", stagePath.toString)
+    (if (maxRecordsPerFile > 0)
+       reader.option("maxRecordsPerFile", maxRecordsPerFile)
+     else reader)
+      .bucketBy(numBuckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(stageTable)
+    val staged = fs.listStatus(stagePath).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("part-"))
+    val mTmp = new Path(root, "__compact/.manifest.tmp")
+    val manifest = new Path(root, "__compact/manifest")
+    val out = fs.create(mTmp, true)
+    out.write((staged.map("A " + _) ++ old.map("D " + _))
+      .mkString("\n").getBytes("UTF-8"))
+    out.close()
+    renameOrFail(fs, mTmp, manifest)
+    staged.foreach(n =>
+      renameOrFail(fs, new Path(stagePath, n), new Path(root, n)))
+    old.foreach(n => fs.delete(new Path(root, n), false))
+    spark.sql(s"DROP TABLE IF EXISTS $stageTable")
+    fs.delete(new Path(root, "__compact"), true)
+    spark.catalog.refreshTable(table)
+    staged.size
+  }
+
   /** Start the maintenance sink over a document stream: per batch,
     * append postings into `table` (must exist — built by
     * [[TextAnalysis.buildBm25Index]]) under the same bucket spec, then
@@ -68,7 +194,7 @@ object StreamingBm25 {
     */
   def maintain(stream: DataFrame, idCol: String, textCol: String,
                table: String, path: String, checkpointDir: String,
-               numBuckets: Int = 32): StreamingQuery = {
+               numBuckets: Int = 32, compactEvery: Int = 0): StreamingQuery = {
     // foreachBatch executes under a micro-batch CLONE of the session;
     // a refreshTable there invalidates only the clone's relation
     // cache, and the serving session keeps reading the pre-append file
@@ -81,6 +207,9 @@ object StreamingBm25 {
         val spark = batch.sparkSession
         val root = new Path(path)
         val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // finish any compact that crashed mid-swap before touching the
+        // table (manifest presence = staged files are complete)
+        recoverCompact(fs, root)
         val marker = new Path(s"$path/__batches/batch-$batchId")
         if (!fs.exists(marker)) {
           val manifest = new Path(s"$path/__batches/manifest-$batchId")
@@ -115,21 +244,9 @@ object StreamingBm25 {
           val out = fs.create(mTmp, true)
           out.write(staged.map(_.getName).mkString("\n").getBytes("UTF-8"))
           out.close()
-          // Hadoop rename signals failure by RETURNING FALSE, not by
-          // throwing (e.g. destination exists, cross-volume move). A
-          // swallowed false here would let the cleanup below delete the
-          // staged postings while the marker still lands — the batch
-          // would be recorded committed with its postings silently
-          // missing from the served index. Fail the micro-batch instead
-          // so the checkpoint replays it.
-          def renameOrFail(src: Path, dst: Path): Unit =
-            if (!fs.rename(src, dst))
-              throw new java.io.IOException(
-                s"StreamingBm25 commit: rename $src -> $dst returned false; " +
-                "failing batch so the checkpoint replays it")
-          renameOrFail(mTmp, manifest)
+          renameOrFail(fs, mTmp, manifest)
           // commit: move staged files into the serving table dir
-          staged.foreach(p => renameOrFail(p, new Path(root, p.getName)))
+          staged.foreach(p => renameOrFail(fs, p, new Path(root, p.getName)))
           spark.sql(s"DROP TABLE IF EXISTS $stageTable")
           fs.delete(stagePath, true)
           spark.catalog.refreshTable(table)
@@ -143,6 +260,13 @@ object StreamingBm25 {
           serveSession.catalog.refreshTable(table)
           serveSession.catalog.refreshTable(s"${table}_stats")
           fs.create(marker, true).close()
+        }
+        // optional maintenance trigger: bound per-bucket file growth
+        // (each append adds a file per bucket; long-running streams
+        // otherwise pay unbounded listing + footer opens at serve time)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          compact(spark, table, path, numBuckets = numBuckets)
+          serveSession.catalog.refreshTable(table)
         }
         ()
       }

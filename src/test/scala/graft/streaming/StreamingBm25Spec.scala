@@ -142,4 +142,92 @@ class StreamingBm25Spec extends AnyFunSuite with SparkSpec {
     val want = spark.table("sbm25c_full").orderBy("id", "token").collect().toSeq
     assert(got == want, s"replayed index must equal rebuild:\n$got\nvs\n$want")
   }
+
+  test("compact bounds per-bucket files, preserves results and bucket layout") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-sbm25k").toString
+    val nBuckets = 4
+    Bucketing.dropTable(spark, "sbm25k_idx")
+    Bucketing.dropTable(spark, "sbm25k_idx_stats")
+    TextAnalysis.buildBm25Index(
+      Seq((1L, "spark shuffles data between stages")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), "sbm25k_idx", s"$dir/idx", nBuckets)
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingBm25.maintain(ms.toDS().toDF("doc_id", "text"),
+      "doc_id", "text", "sbm25k_idx", s"$dir/idx", s"$dir/ckpt", nBuckets)
+    try {
+      (2 to 6).foreach { i =>
+        ms.addData(Seq((i.toLong, s"bucketed token stream batch number $i " +
+          "spark serves bm25 scores")))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val queries = Seq((100L, Seq("spark", "bucketed", "token")))
+      .toDF("query_id", "terms")
+    def served() = TextAnalysis.bm25JoinIndexed(spark, "sbm25k_idx", queries, 5)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val before = served()
+    val root = new org.apache.hadoop.fs.Path(s"$dir/idx")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files() = fs.listStatus(root).toSeq.filter(_.isFile)
+      .map(_.getPath.getName).filter(_.startsWith("part-"))
+    val litter = files()
+    assert(litter.size > nBuckets,
+      s"appends must have produced per-bucket litter: ${litter.size}")
+    val after = StreamingBm25.compact(spark, "sbm25k_idx", s"$dir/idx",
+      numBuckets = nBuckets)
+    assert(after <= nBuckets && files().size == after,
+      s"compaction must bound files at one per bucket: $after, ${files()}")
+    assert(served() == before,
+      "served results must be identical after compaction")
+    // bucket identity preserved: the serving join still runs with no
+    // postings-side exchange
+    val plan = TextAnalysis.bm25JoinIndexed(spark, "sbm25k_idx", queries, 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(token"),
+      s"compaction must not break the bucketed layout:\n$plan")
+    // idempotent / already-compact: a second compact is a cheap no-op
+    assert(StreamingBm25.compact(spark, "sbm25k_idx", s"$dir/idx",
+      numBuckets = nBuckets) == after)
+  }
+
+  test("a compact crash after the manifest rolls forward on recovery") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sbm25rf").toString
+    val root = new org.apache.hadoop.fs.Path(s"$dir/idx")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Bucketing.dropTable(spark, "sbm25rf_idx")
+    Bucketing.dropTable(spark, "sbm25rf_idx_stats")
+    TextAnalysis.buildBm25Index(
+      Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), "sbm25rf_idx", s"$dir/idx", numBuckets = 2)
+    val orig = fs.listStatus(root).toSeq.filter(_.isFile)
+      .map(_.getPath.getName).filter(_.startsWith("part-"))
+    assert(orig.nonEmpty)
+    // fabricate the worst crash window: compacted files fully staged,
+    // manifest landed, NO moves done yet — recovery must finish the
+    // swap (move adds in, delete olds) purely from the manifest
+    val stage = new org.apache.hadoop.fs.Path(root, "__compact/stage")
+    fs.mkdirs(stage)
+    val newName = "part-00000-recovered-test_00000.parquet"
+    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(root,
+      orig.head), fs, new org.apache.hadoop.fs.Path(stage, newName),
+      false, spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(root, "__compact/manifest"), true)
+    out.write((Seq(s"A $newName") ++ orig.map("D " + _))
+      .mkString("\n").getBytes("UTF-8"))
+    out.close()
+    StreamingBm25.recoverCompact(fs, root)
+    val after = fs.listStatus(root).toSeq.filter(_.isFile)
+      .map(_.getPath.getName).filter(_.startsWith("part-"))
+    assert(after == Seq(newName),
+      s"roll-forward must install adds and drop olds: $after")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "__compact")),
+      "recovery must clear the protocol dir")
+    // recovery is idempotent
+    StreamingBm25.recoverCompact(fs, root)
+  }
 }
