@@ -2355,6 +2355,54 @@ object SparkEntry {
         "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)",
         Seq(0.5, 0.9, 0.99)))),
 
+    // GROUPED sketch: the same bucket arithmetic keyed by
+    // (group, bucket) — per-key percentiles (per-domain length/quality
+    // distributions) with groups × ≤8k-row state and per-group rank
+    // selection under a group-partitioned window (no sort-per-group,
+    // no single-partition stage)
+    Q("q_quantile_sketch_grouped",
+      (s, dir) => graft.operators.Sketches.logQuantilesBy(
+        Tables.lineitem(s, dir)
+          .select(col("l_returnflag"),
+            floor(col("l_extendedprice") * 100d + 0.5d)
+              .cast("long").as("cents")),
+        "l_returnflag", col("cents"), Seq(0.5, 0.9, 0.99)),
+      Some(graft.operators.Sketches.logQuantilesBySql("lineitem",
+        "l_returnflag", "l_returnflag",
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)",
+        Seq(0.5, 0.9, 0.99)))),
+
+    // …and its curation consumer: per-domain p90 length bound from the
+    // grouped sketch, joined back (broadcast — groups × quantiles
+    // rows, bounded) to count the docs each domain keeps under its own
+    // bound. The composition a 100 TB curation pass runs: one bounded
+    // sketch shuffle + one broadcast join, corpus scanned twice, never
+    // sorted
+    Q("curation_length_pctl",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("source"), col("n_chars").cast("long").as("len"))
+        val pct = graft.operators.Sketches.logQuantilesBy(
+            docs, "source", col("len"), Seq(0.9))
+          .select(col("source"), col("value_lb"))
+        docs.join(broadcast(pct), "source")
+          .groupBy(col("source"))
+          .agg(max(col("value_lb")).as("p90_lb"),
+            sum(when(col("len") < col("value_lb"), 1L).otherwise(0L))
+              .as("n_kept"),
+            count(lit(1)).as("n_docs"))
+          .orderBy("source")
+      },
+      Some(s"""WITH pct AS (
+        |${graft.operators.Sketches.logQuantilesBySql("documents",
+             "source", "source", "CAST(n_chars AS BIGINT)", Seq(0.9))})
+        |SELECT d.source, CAST(max(p.value_lb) AS BIGINT) AS p90_lb,
+        |  CAST(sum(CASE WHEN CAST(d.n_chars AS BIGINT) < p.value_lb
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents d JOIN pct p ON d.source = p.source
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // RefinedWeb-style per-domain document cap: at most 10 docs per
     // source, preferring quality score (10 of ~25 fixture docs survive) — row_number ≤ n plans as a
     // map-side WindowGroupLimit, so a mega-domain costs its cap (not

@@ -340,6 +340,100 @@ object Sketches {
       .orderBy("q")
   }
 
+  /** Per-group [[logQuantiles]]: the same bucket arithmetic keyed by
+    * `(group, bucket)` — state is `groups × ≤ 64·2^(subBits+1)` rows,
+    * still commutative under count-sum merge (the grouped streaming
+    * combiner for free). Rank selection runs per group under a
+    * group-partitioned window (parallel across groups — no
+    * single-partition stage), with per-group totals as a second
+    * window aggregate over the same partitioning, so the whole
+    * selection costs ONE shuffle of the bounded state table. This is
+    * the per-domain percentile the curation caps consume (per-domain
+    * length/quality distributions) without the engine-native
+    * sort-per-group `percentile` path.
+    *
+    * Output: `(groupName, q, value_lb)` ordered by (group, q).
+    */
+  def logQuantilesBy(df: DataFrame, groupName: String, valueCol: Column,
+                     qs: Seq[Double], subBits: Int = 6): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      "quantiles must be in (0, 1]")
+    val buckets = bucketCountsBy(df, groupName, valueCol, subBits)
+    val spark = buckets.sparkSession
+    import spark.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val wCum = W.partitionBy(groupName).orderBy("bucket")
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val wTot = W.partitionBy(groupName)
+    val cum = buckets
+      .withColumn("__cum", sum(col("cnt")).over(wCum))
+      .withColumn("__n", sum(col("cnt")).over(wTot))
+    val qframe = qs.sorted.toDF("q")
+    cum.crossJoin(broadcast(qframe))
+      .withColumn("__rank", greatest(lit(1L), ceil(col("q") * col("__n"))))
+      .where(col("__cum") >= col("__rank") &&
+        col("__cum") - col("cnt") < col("__rank"))
+      .select(col(groupName), col("q"), col("lower").as("value_lb"))
+      .orderBy(groupName, "q")
+  }
+
+  /** Grouped sketch state: `(group, bucket, lower, cnt)` — the
+    * [[bucketCounts]] aggregation keyed by the group column.
+    */
+  def bucketCountsBy(df: DataFrame, groupName: String, valueCol: Column,
+                     subBits: Int = 6): DataFrame = {
+    require(subBits >= 1 && subBits <= 16, "subBits must be in [1, 16]")
+    val small = 1L << subBits
+    df.select(col(groupName), valueCol.cast("long").as("__v"))
+      .where(col("__v").isNotNull && col("__v") >= 0)
+      .withColumn("__msb", (length(bin(col("__v"))) - 1).cast("long"))
+      .withColumn("__t", expr(s"shiftright(__v, CAST(__msb AS INT) - $subBits)"))
+      .select(
+        col(groupName),
+        when(col("__v") < small, col("__v"))
+          .otherwise(col("__msb") * (small * 2) + col("__t")).as("bucket"),
+        when(col("__v") < small, col("__v"))
+          .otherwise(expr(s"shiftleft(__t, CAST(__msb AS INT) - $subBits)"))
+          .as("lower"))
+      .groupBy(col(groupName), col("bucket"))
+      .agg(min(col("lower")).as("lower"), count(lit(1)).as("cnt"))
+  }
+
+  /** DuckDB twin of [[logQuantilesBy]] — the [[logQuantilesSql]]
+    * bucketing with the group key threaded through aggregation, both
+    * windows, and rank selection.
+    */
+  def logQuantilesBySql(table: String, groupExpr: String, groupAlias: String,
+                        valueExpr: String, qs: Seq[Double],
+                        subBits: Int = 6): String = {
+    val small = 1L << subBits
+    val qList = qs.sorted.mkString(", ")
+    s"""WITH vals AS (
+       |  SELECT $groupExpr AS g, CAST($valueExpr AS BIGINT) AS v FROM $table
+       |  WHERE $valueExpr IS NOT NULL AND $valueExpr >= 0),
+       |b AS (
+       |  SELECT g, CASE WHEN v < $small THEN v
+       |           ELSE (len(bin(v)) - 1) * ${small * 2}
+       |                + (v >> (len(bin(v)) - 1 - $subBits)) END AS bucket,
+       |    min(CASE WHEN v < $small THEN v
+       |          ELSE (v >> (len(bin(v)) - 1 - $subBits))
+       |               << (len(bin(v)) - 1 - $subBits) END) AS lower,
+       |    count(*) AS cnt
+       |  FROM vals GROUP BY 1, 2),
+       |c AS (
+       |  SELECT g, bucket, lower, cnt,
+       |    SUM(cnt) OVER (PARTITION BY g ORDER BY bucket
+       |                   ROWS UNBOUNDED PRECEDING) AS cum,
+       |    SUM(cnt) OVER (PARTITION BY g) AS n
+       |  FROM b),
+       |qq AS (SELECT CAST(unnest([$qList]) AS DOUBLE) AS q)
+       |SELECT g AS $groupAlias, q, CAST(lower AS BIGINT) AS value_lb
+       |FROM c, qq
+       |WHERE cum >= greatest(1, ceil(q * n))
+       |  AND cum - cnt < greatest(1, ceil(q * n))
+       |ORDER BY g, q""".stripMargin
+  }
+
   /** DuckDB twin of [[logQuantiles]] — identical integer bucketing
     * (`len(bin(v))` bit length, shift arithmetic) and rank selection.
     */

@@ -114,4 +114,39 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
       Seq(0.5, 0.95)).collect().map(_.toSeq).toSeq
     assert(one == many)
   }
+
+  test("grouped quantiles equal the per-group global sketch, stay bounded") {
+    // three groups with disjoint scales so per-group answers differ
+    val rows = (1 to 3000).map { i =>
+      val g = s"g${i % 3}"
+      val v = ((i.toLong * i * 13 + i) % 99991L) * (1L << (4 * (i % 3)))
+      (g, v)
+    }
+    val df = rows.toDF("grp", "v")
+    val qs = Seq(0.5, 0.9)
+    val grouped = Sketches.logQuantilesBy(df, "grp", col("v"), qs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2))
+      .toMap
+    assert(grouped.size == 3 * qs.size)
+    // ground truth: run the GLOBAL sketch on each group's slice — the
+    // grouped variant must be exactly that, computed in one pass
+    rows.groupBy(_._1).foreach { case (g, slice) =>
+      val solo = Sketches.logQuantiles(
+          slice.map(_._2).toDF("v"), col("v"), qs)
+        .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+      qs.foreach { q =>
+        assert(grouped((g, q)) == solo(q),
+          s"group $g q=$q: grouped ${grouped((g, q))} != solo ${solo(q)}")
+      }
+    }
+    // state stays bounded at groups × bucket cap
+    val state = Sketches.bucketCountsBy(df, "grp", col("v"))
+    assert(state.count() <= 3L * 64 * 128)
+    // and the grouped state merges partitioning-invariantly too
+    val many = Sketches.logQuantilesBy(df.repartition(17), "grp",
+      col("v"), qs).collect().map(_.toSeq).toSeq
+    val oneP = Sketches.logQuantilesBy(df.coalesce(1), "grp",
+      col("v"), qs).collect().map(_.toSeq).toSeq
+    assert(many == oneP)
+  }
 }
