@@ -3360,6 +3360,26 @@ object SparkEntry {
               |FROM embeddings e, (${Sql.queryVector(0)}) q
               |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)),
 
+    // Multi-vector late-interaction (ColBERT-style MaxSim) retrieval —
+    // the V1/F5 generalization a chunked corpus wants: every query
+    // facet matches its best chunk (Σ_q max_chunk cos) instead of one
+    // pooled representative. Query side broadcast, corpus never
+    // shuffled for scoring, per-query ranking in GroupedTopK's
+    // bounded O(k) state; 1e-4-grid summation keeps ranks
+    // engine-deterministic
+    Q("q_maxsim_retrieval",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        graft.search.MaxSim.maxSimTopK(
+          emb.select((col("vec_id") % 100).as("doc_id"), col("embedding")),
+          col("doc_id"), col("embedding"),
+          emb.where(col("vec_id") % 100 < 2)
+            .select((col("vec_id") % 100).as("query_id"), col("vec_id"),
+              col("embedding")),
+          col("query_id"), col("vec_id"), col("embedding"), k = 5)
+      },
+      Some(graft.search.MaxSim.maxSimSql(nQueries = 2, k = 5))),
+
     // Int8 scalar quantization — the 4×-smaller storage form of the
     // vector corpus; per-vector symmetric scale, bounded recon error.
     // The codes array is compared as a comma-joined string: the driver
