@@ -233,6 +233,139 @@ object SparkEntry {
            |ORDER BY d.file_name""".stripMargin
       }),
 
+    // The reference's TWO SERVICES as ONE CONTINUOUS PIPELINE: PDFs
+    // dropped into a tailed directory in three waves → binaryFile
+    // stream → extract (incl. the Type0 CMap page) → chunk-count →
+    // classify → embed, appended to the corpus parquet under
+    // exactly-once checkpoints — then a STREAM of queries answered by
+    // StreamingSearch.knnPerQuery against the post-append corpus
+    // (bounded per-query state, append-mode windows). Oracle = the
+    // batch flagship over the same files; the twin's L2 distance is
+    // exactly 0.0 (identical text → identical hash embedding), so a
+    // drift anywhere in the streamed ingest OR the streamed search
+    // breaks the hash.
+    Q("streaming_flagship",
+      (s, dir) => withStreamShuffle(s) {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val pdfDir = PdfFixture.ensure(s)
+        val tmp = graft.TempDirs.create("streaming-flagship").toString
+        val dropDir = s"$tmp/drop"
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dropDir))
+        val corpusDir = s"$tmp/corpus"
+        val emb = graft.embed.DeterministicEmbedder(dim = 16)
+        // phase 1 — streamed ingest service
+        val stream = graft.streaming.StreamingIngest.pdfStream(s, dropDir)
+        val ingested = stream
+          .select(col("file_name"), col("file_id"), col("text"))
+          .as[(String, String, String)]
+          .map { case (name, id, text) =>
+            (name, id, text, graft.text.ChunkPacker
+              .chunkText(text, PdfFixture.MaxWords).length.toLong)
+          }
+          .toDF("file_name", "file_id", "text", "n_chunks")
+          .select(col("file_name"), col("file_id"), col("n_chunks"),
+            Cascades.decision(col("text")).as("case_decision"),
+            emb.embed(col("text")).as("embedding"))
+        val ingestQ = ingested.writeStream.format("parquet")
+          .option("path", corpusDir)
+          .option("checkpointLocation", s"$tmp/ckpt_ingest")
+          .start()
+        try {
+          val files = java.nio.file.Files.list(
+              java.nio.file.Paths.get(pdfDir)).toArray.map(_.toString)
+            .filter(_.endsWith(".pdf")).sorted
+          files.grouped(4).foreach { wave =>
+            wave.foreach { f =>
+              val p = java.nio.file.Paths.get(f)
+              java.nio.file.Files.copy(p, java.nio.file.Paths.get(dropDir,
+                p.getFileName.toString))
+            }
+            ingestQ.processAllAvailable()
+          }
+        } finally ingestQ.stop()
+        // phase 2 — streamed search service over the appended corpus
+        val corpus = s.read.parquet(corpusDir)
+        val ided = corpus.select(xxhash64(col("file_name")).as("id"),
+          col("file_name"), col("embedding"))
+        val t0 = 1700000000000L
+        val qRows = ided.select(col("id"), col("embedding")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1),
+            new java.sql.Timestamp(t0))).toSeq
+        val ms = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Seq[Float], java.sql.Timestamp)]
+        ms.addData(qRows)
+        val out = graft.streaming.StreamingSearch.knnPerQuery(
+          ms.toDS().toDF("query_id", "q_emb", "ts"),
+          ided.select(col("id"), col("embedding")), k = 2)
+        val qName = "graft_streaming_flagship"
+        val searchQ = out.writeStream.format("memory").queryName(qName)
+          .outputMode("append").start()
+        try {
+          searchQ.processAllAvailable()
+          ms.addData(Seq((Long.MinValue, qRows.head._2,
+            new java.sql.Timestamp(t0 + 3600000L))))
+          searchQ.processAllAvailable()
+        } finally searchQ.stop()
+        // k=2 keeps self (L2 0, rank by id) + twin (also L2 0) — after
+        // dropping self, exactly the twin remains per query
+        val names = ided.select(col("id"), col("file_name")).distinct()
+        val top1 = s.table(qName)
+          .where(col("query_id") =!= Long.MinValue &&
+            col("query_id") =!= col("corpus_id"))
+          .select(col("query_id"), col("corpus_id"),
+            col("score").as("top_score"))
+          .join(names.select(col("id"), col("file_name").as("top_match")),
+            col("corpus_id") === col("id"))
+          .join(names.select(col("id").as("qid"), col("file_name")),
+            col("query_id") === col("qid"))
+          .select(col("file_name"), col("top_match"), col("top_score"))
+        val stats = WinStats.over(corpus, col("case_decision"))
+        corpus.select("file_name", "file_id", "case_decision", "n_chunks")
+          .join(top1, "file_name")
+          .crossJoin(broadcast(stats))
+          .orderBy("file_name")
+      },
+      Some {
+        val ws = "' ' || chr(10) || chr(9) || chr(13)"
+        val decRel = s"SELECT ${Cascades.decisionSql("text")} AS case_decision " +
+          s"FROM '${PdfFixture.ExtractedParquet}/*.parquet'"
+        s"""WITH pdocs AS (
+           |  SELECT file_name, file_id, text
+           |  FROM '${PdfFixture.ExtractedParquet}/*.parquet'
+           |), paras AS (
+           |  SELECT file_name,
+           |    trim(string_split(text, chr(10) || chr(10))[1], $ws) AS p1,
+           |    trim(string_split(text, chr(10) || chr(10))[2], $ws) AS p2
+           |  FROM pdocs
+           |), chunks AS (
+           |  SELECT file_name,
+           |    CAST(CASE WHEN len(regexp_extract_all(p1 || p2, '\\S+'))
+           |      < ${PdfFixture.MaxWords} THEN 1 ELSE 2 END AS BIGINT) AS n_chunks
+           |  FROM paras
+           |), dec AS (
+           |  SELECT file_name, file_id,
+           |    ${Cascades.decisionSql("text")} AS case_decision
+           |  FROM pdocs
+           |), twin AS (
+           |  -- identical text → identical deterministic embedding →
+           |  -- the served L2 twin distance is exactly 0.0
+           |  SELECT a.file_name, min(b.file_name) AS top_match,
+           |    CAST(0.0 AS DOUBLE) AS top_score
+           |  FROM pdocs a JOIN pdocs b
+           |    ON b.text = a.text AND b.file_name <> a.file_name
+           |  GROUP BY 1
+           |)
+           |SELECT d.file_name, d.file_id, d.case_decision, c.n_chunks,
+           |  t.top_match, t.top_score,
+           |  s.win_count, s.total_valid_decisions, s.win_percentage,
+           |  s.invalid_decisions, s.result_count
+           |FROM dec d
+           |JOIN chunks c USING (file_name)
+           |JOIN twin t USING (file_name), (${Sql.winStats(decRel)}) s
+           |ORDER BY d.file_name""".stripMargin
+      }),
+
     // F5: representative embedding = first chunk per group
     // (extract_and_search.py:73-91); rep_norm proves the vector rode along
     Q("f5_repr_embedding",
