@@ -2869,8 +2869,16 @@ object SparkEntry {
           .unionByName(docs.where(col("doc_id") % 13 === 0)
             .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
               col("text")))
-        graft.operators.Upsert.snapshotDiff(base, curr, "doc_id",
-            Seq("lang", "text"))
+        // diff two REAL committed snapshots of a versioned corpus
+        // (Layout.writeVersioned marker protocol), not two in-memory
+        // frames — the corpus-versioning layer under the hash gate
+        val root = graft.TempDirs.create("snapdiff-versions").toString
+        val v1 = graft.sources.Layout.writeVersioned(base, root)
+        val v2 = graft.sources.Layout.writeVersioned(curr, root)
+        graft.operators.Upsert.snapshotDiff(
+            graft.sources.Layout.readVersion(s, root, v1),
+            graft.sources.Layout.readVersion(s, root, v2),
+            "doc_id", Seq("lang", "text"))
           .orderBy("doc_id", "status")
       },
       Some(graft.operators.Upsert.snapshotDiffSql(

@@ -94,6 +94,91 @@ object Layout {
     n
   }
 
+  // ---- manifest-versioned corpus (atomic snapshot swap) --------------
+
+  /** Transactional corpus versioning: each write lands in its own
+    * `v=N` directory and becomes visible only when its commit marker
+    * (`_commits/v-N`) exists — readers resolve "current" as the
+    * highest committed version, so a writer killed mid-write leaves
+    * the previous snapshot fully readable and the half-written `v=N`
+    * directory invisible (it is reclaimed by the next write of that
+    * version). This is the general-corpus counterpart of the
+    * StreamingBm25 staged-commit protocol.
+    *
+    * Commit-point design note: the obvious `CURRENT` pointer file
+    * updated by rename is NOT atomic on Hadoop filesystems —
+    * `FileSystem.rename` to an existing destination returns false, and
+    * delete-then-rename leaves a window with NO pointer. Marker
+    * existence (created strictly after the data write completes) is
+    * the atomic equivalent: a reader either sees the marker (data is
+    * complete) or doesn't (previous version serves). Old snapshots
+    * remain addressable for time travel until [[pruneVersions]].
+    */
+  def writeVersioned(df: DataFrame, root: String): Long = {
+    val spark = df.sparkSession
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = currentVersion(spark, root).getOrElse(0L) + 1
+    val dataDir = new org.apache.hadoop.fs.Path(root, s"v=$next")
+    // a crashed previous attempt at this same version left uncommitted
+    // garbage — reclaim it (it was never visible)
+    fs.delete(dataDir, true)
+    df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+    val commits = new org.apache.hadoop.fs.Path(root, "_commits")
+    fs.mkdirs(commits)
+    fs.create(new org.apache.hadoop.fs.Path(commits, s"v-$next"), true).close()
+    next
+  }
+
+  /** Highest committed version, None for an empty/never-written root. */
+  def currentVersion(spark: org.apache.spark.sql.SparkSession,
+                     root: String): Option[Long] = {
+    val versions = committedVersions(spark, root)
+    if (versions.isEmpty) None else Some(versions.max)
+  }
+
+  /** All committed versions, ascending (time-travel surface). */
+  def committedVersions(spark: org.apache.spark.sql.SparkSession,
+                        root: String): Seq[Long] = {
+    val commits = new org.apache.hadoop.fs.Path(root, "_commits")
+    val fs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(commits)) Seq.empty
+    else fs.listStatus(commits).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v-") => n.stripPrefix("v-").toLong }
+      .sorted
+  }
+
+  /** Read a committed snapshot: the current one by default, or a
+    * pinned `version` for time travel. Throws on an uncommitted or
+    * pruned version — never serves half-written data.
+    */
+  def readVersion(spark: org.apache.spark.sql.SparkSession, root: String,
+                  version: Long = -1L): DataFrame = {
+    val committed = committedVersions(spark, root)
+    require(committed.nonEmpty, s"no committed versions under $root")
+    val v = if (version < 0) committed.max else version
+    require(committed.contains(v),
+      s"version $v is not committed under $root (committed: $committed)")
+    spark.read.parquet(s"$root/v=$v")
+  }
+
+  /** Drop all but the newest `keepLast` committed snapshots (marker
+    * first, then data — a crash between the two leaves an unreferenced
+    * data dir, never a dangling marker).
+    */
+  def pruneVersions(spark: org.apache.spark.sql.SparkSession, root: String,
+                    keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "must keep at least the current version")
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val doomed = committedVersions(spark, root).dropRight(keepLast)
+    doomed.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"_commits/v-$v"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"v=$v"), true)
+    }
+    doomed
+  }
+
   /** Parquet write with a BLOOM FILTER on the named columns — the
     * storage-side answer to point lookups on high-cardinality keys
     * (fingerprints, upsert ids, chunk hashes). Min/max row-group

@@ -92,4 +92,54 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
       Layout.compactTo(spark, "/tmp/a", "/tmp/a", 100L)
     }
   }
+
+  test("versioned writes: commit markers, time travel, current resolution") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-versions").toString
+    assert(Layout.currentVersion(spark, root).isEmpty)
+    val v1 = Layout.writeVersioned(Seq((1L, "a"), (2L, "b")).toDF("k", "p"), root)
+    val v2 = Layout.writeVersioned(Seq((1L, "a"), (2L, "B2"), (3L, "c"))
+      .toDF("k", "p"), root)
+    assert((v1, v2) == ((1L, 2L)))
+    assert(Layout.currentVersion(spark, root).contains(2L))
+    // current = v2; v1 stays addressable (time travel)
+    assert(Layout.readVersion(spark, root).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "B2"), (3L, "c")))
+    assert(Layout.readVersion(spark, root, v1).count() == 2L)
+    // uncommitted/unknown versions are refused, never half-served
+    intercept[IllegalArgumentException] { Layout.readVersion(spark, root, 9L) }
+  }
+
+  test("a writer killed mid-write leaves the previous snapshot serving") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-versions-crash").toString
+    Layout.writeVersioned(Seq((1L, "v1")).toDF("k", "p"), root)
+    // fabricate the crash: v=2 data half-written (present, no marker)
+    val garbage = java.nio.file.Paths.get(root, "v=2")
+    Files.createDirectories(garbage)
+    Files.write(garbage.resolve("part-junk.parquet"), Array[Byte](1, 2, 3))
+    // readers still resolve v1 and never look at the garbage
+    assert(Layout.currentVersion(spark, root).contains(1L))
+    assert(Layout.readVersion(spark, root).collect()
+      .map(_.getString(1)).toSeq == Seq("v1"))
+    // the next write reclaims the garbage v=2 and commits cleanly
+    val v2 = Layout.writeVersioned(Seq((1L, "v2")).toDF("k", "p"), root)
+    assert(v2 == 2L)
+    assert(Layout.readVersion(spark, root).collect()
+      .map(_.getString(1)).toSeq == Seq("v2"))
+  }
+
+  test("pruneVersions drops old snapshots, keeps the serving tail") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-versions-prune").toString
+    (1 to 4).foreach(i =>
+      Layout.writeVersioned(Seq((i.toLong, s"v$i")).toDF("k", "p"), root))
+    val dropped = Layout.pruneVersions(spark, root, keepLast = 2)
+    assert(dropped == Seq(1L, 2L))
+    assert(Layout.committedVersions(spark, root) == Seq(3L, 4L))
+    assert(Layout.readVersion(spark, root).collect()
+      .map(_.getString(1)).toSeq == Seq("v4"))
+    intercept[IllegalArgumentException] { Layout.readVersion(spark, root, 1L) }
+  }
 }
