@@ -1966,6 +1966,12 @@ object SparkEntry {
         // StreamingBm25Spec's contract; the gate proves the
         // served-equals-rebuild surface at one maintenance round's cost
         try { ms.addData(rest); q.processAllAvailable() } finally q.stop()
+        // bucket-preserving compaction between maintenance and serve:
+        // build + append left 2 files/bucket; the serve below must see
+        // IDENTICAL results from the compacted ≤1-file/bucket layout,
+        // putting the compact protocol itself under the hash gate
+        graft.streaming.StreamingBm25.compact(s, "graft_bm25_streamed",
+          s"$tmp/idx", numBuckets = 8)
         val queries = Seq(
           (1L, Seq("hash", "join")),
           (2L, Seq("vector", "scan"))).toDF("query_id", "terms")
