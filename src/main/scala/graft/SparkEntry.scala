@@ -2511,6 +2511,45 @@ object SparkEntry {
         "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)",
         Seq(0.5, 0.9, 0.99)))),
 
+    // The grouped sketch MAINTAINED AS A STREAM (15th streaming
+    // route): (group, bucket) state is commutative, so the identical
+    // bucketCountsBy aggregation runs as a complete-mode streaming
+    // groupBy across three micro-batches and the per-group selection
+    // reads the maintained state unchanged — same oracle as the batch
+    // grouped row over the same deterministic quarter slice
+    Q("streaming_quantiles_grouped",
+      (s, dir) => withStreamShuffle(s) {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val rows = Tables.lineitem(s, dir)
+          .where(pmod(col("l_orderkey"), lit(4)) === 0)
+          .select(col("l_returnflag"),
+            floor(col("l_extendedprice") * 100d + 0.5d)
+              .cast("long").as("cents"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        val ms = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(String, Long)]
+        val buckets = graft.operators.Sketches.bucketCountsBy(
+          ms.toDS().toDF("l_returnflag", "cents"), "l_returnflag",
+          col("cents"))
+        val qName = "graft_streaming_quantiles_grouped"
+        val q = buckets.writeStream.format("memory").queryName(qName)
+          .outputMode("complete").start()
+        try {
+          rows.grouped(rows.length / 3 + 1).foreach { chunk =>
+            ms.addData(chunk)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        graft.operators.Sketches.quantilesFromBucketsBy(
+          s.table(qName), "l_returnflag", Seq(0.5, 0.9, 0.99))
+      },
+      Some(graft.operators.Sketches.logQuantilesBySql(
+        "(SELECT * FROM lineitem WHERE l_orderkey % 4 = 0) l4",
+        "l_returnflag", "l_returnflag",
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)",
+        Seq(0.5, 0.9, 0.99)))),
+
     // …and its curation consumer: per-domain p90 length bound from the
     // grouped sketch, joined back (broadcast — groups × quantiles
     // rows, bounded) to count the docs each domain keeps under its own

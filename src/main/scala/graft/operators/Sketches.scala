@@ -355,10 +355,20 @@ object Sketches {
     * Output: `(groupName, q, value_lb)` ordered by (group, q).
     */
   def logQuantilesBy(df: DataFrame, groupName: String, valueCol: Column,
-                     qs: Seq[Double], subBits: Int = 6): DataFrame = {
+                     qs: Seq[Double], subBits: Int = 6): DataFrame =
+    quantilesFromBucketsBy(bucketCountsBy(df, groupName, valueCol, subBits),
+      groupName, qs)
+
+  /** Per-group rank selection over a `(group, bucket, lower, cnt)`
+    * state table — the same table [[bucketCountsBy]] produces in batch
+    * OR as a complete-mode streaming groupBy (the grouped state is
+    * commutative, so the maintained stream state feeds this selection
+    * unchanged).
+    */
+  def quantilesFromBucketsBy(buckets: DataFrame, groupName: String,
+                             qs: Seq[Double]): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
       "quantiles must be in (0, 1]")
-    val buckets = bucketCountsBy(df, groupName, valueCol, subBits)
     val spark = buckets.sparkSession
     import spark.implicits._
     val W = org.apache.spark.sql.expressions.Window
