@@ -3566,6 +3566,25 @@ object SparkEntry {
       },
       Some(graft.search.MaxSim.maxSimSql(nQueries = 2, k = 5))),
 
+    // The IVF-pruned MaxSim scale tier at FULL PROBE (nprobe = nlist):
+    // candidates route through the cluster join instead of the
+    // broadcast NLJ, and the result must EXACTLY equal the exact route
+    // — both tiers under one oracle; the pruning dial's recall
+    // behavior lives in MaxSimSpec
+    Q("q_maxsim_ivf_full_probe",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        graft.search.MaxSim.maxSimTopKIvf(
+          emb.select((col("vec_id") % 100).as("doc_id"), col("embedding")),
+          col("doc_id"), col("embedding"),
+          emb.where(col("vec_id") % 100 < 2)
+            .select((col("vec_id") % 100).as("query_id"), col("vec_id"),
+              col("embedding")),
+          col("query_id"), col("vec_id"), col("embedding"), k = 5,
+          nlist = 8, nprobe = 8)
+      },
+      Some(graft.search.MaxSim.maxSimSql(nQueries = 2, k = 5))),
+
     // Int8 scalar quantization — the 4×-smaller storage form of the
     // vector corpus; per-vector symmetric scale, bounded recon error.
     // The codes array is compared as a comma-joined string: the driver

@@ -3,7 +3,7 @@ package graft.search
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.vector.{GroupedTopK, VectorKernels}
+import graft.vector.{Ann, GroupedTopK, VectorKernels}
 
 /** Multi-vector late-interaction retrieval (ColBERT-style MaxSim) —
   * the natural generalization of the reference's single-representative
@@ -49,11 +49,52 @@ object MaxSim {
     val sims = docs.join(broadcast(qs))
       .select(col("query_id"), col("qvec_id"), col("doc_id"),
         round(VectorKernels.cosine(col("dvec"), col("qvec")), 4).as("sim"))
+    rankTail(sims, k)
+  }
+
+  /** IVF-pruned MaxSim — the scale tier. The exact route scores every
+    * (query vector, chunk) pair; at corpus scale the probe dial trades
+    * that for candidates ∝ nprobe/nlist: each query vector's
+    * `nprobe` nearest clusters (codegen per-row probe list, no driver
+    * loop) equi-join the cluster-keyed chunk corpus, facets max over
+    * their CANDIDATE chunks only (a doc outside every probed cluster
+    * of a facet contributes nothing for that facet — the standard
+    * late-interaction pruning approximation), and the grid-sum/top-k
+    * tail is shared with the exact route. With `nprobe = nlist` every
+    * chunk is a candidate for every facet, so the result EXACTLY
+    * equals [[maxSimTopK]] — the full-probe setting sits under the
+    * same oracle gate, the pruning dial under the spec's recall check.
+    * When the assignment is persisted cluster-partitioned
+    * ([[Ann.saveIvf]]), the probe join's scan prunes at the directory
+    * level.
+    */
+  def maxSimTopKIvf(docVecs: DataFrame, docId: Column, chunkVec: Column,
+                    queryVecs: DataFrame, queryId: Column, qvecId: Column,
+                    queryVec: Column, k: Int, nlist: Int = 16,
+                    nprobe: Int = 4): DataFrame = {
+    require(k > 0 && nlist > 0 && nprobe > 0, "k, nlist, nprobe must be positive")
+    val docs = docVecs.select(docId.cast("long").as("doc_id"),
+      chunkVec.as("dvec"))
+    val index = Ann.buildIvf(docs, emb = "dvec", nlist = nlist)
+    val qs = queryVecs.select(queryId.cast("long").as("query_id"),
+      qvecId.cast("long").as("qvec_id"), queryVec.as("qvec"))
+    val probes = qs.select(col("query_id"), col("qvec_id"), col("qvec"),
+      explode(VectorKernels.nearestCentroids(col("qvec"), index.centroids,
+        math.min(nprobe, nlist))).as("cluster_id"))
+    val cands = probes.join(index.assigned, Seq("cluster_id"))
+      .select(col("query_id"), col("qvec_id"), col("doc_id"),
+        round(VectorKernels.cosine(col("dvec"), col("qvec")), 4).as("sim"))
+    rankTail(cands, k)
+  }
+
+  /** Shared ranking tail: per-facet max over candidate chunks, 1e-4
+    * grid document sum (scaled-long sum + one division — aggregation-
+    * order-independent, so the same double in every engine), bounded
+    * per-query top-k.
+    */
+  private def rankTail(sims: DataFrame, k: Int): DataFrame = {
     val perQvec = sims.groupBy("query_id", "qvec_id", "doc_id")
       .agg(max(col("sim")).as("best"))
-    // 1e-4 grid: each `best` is 4dp-rounded; summing scaled longs makes
-    // the total independent of aggregation order, then ONE division
-    // yields the same double in every engine
     val scored = perQvec.groupBy("query_id", "doc_id")
       .agg((sum(round(col("best") * 10000d).cast("long")) / 10000d)
         .as("simscore"))

@@ -67,6 +67,39 @@ class MaxSimSpec extends AnyFunSuite with SparkSpec {
     assert(top(1)._1 == 1L && top(1)._2 < 2.0)
   }
 
+  test("IVF route: exact at full probe; pruning keeps the top doc at modest nprobe") {
+    import spark.implicits._
+    // 20 docs × 4 chunks, clustered geometry so IVF routing is
+    // meaningful; 2 queries × 2 vectors
+    val docs = (for (d <- 0 until 20; c <- 0 until 4) yield
+      (d.toLong, Seq.tabulate(8)(i =>
+        ((d % 5) * 50 + c * 3 + ((d * 31 + c * 7 + i * 13) % 17)).toFloat)))
+      .toDF("doc_id", "emb")
+    val qs = (for (q <- 0 until 2; v <- 0 until 2) yield
+      (q.toLong, (q * 10 + v).toLong, Seq.tabulate(8)(i =>
+        ((q % 5) * 50 + v * 3 + ((q * 11 + v * 5 + i * 13) % 17)).toFloat)))
+      .toDF("query_id", "qvec_id", "qvec")
+    def run(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq.sortBy(t => (t._1, t._4))
+    val exact = run(MaxSim.maxSimTopK(docs, col("doc_id"), col("emb"),
+      qs, col("query_id"), col("qvec_id"), col("qvec"), k = 5))
+    // full probe == exact, bit for bit
+    val full = run(MaxSim.maxSimTopKIvf(docs, col("doc_id"), col("emb"),
+      qs, col("query_id"), col("qvec_id"), col("qvec"), k = 5,
+      nlist = 5, nprobe = 5))
+    assert(full == exact, s"\nfull-probe $full\nexact     $exact")
+    // pruned probe: the exact top-1 doc per query must survive the
+    // clustered geometry (its chunks live in the query's own cluster)
+    val pruned = run(MaxSim.maxSimTopKIvf(docs, col("doc_id"), col("emb"),
+      qs, col("query_id"), col("qvec_id"), col("qvec"), k = 5,
+      nlist = 5, nprobe = 2))
+    val exactTop = exact.filter(_._4 == 1).map(t => (t._1, t._2)).toSet
+    val prunedTop = pruned.filter(_._4 == 1).map(t => (t._1, t._2)).toSet
+    assert(exactTop == prunedTop,
+      s"pruning lost a top doc: exact $exactTop pruned $prunedTop")
+  }
+
   test("plan: broadcast scoring join, no cartesian product, no corpus window") {
     import spark.implicits._
     val docs = (0 until 40).map(i =>
