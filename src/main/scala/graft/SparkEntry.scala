@@ -4038,8 +4038,14 @@ object SparkEntry {
           ms.addData(rowsOf(col("vec_id") < 250)); q.processAllAvailable()
           ms.addData(rowsOf(col("vec_id") >= 250)); q.processAllAvailable()
         } finally q.stop()
+        // partition-preserving compaction of the appended layout (one
+        // file per cluster dir per batch otherwise grows unbounded);
+        // the served probe below reads the COMPACTED layout, so the
+        // compaction path sits under this hash gate
+        graft.sources.Layout.compactPartitioned(s, s"$tmp/layout",
+          s"$tmp/layout_c", Seq("cluster_id"))
         val maintained = Ann.IvfIndex(
-          s.read.parquet(s"$tmp/layout"), idx0.centroids)
+          s.read.parquet(s"$tmp/layout_c"), idx0.centroids)
         Ann.ivfKnnJoin(emb.where(col("vec_id") < 20)
             .select(col("vec_id").as("id"), col("embedding")),
           maintained, k = 3, nprobe = 8)

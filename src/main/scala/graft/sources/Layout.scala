@@ -94,6 +94,38 @@ object Layout {
     n
   }
 
+  /** Partition-preserving small-file compaction for directory-
+    * partitioned layouts — the streamed IVF assignment's shape: every
+    * micro-batch appends one file per `cluster_id=N/` directory, so a
+    * long-running stream grows per-partition file counts without bound
+    * (the directory-partitioned sibling of the bucketed-postings
+    * problem [[graft.streaming.StreamingBm25.compact]] solves).
+    * Rewrites to ≤1 file per partition directory (`maxRecordsPerFile`
+    * splits oversized partitions into extra files, never a straggler),
+    * preserving the partition columns so scan-level directory pruning
+    * is untouched. Rows are grouped by the partition key so each
+    * partition value lands whole in one task — one output file per
+    * directory, regardless of how values hash across tasks. Writes to
+    * a separate `dest` like [[compactTo]]; swap via rename or serve
+    * the new root through a [[writeVersioned]]-style pointer.
+    */
+  def compactPartitioned(spark: org.apache.spark.sql.SparkSession,
+                         src: String, dest: String,
+                         partitionCols: Seq[String],
+                         maxRecordsPerFile: Long = 0L): Unit = {
+    require(partitionCols.nonEmpty, "at least one partition column required")
+    require(src != dest, "dest must differ from src")
+    val df = spark.read.parquet(src)
+    val nParts = math.max(1L,
+      df.select(partitionCols.map(col): _*).distinct().count()).toInt
+    val base = df.repartition(nParts, partitionCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+    (if (maxRecordsPerFile > 0)
+       base.option("maxRecordsPerFile", maxRecordsPerFile)
+     else base)
+      .partitionBy(partitionCols: _*).parquet(dest)
+  }
+
   // ---- manifest-versioned corpus (atomic snapshot swap) --------------
 
   /** Transactional corpus versioning: each write lands in its own

@@ -93,6 +93,37 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("compactPartitioned: one file per partition dir, content and pruning kept") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft-cpart-src").toString
+    val dest = Files.createTempDirectory("graft-cpart-dst").toString + "/out"
+    // simulate 4 micro-batch appends over 3 partition values
+    (0 until 4).foreach { b =>
+      (0 until 3).map(p => (b * 100L + p, p))
+        .toDF("v", "cluster_id")
+        .write.mode("append").partitionBy("cluster_id").parquet(src)
+    }
+    def filesPerDir(root: String): Map[String, Int] =
+      new java.io.File(root).listFiles().filter(_.isDirectory)
+        .map(d => d.getName -> d.listFiles()
+          .count(f => f.isFile && !f.getName.startsWith("_") &&
+            !f.getName.startsWith("."))).toMap
+    assert(filesPerDir(src).values.forall(_ == 4), s"${filesPerDir(src)}")
+    Layout.compactPartitioned(spark, src, dest, Seq("cluster_id"))
+    val after = filesPerDir(dest)
+    assert(after.keySet == Set("cluster_id=0", "cluster_id=1", "cluster_id=2"))
+    assert(after.values.forall(_ == 1),
+      s"each partition dir must hold one file: $after")
+    val a = spark.read.parquet(src).orderBy("v").collect().map(_.toSeq).toSeq
+    val b = spark.read.parquet(dest).orderBy("v").collect().map(_.toSeq).toSeq
+    assert(a == b, "content must be identical after compaction")
+    // directory pruning still applies on the compacted layout
+    val plan = spark.read.parquet(dest).where(col("cluster_id") === 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(cluster_id"),
+      s"partition filter must prune at scan:\n$plan")
+  }
+
   test("versioned writes: commit markers, time travel, current resolution") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-versions").toString
