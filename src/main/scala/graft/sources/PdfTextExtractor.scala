@@ -37,8 +37,12 @@ import scala.util.matching.Regex
   * (`begincodespacerange`/`beginbfchar`/`beginbfrange`, 1- and 2-byte
   * codes, UTF-16BE targets incl. array-form ranges) is parsed once,
   * and `Tf` font selection switches string decoding to the CMap —
-  * covering digitally-born Type0 documents without PDFBox. Scanned
-  * (image-only) PDFs correctly produce "" — there is no text.
+  * covering digitally-born Type0 documents without PDFBox. PDF 1.5+
+  * object streams (`/Type /ObjStm` — where modern generators compress
+  * the Catalog/Pages/Page dictionaries) are decoded and their
+  * contained objects joined into the object table before the page
+  * walk. Scanned (image-only) PDFs correctly produce "" — there is no
+  * text.
   */
 object PdfTextExtractor {
 
@@ -112,7 +116,7 @@ object PdfTextExtractor {
     */
   def info(data: Array[Byte]): Map[String, String] = {
     val latin = new String(data, StandardCharsets.ISO_8859_1)
-    val objects = parseObjects(data, latin)
+    val objects = expandObjectStreams(parseObjects(data, latin))
     val byNum = objects.map(o => o.num -> o).toMap
     val infoNum = """/Info\s+(\d+)\s+\d+\s+R""".r
       .findFirstMatchIn(latin).map(_.group(1).toInt)
@@ -320,7 +324,7 @@ object PdfTextExtractor {
 
   private[sources] def extractBuiltin(data: Array[Byte]): String = {
     val latin = new String(data, StandardCharsets.ISO_8859_1)
-    val objects = parseObjects(data, latin)
+    val objects = expandObjectStreams(parseObjects(data, latin))
     if (objects.isEmpty) return ""
     val byNum = objects.map(o => o.num -> o).toMap
 
@@ -342,6 +346,48 @@ object PdfTextExtractor {
       Some(text)
     }
     pages.mkString("\n")
+  }
+
+  /** Expand PDF 1.5+ OBJECT STREAMS (`/Type /ObjStm`): modern
+    * generators store most non-stream objects — including the
+    * Catalog/Pages/Page dictionaries this parser walks — compressed
+    * inside object streams, where a raw byte scan cannot see them (the
+    * whole page tree silently vanishes and extraction returns "").
+    * Each ObjStm decodes to `N` (objnum, offset) integer pairs
+    * followed at `/First + offset` by the object bodies (dict-only by
+    * spec — streams cannot live in an ObjStm), which are appended to
+    * the object table. Counts and offsets are clamped to the decoded
+    * payload: corrupt streams contribute nothing, never throw.
+    */
+  private def expandObjectStreams(objects: Seq[Obj]): Seq[Obj] = {
+    val extra = objects
+      .filter(o => """/Type\s*/ObjStm\b""".r.findFirstIn(o.dict).isDefined)
+      .flatMap { o =>
+        o.stream.toSeq.flatMap { raw =>
+          val s = new String(decodeStream(o.dict, raw),
+            StandardCharsets.ISO_8859_1)
+          val n = """/N\s+(\d+)""".r.findFirstMatchIn(o.dict)
+            .map(_.group(1).toInt).getOrElse(0)
+          val first = """/First\s+(\d+)""".r.findFirstMatchIn(o.dict)
+            .map(_.group(1).toInt).getOrElse(0)
+          if (n <= 0 || first <= 0 || first > s.length) Seq.empty
+          else {
+            val nums = """\d+""".r.findAllIn(s.substring(0, first))
+              .map(_.toLong).toArray
+            val pairs = (0 until math.min(n, nums.length / 2))
+              .map(i => (nums(2 * i).toInt, nums(2 * i + 1).toInt))
+            pairs.zipWithIndex.map { case ((num, off), i) =>
+              val start = math.min(math.max(first + off, 0), s.length)
+              val end =
+                if (i + 1 < pairs.length)
+                  math.min(math.max(first + pairs(i + 1)._2, start), s.length)
+                else s.length
+              Obj(num, s.substring(start, end), None)
+            }
+          }
+        }
+      }
+    objects ++ extra
   }
 
   private def parseObjects(data: Array[Byte], latin: String): Seq[Obj] = {

@@ -48,7 +48,9 @@ object ClusterSmoke {
     "text_lm_perplexity",     // integer-cost LM scoring
     "tok_bpe_merges",         // iterative BPE training
     "q_maxsim_retrieval",     // GroupedTopK udaf buffer serialization
+    "q_maxsim_ivf_full_probe", // IVF-routed MaxSim (centroid kernels)
     "q_quantile_sketch_grouped", // grouped sketch windows
+    "streaming_quantiles_grouped", // stream-maintained grouped state
     "q_cumsum_scalable",      // two-phase RDD prefix sum
     "q_events_sessionize",    // events/window family
     "mm_mp4_frames",          // multimodal byte walking

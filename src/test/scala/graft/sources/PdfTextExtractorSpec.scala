@@ -160,6 +160,42 @@ class PdfTextExtractorSpec extends AnyFunSuite with SparkSpec {
     assert(got == "office\n XYZa\nplain latin")
   }
 
+  test("object streams (/ObjStm) holding the page tree still extract") {
+    // PDF 1.5+ layout: Catalog/Pages/Page dicts live COMPRESSED inside
+    // an object stream — a raw byte scan sees no page tree at all and
+    // would extract "". Content streams stay regular objects (streams
+    // cannot live in an ObjStm).
+    val content = "BT (Packed in an object stream) Tj ET"
+    val c = content.getBytes(StandardCharsets.ISO_8859_1)
+    // objects 1 (Catalog), 2 (Pages), 3 (Page) packed into ObjStm 10
+    val bodies = Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    val offsets = bodies.scanLeft(0)(_ + _.length + 1).init
+    val header = Seq(1, 2, 3).zip(offsets)
+      .map { case (n, o) => s"$n $o" }.mkString(" ") + " "
+    val payload = header + bodies.mkString("\n") + "\n"
+    val z = deflate(payload.getBytes(StandardCharsets.ISO_8859_1))
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.5\n")
+    w(s"10 0 obj\n<< /Type /ObjStm /N 3 /First ${header.length} " +
+      s"/Length ${z.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(z)
+    w("\nendstream\nendobj\n")
+    w(s"4 0 obj\n<< /Length ${c.length} >>\nstream\n"); out.write(c)
+    w("\nendstream\nendobj\n")
+    w("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+    assert(PdfTextExtractor.extract(out.toByteArray) ==
+      "Packed in an object stream")
+    // corrupt /First beyond the payload → no objects contributed, no throw
+    val corrupt = new String(out.toByteArray, StandardCharsets.ISO_8859_1)
+      .replace(s"/First ${header.length}", "/First 99999")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    PdfTextExtractor.extract(corrupt) // must not throw
+  }
+
   test("fixture corpus Type0 decision pages extract ground-truth text") {
     // The flagship gate is self-consistent (oracle reads the engine's
     // extraction), so the exact sentence is pinned HERE: if the CMap
