@@ -113,6 +113,8 @@ final class CaseSearchService(spark: SparkSession, root: String,
             "service" -> JStr("legal-case-search-api")).render))
         case ("POST", "/api/v1/search-similar-cases") =>
           withBody(ex)(body => search(ex, body))
+        case ("POST", "/api/v1/maxsim-search") =>
+          withBody(ex)(body => maxsimSearch(ex, body))
         case ("POST", "/api/v1/ingest-legal-document") =>
           withBody(ex)(body => ingest(ex, body))
         case _ =>
@@ -145,7 +147,13 @@ final class CaseSearchService(spark: SparkSession, root: String,
   // (extract_and_search_v2.py:297-418 — same validations, same order)  //
   // ------------------------------------------------------------------ //
 
-  private def search(ex: HttpExchange, body: Array[Byte]): Unit = {
+  /** Shared multipart validation cascade for the search-shaped routes
+    * (same checks, same error strings, same order as the reference's
+    * handler) — on success hands (court_level, form, file part) to the
+    * route body.
+    */
+  private def withSearchRequest(ex: HttpExchange, body: Array[Byte])(
+      run: (Int, Map[String, String], Multipart.Part) => Unit): Unit = {
     val ps = parts(ex, body)
     val form = ps.filter(_.filename.isEmpty).map(p => p.name -> p.text).toMap
     form.get("court_level") match {
@@ -156,7 +164,6 @@ final class CaseSearchService(spark: SparkSession, root: String,
           replyJson(ex, 400,
             JObj.of("error" -> JStr("Invalid court_level. It must be an integer.")))
         case Some(level) =>
-          val target = level + 1
           ps.find(p => p.name == "case_file" && p.filename.isDefined) match {
             case None =>
               replyJson(ex, 400, JObj.of("error" -> JStr("No case_file in the request")))
@@ -164,45 +171,57 @@ final class CaseSearchService(spark: SparkSession, root: String,
               replyJson(ex, 400, JObj.of("error" -> JStr("No file selected")))
             case Some(file) if !file.filename.exists(_.toLowerCase.endsWith(".pdf")) =>
               replyJson(ex, 400, JObj.of("error" -> JStr("Only PDF files are supported")))
-            case Some(file) =>
-              val collection = form.getOrElse("collection", DefaultCollection)
-              val fileName = baseName(file.filename.get)
-              val text = PdfTextExtractor.extract(file.data)
-              ChunkPacker.chunkText(text, maxWords).headOption match {
-                case None =>
-                  replyJson(ex, 500, JObj.of(
-                    "error" -> JStr("Failed to generate embedding from the document")))
-                case Some(representative) =>
-                  val rows = topMatches(representative, target, collection)
-                  val results = rows.map { case (fid, fname, dec, score) =>
-                    JObj.of("file_id" -> JStr(fid), "file_name" -> JStr(fname),
-                      "case_decision" -> JStr(dec), "score" -> JDouble(score))
-                  }
-                  val winCount = rows.count(_._3 == WinStats.Won)
-                  val totalValid = rows.count(r =>
-                    r._3 == WinStats.Won || r._3 == WinStats.Lost)
-                  val pct =
-                    if (totalValid > 0)
-                      math.rint(winCount * 100.0 / totalValid * 100.0) / 100.0
-                    else 0.0
-                  replyJson(ex, 200, JObj.of(
-                    "status" -> JStr("success"),
-                    "query" -> JObj.of(
-                      "input_court_level" -> JLong(level.toLong),
-                      "target_court_level" -> JLong(target.toLong),
-                      "file_name" -> JStr(fileName)),
-                    "results" -> JArr(results),
-                    "result_count" -> JLong(rows.size.toLong),
-                    "appellant_statistics" -> JObj.of(
-                      "win_percentage" -> JDouble(pct),
-                      "win_count" -> JLong(winCount.toLong),
-                      "total_valid_decisions" -> JLong(totalValid.toLong),
-                      "invalid_decisions" -> JLong((rows.size - totalValid).toLong))))
-              }
+            case Some(file) => run(level, form, file)
           }
       }
     }
   }
+
+  /** The reference's response shape for a ranked result set (rows in
+    * their serving order) + the A1–A3 statistics recomputed over them.
+    */
+  private def searchResponse(ex: HttpExchange, level: Int, fileName: String,
+      rows: Seq[(String, String, String, Double)]): Unit = {
+    val results = rows.map { case (fid, fname, dec, score) =>
+      JObj.of("file_id" -> JStr(fid), "file_name" -> JStr(fname),
+        "case_decision" -> JStr(dec), "score" -> JDouble(score))
+    }
+    val winCount = rows.count(_._3 == WinStats.Won)
+    val totalValid = rows.count(r =>
+      r._3 == WinStats.Won || r._3 == WinStats.Lost)
+    val pct =
+      if (totalValid > 0)
+        math.rint(winCount * 100.0 / totalValid * 100.0) / 100.0
+      else 0.0
+    replyJson(ex, 200, JObj.of(
+      "status" -> JStr("success"),
+      "query" -> JObj.of(
+        "input_court_level" -> JLong(level.toLong),
+        "target_court_level" -> JLong((level + 1).toLong),
+        "file_name" -> JStr(fileName)),
+      "results" -> JArr(results),
+      "result_count" -> JLong(rows.size.toLong),
+      "appellant_statistics" -> JObj.of(
+        "win_percentage" -> JDouble(pct),
+        "win_count" -> JLong(winCount.toLong),
+        "total_valid_decisions" -> JLong(totalValid.toLong),
+        "invalid_decisions" -> JLong((rows.size - totalValid).toLong))))
+  }
+
+  private def search(ex: HttpExchange, body: Array[Byte]): Unit =
+    withSearchRequest(ex, body) { (level, form, file) =>
+      val collection = form.getOrElse("collection", DefaultCollection)
+      val fileName = baseName(file.filename.get)
+      val text = PdfTextExtractor.extract(file.data)
+      ChunkPacker.chunkText(text, maxWords).headOption match {
+        case None =>
+          replyJson(ex, 500, JObj.of(
+            "error" -> JStr("Failed to generate embedding from the document")))
+        case Some(representative) =>
+          searchResponse(ex, level, fileName,
+            topMatches(representative, level + 1, collection))
+      }
+    }
 
   /** The flagship plan against one collection: pushed `court_level`
     * partition filter → broadcast 1-row query vector → L2 score →
@@ -240,6 +259,88 @@ final class CaseSearchService(spark: SparkSession, root: String,
       .drop("embedding")
     Knn.topK(Knn.bestPerGroup(scored, col("file_id"), col("chunk_id")),
         5, col("file_id"))
+      .select(col("file_id"), col("file_name"), col("case_decision"),
+        col("score").cast("double"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
+      .toSeq
+  }
+
+  // ------------------------------------------------------------------ //
+  // POST /api/v1/maxsim-search — extension route (no reference analog) //
+  // ------------------------------------------------------------------ //
+
+  /** Multi-vector late-interaction search: where the flagship route
+    * reduces the query document to its FIRST chunk (the reference's
+    * representative shortcut, `extract_and_search.py:86-87`), this
+    * route embeds EVERY query chunk and ranks target-level documents
+    * by [[graft.search.MaxSim]] (Σ per query chunk of its best
+    * corpus-chunk cosine) — each query facet matches its own best
+    * chunk. Same multipart contract, validations, and response shape
+    * as the flagship route; `k` is an optional form field (default 5);
+    * scores are similarities, so results order DESCENDING.
+    */
+  private def maxsimSearch(ex: HttpExchange, body: Array[Byte]): Unit =
+    withSearchRequest(ex, body) { (level, form, file) =>
+      form.get("k").map(_.trim) match {
+        case Some(kRaw) if kRaw.toIntOption.forall(_ <= 0) =>
+          replyJson(ex, 400,
+            JObj.of("error" -> JStr("Invalid k. It must be a positive integer.")))
+        case kOpt =>
+          val k = kOpt.flatMap(_.toIntOption).getOrElse(5)
+          val collection = form.getOrElse("collection", DefaultCollection)
+          val fileName = baseName(file.filename.get)
+          val chunks = ChunkPacker.chunkText(
+            PdfTextExtractor.extract(file.data), maxWords)
+          if (chunks.isEmpty)
+            replyJson(ex, 500, JObj.of(
+              "error" -> JStr("Failed to generate embedding from the document")))
+          else
+            searchResponse(ex, level, fileName,
+              maxsimMatches(chunks, level + 1, collection, k))
+      }
+    }
+
+  /** MaxSim over one collection: every query chunk embedded (local or
+    * remote embedder — an embedding-service outage surfaces as the 500
+    * it is, same contract as [[topMatches]]), document keys derived as
+    * `xxhash64(file_id)` for the numeric-id kernel and joined back for
+    * the response columns. Collected rows are bounded at k.
+    */
+  private def maxsimMatches(chunks: Seq[String], targetLevel: Int,
+      collection: String, k: Int): Seq[(String, String, String, Double)] = {
+    import spark.implicits._
+    val ids = chunks.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+    val qvecs = remoteEmbedder match {
+      case Some(cfg) =>
+        val embedded = graft.embed.HttpEmbedder.embed(spark,
+            ids.toDF("chunk_id", "__t"), "chunk_id", "__t", cfg)
+          .select(lit(0L).as("query_id"), col("chunk_id").as("qvec_id"),
+            col("embedding").as("qvec"))
+          .localCheckpoint()
+        if (embedded.count() < chunks.size)
+          throw new RuntimeException(
+            "Embedding service failed to embed the query text")
+        embedded
+      case None =>
+        ids.toDF("qvec_id", "__t")
+          .select(lit(0L).as("query_id"), col("qvec_id"),
+            embedder.embed(col("__t")).as("qvec"))
+    }
+    val corpus = collectionFrame(collection)
+      .where(col("court_level") === targetLevel)
+      .select(xxhash64(col("file_id")).as("doc_key"),
+        col("file_id"), col("file_name"), col("case_decision"),
+        col("embedding"))
+    val top = graft.search.MaxSim.maxSimTopK(
+      corpus.select(col("doc_key"), col("embedding")),
+      col("doc_key"), col("embedding"),
+      qvecs, col("query_id"), col("qvec_id"), col("qvec"), k)
+    val meta = corpus
+      .select(col("doc_key"), col("file_id"), col("file_name"),
+        col("case_decision")).distinct()
+    top.join(meta, top("doc_id") === meta("doc_key"))
+      .orderBy("rank")
       .select(col("file_id"), col("file_name"), col("case_decision"),
         col("score").cast("double"))
       .collect()

@@ -269,6 +269,40 @@ class ServeApiSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(pct - win * 100.0 / valid) < 0.01)
   }
 
+  test("maxsim-search ranks the twin first with descending similarity") {
+    // same corpus as the flagship search test (6 files at level 3);
+    // query = case_0a at level 2 → its twin shares EVERY chunk, so
+    // MaxSim = n_query_chunks × 1.0 — the maximum possible score
+    val r = post("/api/v1/maxsim-search", multipart(
+      Seq("court_level" -> "2", "k" -> "4"),
+      Seq(("case_file", "case_0a.pdf", pdfBytes("case_0a.pdf")))))
+    assert(r.statusCode() == 200, r.body())
+    val o = obj(parseJson(r.body()))
+    assert(o("status") == "success")
+    val results = arr(o("results")).map(obj)
+    assert(results.size == 4 && o("result_count") == 4L)
+    val names = results.map(_("file_name").asInstanceOf[String])
+    assert(names.distinct.size == names.size, "one row per document")
+    val scores = results.map(_("score") match {
+      case d: Double => d
+      case l: Long => l.toDouble
+    })
+    assert(scores == scores.sorted.reverse, s"similarity descends: $scores")
+    // both case_0 twins carry the perfect all-chunks match up front
+    assert(names.take(2).toSet == Set("case_0a.pdf", "case_0b.pdf"))
+    assert(scores(0) == scores(1), "identical text ⇒ identical MaxSim")
+    assert(scores(2) < scores(0), "non-twin documents score strictly lower")
+    // shared validation cascade + the route's own k check
+    val badK = post("/api/v1/maxsim-search", multipart(
+      Seq("court_level" -> "2", "k" -> "0"),
+      Seq(("case_file", "q.pdf", pdfBytes("case_0a.pdf")))))
+    assert(badK.statusCode() == 400 && badK.body().contains("Invalid k"))
+    val noLevel = post("/api/v1/maxsim-search", multipart(
+      Nil, Seq(("case_file", "q.pdf", pdfBytes("case_0a.pdf")))))
+    assert(noLevel.statusCode() == 400 &&
+      noLevel.body().contains("Missing court_level parameter"))
+  }
+
   test("search validations mirror the reference's error messages") {
     val noLevel = post("/api/v1/search-similar-cases", multipart(
       Nil, Seq(("case_file", "q.pdf", pdfBytes("case_0a.pdf")))))
