@@ -56,7 +56,8 @@ object PdfFixture {
     * (real court PDFs embed CID-keyed fonts; the reference's fitz
     * handles them, `/root/reference/extract_and_search.py:40-47`).
     */
-  private def buildPdf(pages: Seq[(String, Boolean)]): Array[Byte] = {
+  private def buildPdf(pages: Seq[(String, Boolean)],
+                       objStm: Boolean = false): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
     val n = pages.length
@@ -64,13 +65,33 @@ object PdfFixture {
     val contentIds = (0 until n).map(3 + n + _)
     val fontId = 3 + 2 * n
     val cmapId = fontId + 1
-    w("%PDF-1.4\n")
-    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
-    w(s"2 0 obj\n<< /Type /Pages /Kids [${pageIds.map(i => s"$i 0 R").mkString(" ")}] /Count $n >>\nendobj\n")
-    pageIds.zip(contentIds).zip(pages).foreach { case ((p, c), (_, type0)) =>
-      val res =
-        if (type0) s" /Resources << /Font << /T0 $fontId 0 R >> >>" else ""
-      w(s"$p 0 obj\n<< /Type /Page /Parent 2 0 R /Contents $c 0 R$res >>\nendobj\n")
+    w(if (objStm) "%PDF-1.5\n" else "%PDF-1.4\n")
+    // the document-structure dictionaries: inline objects in the 1.4
+    // layout, or packed COMPRESSED into one /ObjStm in the 1.5 layout
+    // (what modern generators emit — a raw byte scan sees no page tree
+    // at all without object-stream decoding)
+    val structure: Seq[(Int, String)] =
+      (1, "<< /Type /Catalog /Pages 2 0 R >>") +:
+      (2, s"<< /Type /Pages /Kids [${pageIds.map(i => s"$i 0 R").mkString(" ")}] /Count $n >>") +:
+      pageIds.zip(contentIds).zip(pages).map { case ((p, c), (_, type0)) =>
+        val res =
+          if (type0) s" /Resources << /Font << /T0 $fontId 0 R >> >>" else ""
+        (p, s"<< /Type /Page /Parent 2 0 R /Contents $c 0 R$res >>")
+      }
+    if (objStm) {
+      val bodies = structure.map(_._2)
+      val offsets = bodies.scanLeft(0)(_ + _.length + 1).init
+      val header = structure.map(_._1).zip(offsets)
+        .map { case (num, off) => s"$num $off" }.mkString(" ") + " "
+      val payload = header + bodies.mkString("\n") + "\n"
+      val z = deflate(payload.getBytes(StandardCharsets.ISO_8859_1))
+      val stmId = cmapId + 1
+      w(s"$stmId 0 obj\n<< /Type /ObjStm /N ${structure.size} " +
+        s"/First ${header.length} /Length ${z.length} /Filter /FlateDecode >>\nstream\n")
+      out.write(z)
+      w("\nendstream\nendobj\n")
+    } else structure.foreach { case (num, dict) =>
+      w(s"$num 0 obj\n$dict\nendobj\n")
     }
     pages.map(_._1).zip(contentIds).zipWithIndex.foreach { case ((content, c), i) =>
       val raw = content.getBytes(StandardCharsets.ISO_8859_1)
@@ -175,7 +196,11 @@ object PdfFixture {
     val dir = Paths.get(PdfDir)
     Files.createDirectories(dir)
     (0 until NumPairs).foreach { p =>
-      val bytes = buildPdf(pages(p))
+      // odd pairs ship in the PDF 1.5 object-stream layout (page tree
+      // compressed in an /ObjStm), even pairs in classic 1.4 — both
+      // real-world layouts ride the flagship hash gates with IDENTICAL
+      // text, so twins still match across layout styles
+      val bytes = buildPdf(pages(p), objStm = p % 2 == 1)
       Seq("a", "b").foreach { t =>
         Files.write(dir.resolve(s"case_$p$t.pdf"), bytes)
       }
