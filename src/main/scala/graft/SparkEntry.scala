@@ -2051,6 +2051,39 @@ object SparkEntry {
               |WHERE t <> '' GROUP BY t
               |ORDER BY count DESC, term LIMIT 20""".stripMargin)),
 
+    // PER-GROUP Misra-Gries (per-language frequent terms — the shape
+    // curation screens consume): one bounded summary per key, state =
+    // groups × ≤ capacity, each group's error bound independent. Gated
+    // at the exactness dial (capacity ≥ per-group distinct terms →
+    // each summary IS the exact per-group frequency table), same trick
+    // as the global row; the ranking window runs over the BOUNDED
+    // summary, never the corpus
+    Q("q_heavy_hitters_grouped",
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables.documents(s, dir)
+          .select(col("lang"),
+            explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+          .where(col("t") =!= "").as[(String, String)]
+        graft.operators.HeavyHitters.summarizeBy(toks, capacity = 1000000)
+          .toDF()
+          .withColumn("rank", row_number().over(Window.partitionBy(col("group"))
+            .orderBy(desc("count"), asc("term"))))
+          .where(col("rank") <= 5)
+          .select(col("group").as("lang"), col("term"), col("count"),
+            col("rank"))
+          .orderBy("lang", "rank")
+      },
+      Some(s"""SELECT lang, term, count, CAST(rn AS INTEGER) AS rank FROM (
+              |  SELECT lang, t AS term, CAST(count(*) AS BIGINT) AS count,
+              |    row_number() OVER (PARTITION BY lang
+              |      ORDER BY count(*) DESC, t) AS rn
+              |  FROM (
+              |    SELECT lang, unnest(string_split_regex(lower(trim(text)),
+              |      '${TextAnalysis.WsClassSqlPublic}+')) AS t FROM documents)
+              |  WHERE t <> '' GROUP BY lang, t)
+              |WHERE rn <= 5 ORDER BY lang, rank""".stripMargin)),
+
     // Bigram counts, top 50 — n-gram LM statistics / contamination
     // screens; ties at the limit boundary broken by the ngram itself
     Q("text_bigram_counts",

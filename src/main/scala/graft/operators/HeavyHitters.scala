@@ -98,4 +98,29 @@ object HeavyHitters {
     import spark.implicits._
     terms.select(new MisraGries(capacity).toColumn).flatMap(identity(_))
   }
+
+  /** Per-group hit row. */
+  final case class GroupedHit(group: String, term: String, count: Long,
+                              max_undercount: Long)
+
+  /** PER-GROUP Misra-Gries — the grouped sibling (per-domain /
+    * per-language frequent terms, the shape curation screens consume):
+    * one bounded summary per key via `groupByKey(...).agg`, so state is
+    * groups × ≤ capacity entries and the per-group guarantee is
+    * unchanged (each group runs its own independent summary — the
+    * error bound uses the GROUP's processed count, not the corpus's).
+    * Same exactness dial: capacity ≥ a group's distinct-term count
+    * makes that group's summary its exact frequency table, which is
+    * how the oracle gates it.
+    */
+  def summarizeBy(terms: Dataset[(String, String)],
+                  capacity: Int): Dataset[GroupedHit] = {
+    val spark = terms.sparkSession
+    import spark.implicits._
+    terms.groupByKey(_._1).mapValues(_._2)
+      .agg(new MisraGries(capacity).toColumn)
+      .flatMap { case (g, hits) =>
+        hits.map(h => GroupedHit(g, h.term, h.count, h.max_undercount))
+      }
+  }
 }

@@ -49,4 +49,29 @@ class HeavyHittersSpec extends AnyFunSuite with SparkSpec {
     val out = HeavyHitters.summarize(ds, capacity = 16).collect()
     assert(out.length <= 16)
   }
+
+  test("grouped summaries run independently per key with per-group bounds") {
+    import spark.implicits._
+    // group A: heavy term among noise; group B: disjoint vocabulary —
+    // results must never leak across groups and A's bound must use A's
+    // processed count, not the corpus's
+    val rows = Seq.fill(200)(("A", "heavy")) ++
+      (1 to 300).map(i => ("A", s"a$i")) ++
+      (1 to 50).map(i => ("B", s"b${i % 10}"))
+    val out = HeavyHitters.summarizeBy(rows.toDS(), capacity = 16)
+      .collect()
+    val byGroup = out.groupBy(_.group)
+    assert(byGroup.keySet == Set("A", "B"))
+    assert(byGroup("A").forall(_.term.startsWith("heavy") ||
+      byGroup("A").forall(h => !h.term.startsWith("b"))), "no cross-group leak")
+    assert(byGroup.values.forall(_.length <= 16), "per-group state bounded")
+    // A: n=500, cap=16 → bound 29; the 200-count heavy term must
+    // survive with count within [true - bound, true]
+    val heavy = byGroup("A").find(_.term == "heavy").get
+    assert(heavy.max_undercount == 500L / 17)
+    assert(heavy.count <= 200 && heavy.count >= 200 - heavy.max_undercount)
+    // B is under capacity (10 distinct) → exact, zero-looking bound data
+    val b = byGroup("B").map(h => h.term -> h.count).toMap
+    assert((0 until 10).forall(i => b(s"b$i") == 5L))
+  }
 }
