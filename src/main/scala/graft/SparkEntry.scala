@@ -3599,6 +3599,51 @@ object SparkEntry {
       },
       Some(graft.search.MaxSim.maxSimSql(nQueries = 2, k = 5))),
 
+    // MaxSim AS A STREAM (16th streaming route): query facets arrive
+    // as a stream, candidates fan out statelessly, and ONE watermarked
+    // windowed aggregation keyed (window, query, doc) folds the
+    // per-facet running max — state bounded by each query's vector
+    // count, never corpus — finishing with the 1e-4-grid sum. Top-k is
+    // the bounded batch read over the closed windows; same oracle as
+    // the batch MaxSim rows
+    Q("streaming_maxsim",
+      (s, dir) => withStreamShuffle(s) {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val emb = Tables.embeddings(s, dir)
+        val corpus = emb.select((col("vec_id") % 100).as("doc_id"),
+          col("embedding"))
+        val t0 = 1700000000000L
+        val qRows = emb.where(col("vec_id") % 100 < 2)
+          .select((col("vec_id") % 100).as("query_id"), col("vec_id"),
+            col("embedding"))
+          .collect().map(r => (r.getLong(0), r.getLong(1),
+            r.getSeq[Float](2), new java.sql.Timestamp(t0))).toSeq
+        val ms = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Long, Seq[Float], java.sql.Timestamp)]
+        ms.addData(qRows)
+        val out = graft.streaming.StreamingMaxSim.scoredPerQueryDoc(
+          ms.toDS().toDF("query_id", "qvec_id", "q_emb", "ts"), corpus)
+        val qName = "graft_streaming_maxsim"
+        val q = out.writeStream.format("memory").queryName(qName)
+          .outputMode("append").start()
+        try {
+          q.processAllAvailable()
+          ms.addData(Seq((-1L, -1L, qRows.head._3,
+            new java.sql.Timestamp(t0 + 3600000L))))
+          q.processAllAvailable()
+        } finally q.stop()
+        graft.vector.GroupedTopK.topKPerGroup(
+            s.table(qName).where(col("query_id") >= 0)
+              .select(col("query_id"), col("doc_id").as("id"),
+                negate(col("score")).as("score")),
+            col("query_id"), 5)
+          .select(col("query_id"), col("id").as("doc_id"),
+            negate(col("score")).as("score"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some(graft.search.MaxSim.maxSimSql(nQueries = 2, k = 5))),
+
     // The IVF-pruned MaxSim scale tier at FULL PROBE (nprobe = nlist):
     // candidates route through the cluster join instead of the
     // broadcast NLJ, and the result must EXACTLY equal the exact route
