@@ -2936,6 +2936,40 @@ object SparkEntry {
     // dropped (at scale the overlap IS the corpus). Current snapshot
     // derived deterministically: every 11th doc removed, every 7th
     // edited, every 13th re-added under a shifted id
+    // CDC APPLY: fold an I/U/D change feed into the next snapshot —
+    // the delete-capable MERGE latestByKey cannot express (a removed
+    // document would otherwise survive every compaction). One
+    // map-side-combining hash aggregate + winner filter; version NULL
+    // marks untouched base rows
+    Q("mldata_cdc_apply",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val base = docs.select(col("doc_id"), col("lang"), col("text"))
+        val changes = docs.where(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), lit(1L).as("v"), lit("U").as("op"),
+            col("lang"), concat(lit("v2 "), col("text")).as("text"))
+          .unionByName(docs.where(col("doc_id") % 11 === 0)
+            .select(col("doc_id"), lit(2L).as("v"), lit("D").as("op"),
+              col("lang"), col("text")))
+          .unionByName(docs.where(col("doc_id") % 13 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              lit(1L).as("v"), lit("I").as("op"), col("lang"), col("text")))
+        graft.operators.Upsert.applyCdc(base, changes, "doc_id", "v", "op",
+            Seq("lang", "text"))
+          .orderBy("doc_id")
+      },
+      Some(graft.operators.Upsert.applyCdcSql(
+        "SELECT doc_id, lang, text FROM documents",
+        """SELECT doc_id, 1 AS v, 'U' AS op, lang, 'v2 ' || text AS text
+          |FROM documents WHERE doc_id % 7 = 0
+          |UNION ALL BY NAME
+          |SELECT doc_id, 2 AS v, 'D' AS op, lang, text
+          |FROM documents WHERE doc_id % 11 = 0
+          |UNION ALL BY NAME
+          |SELECT doc_id + 1000000 AS doc_id, 1 AS v, 'I' AS op, lang, text
+          |FROM documents WHERE doc_id % 13 = 0""".stripMargin,
+        "doc_id", "v", "op", Seq("lang", "text")) + " ORDER BY doc_id")),
+
     Q("mldata_snapshot_diff",
       (s, dir) => {
         val docs = Tables.documents(s, dir)

@@ -53,6 +53,67 @@ object Upsert {
        |GROUP BY $keyExpr""".stripMargin
   }
 
+  /** CDC APPLY — fold a change feed carrying explicit operations into
+    * the next snapshot: `changes` rows are `(key, version, op,
+    * payload…)` with op ∈ {I, U, D} (insert/update treated alike:
+    * last writer wins; D tombstones the key). The winner per key is
+    * its highest-version change — base rows participate as version
+    * −∞ upserts — and keys whose winner is a delete are dropped. This
+    * is the Debezium/lakehouse merge shape [[latestByKey]] cannot
+    * express (it has no delete path: a removed document would survive
+    * every compaction forever).
+    *
+    * Same scale shape as [[latestByKey]]: ONE map-side-combining hash
+    * aggregate on the key (`max_by` on version over the union), then a
+    * filter on the winning op — shuffle carries one candidate per
+    * (task, key), never the change history; no window, no join.
+    * Version ties are caller-UB exactly as in [[latestByKey]].
+    */
+  def applyCdc(base: DataFrame, changes: DataFrame, keyCol: String,
+               versionCol: String, opCol: String,
+               payloadCols: Seq[String]): DataFrame = {
+    // base rows ride as version Long.MinValue (loses to every real
+    // change; callers never emit it); base-only keys surface a NULL
+    // version in the output
+    val all = base
+      .select(Seq(col(keyCol), lit(Long.MinValue).as("__v"),
+        lit("I").as("__op")) ++ payloadCols.map(col): _*)
+      .unionByName(changes.select(Seq(col(keyCol),
+        col(versionCol).cast("long").as("__v"),
+        col(opCol).as("__op")) ++ payloadCols.map(col): _*))
+    all.groupBy(col(keyCol))
+      .agg(max_by(col("__op"), col("__v")).as("__wop"),
+        (max(col("__v")).as("__vmax") +:
+          payloadCols.map(c => max_by(col(c), col("__v")).as(c))): _*)
+      .where(col("__wop") =!= "D")
+      .select(col(keyCol) +:
+        when(col("__vmax") === Long.MinValue, lit(null).cast("long"))
+          .otherwise(col("__vmax")).as(versionCol) +:
+        payloadCols.map(col): _*)
+  }
+
+  /** DuckDB twin of [[applyCdc]] (same sentinel arithmetic). */
+  def applyCdcSql(baseSql: String, changesSql: String, keyExpr: String,
+                  versionExpr: String, opExpr: String,
+                  payloadCols: Seq[String]): String = {
+    val minv = s"CAST(${Long.MinValue} AS BIGINT)"
+    val pays = payloadCols
+      .map(c => s"arg_max($c, v) AS $c").mkString(", ")
+    s"""SELECT $keyExpr,
+       |  CASE WHEN vmax = $minv THEN NULL ELSE vmax END AS $versionExpr,
+       |  ${payloadCols.mkString(", ")} FROM (
+       |  SELECT $keyExpr, arg_max(op, v) AS wop, max(v) AS vmax, $pays
+       |  FROM (
+       |    SELECT $keyExpr, $minv AS v,
+       |      'I' AS op, ${payloadCols.mkString(", ")} FROM ($baseSql)
+       |    UNION ALL BY NAME
+       |    SELECT $keyExpr, CAST($versionExpr AS BIGINT) AS v,
+       |      $opExpr AS op, ${payloadCols.mkString(", ")}
+       |    FROM ($changesSql))
+       |  GROUP BY $keyExpr)
+       |WHERE wop <> 'D'""".stripMargin
+  }
+
   /** Snapshot diff — the audit half of the merge story: which keys
     * were `added`, `removed`, or `changed` between two corpus
     * snapshots (payload equality via null-safe comparison of the

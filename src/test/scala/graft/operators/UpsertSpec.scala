@@ -62,6 +62,33 @@ class UpsertSpec extends AnyFunSuite with SparkSpec {
     assert(out.toSeq == Seq((2L, "changed")))
   }
 
+  test("applyCdc: delete tombstones win, out-of-order feed, base survives") {
+    import spark.implicits._
+    val changes = Seq(
+      (2L, 2L, "U", "en", "two-v2"),
+      (2L, 3L, "D", "en", "two-v2"),  // delete AFTER the update: key gone
+      (3L, 2L, "D", "de", "drei"),
+      (3L, 3L, "U", "de", "drei-back"), // re-insert after delete: alive
+      (4L, 1L, "I", "fr", "quatre"))  // brand-new key
+      .toDF("k", "v", "op", "lang", "text")
+    val out = Upsert.applyCdc(
+        base.select(col("k"), col("lang"), col("text")), changes,
+        "k", "v", "op", Seq("lang", "text"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), r.getString(3))).toSeq
+    assert(out == Seq(
+      (1L, None, "one"),            // untouched base: NULL version
+      (3L, Some(3L), "drei-back"),  // delete superseded by later update
+      (4L, Some(1L), "quatre")))    // insert
+    // same scale contract as latestByKey: no window, map-side combine
+    val plan = Upsert.applyCdc(
+      base.select(col("k"), col("lang"), col("text")), changes,
+      "k", "v", "op", Seq("lang", "text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && plan.contains("partial"),
+      s"one partial-friendly aggregate expected:\n$plan")
+  }
+
   test("compaction is one partial-friendly aggregate, not a window") {
     val plan = Upsert.latestByKey(base, updates, "k", "version",
       Seq("lang", "text")).queryExecution.executedPlan.toString
