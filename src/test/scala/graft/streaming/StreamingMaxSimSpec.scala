@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Streamed MaxSim: the windowed facet-max fold must equal the batch
+  * kernel, accumulate correctly ACROSS micro-batches (a facet's better
+  * chunk arriving later must raise the doc score), and keep per-key
+  * state bounded by the query's facet count.
+  */
+class StreamingMaxSimSpec extends AnyFunSuite with SparkSpec {
+
+  test("facet maxima accumulate across micro-batches into the batch score") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val e1 = Seq(1f, 0f, 0f, 0f)
+    val e2 = Seq(0f, 1f, 0f, 0f)
+    val mid = Seq(1f, 1f, 0f, 0f)
+    val corpus = Seq((10L, e1), (10L, e2), (20L, mid))
+      .toDF("doc_id", "embedding")
+    val t0 = 1700000000000L
+    def ts(ms: Long) = new java.sql.Timestamp(t0 + ms)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Seq[Float], java.sql.Timestamp)]
+    val out = StreamingMaxSim.scoredPerQueryDoc(
+      ms.toDS().toDF("query_id", "qvec_id", "q_emb", "ts"), corpus)
+    val q = out.writeStream.format("memory").queryName("sms_spec")
+      .outputMode("append").start()
+    try {
+      // facet 0 arrives in batch 1, facet 1 in batch 2 — SAME window:
+      // the stateful fold must merge them before the window closes
+      ms.addData(Seq((0L, 0L, e1, ts(0))))
+      q.processAllAvailable()
+      ms.addData(Seq((0L, 1L, e2, ts(1000))))
+      q.processAllAvailable()
+      ms.addData(Seq((-1L, -1L, e1, ts(3600000L)))) // close the window
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("sms_spec").where(col("query_id") === 0L)
+      .select(col("doc_id"), col("score")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc 10: each facet matches its own chunk exactly → 1.0 + 1.0
+    assert(rows(10L) == 2.0, s"cross-batch facet merge: $rows")
+    // doc 20: both facets hit the same mid chunk at cos 0.7071
+    assert(rows(20L) == 1.4142, s"grid sum of per-facet maxima: $rows")
+  }
+
+  test("aggregator state is bounded by facet count, not chunk count") {
+    val agg = new StreamingMaxSim.FacetMaxSum()
+    // 1000 chunk observations over 3 facets → 3 state entries
+    val buf = (0 until 1000).foldLeft(agg.zero) { (b, i) =>
+      agg.reduce(b, StreamingMaxSim.FacetSim(i % 3, (i % 7) / 10.0))
+    }
+    assert(buf.size == 3)
+    val merged = agg.merge(buf, agg.reduce(agg.zero,
+      StreamingMaxSim.FacetSim(1L, 0.9)))
+    assert(merged.size == 3 && merged(1L) == 0.9, "merge keeps the max")
+    assert(agg.finish(merged) ==
+      (math.round(0.6 * 10000d) * 2 + math.round(0.9 * 10000d)) / 10000d)
+  }
+}
