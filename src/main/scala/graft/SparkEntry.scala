@@ -3633,13 +3633,15 @@ object SparkEntry {
       },
       Some(graft.search.MaxSim.maxSimSql(nQueries = 2, k = 5))),
 
-    // MaxSim AS A STREAM (16th streaming route): query facets arrive
-    // as a stream, candidates fan out statelessly, and ONE watermarked
-    // windowed aggregation keyed (window, query, doc) folds the
-    // per-facet running max — state bounded by each query's vector
-    // count, never corpus — finishing with the 1e-4-grid sum. Top-k is
-    // the bounded batch read over the closed windows; same oracle as
-    // the batch MaxSim rows
+    // MaxSim AS A STREAM (16th streaming route), ranked FULLY
+    // IN-STREAM: query facets arrive as a stream, candidates fan out
+    // statelessly, a watermarked windowed aggregation keyed (window,
+    // query, doc) folds the per-facet running max (state bounded by
+    // each query's vector count, never corpus, 1e-4-grid finish), and
+    // a CHAINED second windowed aggregation (window_time re-keying —
+    // Spark's multi-stateful support) maintains the per-query top-k as
+    // bounded ≤2k-candidate state, emitting each ranking exactly once
+    // on window close. Same oracle as the batch MaxSim rows
     Q("streaming_maxsim",
       (s, dir) => withStreamShuffle(s) {
         import s.implicits._
@@ -3656,24 +3658,23 @@ object SparkEntry {
         val ms = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[(Long, Long, Seq[Float], java.sql.Timestamp)]
         ms.addData(qRows)
-        val out = graft.streaming.StreamingMaxSim.scoredPerQueryDoc(
-          ms.toDS().toDF("query_id", "qvec_id", "q_emb", "ts"), corpus)
+        val out = graft.streaming.StreamingMaxSim.topKPerQuery(
+          graft.streaming.StreamingMaxSim.scoredPerQueryDoc(
+            ms.toDS().toDF("query_id", "qvec_id", "q_emb", "ts"), corpus),
+          k = 5)
         val qName = "graft_streaming_maxsim"
         val q = out.writeStream.format("memory").queryName(qName)
           .outputMode("append").start()
         try {
           q.processAllAvailable()
           ms.addData(Seq((-1L, -1L, qRows.head._3,
-            new java.sql.Timestamp(t0 + 3600000L))))
+            new java.sql.Timestamp(t0 + 7200000L))))
+          q.processAllAvailable()
+          ms.addData(Seq.empty[(Long, Long, Seq[Float], java.sql.Timestamp)])
           q.processAllAvailable()
         } finally q.stop()
-        graft.vector.GroupedTopK.topKPerGroup(
-            s.table(qName).where(col("query_id") >= 0)
-              .select(col("query_id"), col("doc_id").as("id"),
-                negate(col("score")).as("score")),
-            col("query_id"), 5)
-          .select(col("query_id"), col("id").as("doc_id"),
-            negate(col("score")).as("score"), col("rank"))
+        s.table(qName).where(col("query_id") >= 0)
+          .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
           .orderBy("query_id", "rank")
       },
       Some(graft.search.MaxSim.maxSimSql(nQueries = 2, k = 5))),

@@ -72,4 +72,30 @@ object StreamingMaxSim {
         col("doc_id"))
       .agg(msAgg(col("qvec_id"), col("sim")).as("score"))
   }
+
+  /** Fully-continuous ranking: CHAIN a second windowed aggregation on
+    * the scored feed (Spark's chained time-window aggregations —
+    * `window(window_col)` re-keys on the upstream window), so the
+    * per-query top-k itself is stream-maintained state (bounded ≤2k
+    * candidates per query, the [[graft.vector.GroupedTopK]] buffer)
+    * and each query's final ranking emits exactly once on window
+    * close. Two stateful operators total, both with bounded per-key
+    * state; output contract matches the batch kernel's
+    * (query_id, doc_id, score, rank).
+    */
+  def topKPerQuery(scored: DataFrame, k: Int,
+                   windowDuration: String = "1 minute"): DataFrame = {
+    val topk = udaf(new graft.vector.GroupedTopK.TopKAggregator(k),
+      ExpressionEncoder[graft.vector.GroupedTopK.Scored]())
+    scored
+      .select(col("window"), col("query_id"), col("doc_id"),
+        negate(col("score")).as("negscore"))
+      .groupBy(window(window_time(col("window")), windowDuration),
+        col("query_id"))
+      .agg(topk(col("negscore"), col("doc_id")).as("top"))
+      .select(col("window"), col("query_id"), posexplode(col("top")))
+      .select(col("window"), col("query_id"), col("col.id").as("doc_id"),
+        negate(col("col.score")).as("score"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
 }

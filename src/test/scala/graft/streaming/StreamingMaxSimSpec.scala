@@ -47,6 +47,39 @@ class StreamingMaxSimSpec extends AnyFunSuite with SparkSpec {
     assert(rows(20L) == 1.4142, s"grid sum of per-facet maxima: $rows")
   }
 
+  test("chained windowed top-k ranks fully in-stream (two stateful ops)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val e1 = Seq(1f, 0f, 0f, 0f)
+    val e2 = Seq(0f, 1f, 0f, 0f)
+    val mid = Seq(1f, 1f, 0f, 0f)
+    val far = Seq(0f, 0f, 1f, 0f)
+    val corpus = Seq((10L, e1), (10L, e2), (20L, mid), (30L, far))
+      .toDF("doc_id", "embedding")
+    val t0 = 1700000000000L
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Seq[Float], java.sql.Timestamp)]
+    val ranked = StreamingMaxSim.topKPerQuery(
+      StreamingMaxSim.scoredPerQueryDoc(
+        ms.toDS().toDF("query_id", "qvec_id", "q_emb", "ts"), corpus), k = 2)
+    val q = ranked.writeStream.format("memory").queryName("sms_chain")
+      .outputMode("append").start()
+    try {
+      ms.addData(Seq((0L, 0L, e1, new java.sql.Timestamp(t0)),
+        (0L, 1L, e2, new java.sql.Timestamp(t0))))
+      q.processAllAvailable()
+      ms.addData(Seq((-1L, -1L, e1, new java.sql.Timestamp(t0 + 7200000L))))
+      q.processAllAvailable()
+      ms.addData(Seq.empty[(Long, Long, Seq[Float], java.sql.Timestamp)])
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("sms_chain").where(col("query_id") === 0L)
+      .orderBy("rank").select("doc_id", "score", "rank").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    assert(rows == Seq((10L, 2.0, 1), (20L, 1.4142, 2)),
+      s"in-stream ranking: $rows")
+  }
+
   test("aggregator state is bounded by facet count, not chunk count") {
     val agg = new StreamingMaxSim.FacetMaxSum()
     // 1000 chunk observations over 3 facets → 3 state entries
