@@ -9,9 +9,9 @@ object ExplainAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
-    for (n <- Seq("mldata_upsert_latest", "mldata_snapshot_diff",
-        "text_tfidf_topk", "emb_standardize", "emb_random_projection",
-        "text_char_entropy", "emb_outlier_scores")) {
+    for (n <- Seq("q_maxsim_retrieval", "q_maxsim_ivf_full_probe",
+        "q_quantile_sketch_grouped", "curation_length_pctl",
+        "q_heavy_hitters_grouped", "mldata_cdc_apply")) {
       println(s"===== $n =====")
       val plan = graft.SparkEntry.queries(n)(spark, dir)
         .queryExecution.executedPlan.toString
