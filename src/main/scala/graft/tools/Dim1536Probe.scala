@@ -87,6 +87,18 @@ object Dim1536Probe {
       df.select(Quantize.int8(col("embedding")).as("q"))
         .agg(sum(element_at(col("q.codes"), 1))).count()
     }
+    out += "maxsim_topk" -> time {
+      // late-interaction: 2 queries × 4 facets vs docs of ~8 chunks
+      // (vec_id/8 doc key) — cosine kernel per pair, d-linear expected
+      val qv = df.where(col("vec_id") < 8)
+        .select((col("vec_id") % 2).as("query_id"),
+          col("vec_id").as("qvec_id"), col("embedding"))
+      graft.search.MaxSim.maxSimTopK(
+        df.select((col("vec_id") / 8).cast("long").as("doc_id"),
+          col("embedding")),
+        col("doc_id"), col("embedding"),
+        qv, col("query_id"), col("qvec_id"), col("embedding"), k = 10).count()
+    }
     df.unpersist()
     out.toSeq
   }
