@@ -160,6 +160,84 @@ class PdfTextExtractorSpec extends AnyFunSuite with SparkSpec {
     assert(got == "office\n XYZa\nplain latin")
   }
 
+  test("encrypted PDFs (RC4-128 and AES-128, empty user password) extract") {
+    // Build genuinely-encrypted files with the spec's own algorithms:
+    // Algorithm 2 file key from the empty-user-password pad, Algorithm
+    // 1 per-object keys, stream payloads RC4'd or AES-CBC'd. The /O
+    // value's provenance is irrelevant to decryption (any 32 bytes the
+    // encryptor ALSO derived from work), so a fixed vector keeps the
+    // fixture deterministic.
+    val oVal = Array.tabulate(32)(i => ((i * 7 + 3) & 0xFF).toByte)
+    val id0 = Array.tabulate(16)(i => ((i * 13 + 1) & 0xFF).toByte)
+    val perm = -44
+    val fileKey = PdfTextExtractor.PdfCrypt.fileKey(oVal, perm, id0, 16, 3)
+    def aesEncrypt(key: Array[Byte], plain: Array[Byte]): Array[Byte] = {
+      val iv = Array.tabulate(16)(i => ((i * 31 + 5) & 0xFF).toByte)
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(key, "AES"),
+        new javax.crypto.spec.IvParameterSpec(iv))
+      iv ++ c.doFinal(plain)
+    }
+    def buildEncrypted(aes: Boolean): Array[Byte] = {
+      def encFor(num: Int, data: Array[Byte]): Array[Byte] = {
+        val k = PdfTextExtractor.PdfCrypt.objKey(fileKey, num, 0, aes)
+        if (aes) aesEncrypt(k, data)
+        else PdfTextExtractor.PdfCrypt.rc4(k, data)
+      }
+      // nudge the plaintext until the ciphertext's trailing byte is not
+      // CR/LF (the parser trims one EOL before "endstream"; real
+      // writers avoid the ambiguity via /Length, this parser scans)
+      def encStream(num: Int, mk: String => Array[Byte]): Array[Byte] = {
+        var padCount = 0
+        var out = encFor(num, mk(""))
+        while ((out.last == '\n' || out.last == '\r') && padCount < 64) {
+          padCount += 1
+          out = encFor(num, mk(" " * padCount))
+        }
+        out
+      }
+      val c5 = encStream(5, extra => (page1 + extra)
+        .getBytes(StandardCharsets.ISO_8859_1))
+      val c6 = encStream(6, extra => deflate((page2 + extra)
+        .getBytes(StandardCharsets.ISO_8859_1)))
+      val out = new ByteArrayOutputStream()
+      def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+      def hex(b: Array[Byte]): String = b.map("%02X".format(_)).mkString
+      w("%PDF-1.6\n")
+      w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+      w("2 0 obj\n<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>\nendobj\n")
+      w("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>\nendobj\n")
+      w("4 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>\nendobj\n")
+      w(s"5 0 obj\n<< /Length ${c5.length} >>\nstream\n")
+      out.write(c5); w("\nendstream\nendobj\n")
+      w(s"6 0 obj\n<< /Length ${c6.length} /Filter /FlateDecode >>\nstream\n")
+      out.write(c6); w("\nendstream\nendobj\n")
+      val filt =
+        if (aes) "/V 4 /R 4 /CF << /StdCF << /CFM /AESV2 >> >> /StmF /StdCF"
+        else "/V 2 /R 3"
+      w(s"7 0 obj\n<< /Filter /Standard $filt /Length 128 /P $perm " +
+        s"/O <${hex(oVal)}> /U <${hex(oVal)}> >>\nendobj\n")
+      w(s"trailer\n<< /Root 1 0 R /Encrypt 7 0 R " +
+        s"/ID [<${hex(id0)}> <${hex(id0)}>] >>\n%%EOF\n")
+      out.toByteArray
+    }
+    val rc4Pdf = buildEncrypted(aes = false)
+    val got = PdfTextExtractor.extract(rc4Pdf)
+    assert(got.startsWith(s"$wantPage1\n$wantPage2"),
+      s"RC4-128 decryption: got '$got'")
+    val aesPdf = buildEncrypted(aes = true)
+    val gotAes = PdfTextExtractor.extract(aesPdf)
+    assert(gotAes.startsWith(s"$wantPage1\n$wantPage2"),
+      s"AES-128 decryption: got '$gotAes'")
+    // the V5/AES-256 boundary: unsupported versions fall through
+    // undecrypted (garbage/empty text), never a throw
+    val v5 = new String(rc4Pdf, StandardCharsets.ISO_8859_1)
+      .replace("/V 2 /R 3", "/V 5 /R 6")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    PdfTextExtractor.extract(v5) // must not throw
+  }
+
   test("object streams (/ObjStm) holding the page tree still extract") {
     // PDF 1.5+ layout: Catalog/Pages/Page dicts live COMPRESSED inside
     // an object stream — a raw byte scan sees no page tree at all and
