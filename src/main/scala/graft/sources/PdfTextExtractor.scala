@@ -332,7 +332,12 @@ object PdfTextExtractor {
     * password pad via Algorithm 2 (MD5 of pad ‖ /O ‖ /P-LE32 ‖ ID[0],
     * 50× re-hash for /R ≥ 3), per-object keys via Algorithm 1
     * (MD5 of key ‖ objnum-LE24 ‖ gen-LE16 [‖ "sAlT" for AES]), and
-    * every stream/string decrypts before the normal pipeline runs.
+    * every STREAM decrypts before the normal pipeline runs — which
+    * covers page text transitively (content strings live inside
+    * streams). Standalone dictionary strings (e.g. /Info values)
+    * remain undecrypted: S2 metadata of an encrypted file reads as
+    * ciphertext, a documented boundary (the flagship surface is text
+    * extraction).
     * /V 5 (AES-256, /R 6) is out of scope here and documented as the
     * boundary — those files fall through undecrypted (extract "").
     * User-password VALIDATION is deliberately not performed: a
