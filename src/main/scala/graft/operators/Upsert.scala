@@ -68,23 +68,41 @@ object Upsert {
     * filter on the winning op — shuffle carries one candidate per
     * (task, key), never the change history; no window, no join.
     * Version ties are caller-UB exactly as in [[latestByKey]].
+    *
+    * NULL-payload semantics: a change that sets a payload column to
+    * NULL WINS with that NULL. Both engines are forced onto this
+    * semantic by aggregating single-field STRUCTS (non-null even when
+    * the field is null): bare `max_by`/`arg_max` diverge here — DuckDB
+    * `arg_max` skips NULL arguments (the stale non-null value would
+    * resurrect), which is exactly the wrong answer for a CDC feed.
+    * Change versions equal to the `Long.MinValue` base sentinel are
+    * rejected at runtime (they would tie with base rows and make the
+    * winner nondeterministic).
     */
   def applyCdc(base: DataFrame, changes: DataFrame, keyCol: String,
                versionCol: String, opCol: String,
                payloadCols: Seq[String]): DataFrame = {
     // base rows ride as version Long.MinValue (loses to every real
-    // change; callers never emit it); base-only keys surface a NULL
-    // version in the output
+    // change; the sentinel is rejected in the feed); base-only keys
+    // surface a NULL version in the output
+    val guardedV = {
+      val v = col(versionCol).cast("long")
+      when(v === Long.MinValue,
+        raise_error(lit(s"applyCdc: change version ${Long.MinValue} " +
+          "collides with the base sentinel")).cast("long"))
+        .otherwise(v)
+    }
     val all = base
       .select(Seq(col(keyCol), lit(Long.MinValue).as("__v"),
         lit("I").as("__op")) ++ payloadCols.map(col): _*)
       .unionByName(changes.select(Seq(col(keyCol),
-        col(versionCol).cast("long").as("__v"),
+        guardedV.as("__v"),
         col(opCol).as("__op")) ++ payloadCols.map(col): _*))
     all.groupBy(col(keyCol))
       .agg(max_by(col("__op"), col("__v")).as("__wop"),
         (max(col("__v")).as("__vmax") +:
-          payloadCols.map(c => max_by(col(c), col("__v")).as(c))): _*)
+          payloadCols.map(c =>
+            max_by(struct(col(c).as("p")), col("__v")).getField("p").as(c))): _*)
       .where(col("__wop") =!= "D")
       .select(col(keyCol) +:
         when(col("__vmax") === Long.MinValue, lit(null).cast("long"))
@@ -92,13 +110,16 @@ object Upsert {
         payloadCols.map(col): _*)
   }
 
-  /** DuckDB twin of [[applyCdc]] (same sentinel arithmetic). */
+  /** DuckDB twin of [[applyCdc]] (same sentinel arithmetic and the
+    * same struct-wrapped winner-takes-NULL payload semantics).
+    */
   def applyCdcSql(baseSql: String, changesSql: String, keyExpr: String,
                   versionExpr: String, opExpr: String,
                   payloadCols: Seq[String]): String = {
     val minv = s"CAST(${Long.MinValue} AS BIGINT)"
     val pays = payloadCols
-      .map(c => s"arg_max($c, v) AS $c").mkString(", ")
+      .map(c => s"struct_extract(arg_max({'p': $c}, v), 'p') AS $c")
+      .mkString(", ")
     s"""SELECT $keyExpr,
        |  CASE WHEN vmax = $minv THEN NULL ELSE vmax END AS $versionExpr,
        |  ${payloadCols.mkString(", ")} FROM (

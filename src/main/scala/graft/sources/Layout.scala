@@ -133,7 +133,7 @@ object Layout {
     * (`_commits/v-N`) exists — readers resolve "current" as the
     * highest committed version, so a writer killed mid-write leaves
     * the previous snapshot fully readable and the half-written `v=N`
-    * directory invisible (it is reclaimed by the next write of that
+    * directory invisible (it is reclaimed by the next claimant of that
     * version). This is the general-corpus counterpart of the
     * StreamingBm25 staged-commit protocol.
     *
@@ -145,21 +145,58 @@ object Layout {
     * the atomic equivalent: a reader either sees the marker (data is
     * complete) or doesn't (previous version serves). Old snapshots
     * remain addressable for time travel until [[pruneVersions]].
+    *
+    * Multi-writer safety: version numbers are allocated through CLAIM
+    * markers (`_claims/v-N`, created atomically with
+    * `FileSystem.createNewFile` — create-if-absent is the one
+    * primitive every Hadoop filesystem provides atomically) BEFORE any
+    * data is written. Two concurrent writers that both compute
+    * `next = N` race on the claim; exactly one wins, the loser
+    * advances to N+1 and claims that. No writer ever touches a `v=N`
+    * directory it has not claimed, and a claimed-but-uncommitted
+    * version from a crashed writer just leaves a skipped number (its
+    * garbage is reclaimed if the claim is ever force-released by
+    * [[pruneVersions]]' sweep of sub-current claims). Commit markers
+    * are likewise created with create-if-absent — a failed commit
+    * create aborts loudly instead of silently overwriting another
+    * writer's completed snapshot.
     */
   def writeVersioned(df: DataFrame, root: String): Long = {
     val spark = df.sparkSession
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val next = currentVersion(spark, root).getOrElse(0L) + 1
-    val dataDir = new org.apache.hadoop.fs.Path(root, s"v=$next")
-    // a crashed previous attempt at this same version left uncommitted
-    // garbage — reclaim it (it was never visible)
+    val claims = new org.apache.hadoop.fs.Path(root, "_claims")
+    fs.mkdirs(claims)
+    // next candidate: above every committed AND every claimed version
+    // (a live concurrent writer holds a claim with no commit yet)
+    val claimed = fs.listStatus(claims).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v-") => n.stripPrefix("v-").toLong }
+    var candidate = (committedVersions(spark, root) ++ claimed)
+      .foldLeft(0L)(math.max) + 1
+    var won = false
+    var attempts = 0
+    while (!won) {
+      attempts += 1
+      require(attempts <= 10000, s"could not claim a version under $root " +
+        "after 10000 attempts — claim directory runaway")
+      val claim = new org.apache.hadoop.fs.Path(claims, s"v-$candidate")
+      val commit = new org.apache.hadoop.fs.Path(root, s"_commits/v-$candidate")
+      if (!fs.exists(commit) &&
+        (try fs.createNewFile(claim) catch { case _: java.io.IOException => false }))
+        won = true
+      else candidate += 1
+    }
+    val dataDir = new org.apache.hadoop.fs.Path(root, s"v=$candidate")
+    // we own this version number exclusively; any leftover dir here is
+    // unclaimed crash garbage that was never visible
     fs.delete(dataDir, true)
     df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
     val commits = new org.apache.hadoop.fs.Path(root, "_commits")
     fs.mkdirs(commits)
-    fs.create(new org.apache.hadoop.fs.Path(commits, s"v-$next"), true).close()
-    next
+    require(fs.createNewFile(new org.apache.hadoop.fs.Path(commits, s"v-$candidate")),
+      s"commit marker for v=$candidate already exists — another writer " +
+        "bypassed the claim protocol; refusing to overwrite its snapshot")
+    candidate
   }
 
   /** Highest committed version, None for an empty/never-written root. */
@@ -203,10 +240,25 @@ object Layout {
     require(keepLast >= 1, "must keep at least the current version")
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val doomed = committedVersions(spark, root).dropRight(keepLast)
+    val committed = committedVersions(spark, root)
+    val doomed = committed.dropRight(keepLast)
     doomed.foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(root, s"_commits/v-$v"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"_claims/v-$v"), false)
       fs.delete(new org.apache.hadoop.fs.Path(root, s"v=$v"), true)
+    }
+    // sweep claims of crashed writers: a claim strictly below the
+    // current committed version can never commit (every live writer
+    // claims above it) — release the number and its invisible garbage
+    val claims = new org.apache.hadoop.fs.Path(root, "_claims")
+    if (fs.exists(claims) && committed.nonEmpty) {
+      fs.listStatus(claims).toSeq.map(_.getPath.getName)
+        .collect { case n if n.startsWith("v-") => n.stripPrefix("v-").toLong }
+        .filter(v => v < committed.max && !committed.contains(v))
+        .foreach { v =>
+          fs.delete(new org.apache.hadoop.fs.Path(root, s"v=$v"), true)
+          fs.delete(new org.apache.hadoop.fs.Path(root, s"_claims/v-$v"), false)
+        }
     }
     doomed
   }

@@ -334,15 +334,23 @@ object PdfTextExtractor {
     * (MD5 of key ‖ objnum-LE24 ‖ gen-LE16 [‖ "sAlT" for AES]), and
     * every STREAM decrypts before the normal pipeline runs — which
     * covers page text transitively (content strings live inside
-    * streams). Standalone dictionary strings (e.g. /Info values)
-    * remain undecrypted: S2 metadata of an encrypted file reads as
-    * ciphertext, a documented boundary (the flagship surface is text
-    * extraction).
-    * /V 5 (AES-256, /R 6) is out of scope here and documented as the
-    * boundary — those files fall through undecrypted (extract "").
-    * User-password VALIDATION is deliberately not performed: a
-    * data-pipeline extractor either derives the right key (empty
-    * user pw) or produces garbage it would anyway.
+    * streams) — and standalone DICTIONARY STRINGS (e.g. /Info values)
+    * decrypt in place (re-emitted as plaintext hex strings), so S2
+    * metadata of an encrypted file is real text.
+    * /V 5 (AES-256, what current-generation producers emit) is
+    * supported for /R 5 and /R 6 via the public ISO 32000-2
+    * algorithms: the intermediate key comes from Algorithm 2.A's
+    * empty-user-password branch (SHA-256 over password ‖ key salt for
+    * /R 5; the Algorithm 2.B iterated hardened hash for /R 6), /U is
+    * VALIDATED against the validation salt (a non-empty user password
+    * means no key exists — the file correctly falls through
+    * undecrypted rather than emitting garbage), and the 32-byte file
+    * key is the AES-256-CBC decryption of /UE under a zero IV. /V 5
+    * uses the file key directly per object (Algorithm 1's per-object
+    * derivation applies only to /V ≤ 4).
+    * For /V ≤ 4, user-password VALIDATION is deliberately not
+    * performed: a data-pipeline extractor either derives the right
+    * key (empty user pw) or produces garbage it would anyway.
     */
   private[sources] object PdfCrypt {
 
@@ -428,18 +436,143 @@ object PdfTextExtractor {
     def decrypt(objectKey: Array[Byte], data: Array[Byte],
                 aes: Boolean): Array[Byte] =
       if (aes) aesCbcDecrypt(objectKey, data) else rc4(objectKey, data)
+
+    // ---- AES-256 (/V 5) — ISO 32000-2 §7.6.4 -------------------------
+
+    def sha256(parts: Array[Byte]*): Array[Byte] = {
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+      parts.foreach(d.update)
+      d.digest()
+    }
+
+    /** AES-CBC-encrypt without padding (Algorithm 2.B's inner step —
+      * the input is always a multiple of 16).
+      */
+    def aesCbcEncryptNoPad(key: Array[Byte], iv: Array[Byte],
+                           data: Array[Byte]): Array[Byte] = {
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(key, "AES"),
+        new javax.crypto.spec.IvParameterSpec(iv))
+      c.doFinal(data)
+    }
+
+    /** ISO 32000-2 Algorithm 2.B (the /R 6 iterated hardened hash),
+      * degrading to the single SHA-256 of the deprecated /R 5. `extra`
+      * is the 48-byte /U value when deriving owner-password hashes
+      * (empty for the user-password case this extractor runs).
+      */
+    def hash2B(password: Array[Byte], salt: Array[Byte],
+               extra: Array[Byte], r: Int): Array[Byte] = {
+      var k = sha256(password, salt, extra)
+      if (r < 6) return k
+      var i = 0
+      var lastE = 0
+      while (i < 64 || lastE > i - 32) {
+        val block = password ++ k ++ extra
+        val k1 = new Array[Byte](block.length * 64)
+        var j = 0
+        while (j < 64) {
+          System.arraycopy(block, 0, k1, j * block.length, block.length)
+          j += 1
+        }
+        val e = aesCbcEncryptNoPad(k.take(16), k.slice(16, 32), k1)
+        val mod = e.take(16).map(b => b & 0xFF).sum % 3
+        k = java.security.MessageDigest.getInstance(mod match {
+          case 0 => "SHA-256"
+          case 1 => "SHA-384"
+          case _ => "SHA-512"
+        }).digest(e)
+        lastE = e(e.length - 1) & 0xFF
+        i += 1
+      }
+      k.take(32)
+    }
+
+    /** Algorithm 2.A, empty-user-password branch: validate /U's hash
+      * against its validation salt, then unwrap the 32-byte file key
+      * from /UE with the key-salt intermediate key (AES-256-CBC, zero
+      * IV, no padding). None when /U does not validate (the user
+      * password is not empty — no key exists for us) or the fields are
+      * malformed.
+      */
+    def v5FileKey(u: Array[Byte], ue: Array[Byte], r: Int): Option[Array[Byte]] = {
+      if (u.length < 48 || ue.length < 32) return None
+      val validation = hash2B(Array.emptyByteArray, u.slice(32, 40),
+        Array.emptyByteArray, r)
+      if (!java.util.Arrays.equals(validation, u.take(32))) return None
+      val ik = hash2B(Array.emptyByteArray, u.slice(40, 48),
+        Array.emptyByteArray, r)
+      try {
+        val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+        c.init(javax.crypto.Cipher.DECRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(ik, "AES"),
+          new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
+        Some(c.doFinal(ue.take(32)))
+      } catch { case _: Throwable => None }
+    }
   }
 
-  /** Parsed encryption context: file key + cipher choice. */
+  /** Parsed encryption context: file key + cipher choice. `v5` uses
+    * the file key directly per object (Algorithm 1's per-object MD5
+    * derivation is a /V ≤ 4 construct).
+    */
   private final case class Encryption(fileKey: Array[Byte], aes: Boolean,
-                                      encryptObjNum: Int) {
+                                      encryptObjNum: Int,
+                                      v5: Boolean = false) {
     def decryptBytes(num: Int, gen: Int, data: Array[Byte]): Array[Byte] =
-      PdfCrypt.decrypt(PdfCrypt.objKey(fileKey, num, gen, aes), data, aes)
+      if (v5) PdfCrypt.aesCbcDecrypt(fileKey, data)
+      else PdfCrypt.decrypt(PdfCrypt.objKey(fileKey, num, gen, aes), data, aes)
+  }
+
+  /** The top-level entries of a `<< … >>` dictionary with nested
+    * dictionaries' CONTENT removed (strings skipped atomically so a
+    * hex value ending in `>` cannot desynchronize the depth count).
+    * `/Length` in a /V 4 /Encrypt dict is the poster child: the
+    * top-level value is the key length in BITS, while the nested
+    * crypt-filter dict's /Length is in BYTES — a whole-dict regex can
+    * grab the wrong one and silently derive a garbage file key.
+    */
+  private[sources] def topLevelEntries(dict: String): String = {
+    val sb = new StringBuilder
+    var depth = 0
+    var i = 0
+    while (i < dict.length) {
+      val c = dict.charAt(i)
+      if (c == '<' && i + 1 < dict.length && dict.charAt(i + 1) == '<') {
+        depth += 1; if (depth == 1) sb.append("<<"); i += 2
+      } else if (c == '>' && i + 1 < dict.length && dict.charAt(i + 1) == '>') {
+        if (depth == 1) sb.append(">>")
+        depth -= 1; i += 2
+      } else if (c == '<') { // hex string: atomic
+        val j = dict.indexOf('>', i)
+        val end = if (j < 0) dict.length else j + 1
+        if (depth == 1) sb.append(dict.substring(i, end))
+        i = end
+      } else if (c == '(') { // literal string: atomic, honoring escapes
+        var j = i + 1
+        var d = 1
+        while (j < dict.length && d > 0) {
+          val ch = dict.charAt(j)
+          if (ch == '\\') j += 2
+          else {
+            if (ch == '(') d += 1 else if (ch == ')') d -= 1
+            j += 1
+          }
+        }
+        if (depth == 1) sb.append(dict.substring(i, math.min(j, dict.length)))
+        i = j
+      } else {
+        if (depth == 1) sb.append(c)
+        i += 1
+      }
+    }
+    sb.toString
   }
 
   /** Detect and parse the standard security handler from the trailer's
     * /Encrypt reference. None for unencrypted files, unsupported
-    * versions (/V 5), or non-Standard filters.
+    * versions, or non-Standard filters.
     */
   private def encryptionOf(latin: String,
                            byNum: Map[Int, Obj]): Option[Encryption] = {
@@ -447,33 +580,52 @@ object PdfTextExtractor {
       .findFirstMatchIn(latin).map(_.group(1).toInt)
     encNum.flatMap(byNum.get).flatMap { enc =>
       val d = enc.dict
+      // version/revision/length are TOP-LEVEL entries; a whole-dict
+      // regex would also match the nested crypt-filter dict's /Length
+      // (bytes, not bits — the common AESV2 form)
+      val top = topLevelEntries(d)
+      def strVal(key: String, from: String): Option[Array[Byte]] =
+        (s"/$key\\s*(\\(|<)").r.findFirstMatchIn(from).map { m =>
+          val at = m.start(1)
+          val (s, _) =
+            if (from.charAt(at) == '(') literalString(from, at)
+            else hexString(from, at)
+          s.toCharArray.map(c => (c & 0xFF).toByte)
+        }
       if (!d.contains("/Standard")) None
       else {
-        val v = """/V\s+(\d+)""".r.findFirstMatchIn(d)
+        val v = """/V\s+(\d+)""".r.findFirstMatchIn(top)
           .map(_.group(1).toInt).getOrElse(0)
-        if (v < 1 || v > 4) None // V5/R6 (AES-256): documented boundary
+        val r = """/R\s+(\d+)""".r.findFirstMatchIn(top)
+          .map(_.group(1).toInt).getOrElse(if (v >= 4) 4 else if (v >= 2) 3 else 2)
+        if (v == 5) {
+          // AES-256: unwrap the file key from /U + /UE (Algorithm 2.A,
+          // empty user password; /R 6 hardened hash or /R 5 SHA-256)
+          for {
+            u <- strVal("U", top)
+            ue <- strVal("UE", top)
+            key <- PdfCrypt.v5FileKey(u, ue, r)
+          } yield Encryption(key, aes = true, enc.num, v5 = true)
+        } else if (v < 1 || v > 4) None
         else {
-          val r = """/R\s+(\d+)""".r.findFirstMatchIn(d)
-            .map(_.group(1).toInt).getOrElse(if (v >= 2) 3 else 2)
-          val lenBits = """/Length\s+(\d+)""".r.findFirstMatchIn(d)
+          val lenBits = """/Length\s+(\d+)""".r.findFirstMatchIn(top)
             .map(_.group(1).toInt).getOrElse(40)
-          val p = """/P\s+(-?\d+)""".r.findFirstMatchIn(d)
+          val p = """/P\s+(-?\d+)""".r.findFirstMatchIn(top)
             .map(_.group(1).toLong.toInt).getOrElse(-1)
           val aes = v == 4 && d.contains("/AESV2")
-          val o = """/O\s*(\(|<)""".r.findFirstMatchIn(d).map { m =>
-            val at = m.start(1)
-            val (s, _) =
-              if (d.charAt(at) == '(') literalString(d, at)
-              else hexString(d, at)
-            s.toCharArray.map(c => (c & 0xFF).toByte)
-          }
+          val o = strVal("O", d)
           val id0 = """/ID\s*\[\s*<([0-9A-Fa-f]*)>""".r
             .findFirstMatchIn(latin)
             .map(m => m.group(1).grouped(2).filter(_.length == 2)
               .map(Integer.parseInt(_, 16).toByte).toArray)
             .getOrElse(Array.emptyByteArray)
           o.map { ov =>
-            val keyLen = if (v == 1) 5 else math.max(5, math.min(16, lenBits / 8))
+            // AESV2 is by definition 128-bit; only RC4 (/V 2) honors
+            // the declared top-level /Length
+            val keyLen =
+              if (aes) 16
+              else if (v == 1) 5
+              else math.max(5, math.min(16, lenBits / 8))
             Encryption(PdfCrypt.fileKey(ov, p, id0, keyLen, r), aes, enc.num)
           }
         }
@@ -481,8 +633,15 @@ object PdfTextExtractor {
     }
   }
 
-  /** Decrypt every object's stream in place (the /Encrypt dictionary's
-    * own object is never encrypted). No-op for unencrypted files.
+  /** Decrypt every object's stream AND its dictionary strings in place
+    * (the /Encrypt dictionary's own object is never encrypted; objects
+    * later expanded from an /ObjStm are already covered by that
+    * stream's decryption and must not decrypt twice — this runs before
+    * expansion). Decrypted dictionary strings are re-emitted as
+    * plaintext HEX strings, so every downstream reader (/Info
+    * metadata, page-tree regexes) parses them unchanged — S2 metadata
+    * of an encrypted file is real text, not ciphertext. No-op for
+    * unencrypted files.
     */
   private def decryptObjects(latin: String, objects: Seq[Obj]): Seq[Obj] = {
     val byNum = objects.map(o => o.num -> o).toMap
@@ -490,11 +649,48 @@ object PdfTextExtractor {
       case None => objects
       case Some(enc) =>
         objects.map { o =>
-          if (o.num == enc.encryptObjNum || o.stream.isEmpty) o
-          else o.copy(stream = o.stream.map(s =>
-            enc.decryptBytes(o.num, o.gen, s)))
+          if (o.num == enc.encryptObjNum) o
+          else o.copy(
+            dict = decryptDictStrings(o.dict, raw =>
+              enc.decryptBytes(o.num, o.gen, raw)),
+            stream = o.stream.map(s => enc.decryptBytes(o.num, o.gen, s)))
         }
     }
+  }
+
+  /** Rewrite every literal/hex string in a dictionary fragment through
+    * `dec`, emitting the plaintext as a hex string (a form every
+    * downstream string reader already handles and that cannot collide
+    * with dict delimiters). Undecryptable strings (dec returns empty
+    * for non-empty input) emit `<>`, never a throw — corrupt files are
+    * data.
+    */
+  private def decryptDictStrings(dict: String,
+                                 dec: Array[Byte] => Array[Byte]): String = {
+    val sb = new StringBuilder
+    var i = 0
+    def emit(rawStr: String): Unit = {
+      val cipher = rawStr.toCharArray.map(c => (c & 0xFF).toByte)
+      val plain = if (cipher.isEmpty) cipher else dec(cipher)
+      sb.append('<')
+      plain.foreach(b => sb.append(f"${b & 0xFF}%02X"))
+      sb.append('>')
+    }
+    while (i < dict.length) {
+      val c = dict.charAt(i)
+      if (c == '(') {
+        val (str, next) = literalString(dict, i)
+        emit(str); i = next
+      } else if (c == '<' && i + 1 < dict.length && dict.charAt(i + 1) == '<') {
+        sb.append("<<"); i += 2
+      } else if (c == '<') {
+        val (str, next) = hexString(dict, i)
+        emit(str); i = next
+      } else {
+        sb.append(c); i += 1
+      }
+    }
+    sb.toString
   }
 
   // ---- built-in minimal parser ---------------------------------------
@@ -589,14 +785,42 @@ object PdfTextExtractor {
         var s = bodyStart + streamKw + "stream".length
         if (s < data.length && data(s) == '\r') s += 1
         if (s < data.length && data(s) == '\n') s += 1
-        val se = latin.indexOf("endstream", s)
-        if (se >= 0) {
-          var e = se
-          // trim the EOL that precedes "endstream"
-          if (e > s && data(e - 1) == '\n') e -= 1
-          if (e > s && data(e - 1) == '\r') e -= 1
-          out += Obj(num, gen, dict, Some(java.util.Arrays.copyOfRange(data, s, e)))
-        } else out += Obj(num, gen, dict, None)
+        // Prefer the declared direct-integer /Length to bound the
+        // stream: binary payloads (encrypted, Flate) end in 0x0A/0x0D
+        // about 1/128 of the time, and the endstream-scan's EOL trim
+        // would silently eat that last byte (AES length%16 then fails
+        // → page extracts ""). The declared length is trusted only
+        // when "endstream" actually follows it (within the EOL slack
+        // the spec allows); otherwise — absent, indirect-ref, or
+        // implausible /Length — fall back to the scan.
+        val declared = """/Length\s+(\d+)(\s+\d+\s+R)?""".r
+          .findFirstMatchIn(dict)
+          .filter(_.group(2) == null).map(_.group(1).toInt)
+        val byLen = declared.flatMap { n =>
+          val e = s.toLong + n
+          if (n >= 0 && e <= data.length) {
+            var j = e.toInt
+            var slack = 0
+            while (j < data.length && slack < 3 &&
+              (data(j) == '\r' || data(j) == '\n' || data(j) == ' ')) {
+              j += 1; slack += 1
+            }
+            if (latin.startsWith("endstream", j)) Some(e.toInt) else None
+          } else None
+        }
+        byLen match {
+          case Some(e) =>
+            out += Obj(num, gen, dict, Some(java.util.Arrays.copyOfRange(data, s, e)))
+          case None =>
+            val se = latin.indexOf("endstream", s)
+            if (se >= 0) {
+              var e = se
+              // trim the EOL that precedes "endstream"
+              if (e > s && data(e - 1) == '\n') e -= 1
+              if (e > s && data(e - 1) == '\r') e -= 1
+              out += Obj(num, gen, dict, Some(java.util.Arrays.copyOfRange(data, s, e)))
+            } else out += Obj(num, gen, dict, None)
+        }
       } else out += Obj(num, gen, body, None)
     }
     out.toSeq

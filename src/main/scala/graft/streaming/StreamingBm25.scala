@@ -191,6 +191,19 @@ object StreamingBm25 {
     * append postings into `table` (must exist — built by
     * [[TextAnalysis.buildBm25Index]]) under the same bucket spec, then
     * refresh `<table>_stats`.
+    *
+    * `compactEvery > 0` runs [[compact]] inside the maintenance batch
+    * every N batches. CONTRACT: this inherits compact's in-place
+    * file-move window — a serve session querying the table during the
+    * swap can transiently see doubled (new files in, old not yet
+    * deleted) or missing postings for in-flight scans. Automated
+    * compaction is therefore for deployments that either (a) tolerate
+    * transient retrieval-score jitter (a ranking surface usually
+    * does), or (b) quiesce serving around maintenance batches. For
+    * strict read consistency keep `compactEvery = 0` and run
+    * [[compact]] from the maintenance driver in a window where serving
+    * is paused — or serve from [[graft.sources.Layout.writeVersioned]]
+    * snapshots, whose marker-commit readers never observe a move.
     */
   def maintain(stream: DataFrame, idCol: String, textCol: String,
                table: String, path: String, checkpointDir: String,

@@ -5,15 +5,17 @@ import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
-import graft.vector.VectorKernels
+import graft.vector.{Ann, VectorKernels}
 
 /** Streaming multi-vector (MaxSim) retrieval — the continuous form of
   * [[graft.search.MaxSim]]: a stream of query FACETS (each query
   * carries several vectors) is answered with per-(query, document)
   * late-interaction scores against a static chunk corpus.
   *
-  * Shape: candidates are generated STATELESSLY per micro-batch
-  * (constant-key broadcast fan-out, the [[StreamingSearch]] pattern),
+  * Shape: candidates are generated STATELESSLY per micro-batch — the
+  * broadcast fan-out of [[scoredPerQueryDoc]] for small corpora, or
+  * the IVF probe-list equi-join of [[scoredPerQueryDocIvf]] beyond the
+  * broadcast ceiling (the [[StreamingSearch]] two-tier pattern) —
   * and exactly ONE stateful operator runs — a watermarked windowed
   * aggregation keyed by (window, query, document) whose state is the
   * per-facet running max: BOUNDED BY THE QUERY'S VECTOR COUNT, never
@@ -66,6 +68,52 @@ object StreamingMaxSim {
       .select(col("doc_id"), col("embedding").as("c_emb"))
       .withColumn("__one", lit(1)))
     q.join(r, "__one")
+      .select(col("ts"), col("query_id"), col("qvec_id"), col("doc_id"),
+        round(VectorKernels.cosine(col("c_emb"), col("q_emb")), 4).as("sim"))
+      .groupBy(window(col("ts"), windowDuration), col("query_id"),
+        col("doc_id"))
+      .agg(msAgg(col("qvec_id"), col("sim")).as("score"))
+  }
+
+  /** IVF-routed candidate generation — the beyond-broadcast tier.
+    * [[scoredPerQueryDoc]] broadcasts the CORPUS against the facet
+    * stream, which caps at the broadcast ceiling (a few million
+    * 1536-dim chunks already exceed it, and broadcast is the one join
+    * strategy that cannot spill). Here each arriving facet computes its
+    * `nprobe` probe list with the codegen
+    * [[VectorKernels.nearestCentroids]] kernel and EQUI-JOINS the
+    * cluster-keyed corpus on `cluster_id` (the
+    * [[StreamingSearch.ivfKnnPerQuery]] shape): candidates are
+    * nprobe/nlist of the cross product instead of all of it, the
+    * static side shuffles/prunes like any equi-join — and with the
+    * assignment persisted cluster-partitioned ([[Ann.saveIvf]]) the
+    * scan prunes at the directory level. The same windowed facet-max
+    * aggregate folds candidates, so at `nprobe = nlist` every (facet,
+    * chunk) pair is a candidate exactly once and the emitted scores
+    * EQUAL [[scoredPerQueryDoc]]'s — the full-probe setting sits under
+    * the same oracle gate; partial probe is the recall dial (a facet
+    * maxes over its probed clusters only, so per-(query, doc) scores
+    * are ≤ the full-probe scores — pinned in StreamingMaxSimSpec).
+    *
+    * `emb`/`id` name the INDEX side's chunk-vector and document-id
+    * columns, mirroring [[Ann.ivfKnnJoin]].
+    */
+  def scoredPerQueryDocIvf(queries: DataFrame, index: Ann.IvfIndex,
+                           nprobe: Int,
+                           windowDuration: String = "1 minute",
+                           watermarkDelay: String = "5 minutes",
+                           emb: String = "embedding",
+                           id: String = "doc_id"): DataFrame = {
+    val msAgg = udaf(new FacetMaxSum(), ExpressionEncoder[FacetSim]())
+    val q = queries
+      .select(col("query_id"), col("qvec_id"), col("q_emb"), col("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .withColumn("cluster_id",
+        explode(VectorKernels.nearestCentroids(col("q_emb"),
+          index.centroids, nprobe)))
+    val r = index.assigned
+      .select(col(id).as("doc_id"), col(emb).as("c_emb"), col("cluster_id"))
+    q.join(r, "cluster_id")
       .select(col("ts"), col("query_id"), col("qvec_id"), col("doc_id"),
         round(VectorKernels.cosine(col("c_emb"), col("q_emb")), 4).as("sim"))
       .groupBy(window(col("ts"), windowDuration), col("query_id"),

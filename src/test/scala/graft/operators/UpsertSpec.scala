@@ -89,6 +89,32 @@ class UpsertSpec extends AnyFunSuite with SparkSpec {
       s"one partial-friendly aggregate expected:\n$plan")
   }
 
+  test("applyCdc: a NULL-setting update wins with NULL; sentinel versions rejected") {
+    import spark.implicits._
+    // an update that nulls a payload column must STICK (bare arg_max
+    // in the oracle would skip the NULL and resurrect the stale text —
+    // the struct-wrapped winner semantics both engines now share)
+    val changes = Seq((1L, 5L, "U", "en", null.asInstanceOf[String]))
+      .toDF("k", "v", "op", "lang", "text")
+    val out = Upsert.applyCdc(
+        base.select(col("k"), col("lang"), col("text")), changes,
+        "k", "v", "op", Seq("lang", "text"))
+      .where(col("k") === 1L).collect().head
+    assert(out.getLong(1) == 5L && out.isNullAt(3),
+      s"NULL payload from the winning change must survive: $out")
+    // a change version equal to the Long.MinValue base sentinel would
+    // tie with base rows — rejected loudly, not silently misfolded
+    val bad = Seq((1L, Long.MinValue, "U", "en", "boom"))
+      .toDF("k", "v", "op", "lang", "text")
+    val e = intercept[Exception] {
+      Upsert.applyCdc(base.select(col("k"), col("lang"), col("text")),
+        bad, "k", "v", "op", Seq("lang", "text")).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("sentinel") ||
+      e.getCause != null && e.getCause.getMessage.contains("sentinel"),
+      s"sentinel guard must fire: $e")
+  }
+
   test("compaction is one partial-friendly aggregate, not a window") {
     val plan = Upsert.latestByKey(base, updates, "k", "version",
       Seq("lang", "text")).queryExecution.executedPlan.toString

@@ -161,6 +161,71 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
       .map(_.getString(1)).toSeq == Seq("v2"))
   }
 
+  test("two interleaved writers commit distinct versions; readers stay consistent") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-versions-mw").toString
+    Layout.writeVersioned(Seq((0L, "base")).toDF("k", "p"), root)
+    // two concurrent writers with distinct payloads; the claim
+    // protocol must serialize them onto distinct version numbers with
+    // neither clobbering the other's data dir
+    val results = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def writer(tag: String, rows: Seq[(Long, String)]): Thread = {
+      val t = new Thread(() => {
+        try {
+          barrier.await()
+          results.put(tag, Layout.writeVersioned(rows.toDF("k", "p"), root))
+        } catch { case e: Throwable => errors.add(e) }
+      })
+      t.start(); t
+    }
+    val ta = writer("a", Seq((1L, "writer-a"), (2L, "writer-a")))
+    val tb = writer("b", Seq((1L, "writer-b")))
+    // a reader polling DURING the interleaved writes must only ever
+    // see complete committed snapshots
+    val seen = scala.collection.mutable.Set[Set[String]]()
+    while (ta.isAlive || tb.isAlive) {
+      seen += Layout.readVersion(spark, root).collect()
+        .map(_.getString(1)).toSet
+      Thread.sleep(20)
+    }
+    ta.join(); tb.join()
+    assert(errors.isEmpty, s"writer failed: ${errors.peek()}")
+    val (va, vb) = (results.get("a"), results.get("b"))
+    assert(va != vb && Set(va, vb) == Set(2L, 3L),
+      s"distinct claimed versions: a=$va b=$vb")
+    assert(Layout.committedVersions(spark, root) == Seq(1L, 2L, 3L))
+    // each writer's snapshot is intact under its own version
+    assert(Layout.readVersion(spark, root, va).collect()
+      .map(_.getString(1)).toSet == Set("writer-a"))
+    assert(Layout.readVersion(spark, root, vb).collect()
+      .map(_.getString(1)).toSet == Set("writer-b"))
+    val legal = Set(Set("base"), Set("writer-a"), Set("writer-b"))
+    assert(seen.nonEmpty && seen.forall(legal.contains),
+      s"reader saw a torn snapshot: $seen")
+  }
+
+  test("a live claim blocks its version number; stale claims sweep on prune") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-versions-claim").toString
+    Layout.writeVersioned(Seq((1L, "v1")).toDF("k", "p"), root)
+    // simulate a LIVE concurrent writer holding v=2: claim marker
+    // present, no commit yet
+    val claims = java.nio.file.Paths.get(root, "_claims")
+    Files.createDirectories(claims)
+    Files.write(claims.resolve("v-2"), Array.emptyByteArray)
+    val v = Layout.writeVersioned(Seq((1L, "v3")).toDF("k", "p"), root)
+    assert(v == 3L, s"claimed version must be skipped, got $v")
+    assert(Layout.readVersion(spark, root).collect()
+      .map(_.getString(1)).toSeq == Seq("v3"))
+    // the crashed claimant's number stays skipped until pruneVersions
+    // sweeps sub-current claims
+    Layout.pruneVersions(spark, root, keepLast = 2)
+    assert(!Files.exists(claims.resolve("v-2")),
+      "stale sub-current claim must be swept")
+  }
+
   test("pruneVersions drops old snapshots, keeps the serving tail") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-versions-prune").toString

@@ -185,22 +185,11 @@ class PdfTextExtractorSpec extends AnyFunSuite with SparkSpec {
         if (aes) aesEncrypt(k, data)
         else PdfTextExtractor.PdfCrypt.rc4(k, data)
       }
-      // nudge the plaintext until the ciphertext's trailing byte is not
-      // CR/LF (the parser trims one EOL before "endstream"; real
-      // writers avoid the ambiguity via /Length, this parser scans)
-      def encStream(num: Int, mk: String => Array[Byte]): Array[Byte] = {
-        var padCount = 0
-        var out = encFor(num, mk(""))
-        while ((out.last == '\n' || out.last == '\r') && padCount < 64) {
-          padCount += 1
-          out = encFor(num, mk(" " * padCount))
-        }
-        out
-      }
-      val c5 = encStream(5, extra => (page1 + extra)
-        .getBytes(StandardCharsets.ISO_8859_1))
-      val c6 = encStream(6, extra => deflate((page2 + extra)
-        .getBytes(StandardCharsets.ISO_8859_1)))
+      // NO trailing-byte nudging: the parser bounds streams by the
+      // declared /Length, so ciphertext ending in CR/LF is fine (the
+      // 1-in-128 case the endstream scan used to corrupt)
+      val c5 = encFor(5, page1.getBytes(StandardCharsets.ISO_8859_1))
+      val c6 = encFor(6, deflate(page2.getBytes(StandardCharsets.ISO_8859_1)))
       val out = new ByteArrayOutputStream()
       def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
       def hex(b: Array[Byte]): String = b.map("%02X".format(_)).mkString
@@ -214,28 +203,106 @@ class PdfTextExtractorSpec extends AnyFunSuite with SparkSpec {
       w(s"6 0 obj\n<< /Length ${c6.length} /Filter /FlateDecode >>\nstream\n")
       out.write(c6); w("\nendstream\nendobj\n")
       val filt =
-        if (aes) "/V 4 /R 4 /CF << /StdCF << /CFM /AESV2 >> >> /StmF /StdCF"
+        if (aes) "/V 4 /R 4 /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
+          "/StmF /StdCF /StrF /StdCF"
         else "/V 2 /R 3"
       w(s"7 0 obj\n<< /Filter /Standard $filt /Length 128 /P $perm " +
         s"/O <${hex(oVal)}> /U <${hex(oVal)}> >>\nendobj\n")
-      w(s"trailer\n<< /Root 1 0 R /Encrypt 7 0 R " +
+      // an ENCRYPTED /Info: dictionary strings are ciphertext in a real
+      // encrypted file and must decrypt for S2 metadata to be text
+      val title = encFor(8, "State vs. Cipher Corp".getBytes(StandardCharsets.ISO_8859_1))
+      w(s"8 0 obj\n<< /Title <${hex(title)}> >>\nendobj\n")
+      w(s"trailer\n<< /Root 1 0 R /Encrypt 7 0 R /Info 8 0 R " +
         s"/ID [<${hex(id0)}> <${hex(id0)}>] >>\n%%EOF\n")
       out.toByteArray
     }
     val rc4Pdf = buildEncrypted(aes = false)
     val got = PdfTextExtractor.extract(rc4Pdf)
-    assert(got.startsWith(s"$wantPage1\n$wantPage2"),
+    assert(got == s"$wantPage1\n$wantPage2",
       s"RC4-128 decryption: got '$got'")
+    assert(PdfTextExtractor.info(rc4Pdf)("title") == "State vs. Cipher Corp",
+      "RC4 dictionary-string (/Info) decryption")
     val aesPdf = buildEncrypted(aes = true)
     val gotAes = PdfTextExtractor.extract(aesPdf)
-    assert(gotAes.startsWith(s"$wantPage1\n$wantPage2"),
+    assert(gotAes == s"$wantPage1\n$wantPage2",
       s"AES-128 decryption: got '$gotAes'")
-    // the V5/AES-256 boundary: unsupported versions fall through
-    // undecrypted (garbage/empty text), never a throw
-    val v5 = new String(rc4Pdf, StandardCharsets.ISO_8859_1)
+    assert(PdfTextExtractor.info(aesPdf)("title") == "State vs. Cipher Corp",
+      "AES-128 dictionary-string (/Info) decryption")
+    // a /V 5 dict whose /U is malformed (32 bytes, not 48): no key can
+    // derive — the file falls through undecrypted, never a throw
+    val v5bad = new String(rc4Pdf, StandardCharsets.ISO_8859_1)
       .replace("/V 2 /R 3", "/V 5 /R 6")
       .getBytes(StandardCharsets.ISO_8859_1)
-    PdfTextExtractor.extract(v5) // must not throw
+    PdfTextExtractor.extract(v5bad) // must not throw
+  }
+
+  test("AES-256 (/V 5 /R 6) encrypted PDFs extract, with /Info metadata") {
+    import PdfTextExtractor.PdfCrypt
+    // Forward-encrypt with the spec's own ISO 32000-2 algorithms for
+    // the empty user password: U = hash2B(pwd, validationSalt) ‖
+    // validationSalt ‖ keySalt, UE = AES-256-CBC(intermediateKey,
+    // iv=0, fileKey). The extractor must validate /U, unwrap /UE, and
+    // use the file key DIRECTLY per object (no Algorithm 1 for /V 5).
+    val fileKey = Array.tabulate(32)(i => ((i * 11 + 2) & 0xFF).toByte)
+    val valSalt = Array.tabulate(8)(i => ((i * 3 + 1) & 0xFF).toByte)
+    val keySalt = Array.tabulate(8)(i => ((i * 5 + 9) & 0xFF).toByte)
+    val empty = Array.emptyByteArray
+    val uVal = PdfCrypt.hash2B(empty, valSalt, empty, 6) ++ valSalt ++ keySalt
+    val ik = PdfCrypt.hash2B(empty, keySalt, empty, 6)
+    val ue = PdfCrypt.aesCbcEncryptNoPad(ik, new Array[Byte](16), fileKey)
+    def aes256(plain: Array[Byte]): Array[Byte] = {
+      val iv = Array.tabulate(16)(i => ((i * 29 + 13) & 0xFF).toByte)
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(fileKey, "AES"),
+        new javax.crypto.spec.IvParameterSpec(iv))
+      iv ++ c.doFinal(plain)
+    }
+    val c5 = aes256(page1.getBytes(StandardCharsets.ISO_8859_1))
+    val c6 = aes256(deflate(page2.getBytes(StandardCharsets.ISO_8859_1)))
+    val title = aes256("AES-256 Judgment".getBytes(StandardCharsets.ISO_8859_1))
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    def hex(b: Array[Byte]): String = b.map("%02X".format(_)).mkString
+    w("%PDF-2.0\n")
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    w("2 0 obj\n<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>\nendobj\n")
+    w("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>\nendobj\n")
+    w("4 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>\nendobj\n")
+    w(s"5 0 obj\n<< /Length ${c5.length} >>\nstream\n")
+    out.write(c5); w("\nendstream\nendobj\n")
+    w(s"6 0 obj\n<< /Length ${c6.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(c6); w("\nendstream\nendobj\n")
+    w("7 0 obj\n<< /Filter /Standard /V 5 /R 6 /Length 256 " +
+      "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF /StrF /StdCF " +
+      s"/P -44 /O <${hex(Array.fill[Byte](48)(1))}> /OE <${hex(Array.fill[Byte](32)(2))}> " +
+      s"/U <${hex(uVal)}> /UE <${hex(ue)}> >>\nendobj\n")
+    w(s"8 0 obj\n<< /Title <${hex(title)}> >>\nendobj\n")
+    w("trailer\n<< /Root 1 0 R /Encrypt 7 0 R /Info 8 0 R >>\n%%EOF\n")
+    val pdf = out.toByteArray
+    val got = PdfTextExtractor.extract(pdf)
+    assert(got == s"$wantPage1\n$wantPage2", s"AES-256 decryption: got '$got'")
+    assert(PdfTextExtractor.info(pdf)("title") == "AES-256 Judgment",
+      "AES-256 dictionary-string (/Info) decryption")
+    // a WRONG validation salt means the user password is not empty:
+    // the extractor must refuse the key (no garbage), not throw
+    val badU = PdfCrypt.hash2B(empty, keySalt, empty, 6) ++ valSalt ++ keySalt
+    val bad = new String(pdf, StandardCharsets.ISO_8859_1)
+      .replace(hex(uVal), hex(badU)).getBytes(StandardCharsets.ISO_8859_1)
+    PdfTextExtractor.extract(bad) // must not throw
+    assert(PdfTextExtractor.extract(bad) != s"$wantPage1\n$wantPage2",
+      "non-validating /U must not silently decrypt")
+    // /R 5 (deprecated, single-SHA-256 derivation) also decrypts
+    val u5 = PdfCrypt.hash2B(empty, valSalt, empty, 5) ++ valSalt ++ keySalt
+    val ik5 = PdfCrypt.hash2B(empty, keySalt, empty, 5)
+    val ue5 = PdfCrypt.aesCbcEncryptNoPad(ik5, new Array[Byte](16), fileKey)
+    val r5 = new String(pdf, StandardCharsets.ISO_8859_1)
+      .replace("/V 5 /R 6", "/V 5 /R 5")
+      .replace(hex(uVal), hex(u5))
+      .replace(hex(ue), hex(ue5))
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assert(PdfTextExtractor.extract(r5) == s"$wantPage1\n$wantPage2",
+      "R5 single-hash derivation")
   }
 
   test("object streams (/ObjStm) holding the page tree still extract") {

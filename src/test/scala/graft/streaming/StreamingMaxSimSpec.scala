@@ -80,6 +80,99 @@ class StreamingMaxSimSpec extends AnyFunSuite with SparkSpec {
       s"in-stream ranking: $rows")
   }
 
+  // ---- IVF route (the beyond-broadcast tier) -------------------------
+
+  /** Run `route` over a fixed 2-query / 24-chunk corpus; returns the
+    * (query_id, doc_id) → score map of the emitted scored feed.
+    */
+  private def runIvfRoute(nprobe: Int, nlist: Int, name: String)
+      : Map[(Long, Long), Double] = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // deterministic spread-out corpus: 8 docs × 3 chunks in 4-dim space
+    def vec(seed: Int): Seq[Float] = {
+      val a = ((seed * 73 + 11) % 19).toFloat
+      val b = ((seed * 31 + 7) % 17).toFloat
+      val c = ((seed * 57 + 3) % 13).toFloat
+      val d = ((seed * 97 + 5) % 11).toFloat
+      Seq(a, b, c, d)
+    }
+    val corpus = (0 until 24).map(i => ((i % 8).toLong, vec(i)))
+      .toDF("doc_id", "embedding")
+    val index = graft.vector.Ann.buildIvf(corpus, emb = "embedding",
+      nlist = nlist)
+    val t0 = 1700000000000L
+    val facets = for (qid <- 0L to 1L; f <- 0 to 2)
+      yield (qid, qid * 3 + f, vec(100 + (qid * 3 + f).toInt),
+        new java.sql.Timestamp(t0))
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Seq[Float], java.sql.Timestamp)]
+    ms.addData(facets)
+    val out = StreamingMaxSim.scoredPerQueryDocIvf(
+      ms.toDS().toDF("query_id", "qvec_id", "q_emb", "ts"), index, nprobe)
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      ms.addData(Seq((-1L, -1L, vec(0), new java.sql.Timestamp(t0 + 7200000L))))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name).where(col("query_id") >= 0)
+      .select("query_id", "doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+  }
+
+  test("IVF route at full probe equals the broadcast route exactly") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val full = runIvfRoute(nprobe = 4, nlist = 4, name = "sms_ivf_full")
+    // broadcast route over the same corpus/facets
+    def vec(seed: Int): Seq[Float] = {
+      val a = ((seed * 73 + 11) % 19).toFloat
+      val b = ((seed * 31 + 7) % 17).toFloat
+      val c = ((seed * 57 + 3) % 13).toFloat
+      val d = ((seed * 97 + 5) % 11).toFloat
+      Seq(a, b, c, d)
+    }
+    val corpus = (0 until 24).map(i => ((i % 8).toLong, vec(i)))
+      .toDF("doc_id", "embedding")
+    val t0 = 1700000000000L
+    val facets = for (qid <- 0L to 1L; f <- 0 to 2)
+      yield (qid, qid * 3 + f, vec(100 + (qid * 3 + f).toInt),
+        new java.sql.Timestamp(t0))
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Seq[Float], java.sql.Timestamp)]
+    ms.addData(facets)
+    val out = StreamingMaxSim.scoredPerQueryDoc(
+      ms.toDS().toDF("query_id", "qvec_id", "q_emb", "ts"), corpus)
+    val q = out.writeStream.format("memory").queryName("sms_bcast_ref")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      ms.addData(Seq((-1L, -1L, vec(0), new java.sql.Timestamp(t0 + 7200000L))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val bcast = spark.table("sms_bcast_ref").where(col("query_id") >= 0)
+      .select("query_id", "doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(full == bcast,
+      s"full-probe IVF must bit-equal broadcast: ivf=$full bcast=$bcast")
+    assert(full.nonEmpty && full.keySet.map(_._2).size == 8,
+      "every doc scored at full probe")
+  }
+
+  test("partial probe is contained in full probe (scores never exceed)") {
+    val full = runIvfRoute(nprobe = 4, nlist = 4, name = "sms_ivf_f2")
+    val partial = runIvfRoute(nprobe = 1, nlist = 4, name = "sms_ivf_p1")
+    assert(partial.nonEmpty, "partial probe still emits candidates")
+    assert(partial.keySet.subsetOf(full.keySet),
+      "pruning only removes candidates, never invents them")
+    partial.foreach { case (k, v) =>
+      assert(v <= full(k) + 1e-9,
+        s"facet max over a candidate subset cannot exceed full probe: $k")
+    }
+  }
+
   test("aggregator state is bounded by facet count, not chunk count") {
     val agg = new StreamingMaxSim.FacetMaxSum()
     // 1000 chunk observations over 3 facets → 3 state entries
