@@ -47,6 +47,33 @@ object SparkEntry {
     try body finally s.conf.set(key, prev)
   }
 
+  /** Oracle for the `serving_restart` composed gate: the three serve
+    * answers (brute-force KNN, BM25 join, MaxSim) over the raw tables,
+    * union-aligned on (route, qid, id, score, rank).
+    */
+  private lazy val servingRestartSql: String = {
+    val knn =
+      s"""SELECT left_id, right_id, score, CAST(rn AS INTEGER) AS rank FROM (
+         | SELECT l.vec_id AS left_id, r.vec_id AS right_id,
+         |  ${Sql.l2("l.embedding", "r.embedding")} AS score,
+         |  row_number() OVER (PARTITION BY l.vec_id
+         |    ORDER BY ${Sql.l2("l.embedding", "r.embedding")}, r.vec_id) AS rn
+         | FROM (SELECT * FROM embeddings WHERE vec_id < 3) l, embeddings r)
+         |WHERE rn <= 3""".stripMargin
+    val bm = TextAnalysis.bm25JoinSql("documents", "doc_id", "text",
+      Seq((1L, "hash"), (1L, "join"), (2L, "vector"), (2L, "scan")), k = 5)
+    val msim = graft.search.MaxSim.maxSimSql(nQueries = 2, k = 5)
+    s"""SELECT 'knn' AS route, left_id AS qid, right_id AS id, score, rank
+       |FROM ($knn)
+       |UNION ALL
+       |SELECT 'bm25' AS route, query_id AS qid, id, score, rank
+       |FROM ($bm)
+       |UNION ALL
+       |SELECT 'maxsim' AS route, query_id AS qid, doc_id AS id, score, rank
+       |FROM ($msim)
+       |ORDER BY route, qid, rank""".stripMargin
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Pipelines.similarCases(spark, "/root/testdata/sf0.001")
@@ -2583,6 +2610,59 @@ object SparkEntry {
         "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)",
         Seq(0.5, 0.9, 0.99)))),
 
+    // APPEND-MODE grouped quantiles (17th streaming route): the same
+    // grouped sketch under a WATERMARKED WINDOW — complete mode
+    // re-emits every group's state each trigger, append mode emits
+    // each (window, group)'s quantile rows exactly once on window
+    // close. Two chained stateful operators (the streaming_maxsim
+    // window_time re-keying pattern), both with bounded per-key state:
+    // (window, group, bucket) histogram rows, then a per-(window,
+    // group) bounded-map fold finishing with the identical rank
+    // selection — same oracle as the complete-mode route
+    Q("streaming_quantiles_windowed",
+      (s, dir) => withStreamShuffle(s) {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val t0 = 1700000000000L
+        val rows = Tables.lineitem(s, dir)
+          .where(pmod(col("l_orderkey"), lit(4)) === 0)
+          .select(col("l_returnflag"),
+            floor(col("l_extendedprice") * 100d + 0.5d)
+              .cast("long").as("cents"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1),
+            new java.sql.Timestamp(t0))).toSeq
+        val ms = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(String, Long, java.sql.Timestamp)]
+        val out = graft.streaming.StreamingQuantiles.windowedQuantilesByGroup(
+          ms.toDS().toDF("l_returnflag", "cents", "ts"),
+          "l_returnflag", col("cents"), Seq(0.5, 0.9, 0.99))
+        val qName = "graft_streaming_quantiles_windowed"
+        val q = out.writeStream.format("memory").queryName(qName)
+          .outputMode("append").start()
+        try {
+          rows.grouped(rows.length / 3 + 1).foreach { chunk =>
+            ms.addData(chunk)
+            q.processAllAvailable()
+          }
+          // close the window: a late sentinel group advances the
+          // watermark through both chained stateful operators
+          ms.addData(Seq(("~closer", 1L,
+            new java.sql.Timestamp(t0 + 7200000L))))
+          q.processAllAvailable()
+          ms.addData(Seq.empty[(String, Long, java.sql.Timestamp)])
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table(qName).where(col("l_returnflag") =!= "~closer")
+          .select(col("l_returnflag"), col("q"), col("value_lb"))
+          .orderBy("l_returnflag", "q")
+      },
+      Some(graft.operators.Sketches.logQuantilesBySql(
+        "(SELECT * FROM lineitem WHERE l_orderkey % 4 = 0) l4",
+        "l_returnflag", "l_returnflag",
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)",
+        Seq(0.5, 0.9, 0.99)))),
+
     // …and its curation consumer: per-domain p90 length bound from the
     // grouped sketch, joined back (broadcast — groups × quantiles
     // rows, bounded) to count the docs each domain keeps under its own
@@ -4244,6 +4324,71 @@ object SparkEntry {
               |    ORDER BY ${Sql.l2("l.embedding", "r.embedding")}, r.vec_id) AS rn
               | FROM (SELECT * FROM embeddings WHERE vec_id < 20) l, embeddings r)
               |WHERE rn <= 3 ORDER BY left_id, rank""".stripMargin)),
+
+    // COMPOSED SERVING RESTART — the operational story a 100 TB
+    // deployment actually runs: one session builds the three
+    // persisted serving artifacts (versioned corpus snapshot, IVF
+    // assignment+centroids, bucketed BM25 postings+stats), then a
+    // FRESH SparkSession restores all three FROM DISK and answers a
+    // KNN + a BM25 + a MaxSim query with zero recompute — no
+    // re-clustering (the restored plan scans the persisted
+    // `assigned/` parquet), no re-tokenization, and no exchange on
+    // the postings' token key (in-plan requires pin both). Oracle =
+    // the batch answers over the raw tables, so restore-equals-build
+    // sits under one hash gate
+    Q("serving_restart",
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory(graft.TempDirs.token + "restart").toString
+        // ---- build phase: one session persists every artifact ----
+        val emb = Tables.embeddings(s, dir)
+        graft.sources.Layout.writeVersioned(emb, s"$tmp/corpus")
+        Ann.saveIvf(Ann.buildIvf(emb, nlist = 8), s"$tmp/ivf")
+        graft.sources.Bucketing.dropTable(s, "graft_restart_bm25")
+        graft.sources.Bucketing.dropTable(s, "graft_restart_bm25_stats")
+        TextAnalysis.buildBm25Index(Tables.documents(s, dir),
+          col("doc_id"), col("text"), "graft_restart_bm25", s"$tmp/bm25",
+          numBuckets = 8)
+        // ---- restart: a fresh session restores from disk only ----
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions",
+          s.conf.get("spark.sql.shuffle.partitions"))
+        val corpus = graft.sources.Layout.readVersion(s2, s"$tmp/corpus")
+        val idx = Ann.loadIvf(s2, s"$tmp/ivf")
+        val knn = Ann.ivfKnnJoin(
+          corpus.select(col("vec_id").as("id"), col("embedding"))
+            .where(col("id") < 3), idx, k = 3, nprobe = 8)
+        val knnPlan = knn.queryExecution.executedPlan.toString
+        require(knnPlan.contains("assigned"),
+          s"restored KNN must scan the persisted assignment, not recluster:\n$knnPlan")
+        val bmQueries = {
+          import s2.implicits._
+          Seq((1L, Seq("hash", "join")), (2L, Seq("vector", "scan")))
+            .toDF("query_id", "terms")
+        }
+        val bm = TextAnalysis.bm25JoinIndexed(s2, "graft_restart_bm25",
+          bmQueries, k = 5)
+        val bmPlan = bm.queryExecution.executedPlan.toString
+        require(!"""Exchange hashpartitioning\([^)]*token""".r
+            .findFirstIn(bmPlan).isDefined,
+          s"restored BM25 serve must not re-shuffle postings on token:\n$bmPlan")
+        val msim = graft.search.MaxSim.maxSimTopK(
+          corpus.select((col("vec_id") % 100).as("doc_id"), col("embedding")),
+          col("doc_id"), col("embedding"),
+          corpus.where(col("vec_id") % 100 < 2)
+            .select((col("vec_id") % 100).as("query_id"), col("vec_id"),
+              col("embedding")),
+          col("query_id"), col("vec_id"), col("embedding"), k = 5)
+        knn.select(lit("knn").as("route"), col("left_id").as("qid"),
+            col("right_id").as("id"), col("score"), col("rank"))
+          .unionByName(bm.select(lit("bm25").as("route"),
+            col("query_id").as("qid"), col("id"), col("score"), col("rank")))
+          .unionByName(msim.select(lit("maxsim").as("route"),
+            col("query_id").as("qid"), col("doc_id").as("id"),
+            col("score"), col("rank")))
+          .orderBy("route", "qid", "rank")
+      },
+      Some(servingRestartSql)),
 
     // IVF-PQ serving layout under BOTH degradation dials at their
     // exact settings: full probe (routing exhaustive) + full codebook

@@ -355,6 +355,64 @@ class PdfTextExtractorSpec extends AnyFunSuite with SparkSpec {
       "For the reasons recorded the appeal dismissed as without merit"))
   }
 
+  test("fuzz: mutated/truncated/hostile PDFs never throw, never explode output") {
+    // Seeded property sweep over the four real-world parser arms
+    // (Flate, CMap/Type0, ObjStm, encryption): bit flips, truncations,
+    // hostile /Length//N//First lies, and random splices must all be
+    // DATA — extract() and info() return something bounded, never
+    // throw, never allocate unboundedly (output bounded relative to
+    // input; a count-driven allocation bug would blow the cap long
+    // before an OOM).
+    val rnd = new scala.util.Random(0xC0FFEE)
+    val dir = PdfFixture.ensure(spark)
+    val corpus: Seq[Array[Byte]] = Seq(
+      buildPdf(page1, page2),
+      Files.readAllBytes(java.nio.file.Paths.get(dir, "case_0a.pdf")), // 1.4 + Type0
+      Files.readAllBytes(java.nio.file.Paths.get(dir, "case_1a.pdf"))  // 1.5 ObjStm
+    )
+    def mutate(base: Array[Byte]): Array[Byte] = rnd.nextInt(6) match {
+      case 0 => // truncate anywhere
+        base.take(rnd.nextInt(base.length))
+      case 1 => // flip 1-16 random bits
+        val b = base.clone()
+        (0 until 1 + rnd.nextInt(16)).foreach { _ =>
+          val i = rnd.nextInt(b.length)
+          b(i) = (b(i) ^ (1 << rnd.nextInt(8))).toByte
+        }
+        b
+      case 2 => // /Length lies: replace every declared length with a lie
+        new String(base, StandardCharsets.ISO_8859_1)
+          .replaceAll("/Length \\d+",
+            s"/Length ${Seq(0, 1, 999999999, -5)(rnd.nextInt(4))}")
+          .getBytes(StandardCharsets.ISO_8859_1)
+      case 3 => // hostile ObjStm/encrypt counts
+        new String(base, StandardCharsets.ISO_8859_1)
+          .replaceAll("/N \\d+", s"/N ${Seq(2147483647, -1, 65535)(rnd.nextInt(3))}")
+          .replaceAll("/First \\d+", s"/First ${Seq(2147483647, -7, 0)(rnd.nextInt(3))}")
+          .getBytes(StandardCharsets.ISO_8859_1)
+      case 4 => // random splice: overwrite a run with random bytes
+        val b = base.clone()
+        val at = rnd.nextInt(b.length)
+        val len = math.min(1 + rnd.nextInt(64), b.length - at)
+        (0 until len).foreach(i => b(at + i) = rnd.nextInt(256).toByte)
+        b
+      case _ => // duplicate a slice (confuses object/stream scanning)
+        val at = rnd.nextInt(base.length)
+        val len = math.min(1 + rnd.nextInt(128), base.length - at)
+        base.take(at + len) ++ base.slice(at, at + len) ++ base.drop(at + len)
+    }
+    (0 until 300).foreach { i =>
+      val m = mutate(corpus(i % corpus.length))
+      val text = PdfTextExtractor.extract(m)       // must not throw
+      val meta = PdfTextExtractor.info(m)          // must not throw
+      assert(text.length <= m.length * 8 + 1024,
+        s"fuzz case $i: output ${text.length} bytes from ${m.length}-byte " +
+          "input — unbounded allocation suspect")
+      assert(meta.values.map(_.length).sum <= m.length * 8 + 1024,
+        s"fuzz case $i: metadata explosion")
+    }
+  }
+
   test("binaryFile scan extracts a generated PDF end to end") {
     val dir: Path = Files.createTempDirectory("graft_pdf_scan")
     try {

@@ -45,4 +45,46 @@ class StreamingSketchesSpec extends AnyFunSuite with SparkSpec {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("windowed grouped quantiles: exactly-once per window close, batch-equal") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = 1700000000000L
+    def ts(ms: Long) = new java.sql.Timestamp(t0 + ms)
+    val ms = MemoryStream[(String, Long, java.sql.Timestamp)]
+    val out = StreamingQuantiles.windowedQuantilesByGroup(
+      ms.toDS().toDF("grp", "v", "ts"), "grp", col("v"), Seq(0.5, 0.9))
+    val q = out.writeStream.format("memory").queryName("wq_spec")
+      .outputMode("append").start()
+    try {
+      // window 1: group a's values split ACROSS micro-batches — the
+      // first stateful op must merge bucket counts before closing
+      val w1a = (1L to 60L).map(i => ("a", i, ts(0)))
+      val w1b = (61L to 100L).map(i => ("a", i, ts(1000))) ++
+        Seq(("b", 7L, ts(2000)), ("b", 9L, ts(2000)))
+      ms.addData(w1a); q.processAllAvailable()
+      ms.addData(w1b); q.processAllAvailable()
+      assert(spark.table("wq_spec").isEmpty,
+        "append mode must emit nothing before the window closes")
+      // window 2 data + watermark push closes window 1
+      ms.addData(Seq(("a", 1000L, ts(7200000L))))
+      q.processAllAvailable()
+      ms.addData(Seq.empty[(String, Long, java.sql.Timestamp)])
+      q.processAllAvailable()
+      val rows = spark.table("wq_spec")
+        .select("grp", "q", "value_lb").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+      // batch selection over the SAME window-1 slice
+      val batch = Sketches.logQuantilesBy(
+          (w1a ++ w1b).map(t => (t._1, t._2)).toDF("grp", "v"),
+          "grp", col("v"), Seq(0.5, 0.9))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+        .toSeq
+      assert(rows.sorted == batch.sorted,
+        s"windowed selection must equal batch: $rows vs $batch")
+      // exactly-once: one row per (group, quantile), no re-emission
+      assert(rows.size == rows.distinct.size && rows.size == 4,
+        s"one emission per (group, q): $rows")
+    } finally q.stop()
+  }
 }
