@@ -2870,6 +2870,82 @@ object SparkEntry {
            |FROM toks t, bounds b ORDER BY t.doc_id""".stripMargin
       }),
 
+    // Coreset / diversity selection: k-center greedy (farthest-point
+    // traversal) over the embedding corpus — pick the k most mutually
+    // distant points as the diverse training subset, last selection
+    // distance = achieved coverage radius. Incremental min-distance
+    // maintenance: k narrow scans + k 1-row reductions, no shuffle;
+    // oracle unrolls the same k rounds as chained materialized CTEs
+    Q("mldata_coreset_kcenter",
+      (s, dir) => graft.ml.Coreset.kCenterGreedy(
+        Tables.embeddings(s, dir), col("vec_id"), col("embedding"), k = 5),
+      Some(graft.ml.Coreset.kCenterGreedySql(
+        "embeddings", "vec_id", "embedding", k = 5))),
+
+    // Distribution-drift monitor: per-source PSI between the even-id
+    // (baseline) and odd-id (current) document halves over fixed-width
+    // length buckets — the corpus-drop go/no-go check a production
+    // pipeline runs before ingesting. Bounded bucket tables, add-one
+    // smoothing, BM25-style grid summation under the ln
+    Q("q_psi_drift",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        graft.stats.Drift.psiByGroup(
+          docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 =!= 0),
+          "source", expr("CAST(n_chars AS BIGINT) DIV 500"))
+          .orderBy("source")
+      },
+      Some(graft.stats.Drift.psiByGroupSql(
+        "SELECT source AS g, CAST(n_chars AS BIGINT) // 500 AS bucket " +
+          "FROM documents WHERE doc_id % 2 = 0",
+        "SELECT source AS g, CAST(n_chars AS BIGINT) // 500 AS bucket " +
+          "FROM documents WHERE doc_id % 2 = 1",
+        "source") + " ORDER BY source")),
+
+    // The drift monitor AS A STREAM (18th streaming route): the
+    // current side's (source, bucket) counts maintain as a
+    // complete-mode streaming groupBy (commutative count state — the
+    // streaming_quantiles_grouped pattern) across three micro-batches,
+    // and psiFromCounts reads the maintained state against the static
+    // baseline unchanged — same oracle as the batch drift row
+    Q("streaming_psi_drift",
+      (s, dir) => withStreamShuffle(s) {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val docs = Tables.documents(s, dir)
+        val baseCounts = docs.where(col("doc_id") % 2 === 0)
+          .select(col("source"),
+            expr("CAST(n_chars AS BIGINT) DIV 500").as("bucket"))
+          .groupBy("source", "bucket").agg(count(lit(1)).as("cnt"))
+        val rows = docs.where(col("doc_id") % 2 =!= 0)
+          .select(col("source"), col("n_chars").cast("long"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        val ms = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(String, Long)]
+        val counts = ms.toDS().toDF("source", "n_chars")
+          .select(col("source"),
+            expr("CAST(n_chars AS BIGINT) DIV 500").as("bucket"))
+          .groupBy("source", "bucket").agg(count(lit(1)).as("cnt"))
+        val qName = "graft_streaming_psi_drift"
+        val q = counts.writeStream.format("memory").queryName(qName)
+          .outputMode("complete").start()
+        try {
+          rows.grouped(rows.length / 3 + 1).foreach { chunk =>
+            ms.addData(chunk)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        graft.stats.Drift.psiFromCounts(baseCounts, s.table(qName), "source")
+          .orderBy("source")
+      },
+      Some(graft.stats.Drift.psiByGroupSql(
+        "SELECT source AS g, CAST(n_chars AS BIGINT) // 500 AS bucket " +
+          "FROM documents WHERE doc_id % 2 = 0",
+        "SELECT source AS g, CAST(n_chars AS BIGINT) // 500 AS bucket " +
+          "FROM documents WHERE doc_id % 2 = 1",
+        "source") + " ORDER BY source")),
+
     // Contrastive-training triplet mining: anchor + nearest same-label
     // neighbor (positive) + deterministic hash-min other-label vector
     // (negative) — the embedding-model dataset-prep step, reproducible

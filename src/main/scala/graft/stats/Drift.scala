@@ -1,0 +1,106 @@
+package graft.stats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift monitoring — Population Stability Index (PSI)
+  * between a BASELINE and a CURRENT observation set, per group: the
+  * standard go/no-go metric a production data pipeline computes before
+  * trusting a new corpus drop or a retrained embedder (PSI < 0.1
+  * stable, 0.1–0.25 drifting, > 0.25 shifted — the classic credit-
+  * scoring thresholds). The reference has nothing in this family —
+  * extension surface beside the quality/curation operators.
+  *
+  * `PSI = Σ_buckets (p_i − q_i) · ln(p_i / q_i)` with add-one
+  * (Laplace) smoothing so empty buckets on either side stay finite:
+  * `p_i = (cb_i + 1) / (nb + B)` over the union bucket set (B = union
+  * bucket count per group). Every term is ≥ 0 (the factors share
+  * sign), so the scaled-integer summation is monotone-safe.
+  *
+  * Scale shape: one bounded aggregation per side (counts per (group,
+  * bucket) — map-side combining), one full-outer join of two BOUNDED
+  * bucket tables, per-group totals as window aggregates over that
+  * bounded table (one shuffle of buckets, never observations), one
+  * final fold. Observation rows are scanned exactly once per side.
+  *
+  * Cross-engine determinism: integer counts, single double divisions,
+  * per-term 1e-6-grid rounding with an exact long sum, final 4dp —
+  * the house recipe for ln-bearing scores (the BM25 pattern).
+  */
+object Drift {
+
+  /** PSI from pre-aggregated bucket counts `(groupName, bucket, cnt)`
+    * — the form a complete-mode streaming bucket state already
+    * maintains ([[graft.streaming]] routes feed this directly).
+    */
+  def psiFromCounts(baseCounts: DataFrame, currCounts: DataFrame,
+                    groupName: String): DataFrame = {
+    val b = baseCounts.select(col(groupName), col("bucket"),
+      col("cnt").as("cb"))
+    val c = currCounts.select(col(groupName), col("bucket"),
+      col("cnt").as("cc"))
+    val w = Window.partitionBy(groupName)
+    b.join(c, Seq(groupName, "bucket"), "full_outer")
+      .na.fill(0L, Seq("cb", "cc"))
+      .withColumn("nb", sum(col("cb")).over(w))
+      .withColumn("nc", sum(col("cc")).over(w))
+      .withColumn("nbk", count(lit(1)).over(w))
+      .withColumn("p",
+        (col("cb") + 1).cast("double") / (col("nb") + col("nbk")).cast("double"))
+      .withColumn("q",
+        (col("cc") + 1).cast("double") / (col("nc") + col("nbk")).cast("double"))
+      .withColumn("term", (col("p") - col("q")) * log(col("p") / col("q")))
+      .groupBy(col(groupName))
+      .agg(
+        round(sum(round(col("term") * 1000000d).cast("long")) / 1000000d, 4)
+          .as("psi"),
+        max(col("nb")).as("n_base"), max(col("nc")).as("n_curr"))
+  }
+
+  /** PSI over raw observation rows: bucketize with `bucketCol` (any
+    * integer-valued expression — fixed-width bins, log buckets,
+    * deciles), count per (group, bucket) on each side, then
+    * [[psiFromCounts]].
+    */
+  def psiByGroup(base: DataFrame, curr: DataFrame, groupName: String,
+                 bucketCol: Column): DataFrame = {
+    def counts(df: DataFrame): DataFrame =
+      df.select(col(groupName), bucketCol.cast("long").as("bucket"))
+        .groupBy(col(groupName), col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+    psiFromCounts(counts(base), counts(curr), groupName)
+  }
+
+  /** DuckDB twin of [[psiByGroup]]: `baseSql`/`currSql` select
+    * `(g, bucket)` observation rows; identical smoothing, grid
+    * summation, and rounding.
+    */
+  def psiByGroupSql(baseSql: String, currSql: String,
+                    groupAlias: String): String =
+    s"""WITH bb AS (SELECT g, bucket, count(*) AS cb FROM ($baseSql) GROUP BY 1, 2),
+       |cc AS (SELECT g, bucket, count(*) AS ccnt FROM ($currSql) GROUP BY 1, 2),
+       |j AS (
+       |  SELECT coalesce(bb.g, cc.g) AS g,
+       |    coalesce(bb.bucket, cc.bucket) AS bucket,
+       |    coalesce(cb, 0) AS cb, coalesce(ccnt, 0) AS ccnt
+       |  FROM bb FULL OUTER JOIN cc
+       |    ON bb.g = cc.g AND bb.bucket = cc.bucket),
+       |t AS (
+       |  SELECT g, cb, ccnt,
+       |    SUM(cb) OVER (PARTITION BY g) AS nb,
+       |    SUM(ccnt) OVER (PARTITION BY g) AS nc,
+       |    COUNT(*) OVER (PARTITION BY g) AS nbk
+       |  FROM j),
+       |terms AS (
+       |  SELECT g, nb, nc,
+       |    (CAST(cb + 1 AS DOUBLE) / CAST(nb + nbk AS DOUBLE)
+       |     - CAST(ccnt + 1 AS DOUBLE) / CAST(nc + nbk AS DOUBLE))
+       |    * ln((CAST(cb + 1 AS DOUBLE) / CAST(nb + nbk AS DOUBLE))
+       |         / (CAST(ccnt + 1 AS DOUBLE) / CAST(nc + nbk AS DOUBLE))) AS term
+       |  FROM t)
+       |SELECT g AS $groupAlias,
+       |  round(SUM(CAST(round(term * 1000000) AS BIGINT)) / 1000000.0, 4) AS psi,
+       |  CAST(max(nb) AS BIGINT) AS n_base, CAST(max(nc) AS BIGINT) AS n_curr
+       |FROM terms GROUP BY 1""".stripMargin
+}

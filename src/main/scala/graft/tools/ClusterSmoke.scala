@@ -56,11 +56,16 @@ object ClusterSmoke {
     "mm_mp4_frames",          // multimodal byte walking
     "s9_bloom_pointlookup",   // parquet bloom write/read
     "mldata_triplets_hard_lsh", // ml mining family
-    "streaming_upsert_latest") // foreachBatch on executor processes
+    "streaming_upsert_latest",  // foreachBatch on executor processes
+    "streaming_maxsim_ivf",     // r10: IVF-routed streamed MaxSim (chained state)
+    "streaming_quantiles_windowed", // r10: chained windowed QuantileSelect udaf
+    "serving_restart",          // r10: cross-session restore of persisted artifacts
+    "mldata_coreset_kcenter",   // r10: iterative argmax + typedLit broadcast
+    "streaming_psi_drift")      // r10: streamed counts + window-agg PSI fold
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val outPath = if (args.length > 1) args(1) else "CLUSTERCHECK_r09.json"
+    val outPath = if (args.length > 1) args(1) else "CLUSTERCHECK_r10.json"
     // Executor JVMs are launched as separate processes: they need the
     // application classes (sbt does not ship a jar) and the JDK17
     // module opens the in-process driver got from build.sbt.
