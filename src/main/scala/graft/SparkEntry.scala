@@ -3262,6 +3262,33 @@ object SparkEntry {
         Enrich.containmentContentSql("doc_id"),
         minContainment = 0.8) + " ORDER BY id_a, id_b")),
 
+    // Exact duplicated-substring SPANS (Lee et al. 2022, seed-and-
+    // extend form): maximal >= 8-token runs occurring more than once in
+    // the corpus, as removable per-doc token intervals — the partial
+    // overlaps doc-level dedup keeps. Integer positions, bit-identical
+    Q("dedup_substring_spans",
+      (s, dir) => graft.dedup.Spans.duplicatedSpans(
+          Tables.documents(s, dir), col("doc_id"), col("text"),
+          minTokens = 8)
+        .orderBy("doc_id", "span_start"),
+      Some(graft.dedup.Spans.duplicatedSpansSql(
+        "documents", "doc_id", "text", minTokens = 8) +
+        " ORDER BY doc_id, span_start")),
+
+    // Winnowing fingerprint pairs (MOSS, SIGMOD 2003): window-min over
+    // k-gram hashes localises WHERE documents overlap at ~2/(w+1)
+    // index density; pairing is the inverted-index equi-join shape
+    // with a df-cut, never all-pairs. md5-lexicographic min keeps the
+    // selection order identical in both engines
+    Q("dedup_winnow_pairs",
+      (s, dir) => graft.dedup.Winnow.winnowPairs(
+          Tables.documents(s, dir), col("doc_id"), col("text"),
+          k = 5, w = 4, minScore = 0.5)
+        .orderBy("id_a", "id_b"),
+      Some(graft.dedup.Winnow.winnowPairsSql(
+        "documents", "doc_id", "text", k = 5, w = 4, minScore = 0.5) +
+        " ORDER BY id_a, id_b")),
+
     // MinHash+LSH near-dup pairs — the sub-quadratic scale path.
     // xxhash64 signatures have no DuckDB twin, so the declared output
     // is the route's QUALITY GATE instead of raw pairs (the

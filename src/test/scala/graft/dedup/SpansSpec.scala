@@ -1,0 +1,62 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Duplicated-substring spans: maximal-run semantics on planted
+  * corpora — cross-doc duplication, intra-doc repetition, seed
+  * merging, and the below-threshold negative.
+  */
+class SpansSpec extends AnyFunSuite with SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def spans(df: org.apache.spark.sql.DataFrame, n: Int) =
+    Spans.duplicatedSpans(df, col("doc_id"), col("text"), n)
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  test("a shared run reports the full maximal span in both documents") {
+    // docs 1 and 2 share tokens "s1..s5" (5 tokens) at different
+    // offsets; with minTokens=3 the merged span covers all 5
+    val df = docs(
+      (1L, "a b s1 s2 s3 s4 s5 c d"),
+      (2L, "x s1 s2 s3 s4 s5 y z w q"))
+    val got = spans(df, 3)
+    assert(got == Seq((1L, 3L, 7L), (2L, 2L, 6L)), s"$got")
+  }
+
+  test("runs shorter than minTokens are not reported") {
+    val df = docs(
+      (1L, "a b s1 s2 c d e f"),
+      (2L, "x s1 s2 y z w p q"))
+    assert(spans(df, 3).isEmpty)
+  }
+
+  test("intra-document repetition is duplication too") {
+    // "r1 r2 r3" occurs twice inside one doc: two disjoint spans
+    val df = docs((1L, "r1 r2 r3 a b c d r1 r2 r3 e f"))
+    val got = spans(df, 3)
+    assert(got == Seq((1L, 1L, 3L), (1L, 8L, 10L)), s"$got")
+  }
+
+  test("overlapping and adjacent seeds merge into one span") {
+    // two docs share a 8-token run; every 3-seed inside it overlaps
+    // the next, so exactly ONE span of length 8 comes out per doc
+    val shared = (1 to 8).map(i => s"t$i").mkString(" ")
+    val df = docs((1L, s"$shared a b"), (2L, s"c d $shared"))
+    val got = Spans.duplicatedSpans(df, col("doc_id"), col("text"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq.sorted
+    assert(got == Seq((1L, 8L), (2L, 8L)), s"$got")
+  }
+
+  test("documents shorter than minTokens produce no seeds and no error") {
+    val df = docs((1L, "a b"), (2L, "a b"))
+    assert(spans(df, 3).isEmpty)
+  }
+}
