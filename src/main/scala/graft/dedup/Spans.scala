@@ -25,10 +25,13 @@ import org.apache.spark.sql.functions._
   * spans are exactly the maximal duplicated regions — the suffix
   * array's answer — without ever materialising a global sort.
   *
-  * Scale shape: ONE shuffle of (gram-key, doc, pos) seeds for the
-  * occurrence count (window count, map-side-combinable via the
-  * two-level agg Catalyst plans for it), then a per-document window
-  * over the few surviving duplicated seeds. Token text never shuffles
+  * Scale shape: the occurrence count is a `groupBy(gram).count()`
+  * (HashAggregate with a PARTIAL pass — a hot boilerplate gram
+  * collapses to one row per map task before the shuffle) equi-joined
+  * back onto the seeds, then a per-document window over the few
+  * surviving duplicated seeds. A window count here would ship every
+  * corpus token to its gram's partition with no partial aggregation —
+  * one straggler task per boilerplate gram. Token text never shuffles
   * twice: at 100 TB the gram key is an 8-byte rolling/xxhash64 hash
   * instead of the gram string (collisions only ever ADD a candidate
   * seed, they cannot lose a span) — the string key here keeps the
@@ -53,9 +56,9 @@ object Spans {
         transform(sequence(lit(1), size(col("t")) - (n - 1)),
           i => array_join(slice(col("t"), i, lit(n)), " "))))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
-    val dup = seeds
-      .withColumn("occ", count(lit(1)).over(Window.partitionBy("gram")))
-      .where(col("occ") >= 2)
+    val dupGrams = seeds.groupBy("gram")
+      .agg(count(lit(1)).as("occ")).where(col("occ") >= 2).select("gram")
+    val dup = seeds.join(dupGrams, "gram").select("doc_id", "pos")
     val wDoc = Window.partitionBy("doc_id").orderBy("pos")
     val islands = dup
       .withColumn("brk",
@@ -63,10 +66,127 @@ object Spans {
       .withColumn("island", sum(col("brk")).over(
         wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     islands.groupBy(col("doc_id"), col("island"))
-      .agg(min(col("pos")).as("span_start"),
-        (max(col("pos")) + (n - 1)).as("span_end"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + (n - 1)).cast("long").as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_len"))
+  }
+
+  /** Span REMOVAL — the apply half of Lee et al.: excise every
+    * duplicated run from the corpus, KEEPING ITS FIRST OCCURRENCE
+    * (global (doc_id, pos) order), and re-join the surviving tokens.
+    * [[duplicatedSpans]] finds the intervals; this produces the
+    * deduplicated training text.
+    *
+    * Keep-first runs at SEED granularity: each duplicated gram elects
+    * one winner occurrence (min (doc_id, pos) — a combinable
+    * min-of-struct, no window), every other occurrence of that gram
+    * marks its interval for removal, and per-document intervals merge
+    * exactly as in [[duplicatedSpans]]. The first occurrence of any
+    * duplicated region therefore survives verbatim (all its seeds are
+    * winners) while later occurrences excise whole.
+    *
+    * Scale shape: the same single gram shuffle as [[duplicatedSpans]]
+    * (groupBy count + min-struct winner, both partial-aggregated), a
+    * per-doc window over the few loser seeds, then the clip itself is
+    * one equi-join of the corpus against the SMALL per-doc interval
+    * list (broadcastable — only docs containing duplicates appear) and
+    * a codegen `filter` over the token array — corpus text never
+    * shuffles.
+    *
+    * @return (doc_id, clean_text, n_removed) for EVERY input document
+    *         (unaffected docs pass through with n_removed = 0).
+    */
+  def clipSpans(df: DataFrame, idCol: Column, textCol: Column,
+                minTokens: Int): DataFrame = {
+    require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
+    val n = minTokens
+    val toks = df.select(idCol.cast("long").as("doc_id"),
+      split(trim(textCol), "\\s+").as("t"))
+    val seeds = toks.where(size(col("t")) >= n)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(1), size(col("t")) - (n - 1)),
+          i => array_join(slice(col("t"), i, lit(n)), " "))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
+    // duplicated grams elect one winner occurrence apiece; min of a
+    // (doc_id, pos) struct is lexicographic = global first occurrence
+    val winners = seeds.groupBy("gram")
+      .agg(count(lit(1)).as("occ"),
+        min(struct(col("doc_id"), col("pos"))).as("w"))
+      .where(col("occ") >= 2)
+      .select(col("gram"), col("w.doc_id").as("wdoc"), col("w.pos").as("wpos"))
+    val losers = seeds.join(winners, "gram")
+      .where(!(col("doc_id") === col("wdoc") && col("pos") === col("wpos")))
+      .select(col("doc_id"), col("pos"))
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val intervals = losers
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(wDoc) <= n, 0).otherwise(1))
+      .withColumn("island", sum(col("brk")).over(
+        wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + (n - 1)).as("e"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("iv"))
+    toks.join(intervals, Seq("doc_id"), "left")
+      .withColumn("kept", filter(col("t"), (tok, i) =>
+        coalesce(!exists(col("iv"), r =>
+          (i + 1) >= r.getField("s") && (i + 1) <= r.getField("e")),
+          lit(true))))
+      .select(col("doc_id"), array_join(col("kept"), " ").as("clean_text"),
+        (size(col("t")) - size(col("kept"))).cast("long").as("n_removed"))
+  }
+
+  /** DuckDB twin of [[clipSpans]]: identical seed grams, row_number
+    * winner election (same (doc_id, pos) order as the struct min),
+    * identical island fold, position-level NOT EXISTS clip.
+    */
+  def clipSpansSql(table: String, idExpr: String, textExpr: String,
+                   minTokens: Int): String = {
+    val n = minTokens
+    s"""WITH toks AS (
+       |  SELECT CAST($idExpr AS BIGINT) AS doc_id,
+       |    string_split_regex(trim($textExpr), '\\s+') AS t FROM $table),
+       |seeds AS (
+       |  SELECT doc_id, i AS pos,
+       |    array_to_string(list_slice(t, i, i + ${n - 1}), ' ') AS gram
+       |  FROM (SELECT doc_id, t,
+       |          unnest(range(1, greatest(len(t) - ${n - 1}, 0) + 1)) AS i
+       |        FROM toks)),
+       |win AS (
+       |  SELECT gram, doc_id AS wdoc, pos AS wpos FROM (
+       |    SELECT gram, doc_id, pos,
+       |      count(*) OVER (PARTITION BY gram) AS occ,
+       |      row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+       |    FROM seeds) WHERE occ >= 2 AND rn = 1),
+       |losers AS (
+       |  SELECT s.doc_id, s.pos FROM seeds s JOIN win w ON s.gram = w.gram
+       |  WHERE NOT (s.doc_id = w.wdoc AND s.pos = w.wpos)),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM (
+       |    SELECT doc_id, pos,
+       |      CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |        <= $n THEN 0 ELSE 1 END AS brk
+       |    FROM losers)),
+       |iv AS (
+       |  SELECT doc_id, min(pos) AS s, max(pos) + ${n - 1} AS e
+       |  FROM isl GROUP BY doc_id, island),
+       |posns AS (
+       |  SELECT doc_id, unnest(range(1, len(t) + 1)) AS i, t FROM toks),
+       |kept AS (
+       |  SELECT p.doc_id, p.i, p.t[p.i] AS tok FROM posns p
+       |  WHERE NOT EXISTS (SELECT 1 FROM iv
+       |    WHERE iv.doc_id = p.doc_id AND p.i BETWEEN iv.s AND iv.e))
+       |SELECT toks.doc_id,
+       |  coalesce(k.clean_text, '') AS clean_text,
+       |  CAST(len(toks.t) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+       |FROM toks LEFT JOIN (
+       |  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+       |    count(*) AS n_kept
+       |  FROM kept GROUP BY doc_id) k ON toks.doc_id = k.doc_id""".stripMargin
   }
 
   /** DuckDB twin of [[duplicatedSpans]]: identical seed grams (the

@@ -66,9 +66,14 @@ object Winnow {
                   maxDf: Int = 1000): DataFrame = {
     val fps = fingerprints(df, idCol, textCol, k, w).localCheckpoint()
     val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
-    val rare = fps.withColumn("df",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy("fp"))).where(col("df") <= maxDf)
+    // df via groupBy (partial-aggregates map-side, so a boilerplate
+    // fingerprint shared by millions of docs collapses per task) then
+    // an equi-join back — a count-over-window here would shuffle every
+    // (doc, fp) row to its fp's partition and make the hottest
+    // fingerprint a single straggler task
+    val keepFps = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select("fp")
+    val rare = fps.join(keepFps, "fp")
     val pairs = rare.as("a").join(rare.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))

@@ -147,32 +147,76 @@ object Layout {
     * remain addressable for time travel until [[pruneVersions]].
     *
     * Multi-writer safety: version numbers are allocated through CLAIM
-    * markers (`_claims/v-N`, created atomically with
-    * `FileSystem.createNewFile` — create-if-absent is the one
-    * primitive every Hadoop filesystem provides atomically) BEFORE any
-    * data is written. Two concurrent writers that both compute
-    * `next = N` race on the claim; exactly one wins, the loser
-    * advances to N+1 and claims that. No writer ever touches a `v=N`
-    * directory it has not claimed, and a claimed-but-uncommitted
+    * markers (`_claims/v-N`) created with a genuinely atomic per-scheme
+    * primitive BEFORE any data is written. On `file:` that is java.nio
+    * `CREATE_NEW` (O_CREAT|O_EXCL) — Hadoop's Local/ChecksumFileSystem
+    * `createNewFile` is exists-then-create, a TOCTOU two same-JVM
+    * threads lose routinely; on other schemes `fs.create(path,
+    * overwrite = false)` (atomic on HDFS). Each claim carries the
+    * writer's UUID, re-read after creation AND again immediately before
+    * the commit-marker create — so even on a store where create is not
+    * exclusive (S3A-style), a lost race or a [[pruneVersions]] sweep of
+    * a live claim is DETECTED and the write aborts loudly instead of
+    * committing a clobbered or truncated snapshot. Two concurrent
+    * writers that both compute `next = N` race on the claim; exactly
+    * one wins, the loser advances to N+1. A claimed-but-uncommitted
     * version from a crashed writer just leaves a skipped number (its
-    * garbage is reclaimed if the claim is ever force-released by
-    * [[pruneVersions]]' sweep of sub-current claims). Commit markers
-    * are likewise created with create-if-absent — a failed commit
-    * create aborts loudly instead of silently overwriting another
-    * writer's completed snapshot.
+    * garbage is reclaimed by [[pruneVersions]]' age-gated sweep).
     */
-  def writeVersioned(df: DataFrame, root: String): Long = {
+  def writeVersioned(df: DataFrame, root: String): Long =
+    writeVersionedWithHook(df, root, _ => ())
+
+  /** [[writeVersioned]] with a test seam invoked after the data write
+    * and before the claim re-verify + commit — lets specs interleave a
+    * faster writer + prune deterministically at the vulnerable point.
+    */
+  private[sources] def writeVersionedWithHook(df: DataFrame, root: String,
+                                              beforeCommit: Long => Unit): Long = {
     val spark = df.sparkSession
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val writerId = java.util.UUID.randomUUID().toString
+    val candidate = claimVersion(fs, root, writerId)
+    val dataDir = new org.apache.hadoop.fs.Path(root, s"v=$candidate")
+    // we own this version number exclusively; any leftover dir here is
+    // unclaimed crash garbage that was never visible
+    fs.delete(dataDir, true)
+    df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+    beforeCommit(candidate)
+    val claim = new org.apache.hadoop.fs.Path(root, s"_claims/v-$candidate")
+    // verify-before-commit: the claim must still exist and still carry
+    // OUR id. Gone → a pruneVersions sweep took us for a crashed writer
+    // (and may have deleted part of the data dir); another id → a
+    // non-exclusive store lost us the race after the first verify.
+    // Either way the snapshot must never become visible.
+    require(readMarker(fs, claim).contains(writerId),
+      s"claim for v=$candidate under $root was lost before commit " +
+        "(swept by pruneVersions or raced on a non-atomic store) — " +
+        "aborting without committing; the data dir is invisible garbage")
+    val commits = new org.apache.hadoop.fs.Path(root, "_commits")
+    fs.mkdirs(commits)
+    require(atomicCreate(fs, new org.apache.hadoop.fs.Path(commits, s"v-$candidate"),
+      writerId.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+      s"commit marker for v=$candidate already exists — another writer " +
+        "bypassed the claim protocol; refusing to overwrite its snapshot")
+    candidate
+  }
+
+  /** Allocate the next version number via the claim protocol: pick a
+    * candidate above every committed and claimed version, atomically
+    * create `_claims/v-N` bearing `writerId`, and verify by read-back
+    * that this writer's id is the one in the file. Loses advance to
+    * the next number. Exposed for the claim-stress spec.
+    */
+  private[sources] def claimVersion(fs: org.apache.hadoop.fs.FileSystem,
+                                    root: String, writerId: String): Long = {
     val claims = new org.apache.hadoop.fs.Path(root, "_claims")
     fs.mkdirs(claims)
     // next candidate: above every committed AND every claimed version
     // (a live concurrent writer holds a claim with no commit yet)
-    val claimed = fs.listStatus(claims).toSeq.map(_.getPath.getName)
-      .collect { case n if n.startsWith("v-") => n.stripPrefix("v-").toLong }
-    var candidate = (committedVersions(spark, root) ++ claimed)
-      .foldLeft(0L)(math.max) + 1
+    var candidate =
+      (listVersions(fs, new org.apache.hadoop.fs.Path(root, "_commits")) ++
+        listVersions(fs, claims)).foldLeft(0L)(math.max) + 1
     var won = false
     var attempts = 0
     while (!won) {
@@ -181,23 +225,69 @@ object Layout {
         "after 10000 attempts — claim directory runaway")
       val claim = new org.apache.hadoop.fs.Path(claims, s"v-$candidate")
       val commit = new org.apache.hadoop.fs.Path(root, s"_commits/v-$candidate")
-      if (!fs.exists(commit) &&
-        (try fs.createNewFile(claim) catch { case _: java.io.IOException => false }))
+      val bytes = writerId.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (!fs.exists(commit) && atomicCreate(fs, claim, bytes) &&
+        readMarker(fs, claim).contains(writerId))
         won = true
       else candidate += 1
     }
-    val dataDir = new org.apache.hadoop.fs.Path(root, s"v=$candidate")
-    // we own this version number exclusively; any leftover dir here is
-    // unclaimed crash garbage that was never visible
-    fs.delete(dataDir, true)
-    df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
-    val commits = new org.apache.hadoop.fs.Path(root, "_commits")
-    fs.mkdirs(commits)
-    require(fs.createNewFile(new org.apache.hadoop.fs.Path(commits, s"v-$candidate")),
-      s"commit marker for v=$candidate already exists — another writer " +
-        "bypassed the claim protocol; refusing to overwrite its snapshot")
     candidate
   }
+
+  /** Atomic create-with-content for a small marker file. `file:` goes
+    * through java.nio `CREATE_NEW` (a single O_CREAT|O_EXCL syscall);
+    * other schemes use `fs.create(path, overwrite = false)` (atomic on
+    * HDFS; stores where it is not are covered by the caller's
+    * read-back verify). Returns true iff THIS call created the file.
+    */
+  private def atomicCreate(fs: org.apache.hadoop.fs.FileSystem,
+                           path: org.apache.hadoop.fs.Path,
+                           content: Array[Byte]): Boolean =
+    if (fs.getScheme == "file") {
+      try {
+        val p = java.nio.file.Paths.get(path.toUri.getPath)
+        if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p, content,
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch { case _: java.io.IOException => false }
+    } else {
+      try {
+        val out = fs.create(path, false)
+        try out.write(content) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    }
+
+  /** Content of a small marker file, None if absent/unreadable. */
+  private def readMarker(fs: org.apache.hadoop.fs.FileSystem,
+                         path: org.apache.hadoop.fs.Path): Option[String] =
+    try {
+      if (fs.getScheme == "file") {
+        val p = java.nio.file.Paths.get(path.toUri.getPath)
+        if (!java.nio.file.Files.exists(p)) None
+        else Some(new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8))
+      } else {
+        if (!fs.exists(path)) None
+        else {
+          val in = fs.open(path)
+          try {
+            val buf = new java.io.ByteArrayOutputStream()
+            org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+            Some(new String(buf.toByteArray,
+              java.nio.charset.StandardCharsets.UTF_8))
+          } finally in.close()
+        }
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** `v-N` version numbers named under a marker directory. */
+  private def listVersions(fs: org.apache.hadoop.fs.FileSystem,
+                           dir: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v-") => n.stripPrefix("v-").toLong }
 
   /** Highest committed version, None for an empty/never-written root. */
   def currentVersion(spark: org.apache.spark.sql.SparkSession,
@@ -234,10 +324,22 @@ object Layout {
   /** Drop all but the newest `keepLast` committed snapshots (marker
     * first, then data — a crash between the two leaves an unreferenced
     * data dir, never a dangling marker).
+    *
+    * Crashed-writer claims are swept only when BOTH hold: the claimed
+    * version is below the oldest RETAINED committed version (NOT
+    * `committed.max`, which advances while a slow writer is still
+    * mid-write — the r10 live-claim race), and the claim file is older
+    * than `claimGraceMs` (a live writer's claim is recent). Even a
+    * mis-sized grace cannot corrupt data: [[writeVersioned]] re-reads
+    * its claim immediately before the commit marker and aborts loudly
+    * if the sweep took it — a swept live write is a failed job, never
+    * a committed truncated snapshot.
     */
   def pruneVersions(spark: org.apache.spark.sql.SparkSession, root: String,
-                    keepLast: Int): Seq[Long] = {
+                    keepLast: Int,
+                    claimGraceMs: Long = 24L * 3600 * 1000): Seq[Long] = {
     require(keepLast >= 1, "must keep at least the current version")
+    require(claimGraceMs >= 0, "claimGraceMs must be non-negative")
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val committed = committedVersions(spark, root)
@@ -247,17 +349,19 @@ object Layout {
       fs.delete(new org.apache.hadoop.fs.Path(root, s"_claims/v-$v"), false)
       fs.delete(new org.apache.hadoop.fs.Path(root, s"v=$v"), true)
     }
-    // sweep claims of crashed writers: a claim strictly below the
-    // current committed version can never commit (every live writer
-    // claims above it) — release the number and its invisible garbage
+    val retained = committed.takeRight(keepLast)
     val claims = new org.apache.hadoop.fs.Path(root, "_claims")
-    if (fs.exists(claims) && committed.nonEmpty) {
-      fs.listStatus(claims).toSeq.map(_.getPath.getName)
-        .collect { case n if n.startsWith("v-") => n.stripPrefix("v-").toLong }
-        .filter(v => v < committed.max && !committed.contains(v))
-        .foreach { v =>
-          fs.delete(new org.apache.hadoop.fs.Path(root, s"v=$v"), true)
-          fs.delete(new org.apache.hadoop.fs.Path(root, s"_claims/v-$v"), false)
+    if (fs.exists(claims) && retained.nonEmpty) {
+      val floor = retained.min
+      val now = System.currentTimeMillis()
+      fs.listStatus(claims).toSeq
+        .filter(_.getPath.getName.startsWith("v-"))
+        .foreach { s =>
+          val v = s.getPath.getName.stripPrefix("v-").toLong
+          if (v < floor && now - s.getModificationTime > claimGraceMs) {
+            fs.delete(new org.apache.hadoop.fs.Path(root, s"v=$v"), true)
+            fs.delete(s.getPath, false)
+          }
         }
     }
     doomed

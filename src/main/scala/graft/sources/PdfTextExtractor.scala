@@ -519,7 +519,9 @@ object PdfTextExtractor {
     */
   private final case class Encryption(fileKey: Array[Byte], aes: Boolean,
                                       encryptObjNum: Int,
-                                      v5: Boolean = false) {
+                                      v5: Boolean = false,
+                                      encryptStrings: Boolean = true,
+                                      encryptStreams: Boolean = true) {
     def decryptBytes(num: Int, gen: Int, data: Array[Byte]): Array[Byte] =
       if (v5) PdfCrypt.aesCbcDecrypt(fileKey, data)
       else PdfCrypt.decrypt(PdfCrypt.objKey(fileKey, num, gen, aes), data, aes)
@@ -598,6 +600,15 @@ object PdfTextExtractor {
           .map(_.group(1).toInt).getOrElse(0)
         val r = """/R\s+(\d+)""".r.findFirstMatchIn(top)
           .map(_.group(1).toInt).getOrElse(if (v >= 4) 4 else if (v >= 2) 3 else 2)
+        // ISO 32000 7.6.2: for /V >= 4 the string/stream crypt filters
+        // default to /Identity when /StrF//StmF are ABSENT — a file may
+        // encrypt only its streams and leave strings plaintext (or the
+        // reverse); "decrypting" plaintext turns AES strings into empty
+        // <> and RC4 into garbage, a regression vs leaving them alone.
+        // /V <= 3 has no crypt filters: both are always encrypted.
+        def filterActive(key: String): Boolean =
+          v <= 3 || (s"/$key\\s*/(\\w+)").r.findFirstMatchIn(top)
+            .map(_.group(1)).exists(_ != "Identity")
         if (v == 5) {
           // AES-256: unwrap the file key from /U + /UE (Algorithm 2.A,
           // empty user password; /R 6 hardened hash or /R 5 SHA-256)
@@ -605,7 +616,9 @@ object PdfTextExtractor {
             u <- strVal("U", top)
             ue <- strVal("UE", top)
             key <- PdfCrypt.v5FileKey(u, ue, r)
-          } yield Encryption(key, aes = true, enc.num, v5 = true)
+          } yield Encryption(key, aes = true, enc.num, v5 = true,
+            encryptStrings = filterActive("StrF"),
+            encryptStreams = filterActive("StmF"))
         } else if (v < 1 || v > 4) None
         else {
           val lenBits = """/Length\s+(\d+)""".r.findFirstMatchIn(top)
@@ -626,7 +639,9 @@ object PdfTextExtractor {
               if (aes) 16
               else if (v == 1) 5
               else math.max(5, math.min(16, lenBits / 8))
-            Encryption(PdfCrypt.fileKey(ov, p, id0, keyLen, r), aes, enc.num)
+            Encryption(PdfCrypt.fileKey(ov, p, id0, keyLen, r), aes, enc.num,
+              encryptStrings = filterActive("StrF"),
+              encryptStreams = filterActive("StmF"))
           }
         }
       }
@@ -651,9 +666,13 @@ object PdfTextExtractor {
         objects.map { o =>
           if (o.num == enc.encryptObjNum) o
           else o.copy(
-            dict = decryptDictStrings(o.dict, raw =>
-              enc.decryptBytes(o.num, o.gen, raw)),
-            stream = o.stream.map(s => enc.decryptBytes(o.num, o.gen, s)))
+            dict = if (enc.encryptStrings)
+              decryptDictStrings(o.dict, raw =>
+                enc.decryptBytes(o.num, o.gen, raw))
+            else o.dict,
+            stream = if (enc.encryptStreams)
+              o.stream.map(s => enc.decryptBytes(o.num, o.gen, s))
+            else o.stream)
         }
     }
   }
@@ -793,9 +812,14 @@ object PdfTextExtractor {
         // when "endstream" actually follows it (within the EOL slack
         // the spec allows); otherwise — absent, indirect-ref, or
         // implausible /Length — fall back to the scan.
+        // hostile /Length values can exceed Int (or even Long) digits;
+        // overflow falls back to the endstream scan, never throws —
+        // corrupt files are data (the fuzz spec's contract)
         val declared = """/Length\s+(\d+)(\s+\d+\s+R)?""".r
           .findFirstMatchIn(dict)
-          .filter(_.group(2) == null).map(_.group(1).toInt)
+          .filter(_.group(2) == null)
+          .flatMap(m => scala.util.Try(m.group(1).toLong).toOption)
+          .filter(n => n >= 0 && n <= data.length.toLong).map(_.toInt)
         val byLen = declared.flatMap { n =>
           val e = s.toLong + n
           if (n >= 0 && e <= data.length) {

@@ -206,24 +206,114 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
       s"reader saw a torn snapshot: $seen")
   }
 
-  test("a live claim blocks its version number; stale claims sweep on prune") {
+  test("interleaved-writer stress: 12 rounds of 2 concurrent writeVersioned, every snapshot intact") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-versions-stress").toString
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val byVersion = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+    (0 until 12).foreach { round =>
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val ts = Seq("a", "b").map { tag =>
+        val payload = s"r$round-$tag"
+        val t = new Thread(() => {
+          try {
+            barrier.await()
+            val v = Layout.writeVersioned(
+              Seq((1L, payload)).toDF("k", "p"), root)
+            val prev = byVersion.putIfAbsent(v, payload)
+            assert(prev == null, s"version $v handed to two writers")
+          } catch { case e: Throwable => errors.add(e) }
+        })
+        t.start(); t
+      }
+      ts.foreach(_.join(120000))
+    }
+    assert(errors.isEmpty, s"writer failed: ${errors.peek()}")
+    assert(Layout.committedVersions(spark, root) == (1L to 24L),
+      s"${Layout.committedVersions(spark, root)}")
+    // every committed snapshot holds exactly its writer's payload
+    (1L to 24L).foreach { v =>
+      val got = Layout.readVersion(spark, root, v).collect()
+        .map(_.getString(1)).toSeq
+      assert(got == Seq(byVersion.get(v)), s"v=$v clobbered: $got")
+    }
+  }
+
+  test("a live claim blocks its version number; only old sub-retained claims sweep") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-versions-claim").toString
     Layout.writeVersioned(Seq((1L, "v1")).toDF("k", "p"), root)
-    // simulate a LIVE concurrent writer holding v=2: claim marker
-    // present, no commit yet
+    // simulate a concurrent writer holding v=2: claim marker present
+    // (with its own writer id), no commit yet
     val claims = java.nio.file.Paths.get(root, "_claims")
     Files.createDirectories(claims)
-    Files.write(claims.resolve("v-2"), Array.emptyByteArray)
+    Files.write(claims.resolve("v-2"), "other-writer".getBytes("UTF-8"))
     val v = Layout.writeVersioned(Seq((1L, "v3")).toDF("k", "p"), root)
     assert(v == 3L, s"claimed version must be skipped, got $v")
+    Layout.writeVersioned(Seq((1L, "v4")).toDF("k", "p"), root)
     assert(Layout.readVersion(spark, root).collect()
-      .map(_.getString(1)).toSeq == Seq("v3"))
-    // the crashed claimant's number stays skipped until pruneVersions
-    // sweeps sub-current claims
+      .map(_.getString(1)).toSeq == Seq("v4"))
+    // a RECENT claim is never swept, even below the retained floor —
+    // it may belong to a live slow writer
+    Layout.pruneVersions(spark, root, keepLast = 2)
+    assert(Files.exists(claims.resolve("v-2")),
+      "recent claim must survive the sweep (age gate)")
+    // once the claim is demonstrably stale (old mtime) AND below the
+    // oldest retained committed version, the sweep releases it
+    Files.setLastModifiedTime(claims.resolve("v-2"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 48L * 3600 * 1000))
     Layout.pruneVersions(spark, root, keepLast = 2)
     assert(!Files.exists(claims.resolve("v-2")),
-      "stale sub-current claim must be swept")
+      "stale sub-retained claim must be swept")
+  }
+
+  test("a slow writer whose claim is swept aborts loudly, never commits truncated data") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-versions-sweep").toString
+    Layout.writeVersioned(Seq((0L, "base")).toDF("k", "p"), root)
+    // slow writer claims v=2 and finishes its data write; at the
+    // vulnerable point a faster writer commits v=3 AND a zero-grace
+    // prune sweeps the slow writer's claim + data dir
+    val slow = intercept[IllegalArgumentException] {
+      Layout.writeVersionedWithHook(Seq((1L, "slow")).toDF("k", "p"), root,
+        beforeCommit = { _ =>
+          Layout.writeVersioned(Seq((2L, "fast")).toDF("k", "p"), root)
+          Layout.pruneVersions(spark, root, keepLast = 1, claimGraceMs = 0L)
+        })
+    }
+    assert(slow.getMessage.contains("lost before commit"), slow.getMessage)
+    // the swept version never became visible; the fast snapshot serves
+    assert(Layout.committedVersions(spark, root) == Seq(3L))
+    assert(Layout.readVersion(spark, root).collect()
+      .map(_.getString(1)).toSeq == Seq("fast"))
+  }
+
+  test("claim allocation is exclusive under concurrency: 8 writers x 25 claims, all distinct") {
+    val root = Files.createTempDirectory("graft-claim-stress").toString
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val start = new java.util.concurrent.CyclicBarrier(8)
+    val threads = (0 until 8).map { t =>
+      val th = new Thread(() => {
+        try {
+          start.await()
+          (0 until 25).foreach { i =>
+            got.add(Layout.claimVersion(fs, root, s"writer-$t-$i"))
+          }
+        } catch { case e: Throwable => errors.add(e) }
+      })
+      th.start(); th
+    }
+    threads.foreach(_.join(120000))
+    assert(errors.isEmpty, s"claim failed: ${errors.peek()}")
+    val versions = got.toArray(Array.empty[java.lang.Long]).map(_.longValue).toSeq
+    assert(versions.length == 200)
+    assert(versions.distinct.length == 200,
+      s"duplicate claims handed out: ${versions.groupBy(identity)
+        .filter(_._2.length > 1).keys.toSeq.sorted}")
   }
 
   test("pruneVersions drops old snapshots, keeps the serving tail") {

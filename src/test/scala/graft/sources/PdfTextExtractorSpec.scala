@@ -179,7 +179,7 @@ class PdfTextExtractorSpec extends AnyFunSuite with SparkSpec {
         new javax.crypto.spec.IvParameterSpec(iv))
       iv ++ c.doFinal(plain)
     }
-    def buildEncrypted(aes: Boolean): Array[Byte] = {
+    def buildEncrypted(aes: Boolean, encStrings: Boolean = true): Array[Byte] = {
       def encFor(num: Int, data: Array[Byte]): Array[Byte] = {
         val k = PdfTextExtractor.PdfCrypt.objKey(fileKey, num, 0, aes)
         if (aes) aesEncrypt(k, data)
@@ -203,15 +203,25 @@ class PdfTextExtractorSpec extends AnyFunSuite with SparkSpec {
       w(s"6 0 obj\n<< /Length ${c6.length} /Filter /FlateDecode >>\nstream\n")
       out.write(c6); w("\nendstream\nendobj\n")
       val filt =
-        if (aes) "/V 4 /R 4 /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
-          "/StmF /StdCF /StrF /StdCF"
+        if (aes && encStrings)
+          "/V 4 /R 4 /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
+            "/StmF /StdCF /StrF /StdCF"
+        else if (aes)
+          // streams-only encryption: /StrF ABSENT → spec default
+          // /Identity → strings are plaintext (ISO 32000 7.6.2)
+          "/V 4 /R 4 /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StmF /StdCF"
         else "/V 2 /R 3"
       w(s"7 0 obj\n<< /Filter /Standard $filt /Length 128 /P $perm " +
         s"/O <${hex(oVal)}> /U <${hex(oVal)}> >>\nendobj\n")
       // an ENCRYPTED /Info: dictionary strings are ciphertext in a real
-      // encrypted file and must decrypt for S2 metadata to be text
-      val title = encFor(8, "State vs. Cipher Corp".getBytes(StandardCharsets.ISO_8859_1))
-      w(s"8 0 obj\n<< /Title <${hex(title)}> >>\nendobj\n")
+      // encrypted file and must decrypt for S2 metadata to be text —
+      // unless the string filter is /Identity, in which case they are
+      // plaintext and must be left ALONE
+      if (encStrings) {
+        val title = encFor(8, "State vs. Cipher Corp".getBytes(StandardCharsets.ISO_8859_1))
+        w(s"8 0 obj\n<< /Title <${hex(title)}> >>\nendobj\n")
+      } else
+        w("8 0 obj\n<< /Title (State vs. Cipher Corp) >>\nendobj\n")
       w(s"trailer\n<< /Root 1 0 R /Encrypt 7 0 R /Info 8 0 R " +
         s"/ID [<${hex(id0)}> <${hex(id0)}>] >>\n%%EOF\n")
       out.toByteArray
@@ -228,6 +238,14 @@ class PdfTextExtractorSpec extends AnyFunSuite with SparkSpec {
       s"AES-128 decryption: got '$gotAes'")
     assert(PdfTextExtractor.info(aesPdf)("title") == "State vs. Cipher Corp",
       "AES-128 dictionary-string (/Info) decryption")
+    // streams-only encryption (/StrF absent → /Identity): streams still
+    // decrypt, but the PLAINTEXT /Info strings must survive untouched —
+    // "decrypting" them would turn the title into <> garbage (ADVICE r10)
+    val streamOnly = buildEncrypted(aes = true, encStrings = false)
+    assert(PdfTextExtractor.extract(streamOnly) == s"$wantPage1\n$wantPage2",
+      "streams-only: content streams still decrypt")
+    assert(PdfTextExtractor.info(streamOnly)("title") == "State vs. Cipher Corp",
+      "streams-only: plaintext /Info strings must not be 'decrypted'")
     // a /V 5 dict whose /U is malformed (32 bytes, not 48): no key can
     // derive — the file falls through undecrypted, never a throw
     val v5bad = new String(rc4Pdf, StandardCharsets.ISO_8859_1)
@@ -381,9 +399,11 @@ class PdfTextExtractorSpec extends AnyFunSuite with SparkSpec {
         }
         b
       case 2 => // /Length lies: replace every declared length with a lie
+        // (incl. 10+ digit Int overflow and 20-digit Long overflow)
         new String(base, StandardCharsets.ISO_8859_1)
           .replaceAll("/Length \\d+",
-            s"/Length ${Seq(0, 1, 999999999, -5)(rnd.nextInt(4))}")
+            s"/Length ${Seq("0", "1", "999999999", "-5", "9999999999",
+              "99999999999999999999")(rnd.nextInt(6))}")
           .getBytes(StandardCharsets.ISO_8859_1)
       case 3 => // hostile ObjStm/encrypt counts
         new String(base, StandardCharsets.ISO_8859_1)
