@@ -3275,6 +3275,19 @@ object SparkEntry {
         "documents", "doc_id", "text", minTokens = 8) +
         " ORDER BY doc_id, span_start")),
 
+    // Span REMOVAL — the apply half of Lee et al.: duplicated runs are
+    // excised keeping their global first occurrence, unaffected docs
+    // pass through verbatim. The clip is a codegen array filter against
+    // a small per-doc interval list; corpus text never shuffles
+    Q("dedup_clip_spans",
+      (s, dir) => graft.dedup.Spans.clipSpans(
+          Tables.documents(s, dir), col("doc_id"), col("text"),
+          minTokens = 8)
+        .orderBy("doc_id"),
+      Some(graft.dedup.Spans.clipSpansSql(
+        "documents", "doc_id", "text", minTokens = 8) +
+        " ORDER BY doc_id")),
+
     // Winnowing fingerprint pairs (MOSS, SIGMOD 2003): window-min over
     // k-gram hashes localises WHERE documents overlap at ~2/(w+1)
     // index density; pairing is the inverted-index equi-join shape

@@ -184,9 +184,9 @@ object Spans {
        |  coalesce(k.clean_text, '') AS clean_text,
        |  CAST(len(toks.t) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
        |FROM toks LEFT JOIN (
-       |  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+       |  SELECT doc_id AS kdoc, string_agg(tok, ' ' ORDER BY i) AS clean_text,
        |    count(*) AS n_kept
-       |  FROM kept GROUP BY doc_id) k ON toks.doc_id = k.doc_id""".stripMargin
+       |  FROM kept GROUP BY doc_id) k ON toks.doc_id = k.kdoc""".stripMargin
   }
 
   /** DuckDB twin of [[duplicatedSpans]]: identical seed grams (the

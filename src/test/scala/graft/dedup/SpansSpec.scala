@@ -59,4 +59,45 @@ class SpansSpec extends AnyFunSuite with SparkSpec {
     val df = docs((1L, "a b"), (2L, "a b"))
     assert(spans(df, 3).isEmpty)
   }
+
+  private def clipped(df: org.apache.spark.sql.DataFrame, n: Int) =
+    Spans.clipSpans(df, col("doc_id"), col("text"), n)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+
+  test("clipSpans keeps the first occurrence and excises the later one") {
+    val df = docs(
+      (1L, "a b s1 s2 s3 s4 s5 c d"),
+      (2L, "x s1 s2 s3 s4 s5 y z w q"))
+    assert(clipped(df, 3) == Seq(
+      (1L, "a b s1 s2 s3 s4 s5 c d", 0L),
+      (2L, "x y z w q", 5L)))
+  }
+
+  test("clipSpans intra-document: second repetition removed, first kept") {
+    val df = docs((1L, "r1 r2 r3 a b c d r1 r2 r3 e f"))
+    assert(clipped(df, 3) == Seq((1L, "r1 r2 r3 a b c d e f", 3L)))
+  }
+
+  test("clipSpans: a fully-duplicated later document clips to empty text") {
+    val df = docs((1L, "a b c d"), (2L, "a b c d"))
+    assert(clipped(df, 3) == Seq((1L, "a b c d", 0L), (2L, "", 4L)))
+  }
+
+  test("clipSpans passes unaffected and short documents through verbatim") {
+    val df = docs((1L, "u v w x y z"), (2L, "a b"), (3L, "a b"))
+    assert(clipped(df, 3) == Seq(
+      (1L, "u v w x y z", 0L), (2L, "a b", 0L), (3L, "a b", 0L)))
+  }
+
+  test("clipSpans three-way duplication keeps exactly one occurrence") {
+    val df = docs(
+      (1L, "p q s1 s2 s3 s4"),
+      (2L, "s1 s2 s3 s4 m n"),
+      (3L, "k s1 s2 s3 s4"))
+    assert(clipped(df, 3) == Seq(
+      (1L, "p q s1 s2 s3 s4", 0L),
+      (2L, "m n", 4L),
+      (3L, "k", 4L)))
+  }
 }
