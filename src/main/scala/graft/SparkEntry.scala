@@ -74,6 +74,19 @@ object SparkEntry {
        |ORDER BY route, qid, rank""".stripMargin
   }
 
+  /** Oracle for `q_psi_emb_drift`: nearest-anchor assignment (anchors =
+    * the first 8 corpus vectors) replayed per side, then the PSI fold.
+    */
+  private lazy val psiEmbDriftOracle: String = {
+    val anchors =
+      "SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8"
+    def side(parity: Int): String = graft.stats.Drift.embeddingBucketSql(
+      s"SELECT vec_id AS oid, embedding AS e FROM embeddings WHERE vec_id % 2 = $parity",
+      anchors)
+    graft.stats.Drift.psiByGroupSql(side(0), side(1), "metric") +
+      " ORDER BY metric"
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Pipelines.similarCases(spark, "/root/testdata/sf0.001")
@@ -2902,6 +2915,27 @@ object SparkEntry {
         "SELECT source AS g, CAST(n_chars AS BIGINT) // 500 AS bucket " +
           "FROM documents WHERE doc_id % 2 = 1",
         "source") + " ORDER BY source")),
+
+    // EMBEDDING-distribution drift: PSI over nearest-anchor cluster
+    // occupancy histograms — the form an embedding pipeline needs (a
+    // scalar histogram cannot see a re-trained embedder). Assignment is
+    // a shuffle-free least() fold over the bounded anchor list; the
+    // gate's anchors are corpus rows so DuckDB replays the assignment
+    // exactly (production passes Ann.buildIvf centroids — DriftSpec)
+    Q("q_psi_emb_drift",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val anchors = emb.where(col("vec_id") < 8)
+          .select(col("vec_id").cast("int"), col("embedding"))
+          .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
+          .sortBy(_._1)
+        graft.stats.Drift.psiEmbedding(
+          emb.where(col("vec_id") % 2 === 0),
+          emb.where(col("vec_id") % 2 =!= 0),
+          col("embedding"), anchors)
+          .orderBy("metric")
+      },
+      Some(psiEmbDriftOracle)),
 
     // The drift monitor AS A STREAM (18th streaming route): the
     // current side's (source, bucket) counts maintain as a

@@ -72,6 +72,50 @@ object Drift {
     psiFromCounts(counts(base), counts(curr), groupName)
   }
 
+  /** Nearest-anchor cluster id for an embedding — the bucketizer an
+    * EMBEDDING-distribution drift monitor needs (a scalar histogram
+    * cannot see a rotated or re-trained embedder; the cluster
+    * occupancy histogram can). A pure `least()` fold over the bounded
+    * anchor list: no shuffle, no per-row fan-out, codegen-friendly —
+    * the same per-row cost as [[graft.vector.VectorKernels.nearestCentroids]]
+    * at nprobe=1, but with the 4dp-rounded distance + id tie-break
+    * that lets DuckDB replay the assignment bit-exactly. Production
+    * anchors are [[graft.vector.Ann.buildIvf]] centroids (DriftSpec
+    * pins that composition); the oracle gate passes corpus-row anchors
+    * so the SQL twin can reconstruct them.
+    */
+  def embeddingBucket(emb: Column, anchors: Seq[(Int, Seq[Float])]): Column = {
+    require(anchors.size >= 2, s"need >= 2 anchors, got ${anchors.size}")
+    least(anchors.map { case (cid, v) =>
+      struct(round(graft.vector.Distance.l2(emb, lit(v.toArray)), 4).as("d"),
+        lit(cid).as("cid"))
+    }: _*).getField("cid")
+  }
+
+  /** Embedding-distribution drift: PSI between the nearest-anchor
+    * cluster histograms of a baseline and a current embedding set —
+    * [[embeddingBucket]] composed with [[psiByGroup]]. One scan per
+    * side, bounded (1 × nlist) bucket tables; the observation rows
+    * never shuffle.
+    */
+  def psiEmbedding(base: DataFrame, curr: DataFrame, emb: Column,
+                   anchors: Seq[(Int, Seq[Float])]): DataFrame =
+    psiByGroup(base.withColumn("metric", lit("embedding")),
+      curr.withColumn("metric", lit("embedding")), "metric",
+      embeddingBucket(emb, anchors))
+
+  /** DuckDB twin of [[psiEmbedding]]: `obsSql` selects `(oid, e)`
+    * observation rows, `anchorsSql` selects `(cid, cemb)` anchors;
+    * row_number argmin over (4dp L2, cid) replays [[embeddingBucket]]
+    * exactly. Feed the two results to [[psiByGroupSql]].
+    */
+  def embeddingBucketSql(obsSql: String, anchorsSql: String): String =
+    s"""SELECT 'embedding' AS g, cid AS bucket FROM (
+       |  SELECT o.oid, a.cid,
+       |    row_number() OVER (PARTITION BY o.oid
+       |      ORDER BY ${graft.oracle.Sql.l2("o.e", "a.cemb")}, a.cid) AS rn
+       |  FROM ($obsSql) o, ($anchorsSql) a) WHERE rn = 1""".stripMargin
+
   /** DuckDB twin of [[psiByGroup]]: `baseSql`/`currSql` select
     * `(g, bucket)` observation rows; identical smoothing, grid
     * summation, and rounding.

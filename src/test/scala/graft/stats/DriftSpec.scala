@@ -53,4 +53,40 @@ class DriftSpec extends AnyFunSuite with SparkSpec {
     assert(!rows("a").isNaN && !rows("a").isInfinite && rows("a") > 0)
     assert(rows("b") == 0.0, "identical single-bucket group stays 0")
   }
+
+  private def vecs(rows: (Long, Seq[Float])*) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("embedding drift composes with Ann.buildIvf centroids: same set 0, rotated set alarms") {
+    // two well-separated blobs in 4-d; anchors trained by the real IVF
+    // coarse quantizer (the production composition)
+    val blobA = (0L until 20L).map(i =>
+      (i, Seq(1f + (i % 3) * 0.01f, 0f, 0f, 0f)))
+    val blobB = (20L until 40L).map(i =>
+      (i, Seq(0f, 1f + (i % 3) * 0.01f, 0f, 0f)))
+    val corpus = vecs((blobA ++ blobB): _*)
+    val idx = graft.vector.Ann.buildIvf(corpus, emb = "embedding", nlist = 2)
+    val anchors = idx.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.map(_.toFloat).toSeq) }.toSeq
+    val same = Drift.psiEmbedding(corpus, corpus, col("embedding"), anchors)
+      .collect().head
+    assert(same.getDouble(1) == 0.0 && same.getLong(2) == 40L)
+    // "re-trained embedder": every vector moves to the OTHER blob's
+    // direction — cluster occupancy flips, PSI alarms
+    val rotated = vecs((blobA.map { case (i, v) => (i, v.reverse) } ++
+      blobB.map { case (i, v) => (i, v.reverse) }): _*)
+    val psi = Drift.psiEmbedding(corpus, rotated, col("embedding"), anchors)
+      .collect().head.getDouble(1)
+    assert(psi > 0.25, s"occupancy flip must alarm: $psi")
+  }
+
+  test("embeddingBucket ties break on the smaller anchor id in both engines' order") {
+    val anchors = Seq((0, Seq(0f, 0f)), (1, Seq(0f, 0f)), (2, Seq(9f, 9f)))
+    val got = vecs((7L, Seq(0f, 0f)))
+      .select(Drift.embeddingBucket(col("embedding"), anchors))
+      .collect().head.getInt(0)
+    assert(got == 0, s"equidistant anchors must pick the smaller id: $got")
+  }
 }
