@@ -87,6 +87,19 @@ object SparkEntry {
       " ORDER BY metric"
   }
 
+  /** Oracle for `streaming_maxsim_maintained`: the exact MaxSim answer
+    * per phase — 'a' over the half corpus the maintenance stream had
+    * ingested before the refresh, 'b' over the full corpus after it.
+    */
+  private lazy val maxsimMaintainedOracle: String = {
+    val a = graft.search.MaxSim.maxSimSql(nQueries = 2, k = 5,
+      docWhere = "vec_id < 250")
+    val b = graft.search.MaxSim.maxSimSql(nQueries = 2, k = 5)
+    s"SELECT 'a' AS phase, * FROM ($a)\n" +
+      s"UNION ALL\nSELECT 'b' AS phase, * FROM ($b)\n" +
+      "ORDER BY phase, query_id, rank"
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Pipelines.similarCases(spark, "/root/testdata/sf0.001")
@@ -3975,6 +3988,82 @@ object SparkEntry {
           .orderBy("query_id", "rank")
       },
       Some(graft.search.MaxSim.maxSimSql(nQueries = 2, k = 5))),
+
+    // MAINTAINED-index streaming MaxSim: the streaming_ivf_maintained
+    // layout (centroids batch-trained once, assignments appended by a
+    // continuous stream) SERVES the IVF MaxSim route, across an index
+    // refresh — phase 'a' answers against the half-corpus layout, the
+    // second half then arrives on the SAME maintenance stream, and
+    // phase 'b' re-asks the same queries against the refreshed compacted
+    // layout. Both phases run at full probe, so each sits under the
+    // exact MaxSim oracle over its phase's corpus; refresh monotonicity
+    // (b-scores >= a-scores per (query, doc)) is pinned in
+    // StreamingMaxSimSpec
+    Q("streaming_maxsim_maintained",
+      (s, dir) => withStreamShuffle(s) {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val emb = Tables.embeddings(s, dir)
+        val idx0 = Ann.buildIvf(emb.where(col("vec_id") < 250), nlist = 8)
+        def rowsOf(pred: Column) = emb.where(pred)
+          .select(col("vec_id"), col("embedding"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+        val tmp = java.nio.file.Files
+          .createTempDirectory(graft.TempDirs.token + "smaxm-gate").toString
+        val corp = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Seq[Float])]
+        val maint = graft.streaming.StreamingIvf.assignAndWrite(
+          corp.toDS().toDF("vec_id", "embedding"), idx0.centroids,
+          s"$tmp/layout", s"$tmp/ckpt")
+        val t0 = 1700000000000L
+        val qRows = emb.where(col("vec_id") % 100 < 2)
+          .select((col("vec_id") % 100).as("query_id"), col("vec_id"),
+            col("embedding"))
+          .collect().map(r => (r.getLong(0), r.getLong(1),
+            r.getSeq[Float](2), new java.sql.Timestamp(t0))).toSeq
+        def serve(phase: String): DataFrame = {
+          // phase-versioned serving dir: partition-preserving compaction
+          // of whatever the maintenance stream has appended so far
+          graft.sources.Layout.compactPartitioned(s, s"$tmp/layout",
+            s"$tmp/serve_$phase", Seq("cluster_id"))
+          val index = Ann.IvfIndex(
+            s.read.parquet(s"$tmp/serve_$phase")
+              .select((col("vec_id") % 100).as("doc_id"), col("embedding"),
+                col("cluster_id")),
+            idx0.centroids)
+          val ms = org.apache.spark.sql.execution.streaming.runtime
+            .MemoryStream[(Long, Long, Seq[Float], java.sql.Timestamp)]
+          ms.addData(qRows)
+          val out = graft.streaming.StreamingMaxSim.topKPerQuery(
+            graft.streaming.StreamingMaxSim.scoredPerQueryDocIvf(
+              ms.toDS().toDF("query_id", "qvec_id", "q_emb", "ts"), index,
+              nprobe = 8),
+            k = 5)
+          val table = s"graft_smaxs_$phase"
+          val q = out.writeStream.format("memory").queryName(table)
+            .outputMode("append").start()
+          try {
+            q.processAllAvailable()
+            ms.addData(Seq((-1L, -1L, qRows.head._3,
+              new java.sql.Timestamp(t0 + 7200000L))))
+            q.processAllAvailable()
+            ms.addData(Seq.empty[(Long, Long, Seq[Float], java.sql.Timestamp)])
+            q.processAllAvailable()
+          } finally q.stop()
+          s.table(table).where(col("query_id") >= 0)
+            .select(lit(phase).as("phase"), col("query_id"), col("doc_id"),
+              col("score"), col("rank"))
+        }
+        try {
+          corp.addData(rowsOf(col("vec_id") < 250)); maint.processAllAvailable()
+          val a = serve("a")
+          // the refresh: second half arrives on the SAME stream
+          corp.addData(rowsOf(col("vec_id") >= 250)); maint.processAllAvailable()
+          val b = serve("b")
+          a.unionByName(b).orderBy("phase", "query_id", "rank")
+        } finally maint.stop()
+      },
+      Some(maxsimMaintainedOracle)),
 
     // Int8 scalar quantization — the 4×-smaller storage form of the
     // vector corpus; per-vector symmetric scale, bounded recon error.

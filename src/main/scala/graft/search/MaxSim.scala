@@ -110,9 +110,10 @@ object MaxSim {
     * with `vec_id % 100` as the document key (the caseCorpus
     * convention) and the documents below `nQueries` as the query sets.
     */
-  def maxSimSql(nQueries: Int, k: Int): String =
+  def maxSimSql(nQueries: Int, k: Int, docWhere: String = "TRUE"): String =
     s"""WITH docs AS (
-       |  SELECT vec_id % 100 AS doc_id, embedding FROM embeddings),
+       |  SELECT vec_id % 100 AS doc_id, embedding FROM embeddings
+       |  WHERE $docWhere),
        |qs AS (
        |  SELECT vec_id % 100 AS query_id, vec_id AS qvec_id,
        |    embedding AS qvec

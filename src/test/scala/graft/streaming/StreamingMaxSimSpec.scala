@@ -173,6 +173,73 @@ class StreamingMaxSimSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("maintained layout serves across an index refresh: answers straddle consistently") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def vec(seed: Int): Seq[Float] = {
+      val a = ((seed * 73 + 11) % 19).toFloat
+      val b = ((seed * 31 + 7) % 17).toFloat
+      val c = ((seed * 57 + 3) % 13).toFloat
+      val d = ((seed * 97 + 5) % 11).toFloat
+      Seq(a, b, c, d)
+    }
+    val rows = (0 until 24).map(i => (i.toLong, vec(i)))
+    val centroids = graft.vector.Ann.buildIvf(
+      rows.take(12).toDF("vec_id", "embedding"), emb = "embedding",
+      nlist = 4).centroids
+    val tmp = java.nio.file.Files.createTempDirectory("graft-smaxm").toString
+    val corp = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    val maint = graft.streaming.StreamingIvf.assignAndWrite(
+      corp.toDS().toDF("vec_id", "embedding"), centroids,
+      s"$tmp/layout", s"$tmp/ckpt")
+    val t0 = 1700000000000L
+    val facets = for (qid <- 0L to 1L; f <- 0 to 2)
+      yield (qid, qid * 3 + f, vec(100 + (qid * 3 + f).toInt),
+        new java.sql.Timestamp(t0))
+    def serve(phase: String): Map[(Long, Long), Double] = {
+      val index = graft.vector.Ann.IvfIndex(
+        spark.read.parquet(s"$tmp/layout")
+          .select((col("vec_id") % 8).as("doc_id"), col("embedding"),
+            col("cluster_id")),
+        centroids)
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Seq[Float], java.sql.Timestamp)]
+      ms.addData(facets)
+      val out = StreamingMaxSim.scoredPerQueryDocIvf(
+        ms.toDS().toDF("query_id", "qvec_id", "q_emb", "ts"), index,
+        nprobe = 4)
+      val name = s"sms_maint_$phase"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        ms.addData(Seq((-1L, -1L, vec(0), new java.sql.Timestamp(t0 + 7200000L))))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).where(col("query_id") >= 0)
+        .select("query_id", "doc_id", "score").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    }
+    try {
+      corp.addData(rows.take(12)); maint.processAllAvailable()
+      val a = serve("a")
+      // the refresh: the second corpus half arrives on the SAME stream
+      corp.addData(rows.drop(12)); maint.processAllAvailable()
+      val b = serve("b")
+      assert(a.nonEmpty && a.keySet.subsetOf(b.keySet),
+        "a refresh adds candidates, never loses them")
+      a.foreach { case (k, v) =>
+        assert(v <= b(k) + 1e-9,
+          s"facet maxima can only grow when chunks are added: $k")
+      }
+      assert(b.keySet.map(_._2) == (0L to 7L).toSet,
+        "post-refresh every doc is served")
+      assert(b.exists { case (k, v) => v > a.getOrElse(k, Double.MinValue) },
+        "the refresh visibly changed at least one answer")
+    } finally maint.stop()
+  }
+
   test("aggregator state is bounded by facet count, not chunk count") {
     val agg = new StreamingMaxSim.FacetMaxSum()
     // 1000 chunk observations over 3 facets → 3 state entries
