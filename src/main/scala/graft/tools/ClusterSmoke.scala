@@ -61,11 +61,16 @@ object ClusterSmoke {
     "streaming_quantiles_windowed", // r10: chained windowed QuantileSelect udaf
     "serving_restart",          // r10: cross-session restore of persisted artifacts
     "mldata_coreset_kcenter",   // r10: iterative argmax + typedLit broadcast
-    "streaming_psi_drift")      // r10: streamed counts + window-agg PSI fold
+    "streaming_psi_drift",      // r10: streamed counts + window-agg PSI fold
+    "dedup_substring_spans",    // r10: seed groupBy+join, gaps-and-islands
+    "dedup_winnow_pairs",       // r10: winnow fingerprints + df-cut inverted index
+    "dedup_clip_spans",         // r11: keep-first clip (indexed lambda filter)
+    "q_psi_emb_drift",          // r11: least()-fold anchor assignment + PSI
+    "streaming_maxsim_maintained") // r11: maintained layout served across refresh
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val outPath = if (args.length > 1) args(1) else "CLUSTERCHECK_r10.json"
+    val outPath = if (args.length > 1) args(1) else "CLUSTERCHECK_r11.json"
     // Executor JVMs are launched as separate processes: they need the
     // application classes (sbt does not ship a jar) and the JDK17
     // module opens the in-process driver got from build.sbt.

@@ -99,6 +99,41 @@ object Dim1536Probe {
         col("doc_id"), col("embedding"),
         qv, col("query_id"), col("qvec_id"), col("embedding"), k = 10).count()
     }
+    out += "maxsim_ivf_stream" -> time {
+      // the STREAMING IVF MaxSim kernel at d: per-facet probe lists +
+      // cluster equi-join + the FacetMaxSum udaf across a real
+      // micro-batch — d enters only the cosine/centroid kernels, so
+      // the route must stay ~linear in d like its batch sibling
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ts = new java.sql.Timestamp(1700000000000L)
+      val facets = df.where(col("vec_id") < 8)
+        .select((col("vec_id") % 2).as("query_id"), col("vec_id"),
+          col("embedding"))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getSeq[Float](2), ts)).toSeq
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Seq[Float], java.sql.Timestamp)]
+      ms.addData(facets)
+      val corpusIdx = Ann.IvfIndex(
+        idx.assigned.select((col("vec_id") / 8).cast("long").as("doc_id"),
+          col("embedding"), col("cluster_id")),
+        idx.centroids)
+      val scored = graft.streaming.StreamingMaxSim.scoredPerQueryDocIvf(
+        ms.toDS().toDF("query_id", "qvec_id", "q_emb", "ts"), corpusIdx,
+        nprobe = 4)
+      val name = s"dimprobe_msim_d$dim"
+      val q = scored.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        // advance the watermark so the window closes and emits
+        ms.addData(Seq((-1L, -1L, facets.head._3,
+          new java.sql.Timestamp(1700000000000L + 7200000L))))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).count()
+    }
     df.unpersist()
     out.toSeq
   }
