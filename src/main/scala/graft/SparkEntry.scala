@@ -2993,6 +2993,47 @@ object SparkEntry {
           "FROM documents WHERE doc_id % 2 = 1",
         "source") + " ORDER BY source")),
 
+    // EMBEDDING drift AS A STREAM (20th streaming route): the anchor
+    // assignment is a STATELESS projection (the least() fold), so the
+    // only state is the complete-mode (metric, bucket) count table —
+    // bounded by the anchor count — maintained across three
+    // micro-batches; psiFromCounts reads it against the static
+    // baseline. Same oracle as the batch q_psi_emb_drift row
+    Q("streaming_psi_emb_drift",
+      (s, dir) => withStreamShuffle(s) {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val emb = Tables.embeddings(s, dir)
+        val anchors = emb.where(col("vec_id") < 8)
+          .select(col("vec_id").cast("int"), col("embedding"))
+          .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
+          .sortBy(_._1)
+        def buckets(df: DataFrame) = df
+          .select(lit("embedding").as("metric"),
+            graft.stats.Drift.embeddingBucket(col("embedding"), anchors)
+              .cast("long").as("bucket"))
+          .groupBy("metric", "bucket").agg(count(lit(1)).as("cnt"))
+        val baseCounts = buckets(emb.where(col("vec_id") % 2 === 0))
+        val rows = emb.where(col("vec_id") % 2 =!= 0)
+          .select(col("vec_id"), col("embedding"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+        val ms = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Seq[Float])]
+        val counts = buckets(ms.toDS().toDF("vec_id", "embedding"))
+        val qName = "graft_streaming_psi_emb"
+        val q = counts.writeStream.format("memory").queryName(qName)
+          .outputMode("complete").start()
+        try {
+          rows.grouped(rows.length / 3 + 1).foreach { chunk =>
+            ms.addData(chunk)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        graft.stats.Drift.psiFromCounts(baseCounts, s.table(qName), "metric")
+          .orderBy("metric")
+      },
+      Some(psiEmbDriftOracle)),
+
     // Contrastive-training triplet mining: anchor + nearest same-label
     // neighbor (positive) + deterministic hash-min other-label vector
     // (negative) — the embedding-model dataset-prep step, reproducible
@@ -3317,6 +3358,19 @@ object SparkEntry {
       (s, dir) => graft.dedup.Spans.duplicatedSpans(
           Tables.documents(s, dir), col("doc_id"), col("text"),
           minTokens = 8)
+        .orderBy("doc_id", "span_start"),
+      Some(graft.dedup.Spans.duplicatedSpansSql(
+        "documents", "doc_id", "text", minTokens = 8) +
+        " ORDER BY doc_id, span_start")),
+
+    // The spans 100 TB tier: seeds shuffle 8-byte xxhash64 gram keys
+    // instead of n-token strings (~20x shuffle-byte cut at n=8); a
+    // collision can only ADD a false seed, never lose a span, so the
+    // hashed route sits under the EXACT string-keyed oracle
+    Q("dedup_substring_spans_hashed",
+      (s, dir) => graft.dedup.Spans.duplicatedSpans(
+          Tables.documents(s, dir), col("doc_id"), col("text"),
+          minTokens = 8, hashGrams = true)
         .orderBy("doc_id", "span_start"),
       Some(graft.dedup.Spans.duplicatedSpansSql(
         "documents", "doc_id", "text", minTokens = 8) +

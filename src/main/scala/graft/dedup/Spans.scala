@@ -43,19 +43,32 @@ import org.apache.spark.sql.functions._
   */
 object Spans {
 
+  /** `hashGrams = true` is the 100 TB tier: the shuffle key becomes
+    * `xxhash64(gram)` — 8 bytes per seed instead of the n-token gram
+    * string, a ~20× shuffle-byte cut at n = 8. A 64-bit collision can
+    * only ADD a false duplicated seed (two distinct grams sharing a
+    * hash), never lose a real span; at any realistic corpus the
+    * collision expectation is ≪ 1 and the gate pins the hashed route
+    * to the exact string-keyed oracle.
+    */
   def duplicatedSpans(df: DataFrame, idCol: Column, textCol: Column,
-                      minTokens: Int): DataFrame = {
+                      minTokens: Int, hashGrams: Boolean = false): DataFrame = {
     require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
     val n = minTokens
     val toks = df.select(idCol.cast("long").as("doc_id"),
       split(trim(textCol), "\\s+").as("t"))
     // docs shorter than n have no seeds; the filter also keeps
     // sequence() ascending (sequence(1, 0) would count DOWN in Spark)
-    val seeds = toks.where(size(col("t")) >= n)
+    val seedsRaw = toks.where(size(col("t")) >= n)
       .select(col("doc_id"), posexplode(
         transform(sequence(lit(1), size(col("t")) - (n - 1)),
           i => array_join(slice(col("t"), i, lit(n)), " "))))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
+    val seeds =
+      if (hashGrams)
+        seedsRaw.select(col("doc_id"), col("pos"),
+          xxhash64(col("gram")).as("gram"))
+      else seedsRaw
     val dupGrams = seeds.groupBy("gram")
       .agg(count(lit(1)).as("occ")).where(col("occ") >= 2).select("gram")
     val dup = seeds.join(dupGrams, "gram").select("doc_id", "pos")

@@ -177,6 +177,33 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"span join degenerated:\n$plan")
   }
 
+  test("spans/winnow occurrence counts are two-phase aggregates, never per-key windows") {
+    // the r10 shape shuffled every corpus token to its gram's partition
+    // via count().over(Window.partitionBy(gram|fp)) — no partial
+    // aggregation, one straggler task per boilerplate gram. The count
+    // must plan as HashAggregate(partial_count) + equi-join; the only
+    // windows left are the per-DOC gaps-and-islands fold
+    val spans = executed(graft.dedup.Spans.duplicatedSpans(
+      Tables.documents(spark, dir), col("doc_id"), col("text"), minTokens = 8))
+    assert(spans.contains("partial_count"),
+      s"gram occurrence count must map-side combine:\n$spans")
+    assert(!spans.contains("windowspecdefinition(gram"),
+      s"per-gram window count is the straggler shape:\n$spans")
+    val winnow = executed(graft.dedup.Winnow.winnowPairs(
+      Tables.documents(spark, dir), col("doc_id"), col("text"),
+      k = 5, w = 4, minScore = 0.5))
+    assert(winnow.contains("partial_count"),
+      s"fingerprint df-cut must map-side combine:\n$winnow")
+    assert(!winnow.contains("windowspecdefinition(fp"),
+      s"per-fingerprint window count is the straggler shape:\n$winnow")
+    val clip = executed(graft.dedup.Spans.clipSpans(
+      Tables.documents(spark, dir), col("doc_id"), col("text"), minTokens = 8))
+    assert(clip.contains("partial_count") && clip.contains("partial_min"),
+      s"winner election must map-side combine:\n$clip")
+    assert(!clip.contains("windowspecdefinition(gram"),
+      s"per-gram window in the clip path:\n$clip")
+  }
+
   test("MMR pool builds via TakeOrderedAndProject; the greedy loop sees one bounded group") {
     val pool = Tables.embeddings(spark, dir)
       .crossJoin(broadcast(Pipelines.queryVector(spark, dir)))

@@ -60,6 +60,20 @@ class SpansSpec extends AnyFunSuite with SparkSpec {
     assert(spans(df, 3).isEmpty)
   }
 
+  test("hashed-gram tier returns exactly the string-keyed spans") {
+    val df = docs(
+      (1L, "a b s1 s2 s3 s4 s5 c d"),
+      (2L, "x s1 s2 s3 s4 s5 y z w q"),
+      (3L, "r1 r2 r3 a b c d r1 r2 r3 e f"),
+      (4L, "u v w only once here nothing repeats at all"))
+    val str = Spans.duplicatedSpans(df, col("doc_id"), col("text"), 3)
+      .orderBy("doc_id", "span_start").collect().map(_.toSeq).toSeq
+    val hashed = Spans.duplicatedSpans(df, col("doc_id"), col("text"), 3,
+      hashGrams = true)
+      .orderBy("doc_id", "span_start").collect().map(_.toSeq).toSeq
+    assert(hashed == str, s"hashed=$hashed str=$str")
+  }
+
   private def clipped(df: org.apache.spark.sql.DataFrame, n: Int) =
     Spans.clipSpans(df, col("doc_id"), col("text"), n)
       .orderBy("doc_id")
