@@ -3389,6 +3389,18 @@ object SparkEntry {
         "documents", "doc_id", "text", minTokens = 8) +
         " ORDER BY doc_id")),
 
+    // The clip's 100 TB tier: the hash pre-filter feeds the SAME
+    // string-keyed winner election, so removal can never act on a
+    // collision — exact under the string oracle
+    Q("dedup_clip_spans_hashed",
+      (s, dir) => graft.dedup.Spans.clipSpans(
+          Tables.documents(s, dir), col("doc_id"), col("text"),
+          minTokens = 8, hashGrams = true)
+        .orderBy("doc_id"),
+      Some(graft.dedup.Spans.clipSpansSql(
+        "documents", "doc_id", "text", minTokens = 8) +
+        " ORDER BY doc_id")),
+
     // Winnowing fingerprint pairs (MOSS, SIGMOD 2003): window-min over
     // k-gram hashes localises WHERE documents overlap at ~2/(w+1)
     // index density; pairing is the inverted-index equi-join shape

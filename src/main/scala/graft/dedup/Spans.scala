@@ -43,13 +43,27 @@ import org.apache.spark.sql.functions._
   */
 object Spans {
 
-  /** `hashGrams = true` is the 100 TB tier: the shuffle key becomes
-    * `xxhash64(gram)` — 8 bytes per seed instead of the n-token gram
-    * string, a ~20× shuffle-byte cut at n = 8. A 64-bit collision can
-    * only ADD a false duplicated seed (two distinct grams sharing a
-    * hash), never lose a real span; at any realistic corpus the
-    * collision expectation is ≪ 1 and the gate pins the hashed route
-    * to the exact string-keyed oracle.
+  /** Hash-then-verify candidate pre-filter — the 100 TB tier's first
+    * pass: count seed occurrences on `xxhash64(gram)` (8 bytes per
+    * seed instead of the n-token string — a ~20× shuffle-byte cut at
+    * n = 8, still a partial-aggregated groupBy) and keep only seeds
+    * whose HASH is duplicated. The caller's string-keyed logic then
+    * runs on this small candidate set, so a 64-bit collision costs one
+    * extra candidate, never a wrong answer — the hashed route is
+    * EXACTLY the string route on any corpus, with the corpus-wide
+    * shuffle carrying longs.
+    */
+  private def candidateSeeds(seeds: DataFrame, hashGrams: Boolean): DataFrame =
+    if (!hashGrams) seeds
+    else {
+      val h = seeds.withColumn("h", xxhash64(col("gram")))
+      val dupH = h.groupBy("h").agg(count(lit(1)).as("occ"))
+        .where(col("occ") >= 2).select("h")
+      h.join(dupH, "h").select("doc_id", "pos", "gram")
+    }
+
+  /** `hashGrams = true` is the 100 TB tier ([[candidateSeeds]]):
+    * bit-identical results, corpus-wide shuffle bytes cut ~20×.
     */
   def duplicatedSpans(df: DataFrame, idCol: Column, textCol: Column,
                       minTokens: Int, hashGrams: Boolean = false): DataFrame = {
@@ -59,16 +73,12 @@ object Spans {
       split(trim(textCol), "\\s+").as("t"))
     // docs shorter than n have no seeds; the filter also keeps
     // sequence() ascending (sequence(1, 0) would count DOWN in Spark)
-    val seedsRaw = toks.where(size(col("t")) >= n)
+    val seeds = candidateSeeds(toks.where(size(col("t")) >= n)
       .select(col("doc_id"), posexplode(
         transform(sequence(lit(1), size(col("t")) - (n - 1)),
           i => array_join(slice(col("t"), i, lit(n)), " "))))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
-    val seeds =
-      if (hashGrams)
-        seedsRaw.select(col("doc_id"), col("pos"),
-          xxhash64(col("gram")).as("gram"))
-      else seedsRaw
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram")),
+      hashGrams)
     val dupGrams = seeds.groupBy("gram")
       .agg(count(lit(1)).as("occ")).where(col("occ") >= 2).select("gram")
     val dup = seeds.join(dupGrams, "gram").select("doc_id", "pos")
@@ -111,16 +121,20 @@ object Spans {
     *         (unaffected docs pass through with n_removed = 0).
     */
   def clipSpans(df: DataFrame, idCol: Column, textCol: Column,
-                minTokens: Int): DataFrame = {
+                minTokens: Int, hashGrams: Boolean = false): DataFrame = {
     require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
     val n = minTokens
     val toks = df.select(idCol.cast("long").as("doc_id"),
       split(trim(textCol), "\\s+").as("t"))
-    val seeds = toks.where(size(col("t")) >= n)
+    // hashGrams pre-filters candidates on 8-byte keys (hash-then-
+    // verify): REMOVAL must never act on a hash collision, and here it
+    // cannot — the winner election below still groups by the string
+    val seeds = candidateSeeds(toks.where(size(col("t")) >= n)
       .select(col("doc_id"), posexplode(
         transform(sequence(lit(1), size(col("t")) - (n - 1)),
           i => array_join(slice(col("t"), i, lit(n)), " "))))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram")),
+      hashGrams)
     // duplicated grams elect one winner occurrence apiece; min of a
     // (doc_id, pos) struct is lexicographic = global first occurrence
     val winners = seeds.groupBy("gram")

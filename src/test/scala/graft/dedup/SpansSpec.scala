@@ -72,6 +72,12 @@ class SpansSpec extends AnyFunSuite with SparkSpec {
       hashGrams = true)
       .orderBy("doc_id", "span_start").collect().map(_.toSeq).toSeq
     assert(hashed == str, s"hashed=$hashed str=$str")
+    val clipStr = Spans.clipSpans(df, col("doc_id"), col("text"), 3)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val clipHashed = Spans.clipSpans(df, col("doc_id"), col("text"), 3,
+      hashGrams = true)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(clipHashed == clipStr, s"hashed=$clipHashed str=$clipStr")
   }
 
   private def clipped(df: org.apache.spark.sql.DataFrame, n: Int) =
