@@ -54,6 +54,40 @@ object Winnow {
     fps.distinct()
   }
 
+  /** The 100 TB fingerprint form the md5 route's scaladoc promises:
+    * `xxhash64` k-gram hashes with NUMERIC window-min, so the inverted
+    * index shuffles 8-byte longs instead of 32-char hex strings.
+    * Selection picks DIFFERENT (equally valid) fingerprints than the
+    * md5-lexicographic order, so this variant has no cross-engine
+    * oracle — it is pinned by the winnowing GUARANTEE instead
+    * (WinnowSpec: any shared run of ≥ w+k-1 tokens yields ≥ 1 shared
+    * fingerprint, on seeded random corpora), which is the property the
+    * algorithm actually promises.
+    */
+  def fingerprintsHashed(df: DataFrame, idCol: Column, textCol: Column,
+                         k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+    val toks = df.select(idCol.cast("long").as("doc_id"),
+      split(trim(textCol), "\\s+").as("t"))
+    val hashes = toks.withColumn("h",
+      transform(sequence(lit(1), greatest(size(col("t")) - (k - 1), lit(1))),
+        i => xxhash64(array_join(slice(col("t"), i, lit(k)), " "))))
+    hashes.select(col("doc_id"), explode(
+      transform(sequence(lit(1), greatest(size(col("h")) - (w - 1), lit(1))),
+        i => array_min(slice(col("h"), i, lit(w))))).as("fp"))
+      .distinct()
+  }
+
+  /** [[winnowPairs]] over the long-keyed [[fingerprintsHashed]] index —
+    * the shape that ships at corpus scale.
+    */
+  def winnowPairsHashed(df: DataFrame, idCol: Column, textCol: Column,
+                        k: Int, w: Int, minScore: Double,
+                        maxDf: Int = 1000): DataFrame =
+    pairsFromFingerprints(
+      fingerprintsHashed(df, idCol, textCol, k, w).localCheckpoint(),
+      minScore, maxDf)
+
   /** Document pairs ranked by shared winnowing fingerprints:
     * `(id_a, id_b, shared, score)` where `score = shared /
     * min(|fps_a|, |fps_b|)` (containment-style, floor 4dp — the house
@@ -63,8 +97,17 @@ object Winnow {
     */
   def winnowPairs(df: DataFrame, idCol: Column, textCol: Column,
                   k: Int, w: Int, minScore: Double,
-                  maxDf: Int = 1000): DataFrame = {
-    val fps = fingerprints(df, idCol, textCol, k, w).localCheckpoint()
+                  maxDf: Int = 1000): DataFrame =
+    pairsFromFingerprints(
+      fingerprints(df, idCol, textCol, k, w).localCheckpoint(),
+      minScore, maxDf)
+
+  /** Shared pairing tail: df-cut (groupBy + equi-join, partial-
+    * aggregated) then the inverted-index self-join — candidate work
+    * ∝ shared fingerprints, never all-pairs.
+    */
+  private def pairsFromFingerprints(fps: DataFrame, minScore: Double,
+                                    maxDf: Int): DataFrame = {
     val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
     // df via groupBy (partial-aggregates map-side, so a boilerplate
     // fingerprint shared by millions of docs collapses per task) then

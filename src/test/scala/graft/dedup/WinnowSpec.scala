@@ -64,6 +64,44 @@ class WinnowSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.count() == 0)
   }
 
+  test("hashed (long-keyed) fingerprints honor the w+k-1 guarantee on seeded random corpora") {
+    // the 100 TB form selects by NUMERIC xxhash64 min — different
+    // (equally valid) fingerprints than the md5 route, so it is pinned
+    // by the algorithm's guarantee, not an oracle: plant a shared run
+    // of exactly w+k-1 tokens at random offsets in 20 random doc pairs
+    val rnd = new scala.util.Random(0xBEEF)
+    val k = 3; val w = 4; val need = w + k - 1
+    val cases = (0 until 20).map { c =>
+      val run = (1 to need).map(i => s"s${c}_$i").mkString(" ")
+      def noise(n: Int, tag: String) =
+        (1 to n).map(i => s"n${c}_${tag}_${rnd.nextInt(50)}_$i").mkString(" ")
+      val a = s"${noise(rnd.nextInt(10), "a")} $run ${noise(rnd.nextInt(10), "a2")}"
+      val b = s"${noise(rnd.nextInt(10), "b")} $run ${noise(rnd.nextInt(10), "b2")}"
+      Seq((c * 2L, a.trim), (c * 2L + 1, b.trim))
+    }
+    val df = docs(cases.flatten: _*)
+    val fps = Winnow.fingerprintsHashed(df, col("doc_id"), col("text"), k, w)
+    val sharedPairs = fps.as("x").join(fps.as("y"),
+        col("x.fp") === col("y.fp") &&
+          col("x.doc_id") + 1 === col("y.doc_id") &&
+          col("x.doc_id") % 2 === 0)
+      .select((col("x.doc_id") / 2).cast("long").as("c")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(sharedPairs == (0L until 20L).toSet,
+      s"pairs missing a shared fingerprint: ${(0L until 20L).toSet -- sharedPairs}")
+    // disjoint-vocabulary docs share nothing
+    val neg = Winnow.winnowPairsHashed(
+      docs((100L, "p1 p2 p3 p4 p5 p6 p7"), (101L, "q1 q2 q3 q4 q5 q6 q7")),
+      col("doc_id"), col("text"), k, w, minScore = 0.0)
+    assert(neg.count() == 0)
+    // and the hashed pairing finds the same planted pairs end to end
+    val pairs = Winnow.winnowPairsHashed(df, col("doc_id"), col("text"),
+        k, w, minScore = 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0 until 20).forall(c => pairs.contains((c * 2L, c * 2L + 1))),
+      s"end-to-end hashed pairing missed a planted pair: $pairs")
+  }
+
   test("spark fingerprints equal the declared oracle semantics on ties") {
     // duplicate tokens make equal md5 hashes inside one window: min is
     // still deterministic (equal strings), one distinct fp survives
