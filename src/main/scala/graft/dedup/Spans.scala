@@ -59,8 +59,47 @@ object Spans {
       val h = seeds.withColumn("h", xxhash64(col("gram")))
       val dupH = h.groupBy("h").agg(count(lit(1)).as("occ"))
         .where(col("occ") >= 2).select("h")
-      h.join(dupH, "h").select("doc_id", "pos", "gram")
+      // the candidate set is SMALL (duplicated-hash seeds only) and
+      // consumed twice downstream (count/election + join-back) —
+      // checkpoint it so the corpus-wide tokenize/explode runs exactly
+      // as often as the string route's (a corpus-size cache would be
+      // the wrong trade at scale; this one is duplicate-sized)
+      h.join(dupH, "h").select("doc_id", "pos", "gram").localCheckpoint()
     }
+
+  /** Length-`n` token-gram seeds of every document: `(doc_id, pos,
+    * gram)`, 1-based positions — THE shared definition for the find
+    * ([[duplicatedSpans]]) and apply ([[clipSpans]]) halves, whose
+    * exact agreement is the operator family's core invariant. Docs
+    * shorter than n have no seeds; the length filter also keeps
+    * `sequence()` ascending (sequence(1, 0) would count DOWN in
+    * Spark). `hashGrams` applies the [[candidateSeeds]] pre-filter.
+    */
+  private def seedsOf(toks: DataFrame, n: Int, hashGrams: Boolean): DataFrame =
+    candidateSeeds(toks.where(size(col("t")) >= n)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(1), size(col("t")) - (n - 1)),
+          i => array_join(slice(col("t"), i, lit(n)), " "))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram")),
+      hashGrams)
+
+  /** Merged interval union of per-seed `[pos, pos+n-1]` extents, one
+    * array row per doc: the gaps-and-islands fold (two seed positions
+    * whose gap is ≤ n have touching/overlapping extents, so island =
+    * exact interval union).
+    */
+  private def intervalsOf(positions: DataFrame, n: Int): DataFrame = {
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    positions
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(wDoc) <= n, 0).otherwise(1))
+      .withColumn("island", sum(col("brk")).over(
+        wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + (n - 1)).as("e"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("iv"))
+  }
 
   /** `hashGrams = true` is the 100 TB tier ([[candidateSeeds]]):
     * bit-identical results, corpus-wide shuffle bytes cut ~20×.
@@ -71,14 +110,7 @@ object Spans {
     val n = minTokens
     val toks = df.select(idCol.cast("long").as("doc_id"),
       split(trim(textCol), "\\s+").as("t"))
-    // docs shorter than n have no seeds; the filter also keeps
-    // sequence() ascending (sequence(1, 0) would count DOWN in Spark)
-    val seeds = candidateSeeds(toks.where(size(col("t")) >= n)
-      .select(col("doc_id"), posexplode(
-        transform(sequence(lit(1), size(col("t")) - (n - 1)),
-          i => array_join(slice(col("t"), i, lit(n)), " "))))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram")),
-      hashGrams)
+    val seeds = seedsOf(toks, n, hashGrams)
     val dupGrams = seeds.groupBy("gram")
       .agg(count(lit(1)).as("occ")).where(col("occ") >= 2).select("gram")
     val dup = seeds.join(dupGrams, "gram").select("doc_id", "pos")
@@ -103,38 +135,42 @@ object Spans {
     *
     * Keep-first runs at SEED granularity: each duplicated gram elects
     * one winner occurrence (min (doc_id, pos) — a combinable
-    * min-of-struct, no window), every other occurrence of that gram
-    * marks its interval for removal, and per-document intervals merge
-    * exactly as in [[duplicatedSpans]]. The first occurrence of any
-    * duplicated region therefore survives verbatim (all its seeds are
-    * winners) while later occurrences excise whole.
+    * min-of-struct, no window) and every other occurrence of that gram
+    * marks its interval for removal; per-document intervals merge
+    * exactly as in [[duplicatedSpans]]. Winner seeds' own intervals
+    * are PROTECTED from removal: when duplicated regions interleave, a
+    * loser interval of one gram can overlap another gram's winning
+    * first occurrence in the same document, and excising it blindly
+    * would delete that region from EVERY document in the corpus. The
+    * guarantee is therefore: every duplicated gram's first occurrence
+    * survives; loser positions are excised except where a winning seed
+    * covers them.
     *
     * Scale shape: the same single gram shuffle as [[duplicatedSpans]]
-    * (groupBy count + min-struct winner, both partial-aggregated), a
-    * per-doc window over the few loser seeds, then the clip itself is
-    * one equi-join of the corpus against the SMALL per-doc interval
-    * list (broadcastable — only docs containing duplicates appear) and
-    * a codegen `filter` over the token array — corpus text never
-    * shuffles.
+    * (groupBy count + min-struct winner, both partial-aggregated),
+    * per-doc windows over the few loser/winner seeds, then the clip
+    * itself is one equi-join of the corpus against the SMALL per-doc
+    * interval lists (broadcastable — only docs containing duplicates
+    * appear) and a codegen `filter` over the token array — corpus text
+    * never shuffles.
     *
-    * @return (doc_id, clean_text, n_removed) for EVERY input document
-    *         (unaffected docs pass through with n_removed = 0).
+    * @return (doc_id, clean_text, n_removed) for EVERY input document.
+    *         Documents with nothing to remove pass through VERBATIM
+    *         (original string, original whitespace, n_removed = 0);
+    *         clipped documents are re-joined with single spaces (their
+    *         whitespace is necessarily rebuilt from tokens).
     */
   def clipSpans(df: DataFrame, idCol: Column, textCol: Column,
                 minTokens: Int, hashGrams: Boolean = false): DataFrame = {
     require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
     val n = minTokens
     val toks = df.select(idCol.cast("long").as("doc_id"),
+      textCol.cast("string").as("orig"),
       split(trim(textCol), "\\s+").as("t"))
     // hashGrams pre-filters candidates on 8-byte keys (hash-then-
     // verify): REMOVAL must never act on a hash collision, and here it
     // cannot — the winner election below still groups by the string
-    val seeds = candidateSeeds(toks.where(size(col("t")) >= n)
-      .select(col("doc_id"), posexplode(
-        transform(sequence(lit(1), size(col("t")) - (n - 1)),
-          i => array_join(slice(col("t"), i, lit(n)), " "))))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram")),
-      hashGrams)
+    val seeds = seedsOf(toks, n, hashGrams)
     // duplicated grams elect one winner occurrence apiece; min of a
     // (doc_id, pos) struct is lexicographic = global first occurrence
     val winners = seeds.groupBy("gram")
@@ -142,37 +178,53 @@ object Spans {
         min(struct(col("doc_id"), col("pos"))).as("w"))
       .where(col("occ") >= 2)
       .select(col("gram"), col("w.doc_id").as("wdoc"), col("w.pos").as("wpos"))
+      .localCheckpoint() // small (one row per duplicated gram), used twice
     val losers = seeds.join(winners, "gram")
       .where(!(col("doc_id") === col("wdoc") && col("pos") === col("wpos")))
       .select(col("doc_id"), col("pos"))
-    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
-    val intervals = losers
-      .withColumn("brk",
-        when(col("pos") - lag(col("pos"), 1).over(wDoc) <= n, 0).otherwise(1))
-      .withColumn("island", sum(col("brk")).over(
-        wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("doc_id"), col("island"))
-      .agg(min(col("pos")).as("s"), (max(col("pos")) + (n - 1)).as("e"))
-      .groupBy("doc_id")
-      .agg(collect_list(struct(col("s"), col("e"))).as("iv"))
-    toks.join(intervals, Seq("doc_id"), "left")
+    val lossIv = intervalsOf(losers, n)
+    val winIv = intervalsOf(winners
+        .select(col("wdoc").as("doc_id"), col("wpos").as("pos")), n)
+      .withColumnRenamed("iv", "wiv")
+    toks.join(lossIv, Seq("doc_id"), "left")
+      .join(winIv, Seq("doc_id"), "left")
       .withColumn("kept", filter(col("t"), (tok, i) =>
         coalesce(!exists(col("iv"), r =>
           (i + 1) >= r.getField("s") && (i + 1) <= r.getField("e")),
-          lit(true))))
-      .select(col("doc_id"), array_join(col("kept"), " ").as("clean_text"),
-        (size(col("t")) - size(col("kept"))).cast("long").as("n_removed"))
+          lit(true)) ||
+        coalesce(exists(col("wiv"), r =>
+          (i + 1) >= r.getField("s") && (i + 1) <= r.getField("e")),
+          lit(false))))
+      .select(col("doc_id"),
+        when(col("iv").isNull, col("orig"))
+          .otherwise(array_join(col("kept"), " ")).as("clean_text"),
+        when(col("iv").isNull, lit(0L))
+          .otherwise((size(col("t")) - size(col("kept"))).cast("long"))
+          .as("n_removed"))
   }
 
   /** DuckDB twin of [[clipSpans]]: identical seed grams, row_number
     * winner election (same (doc_id, pos) order as the struct min),
-    * identical island fold, position-level NOT EXISTS clip.
+    * identical island folds for loser AND winner intervals, the same
+    * winner-protected position clip, and the same verbatim
+    * pass-through for documents with nothing to remove.
     */
   def clipSpansSql(table: String, idExpr: String, textExpr: String,
                    minTokens: Int): String = {
     val n = minTokens
+    def islandsOf(src: String): String =
+      s"""SELECT doc_id, min(pos) AS s, max(pos) + ${n - 1} AS e FROM (
+         |  SELECT doc_id, pos,
+         |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM (
+         |    SELECT doc_id, pos,
+         |      CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+         |        <= $n THEN 0 ELSE 1 END AS brk
+         |    FROM ($src)))
+         |GROUP BY doc_id, island""".stripMargin
     s"""WITH toks AS (
-       |  SELECT CAST($idExpr AS BIGINT) AS doc_id,
+       |  SELECT CAST($idExpr AS BIGINT) AS doc_id, $textExpr AS orig,
        |    string_split_regex(trim($textExpr), '\\s+') AS t FROM $table),
        |seeds AS (
        |  SELECT doc_id, i AS pos,
@@ -189,28 +241,26 @@ object Spans {
        |losers AS (
        |  SELECT s.doc_id, s.pos FROM seeds s JOIN win w ON s.gram = w.gram
        |  WHERE NOT (s.doc_id = w.wdoc AND s.pos = w.wpos)),
-       |isl AS (
-       |  SELECT doc_id, pos,
-       |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-       |  FROM (
-       |    SELECT doc_id, pos,
-       |      CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-       |        <= $n THEN 0 ELSE 1 END AS brk
-       |    FROM losers)),
-       |iv AS (
-       |  SELECT doc_id, min(pos) AS s, max(pos) + ${n - 1} AS e
-       |  FROM isl GROUP BY doc_id, island),
+       |iv AS (${islandsOf("SELECT doc_id, pos FROM losers")}),
+       |wiv AS (${islandsOf("SELECT wdoc AS doc_id, wpos AS pos FROM win")}),
        |posns AS (
        |  SELECT doc_id, unnest(range(1, len(t) + 1)) AS i, t FROM toks),
        |kept AS (
        |  SELECT p.doc_id, p.i, p.t[p.i] AS tok FROM posns p
        |  WHERE NOT EXISTS (SELECT 1 FROM iv
-       |    WHERE iv.doc_id = p.doc_id AND p.i BETWEEN iv.s AND iv.e))
+       |      WHERE iv.doc_id = p.doc_id AND p.i BETWEEN iv.s AND iv.e)
+       |    OR EXISTS (SELECT 1 FROM wiv
+       |      WHERE wiv.doc_id = p.doc_id AND p.i BETWEEN wiv.s AND wiv.e)),
+       |affected AS (SELECT DISTINCT doc_id AS adoc FROM iv)
        |SELECT toks.doc_id,
-       |  coalesce(k.clean_text, '') AS clean_text,
-       |  CAST(len(toks.t) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
-       |FROM toks LEFT JOIN (
+       |  CASE WHEN a.adoc IS NULL THEN toks.orig
+       |       ELSE coalesce(k.clean_text, '') END AS clean_text,
+       |  CAST(CASE WHEN a.adoc IS NULL THEN 0
+       |       ELSE len(toks.t) - coalesce(k.n_kept, 0) END AS BIGINT)
+       |    AS n_removed
+       |FROM toks
+       |LEFT JOIN affected a ON toks.doc_id = a.adoc
+       |LEFT JOIN (
        |  SELECT doc_id AS kdoc, string_agg(tok, ' ' ORDER BY i) AS clean_text,
        |    count(*) AS n_kept
        |  FROM kept GROUP BY doc_id) k ON toks.doc_id = k.kdoc""".stripMargin

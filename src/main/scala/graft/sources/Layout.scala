@@ -153,11 +153,14 @@ object Layout {
     * `createNewFile` is exists-then-create, a TOCTOU two same-JVM
     * threads lose routinely; on other schemes `fs.create(path,
     * overwrite = false)` (atomic on HDFS). Each claim carries the
-    * writer's UUID, re-read after creation AND again immediately before
-    * the commit-marker create — so even on a store where create is not
-    * exclusive (S3A-style), a lost race or a [[pruneVersions]] sweep of
-    * a live claim is DETECTED and the write aborts loudly instead of
-    * committing a clobbered or truncated snapshot. Two concurrent
+    * writer's UUID, re-read after creation, immediately before the
+    * commit-marker create, AND once more after it (retracting the
+    * marker if the claim was swept mid-commit) — so even on a store
+    * where create is not exclusive (S3A-style), a lost race or a
+    * [[pruneVersions]] sweep of a live claim is DETECTED and the write
+    * aborts loudly instead of committing a clobbered or truncated
+    * snapshot. The sweep cooperates from its side: claim revoked
+    * first, data deleted only while no commit marker exists. Two concurrent
     * writers that both compute `next = N` race on the claim; exactly
     * one wins, the loser advances to N+1. A claimed-but-uncommitted
     * version from a crashed writer just leaves a skipped number (its
@@ -195,10 +198,23 @@ object Layout {
         "aborting without committing; the data dir is invisible garbage")
     val commits = new org.apache.hadoop.fs.Path(root, "_commits")
     fs.mkdirs(commits)
-    require(atomicCreate(fs, new org.apache.hadoop.fs.Path(commits, s"v-$candidate"),
+    val marker = new org.apache.hadoop.fs.Path(commits, s"v-$candidate")
+    require(atomicCreate(fs, marker,
       writerId.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
       s"commit marker for v=$candidate already exists — another writer " +
         "bypassed the claim protocol; refusing to overwrite its snapshot")
+    // close the verify→marker window against a concurrent sweep: the
+    // sweep revokes the claim BEFORE touching data, so if our claim is
+    // still ours now that the marker exists, the sweep cannot delete
+    // this version's data anymore (it skips data dirs with a commit
+    // marker); if the claim is gone, the sweep may be mid-delete —
+    // retract the marker and abort rather than publish truncated data
+    if (!readMarker(fs, claim).contains(writerId)) {
+      fs.delete(marker, false)
+      require(false,
+        s"claim for v=$candidate was swept during commit — marker " +
+          "retracted, aborting without publishing")
+    }
     candidate
   }
 
@@ -252,11 +268,23 @@ object Layout {
         true
       } catch { case _: java.io.IOException => false }
     } else {
-      try {
-        val out = fs.create(path, false)
-        try out.write(content) finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
+      val created =
+        try Some(fs.create(path, false))
+        catch { case _: java.io.IOException => None } // exists: not ours
+      created match {
+        case None => false
+        case Some(out) =>
+          // the file IS ours from here — a failed content write must
+          // not leave an ownerless claim permanently blocking this
+          // version number
+          try { try out.write(content) finally out.close(); true }
+          catch {
+            case _: java.io.IOException =>
+              try fs.delete(path, false)
+              catch { case _: java.io.IOException => () }
+              false
+          }
+      }
     }
 
   /** Content of a small marker file, None if absent/unreadable. */
@@ -359,8 +387,17 @@ object Layout {
         .foreach { s =>
           val v = s.getPath.getName.stripPrefix("v-").toLong
           if (v < floor && now - s.getModificationTime > claimGraceMs) {
-            fs.delete(new org.apache.hadoop.fs.Path(root, s"v=$v"), true)
+            // order matters: revoke the CLAIM first, so a still-live
+            // writer's verify-before-commit fails from this point on;
+            // then delete the data only if no commit marker appeared —
+            // a writer that slipped its marker in between re-verifies
+            // its claim AFTER the marker create and retracts it, so
+            // neither interleaving commits a deleted data dir (deleting
+            // data first left the whole recursive delete as a window
+            // where verify still passed)
             fs.delete(s.getPath, false)
+            if (!fs.exists(new org.apache.hadoop.fs.Path(root, s"_commits/v-$v")))
+              fs.delete(new org.apache.hadoop.fs.Path(root, s"v=$v"), true)
           }
         }
     }

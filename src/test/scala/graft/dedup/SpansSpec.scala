@@ -110,6 +110,25 @@ class SpansSpec extends AnyFunSuite with SparkSpec {
       (1L, "u v w x y z", 0L), (2L, "a b", 0L), (3L, "a b", 0L)))
   }
 
+  test("clipSpans protects winning seeds when duplicated regions interleave") {
+    // gram "a b" wins in doc0 (doc1's is a loser); gram "b c" wins in
+    // doc1 (doc2's is a loser). Doc1's loser interval [1,2] overlaps
+    // its winning "b c" seed [2,3]: token 2 must SURVIVE or the region
+    // "b c" would be deleted from every document in the corpus
+    val df = docs((0L, "a b"), (1L, "a b c"), (2L, "b c"))
+    assert(clipped(df, 2) == Seq(
+      (0L, "a b", 0L), (1L, "b c", 1L), (2L, "", 2L)))
+  }
+
+  test("clipSpans passes untouched documents through with their ORIGINAL whitespace") {
+    val messy = "u\tv  w\nx  y z "
+    val df = docs((1L, messy), (2L, "s1 s2 s3 a"), (3L, "b s1 s2 s3"))
+    val got = clipped(df, 3)
+    assert(got.head == ((1L, messy, 0L)),
+      s"unaffected doc must keep tabs/newlines/trailing space: ${got.head}")
+    assert(got.drop(1) == Seq((2L, "s1 s2 s3 a", 0L), (3L, "b", 3L)))
+  }
+
   test("clipSpans three-way duplication keeps exactly one occurrence") {
     val df = docs(
       (1L, "p q s1 s2 s3 s4"),
