@@ -59,12 +59,11 @@ object Spans {
       val h = seeds.withColumn("h", xxhash64(col("gram")))
       val dupH = h.groupBy("h").agg(count(lit(1)).as("occ"))
         .where(col("occ") >= 2).select("h")
-      // the candidate set is SMALL (duplicated-hash seeds only) and
-      // consumed twice downstream (count/election + join-back) —
-      // checkpoint it so the corpus-wide tokenize/explode runs exactly
-      // as often as the string route's (a corpus-size cache would be
-      // the wrong trade at scale; this one is duplicate-sized)
-      h.join(dupH, "h").select("doc_id", "pos", "gram").localCheckpoint()
+      // no checkpoint: the count build side and the join probe side
+      // share one exchange via ReusedExchange, and downstream consumers
+      // reuse the same subtree — measured faster than an eager
+      // localCheckpoint across both the find and apply gates
+      h.join(dupH, "h").select("doc_id", "pos", "gram")
     }
 
   /** Length-`n` token-gram seeds of every document: `(doc_id, pos,
@@ -178,7 +177,9 @@ object Spans {
         min(struct(col("doc_id"), col("pos"))).as("w"))
       .where(col("occ") >= 2)
       .select(col("gram"), col("w.doc_id").as("wdoc"), col("w.pos").as("wpos"))
-      .localCheckpoint() // small (one row per duplicated gram), used twice
+      // no checkpoint: the two consumers (loser join, winner intervals)
+      // share the election's exchange via ReusedExchange — measured
+      // faster than an eager localCheckpoint, which breaks that reuse
     val losers = seeds.join(winners, "gram")
       .where(!(col("doc_id") === col("wdoc") && col("pos") === col("wpos")))
       .select(col("doc_id"), col("pos"))
