@@ -3389,6 +3389,25 @@ object SparkEntry {
         "documents", "doc_id", "text", minTokens = 8) +
         " ORDER BY doc_id")),
 
+    // Cross-corpus decontamination CLIP: training docs keep their text
+    // but lose every interval covered by a benchmark n-gram — the
+    // surgical sibling of the doc-level decontaminate screens. Gate
+    // runs the hashed tier (8-byte join keys, string-verified) under
+    // the string-route oracle; route equality also pinned in SpansSpec
+    Q("dedup_clip_decontam",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        graft.dedup.Spans.clipAgainst(
+          docs.where(col("doc_id") >= 10), col("doc_id"), col("text"),
+          docs.where(col("doc_id") < 10), col("text"),
+          minTokens = 8, hashGrams = true)
+          .orderBy("doc_id")
+      },
+      Some(graft.dedup.Spans.clipAgainstSql(
+        "documents", "doc_id", "text", "doc_id >= 10",
+        "documents", "text", "doc_id < 10", minTokens = 8) +
+        " ORDER BY doc_id")),
+
     // The clip's 100 TB tier: the hash pre-filter feeds the SAME
     // string-keyed winner election, so removal can never act on a
     // collision — exact under the string oracle

@@ -204,6 +204,119 @@ object Spans {
           .as("n_removed"))
   }
 
+  /** Cross-corpus decontamination CLIP — the span-level form of the
+    * decontaminate family: excise from every TRAINING document each
+    * maximal run covered by an n-gram that appears anywhere in the
+    * BENCHMARK corpus. Doc-level screens
+    * ([[graft.text.TextAnalysis]]'s decontaminate routes) drop whole
+    * documents on overlap; this keeps the document and removes only
+    * the contaminated intervals — the surgical variant for long
+    * documents that merely QUOTE an eval item. No winner election:
+    * benchmark text must not survive in training data at all.
+    *
+    * Scale shape: benchmark grams are a (distinct) bounded-ish set;
+    * the contaminated-seed join is a plain equi-join on the gram.
+    * `hashGrams = true` joins on `xxhash64` FIRST and string-verifies
+    * the collisions (removal must never act on a hash collision), so
+    * the corpus-wide shuffle carries 8-byte keys and full gram strings
+    * move only for hash-colliding candidates. The clip tail is
+    * [[clipSpans]]'s: a codegen array filter against the small per-doc
+    * interval list; untouched documents pass through VERBATIM.
+    */
+  def clipAgainst(train: DataFrame, idCol: Column, textCol: Column,
+                  bench: DataFrame, benchTextCol: Column,
+                  minTokens: Int, hashGrams: Boolean = false): DataFrame = {
+    require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
+    val n = minTokens
+    val toks = train.select(idCol.cast("long").as("doc_id"),
+      textCol.cast("string").as("orig"),
+      split(trim(textCol), "\\s+").as("t"))
+    val seeds = seedsOf(toks, n, hashGrams = false)
+    val benchGrams = seedsOf(
+      bench.select(lit(0L).as("doc_id"),
+        split(trim(benchTextCol), "\\s+").as("t")), n, hashGrams = false)
+      .select("gram").distinct()
+    val contaminated =
+      if (hashGrams)
+        seeds.withColumn("h", xxhash64(col("gram")))
+          .join(benchGrams.select(col("gram").as("bgram"),
+            xxhash64(col("gram")).as("h")), "h")
+          .where(col("gram") === col("bgram"))
+          .select("doc_id", "pos")
+      else
+        seeds.join(benchGrams, "gram").select("doc_id", "pos")
+    val iv = intervalsOf(contaminated, n)
+    toks.join(iv, Seq("doc_id"), "left")
+      .withColumn("kept", filter(col("t"), (tok, i) =>
+        coalesce(!exists(col("iv"), r =>
+          (i + 1) >= r.getField("s") && (i + 1) <= r.getField("e")),
+          lit(true))))
+      .select(col("doc_id"),
+        when(col("iv").isNull, col("orig"))
+          .otherwise(array_join(col("kept"), " ")).as("clean_text"),
+        when(col("iv").isNull, lit(0L))
+          .otherwise((size(col("t")) - size(col("kept"))).cast("long"))
+          .as("n_removed"))
+  }
+
+  /** DuckDB twin of [[clipAgainst]]. `trainWhere`/`benchWhere` carve
+    * the two corpora out of (possibly the same) tables.
+    */
+  def clipAgainstSql(trainTable: String, idExpr: String, textExpr: String,
+                     trainWhere: String, benchTable: String,
+                     benchTextExpr: String, benchWhere: String,
+                     minTokens: Int): String = {
+    val n = minTokens
+    s"""WITH toks AS (
+       |  SELECT CAST($idExpr AS BIGINT) AS doc_id, $textExpr AS orig,
+       |    string_split_regex(trim($textExpr), '\\s+') AS t
+       |  FROM $trainTable WHERE $trainWhere),
+       |seeds AS (
+       |  SELECT doc_id, i AS pos,
+       |    array_to_string(list_slice(t, i, i + ${n - 1}), ' ') AS gram
+       |  FROM (SELECT doc_id, t,
+       |          unnest(range(1, greatest(len(t) - ${n - 1}, 0) + 1)) AS i
+       |        FROM toks)),
+       |bgrams AS (
+       |  SELECT DISTINCT array_to_string(list_slice(t, i, i + ${n - 1}), ' ')
+       |    AS gram
+       |  FROM (SELECT t, unnest(range(1, greatest(len(t) - ${n - 1}, 0) + 1)) AS i
+       |        FROM (SELECT string_split_regex(trim($benchTextExpr), '\\s+') AS t
+       |              FROM $benchTable WHERE $benchWhere))),
+       |contaminated AS (
+       |  SELECT s.doc_id, s.pos FROM seeds s JOIN bgrams b ON s.gram = b.gram),
+       |iv AS (
+       |  SELECT doc_id, min(pos) AS s, max(pos) + ${n - 1} AS e FROM (
+       |    SELECT doc_id, pos,
+       |      SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |    FROM (
+       |      SELECT doc_id, pos,
+       |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |          <= $n THEN 0 ELSE 1 END AS brk
+       |      FROM contaminated))
+       |  GROUP BY doc_id, island),
+       |posns AS (
+       |  SELECT doc_id, unnest(range(1, len(t) + 1)) AS i, t FROM toks),
+       |kept AS (
+       |  SELECT p.doc_id, p.i, p.t[p.i] AS tok FROM posns p
+       |  WHERE NOT EXISTS (SELECT 1 FROM iv
+       |    WHERE iv.doc_id = p.doc_id AND p.i BETWEEN iv.s AND iv.e)),
+       |affected AS (SELECT DISTINCT doc_id AS adoc FROM iv)
+       |SELECT toks.doc_id,
+       |  CASE WHEN a.adoc IS NULL THEN toks.orig
+       |       ELSE coalesce(k.clean_text, '') END AS clean_text,
+       |  CAST(CASE WHEN a.adoc IS NULL THEN 0
+       |       ELSE len(toks.t) - coalesce(k.n_kept, 0) END AS BIGINT)
+       |    AS n_removed
+       |FROM toks
+       |LEFT JOIN affected a ON toks.doc_id = a.adoc
+       |LEFT JOIN (
+       |  SELECT doc_id AS kdoc, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+       |    count(*) AS n_kept
+       |  FROM kept GROUP BY doc_id) k ON toks.doc_id = k.kdoc""".stripMargin
+  }
+
   /** DuckDB twin of [[clipSpans]]: identical seed grams, row_number
     * winner election (same (doc_id, pos) order as the struct min),
     * identical island folds for loser AND winner intervals, the same

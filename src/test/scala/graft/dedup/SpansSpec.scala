@@ -129,6 +129,25 @@ class SpansSpec extends AnyFunSuite with SparkSpec {
     assert(got.drop(1) == Seq((2L, "s1 s2 s3 a", 0L), (3L, "b", 3L)))
   }
 
+  test("clipAgainst removes benchmark-covered runs, keeps everything else verbatim") {
+    val bench = docs((100L, "eval q1 q2 q3 answer"))
+    val train = docs(
+      (1L, "intro text q1 q2 q3 more text here"), // quotes a bench run
+      (2L, "clean document nothing shared at all"),
+      (3L, "q1 q2 q3")) // entirely benchmark content
+    def run(hash: Boolean) =
+      Spans.clipAgainst(train, col("doc_id"), col("text"),
+          bench, col("text"), minTokens = 3, hashGrams = hash)
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val want = Seq(
+      (1L, "intro text more text here", 3L),
+      (2L, "clean document nothing shared at all", 0L),
+      (3L, "", 3L))
+    assert(run(hash = false) == want)
+    assert(run(hash = true) == want, "hashed tier must equal the string route")
+  }
+
   test("clipSpans three-way duplication keeps exactly one occurrence") {
     val df = docs(
       (1L, "p q s1 s2 s3 s4"),
