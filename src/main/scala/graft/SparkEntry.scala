@@ -2403,6 +2403,47 @@ object SparkEntry {
                       probeIds = Seq(0L, 1L, 2L, 3L, 4L))})) AS n_contaminated,
               |  TRUE AS no_false_negatives""".stripMargin)),
 
+    // Streaming decontamination CLIP (22nd route): the bloom screen composed with
+    // the surgical span removal — only FLAGGED documents pay the exact
+    // gram join per micro-batch; the bloom's no-false-negatives makes
+    // the streamed output row-for-row equal batch clipAgainst at ANY
+    // fpp, so the route sits under the same oracle as the batch gate
+    Q("streaming_clip_decontam",
+      (s, dir) => withStreamShuffle(s) {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val docs = Tables.documents(s, dir)
+        val bench = docs.where(col("doc_id") < 10)
+        val filter = graft.streaming.StreamingDecontam.benchmarkFilter(
+          bench, col("text"), n = 8)
+        val rows = docs.where(col("doc_id") >= 10)
+          .select(col("doc_id"), col("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        val ms = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val out = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+        val q = graft.streaming.StreamingDecontam.clipStream(
+          ms.toDS().toDF("doc_id", "text"), col("doc_id"), col("text"),
+          bench, col("text"), filter, minTokens = 8) { batchOut =>
+          out.synchronized {
+            out ++= batchOut.collect()
+              .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+          }
+        }
+        try {
+          rows.grouped(rows.length / 3 + 1).foreach { chunk =>
+            ms.addData(chunk)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        out.toSeq.toDF("doc_id", "clean_text", "n_removed")
+          .orderBy("doc_id")
+      },
+      Some(graft.dedup.Spans.clipAgainstSql(
+        "documents", "doc_id", "text", "doc_id >= 10",
+        "documents", "text", "doc_id < 10", minTokens = 8) +
+        " ORDER BY doc_id")),
+
     // Paragraph-level corpus dedup (CCNet-style): corpus-wide repeated
     // paragraphs dropped, first occurrence kept, documents reassembled
     // in paragraph order. Fixture plants a universal header, per-block
@@ -2993,7 +3034,7 @@ object SparkEntry {
           "FROM documents WHERE doc_id % 2 = 1",
         "source") + " ORDER BY source")),
 
-    // EMBEDDING drift AS A STREAM (20th streaming route): the anchor
+    // EMBEDDING drift AS A STREAM (21st streaming route): the anchor
     // assignment is a STATELESS projection (the least() fold), so the
     // only state is the complete-mode (metric, bucket) count table —
     // bounded by the anchor count — maintained across three

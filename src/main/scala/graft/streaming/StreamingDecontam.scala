@@ -62,4 +62,51 @@ object StreamingDecontam {
           .cast("long").as("n_flagged"))
       .select(col("id"), col("n_shingles"), col("n_flagged"),
         (col("n_flagged") > 0L).as("contaminated"))
+
+  /** Streaming decontamination CLIP — the screen composed with the
+    * surgical removal: each micro-batch is bloom-screened IN-ROW
+    * (stateless codegen probe), and only FLAGGED documents pay the
+    * exact [[graft.dedup.Spans.clipAgainst]] gram join; unflagged
+    * documents pass through verbatim with n_removed = 0.
+    *
+    * Exactness: the Bloom filter has NO false negatives, so every
+    * document carrying a benchmark n-gram reaches the exact clip; a
+    * false positive is exact-clipped with nothing to remove and comes
+    * back verbatim. The streamed output therefore row-for-row EQUALS
+    * batch [[graft.dedup.Spans.clipAgainst]] over the same documents
+    * at ANY fpp — which is how the route sits under the batch oracle
+    * (fpp only moves the fraction paying the join, never a byte of
+    * output).
+    *
+    * Scale shape: per micro-batch, the benchmark gram join runs over
+    * the flagged fraction only (≈ true contamination rate + fpp); the
+    * screen itself is a narrow projection. foreachBatch is the right
+    * harness — the clip is a per-batch BATCH transform with no
+    * cross-batch state beyond the compiled filter. `write` receives
+    * each batch's (doc_id, clean_text, n_removed) output; replays
+    * (at-least-once) re-emit the same deterministic rows, so an
+    * idempotent sink (upsert on doc_id) makes the route exactly-once.
+    */
+  def clipStream(stream: DataFrame, idCol: Column, textCol: Column,
+                 bench: DataFrame, benchTextCol: Column,
+                 filter: BloomFilter, minTokens: Int)
+                (write: DataFrame => Unit):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    stream
+      .select(idCol.cast("long").as("doc_id"),
+        textCol.cast("string").as("text"))
+      .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+        val screened = batch.withColumn("__flagged",
+          exists(array_distinct(
+            graft.dedup.Dedup.shingles(col("text"), minTokens)),
+            s => BloomKernel.mightContainLong(xxhash64(s), filter)))
+        val clean = screened.where(!col("__flagged"))
+          .select(col("doc_id"), col("text").as("clean_text"),
+            lit(0L).as("n_removed"))
+        val clipped = graft.dedup.Spans.clipAgainst(
+          screened.where(col("__flagged")), col("doc_id"), col("text"),
+          bench, benchTextCol, minTokens)
+        write(clean.unionByName(clipped))
+        ()
+      }.start()
 }

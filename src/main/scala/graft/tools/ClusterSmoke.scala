@@ -66,7 +66,9 @@ object ClusterSmoke {
     "dedup_winnow_pairs",       // r10: winnow fingerprints + df-cut inverted index
     "dedup_clip_spans",         // r11: keep-first clip (indexed lambda filter)
     "q_psi_emb_drift",          // r11: least()-fold anchor assignment + PSI
-    "streaming_maxsim_maintained") // r11: maintained layout served across refresh
+    "streaming_maxsim_maintained", // r11: maintained layout served across refresh
+    "dedup_clip_decontam",      // r11: hashed cross-corpus clip (verify join)
+    "streaming_clip_decontam")  // r11: bloom screen + exact clip in foreachBatch
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -41,4 +41,43 @@ class StreamingDecontamSpec extends AnyFunSuite with SparkSpec {
       assert(rows.size == 4)
     } finally q.stop()
   }
+
+  test("streamed clip equals batch clipAgainst exactly, even at an adversarial fpp") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val n = 3
+    val bench = Seq("eval q1 q2 q3 answer key").toDF("text")
+    val train = Seq(
+      (1L, "intro q1 q2 q3 outro words"),   // quotes the benchmark
+      (2L, "wholly unrelated training text here"),
+      (3L, "q1 q2 q3"),                     // pure benchmark content
+      (4L, "padding sentence with many clean tokens inside"),
+      (5L, "tail mention of q2 q3 answer key here"))
+      .toDF("doc_id", "text")
+    val want = graft.dedup.Spans.clipAgainst(train, col("doc_id"),
+        col("text"), bench, col("text"), n)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    // fpp 0.5 forces false positives through the exact clip: output
+    // must STILL equal the batch operator byte for byte
+    val filter = StreamingDecontam.benchmarkFilter(bench, col("text"),
+      n = n, fpp = 0.5)
+    val ms = MemoryStream[(Long, String)]
+    val out = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    val q = StreamingDecontam.clipStream(
+      ms.toDS().toDF("doc_id", "text"), col("doc_id"), col("text"),
+      bench, col("text"), filter, n) { b =>
+      out.synchronized { out ++= b.collect().map(_.toSeq) }
+    }
+    try {
+      ms.addData((1L, "intro q1 q2 q3 outro words"),
+        (2L, "wholly unrelated training text here"))
+      q.processAllAvailable()
+      ms.addData((3L, "q1 q2 q3"),
+        (4L, "padding sentence with many clean tokens inside"),
+        (5L, "tail mention of q2 q3 answer key here"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = out.toSeq.sortBy(_.head.asInstanceOf[Long].longValue)
+    assert(got == want, s"got=$got want=$want")
+  }
 }
