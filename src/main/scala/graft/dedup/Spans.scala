@@ -187,15 +187,27 @@ object Spans {
     val winIv = intervalsOf(winners
         .select(col("wdoc").as("doc_id"), col("wpos").as("pos")), n)
       .withColumnRenamed("iv", "wiv")
-    toks.join(lossIv, Seq("doc_id"), "left")
-      .join(winIv, Seq("doc_id"), "left")
+    applyIntervals(toks, lossIv, Some(winIv))
+  }
+
+  /** Shared clip tail of the apply-half operators: excise `lossIv`
+    * positions (except those covered by the optional `protectIv`),
+    * re-join the survivors, and pass documents with nothing to remove
+    * through VERBATIM — (doc_id, clean_text, n_removed) for every
+    * input doc. Factored once because the find/apply/decontam variants
+    * must never diverge on exactly this logic.
+    */
+  private def applyIntervals(toks: DataFrame, lossIv: DataFrame,
+                             protectIv: Option[DataFrame]): DataFrame = {
+    val joined = protectIv.foldLeft(toks.join(lossIv, Seq("doc_id"), "left"))(
+      (df, p) => df.join(p, Seq("doc_id"), "left"))
+    def inIv(ivCol: String, posCol: Column): Column =
+      coalesce(exists(col(ivCol), r =>
+        posCol >= r.getField("s") && posCol <= r.getField("e")), lit(false))
+    joined
       .withColumn("kept", filter(col("t"), (tok, i) =>
-        coalesce(!exists(col("iv"), r =>
-          (i + 1) >= r.getField("s") && (i + 1) <= r.getField("e")),
-          lit(true)) ||
-        coalesce(exists(col("wiv"), r =>
-          (i + 1) >= r.getField("s") && (i + 1) <= r.getField("e")),
-          lit(false))))
+        !inIv("iv", i + 1) ||
+          (if (protectIv.isEmpty) lit(false) else inIv("wiv", i + 1))))
       .select(col("doc_id"),
         when(col("iv").isNull, col("orig"))
           .otherwise(array_join(col("kept"), " ")).as("clean_text"),
@@ -214,49 +226,101 @@ object Spans {
     * documents that merely QUOTE an eval item. No winner election:
     * benchmark text must not survive in training data at all.
     *
-    * Scale shape: benchmark grams are a (distinct) bounded-ish set;
-    * the contaminated-seed join is a plain equi-join on the gram.
-    * `hashGrams = true` joins on `xxhash64` FIRST and string-verifies
-    * the collisions (removal must never act on a hash collision), so
-    * the corpus-wide shuffle carries 8-byte keys and full gram strings
-    * move only for hash-colliding candidates. The clip tail is
-    * [[clipSpans]]'s: a codegen array filter against the small per-doc
-    * interval list; untouched documents pass through VERBATIM.
+    * Scale shape: benchmark/eval suites are broadcast-sized by nature,
+    * and the gram table is explicitly `broadcast()` — the training
+    * corpus NEVER shuffles here. `hashGrams = true` broadcasts
+    * `(xxhash64, gram)` pairs and matches on the 8-byte hash first
+    * with an in-row string verify (removal must never act on a hash
+    * collision) — the cheaper probe when gram strings are long. A
+    * benchmark beyond broadcast rides [[graft.streaming.StreamingDecontam
+    * .clipStream]]'s bloom-screen + exact-verify composition instead.
+    * The clip tail is [[clipSpans]]'s shared [[applyIntervals]]:
+    * untouched documents pass through VERBATIM.
     */
   def clipAgainst(train: DataFrame, idCol: Column, textCol: Column,
                   bench: DataFrame, benchTextCol: Column,
-                  minTokens: Int, hashGrams: Boolean = false): DataFrame = {
+                  minTokens: Int, hashGrams: Boolean = false): DataFrame =
+    clipAgainstGrams(train, idCol, textCol,
+      benchGramsOf(bench, benchTextCol, minTokens), minTokens, hashGrams)
+
+  /** The benchmark's distinct n-gram table — compute ONCE per suite
+    * version (it is immutable input to every [[clipAgainstGrams]] /
+    * streaming micro-batch that follows).
+    */
+  def benchGramsOf(bench: DataFrame, benchTextCol: Column,
+                   minTokens: Int): DataFrame =
+    seedsOf(bench.select(lit(0L).as("doc_id"),
+      split(trim(benchTextCol), "\\s+").as("t")), minTokens,
+      hashGrams = false)
+      .select("gram").distinct()
+
+  /** [[clipAgainst]] over a precomputed [[benchGramsOf]] table. */
+  def clipAgainstGrams(train: DataFrame, idCol: Column, textCol: Column,
+                       benchGrams: DataFrame, minTokens: Int,
+                       hashGrams: Boolean = false): DataFrame = {
     require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
     val n = minTokens
     val toks = train.select(idCol.cast("long").as("doc_id"),
       textCol.cast("string").as("orig"),
       split(trim(textCol), "\\s+").as("t"))
     val seeds = seedsOf(toks, n, hashGrams = false)
-    val benchGrams = seedsOf(
-      bench.select(lit(0L).as("doc_id"),
-        split(trim(benchTextCol), "\\s+").as("t")), n, hashGrams = false)
-      .select("gram").distinct()
     val contaminated =
       if (hashGrams)
         seeds.withColumn("h", xxhash64(col("gram")))
-          .join(benchGrams.select(col("gram").as("bgram"),
-            xxhash64(col("gram")).as("h")), "h")
+          .join(broadcast(benchGrams.select(col("gram").as("bgram"),
+            xxhash64(col("gram")).as("h"))), "h")
           .where(col("gram") === col("bgram"))
           .select("doc_id", "pos")
       else
-        seeds.join(benchGrams, "gram").select("doc_id", "pos")
-    val iv = intervalsOf(contaminated, n)
-    toks.join(iv, Seq("doc_id"), "left")
-      .withColumn("kept", filter(col("t"), (tok, i) =>
-        coalesce(!exists(col("iv"), r =>
-          (i + 1) >= r.getField("s") && (i + 1) <= r.getField("e")),
-          lit(true))))
-      .select(col("doc_id"),
-        when(col("iv").isNull, col("orig"))
-          .otherwise(array_join(col("kept"), " ")).as("clean_text"),
-        when(col("iv").isNull, lit(0L))
-          .otherwise((size(col("t")) - size(col("kept"))).cast("long"))
-          .as("n_removed"))
+        seeds.join(broadcast(benchGrams), "gram").select("doc_id", "pos")
+    applyIntervals(toks, intervalsOf(contaminated, n), None)
+  }
+
+  /** Island fold as a DuckDB subquery: merged `[pos, pos+n-1]`
+    * interval union per doc over `src`'s (doc_id, pos) rows.
+    */
+  private def islandFoldSql(src: String, n: Int): String =
+    s"""SELECT doc_id, min(pos) AS s, max(pos) + ${n - 1} AS e FROM (
+       |  SELECT doc_id, pos,
+       |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM (
+       |    SELECT doc_id, pos,
+       |      CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |        <= $n THEN 0 ELSE 1 END AS brk
+       |    FROM ($src)))
+       |GROUP BY doc_id, island""".stripMargin
+
+  /** Shared SQL clip tail (mirrors [[applyIntervals]]): expects CTEs
+    * `toks(doc_id, orig, t)` and `iv(doc_id, s, e)` — plus
+    * `wiv(doc_id, s, e)` when `protect` — already defined upstream.
+    */
+  private def clipTailSql(protect: Boolean): String = {
+    val protectClause =
+      if (protect)
+        """
+          |    OR EXISTS (SELECT 1 FROM wiv
+          |      WHERE wiv.doc_id = p.doc_id AND p.i BETWEEN wiv.s AND wiv.e)""".stripMargin
+      else ""
+    s"""posns AS (
+       |  SELECT doc_id, unnest(range(1, len(t) + 1)) AS i, t FROM toks),
+       |kept AS (
+       |  SELECT p.doc_id, p.i, p.t[p.i] AS tok FROM posns p
+       |  WHERE NOT EXISTS (SELECT 1 FROM iv
+       |      WHERE iv.doc_id = p.doc_id AND p.i BETWEEN iv.s AND iv.e)$protectClause),
+       |affected AS (SELECT DISTINCT doc_id AS adoc FROM iv)
+       |SELECT toks.doc_id,
+       |  CASE WHEN a.adoc IS NULL THEN toks.orig
+       |       ELSE coalesce(k.clean_text, '') END AS clean_text,
+       |  CAST(CASE WHEN a.adoc IS NULL THEN 0
+       |       ELSE len(toks.t) - coalesce(k.n_kept, 0) END AS BIGINT)
+       |    AS n_removed
+       |FROM toks
+       |LEFT JOIN affected a ON toks.doc_id = a.adoc
+       |LEFT JOIN (
+       |  SELECT doc_id AS kdoc, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+       |    count(*) AS n_kept
+       |  FROM kept GROUP BY doc_id) k ON toks.doc_id = k.kdoc""".stripMargin
   }
 
   /** DuckDB twin of [[clipAgainst]]. `trainWhere`/`benchWhere` carve
@@ -285,36 +349,8 @@ object Spans {
        |              FROM $benchTable WHERE $benchWhere))),
        |contaminated AS (
        |  SELECT s.doc_id, s.pos FROM seeds s JOIN bgrams b ON s.gram = b.gram),
-       |iv AS (
-       |  SELECT doc_id, min(pos) AS s, max(pos) + ${n - 1} AS e FROM (
-       |    SELECT doc_id, pos,
-       |      SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
-       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-       |    FROM (
-       |      SELECT doc_id, pos,
-       |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-       |          <= $n THEN 0 ELSE 1 END AS brk
-       |      FROM contaminated))
-       |  GROUP BY doc_id, island),
-       |posns AS (
-       |  SELECT doc_id, unnest(range(1, len(t) + 1)) AS i, t FROM toks),
-       |kept AS (
-       |  SELECT p.doc_id, p.i, p.t[p.i] AS tok FROM posns p
-       |  WHERE NOT EXISTS (SELECT 1 FROM iv
-       |    WHERE iv.doc_id = p.doc_id AND p.i BETWEEN iv.s AND iv.e)),
-       |affected AS (SELECT DISTINCT doc_id AS adoc FROM iv)
-       |SELECT toks.doc_id,
-       |  CASE WHEN a.adoc IS NULL THEN toks.orig
-       |       ELSE coalesce(k.clean_text, '') END AS clean_text,
-       |  CAST(CASE WHEN a.adoc IS NULL THEN 0
-       |       ELSE len(toks.t) - coalesce(k.n_kept, 0) END AS BIGINT)
-       |    AS n_removed
-       |FROM toks
-       |LEFT JOIN affected a ON toks.doc_id = a.adoc
-       |LEFT JOIN (
-       |  SELECT doc_id AS kdoc, string_agg(tok, ' ' ORDER BY i) AS clean_text,
-       |    count(*) AS n_kept
-       |  FROM kept GROUP BY doc_id) k ON toks.doc_id = k.kdoc""".stripMargin
+       |iv AS (${islandFoldSql("SELECT doc_id, pos FROM contaminated", n)}),
+       |${clipTailSql(protect = false)}""".stripMargin
   }
 
   /** DuckDB twin of [[clipSpans]]: identical seed grams, row_number
@@ -326,17 +362,6 @@ object Spans {
   def clipSpansSql(table: String, idExpr: String, textExpr: String,
                    minTokens: Int): String = {
     val n = minTokens
-    def islandsOf(src: String): String =
-      s"""SELECT doc_id, min(pos) AS s, max(pos) + ${n - 1} AS e FROM (
-         |  SELECT doc_id, pos,
-         |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-         |  FROM (
-         |    SELECT doc_id, pos,
-         |      CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-         |        <= $n THEN 0 ELSE 1 END AS brk
-         |    FROM ($src)))
-         |GROUP BY doc_id, island""".stripMargin
     s"""WITH toks AS (
        |  SELECT CAST($idExpr AS BIGINT) AS doc_id, $textExpr AS orig,
        |    string_split_regex(trim($textExpr), '\\s+') AS t FROM $table),
@@ -355,29 +380,9 @@ object Spans {
        |losers AS (
        |  SELECT s.doc_id, s.pos FROM seeds s JOIN win w ON s.gram = w.gram
        |  WHERE NOT (s.doc_id = w.wdoc AND s.pos = w.wpos)),
-       |iv AS (${islandsOf("SELECT doc_id, pos FROM losers")}),
-       |wiv AS (${islandsOf("SELECT wdoc AS doc_id, wpos AS pos FROM win")}),
-       |posns AS (
-       |  SELECT doc_id, unnest(range(1, len(t) + 1)) AS i, t FROM toks),
-       |kept AS (
-       |  SELECT p.doc_id, p.i, p.t[p.i] AS tok FROM posns p
-       |  WHERE NOT EXISTS (SELECT 1 FROM iv
-       |      WHERE iv.doc_id = p.doc_id AND p.i BETWEEN iv.s AND iv.e)
-       |    OR EXISTS (SELECT 1 FROM wiv
-       |      WHERE wiv.doc_id = p.doc_id AND p.i BETWEEN wiv.s AND wiv.e)),
-       |affected AS (SELECT DISTINCT doc_id AS adoc FROM iv)
-       |SELECT toks.doc_id,
-       |  CASE WHEN a.adoc IS NULL THEN toks.orig
-       |       ELSE coalesce(k.clean_text, '') END AS clean_text,
-       |  CAST(CASE WHEN a.adoc IS NULL THEN 0
-       |       ELSE len(toks.t) - coalesce(k.n_kept, 0) END AS BIGINT)
-       |    AS n_removed
-       |FROM toks
-       |LEFT JOIN affected a ON toks.doc_id = a.adoc
-       |LEFT JOIN (
-       |  SELECT doc_id AS kdoc, string_agg(tok, ' ' ORDER BY i) AS clean_text,
-       |    count(*) AS n_kept
-       |  FROM kept GROUP BY doc_id) k ON toks.doc_id = k.kdoc""".stripMargin
+       |iv AS (${islandFoldSql("SELECT doc_id, pos FROM losers", n)}),
+       |wiv AS (${islandFoldSql("SELECT wdoc AS doc_id, wpos AS pos FROM win", n)}),
+       |${clipTailSql(protect = true)}""".stripMargin
   }
 
   /** DuckDB twin of [[duplicatedSpans]]: identical seed grams (the

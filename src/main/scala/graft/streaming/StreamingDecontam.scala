@@ -91,7 +91,12 @@ object StreamingDecontam {
                  bench: DataFrame, benchTextCol: Column,
                  filter: BloomFilter, minTokens: Int)
                 (write: DataFrame => Unit):
-      org.apache.spark.sql.streaming.StreamingQuery =
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    // the benchmark gram table is immutable for the life of the query
+    // — derive it ONCE (like the bloom filter) instead of re-exploding
+    // the bench corpus inside every micro-batch
+    val benchGrams = graft.dedup.Spans
+      .benchGramsOf(bench, benchTextCol, minTokens).localCheckpoint()
     stream
       .select(idCol.cast("long").as("doc_id"),
         textCol.cast("string").as("text"))
@@ -100,13 +105,17 @@ object StreamingDecontam {
           exists(array_distinct(
             graft.dedup.Dedup.shingles(col("text"), minTokens)),
             s => BloomKernel.mightContainLong(xxhash64(s), filter)))
+          .localCheckpoint() // consumed 2-3x below; batch-sized
         val clean = screened.where(!col("__flagged"))
           .select(col("doc_id"), col("text").as("clean_text"),
             lit(0L).as("n_removed"))
-        val clipped = graft.dedup.Spans.clipAgainst(
-          screened.where(col("__flagged")), col("doc_id"), col("text"),
-          bench, benchTextCol, minTokens)
-        write(clean.unionByName(clipped))
+        val flagged = screened.where(col("__flagged"))
+        // a batch with nothing flagged skips the gram join entirely
+        write(
+          if (flagged.isEmpty) clean
+          else clean.unionByName(graft.dedup.Spans.clipAgainstGrams(
+            flagged, col("doc_id"), col("text"), benchGrams, minTokens)))
         ()
       }.start()
+  }
 }

@@ -130,10 +130,11 @@ class SpansSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("clipAgainst removes benchmark-covered runs, keeps everything else verbatim") {
+    val messy = "clean  doc\twith odd   spacing "
     val bench = docs((100L, "eval q1 q2 q3 answer"))
     val train = docs(
       (1L, "intro text q1 q2 q3 more text here"), // quotes a bench run
-      (2L, "clean document nothing shared at all"),
+      (2L, messy), // untouched: ORIGINAL whitespace must survive
       (3L, "q1 q2 q3")) // entirely benchmark content
     def run(hash: Boolean) =
       Spans.clipAgainst(train, col("doc_id"), col("text"),
@@ -142,7 +143,7 @@ class SpansSpec extends AnyFunSuite with SparkSpec {
         .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
     val want = Seq(
       (1L, "intro text more text here", 3L),
-      (2L, "clean document nothing shared at all", 0L),
+      (2L, messy, 0L),
       (3L, "", 3L))
     assert(run(hash = false) == want)
     assert(run(hash = true) == want, "hashed tier must equal the string route")
