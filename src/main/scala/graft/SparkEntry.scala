@@ -100,6 +100,25 @@ object SparkEntry {
       "ORDER BY phase, query_id, rank"
   }
 
+  /** Oracle for `q_sample_cluster_balanced`: nearest-anchor assignment
+    * (the q_psi_emb_drift replay) then the house sha256 per-group rank.
+    */
+  private lazy val clusterBalancedOracle: String = {
+    val l2 = Sql.l2("o.e", "a.cemb")
+    "WITH assign AS (\n" +
+      "  SELECT oid AS vec_id, cid AS cluster FROM (\n" +
+      "    SELECT o.oid, a.cid,\n" +
+      s"      row_number() OVER (PARTITION BY o.oid ORDER BY $l2, a.cid) AS rn\n" +
+      "    FROM (SELECT vec_id AS oid, embedding AS e FROM embeddings) o,\n" +
+      "         (SELECT vec_id AS cid, embedding AS cemb FROM embeddings\n" +
+      "          WHERE vec_id < 8) a) WHERE rn = 1)\n" +
+      "SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM (\n" +
+      "  SELECT vec_id, cluster, row_number() OVER (PARTITION BY cluster\n" +
+      s"    ORDER BY ${graft.operators.Sampling.hashKeySql("vec_id", "graft")}," +
+      " vec_id) AS rn\n" +
+      "  FROM assign) WHERE rn <= 10 ORDER BY cluster, vec_id"
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Pipelines.similarCases(spark, "/root/testdata/sf0.001")
@@ -3033,6 +3052,28 @@ object SparkEntry {
         "SELECT source AS g, CAST(n_chars AS BIGINT) // 500 AS bucket " +
           "FROM documents WHERE doc_id % 2 = 1",
         "source") + " ORDER BY source")),
+
+    // Cluster-BALANCED sampling: curation by embedding diversity —
+    // assign every vector to its nearest anchor (the shuffle-free
+    // least() fold) and take an exact per-cluster quota via the house
+    // deterministic sha256 rank. A pure composition of embeddingBucket
+    // + sampleNPerGroup: the anti-mode-collapse downsampling pass a
+    // corpus drop gets before training
+    Q("q_sample_cluster_balanced",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val anchors = emb.where(col("vec_id") < 8)
+          .select(col("vec_id").cast("int"), col("embedding"))
+          .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
+          .sortBy(_._1)
+        val assigned = emb.select(col("vec_id"),
+          graft.stats.Drift.embeddingBucket(col("embedding"), anchors)
+            .cast("long").as("cluster"))
+        graft.operators.Sampling.sampleNPerGroup(assigned,
+            col("cluster"), col("vec_id"), nPer = 10)
+          .orderBy("cluster", "vec_id")
+      },
+      Some(clusterBalancedOracle)),
 
     // EMBEDDING drift AS A STREAM (21st streaming route): the anchor
     // assignment is a STATELESS projection (the least() fold), so the
