@@ -78,11 +78,9 @@ object SparkEntry {
     * the first 8 corpus vectors) replayed per side, then the PSI fold.
     */
   private lazy val psiEmbDriftOracle: String = {
-    val anchors =
-      "SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8"
     def side(parity: Int): String = graft.stats.Drift.embeddingBucketSql(
       s"SELECT vec_id AS oid, embedding AS e FROM embeddings WHERE vec_id % 2 = $parity",
-      anchors)
+      anchorsSql)
     graft.stats.Drift.psiByGroupSql(side(0), side(1), "metric") +
       " ORDER BY metric"
   }
@@ -100,18 +98,30 @@ object SparkEntry {
       "ORDER BY phase, query_id, rank"
   }
 
-  /** Oracle for `q_sample_cluster_balanced`: nearest-anchor assignment
-    * (the q_psi_emb_drift replay) then the house sha256 per-group rank.
+  /** The shared anchor set of the embedding-cluster gates (the first 8
+    * corpus vectors, id-sorted) — one definition so q_psi_emb_drift,
+    * streaming_psi_emb_drift, and q_sample_cluster_balanced replay the
+    * SAME assignment their oracles do.
+    */
+  private def anchorVecs(emb: DataFrame): Seq[(Int, Seq[Float])] =
+    emb.where(col("vec_id") < 8)
+      .select(col("vec_id").cast("int"), col("embedding"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
+      .sortBy(_._1)
+
+  /** [[anchorVecs]]' SQL twin: the `(cid, cemb)` anchor subquery. */
+  private val anchorsSql =
+    "SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8"
+
+  /** Oracle for `q_sample_cluster_balanced`: the shared
+    * [[graft.stats.Drift.assignSql]] assignment contract, then the
+    * house sha256 per-group rank.
     */
   private lazy val clusterBalancedOracle: String = {
-    val l2 = Sql.l2("o.e", "a.cemb")
+    val assign = graft.stats.Drift.assignSql(
+      "SELECT vec_id AS oid, embedding AS e FROM embeddings", anchorsSql)
     "WITH assign AS (\n" +
-      "  SELECT oid AS vec_id, cid AS cluster FROM (\n" +
-      "    SELECT o.oid, a.cid,\n" +
-      s"      row_number() OVER (PARTITION BY o.oid ORDER BY $l2, a.cid) AS rn\n" +
-      "    FROM (SELECT vec_id AS oid, embedding AS e FROM embeddings) o,\n" +
-      "         (SELECT vec_id AS cid, embedding AS cemb FROM embeddings\n" +
-      "          WHERE vec_id < 8) a) WHERE rn = 1)\n" +
+      s"SELECT oid AS vec_id, cid AS cluster FROM ($assign))\n" +
       "SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM (\n" +
       "  SELECT vec_id, cluster, row_number() OVER (PARTITION BY cluster\n" +
       s"    ORDER BY ${graft.operators.Sampling.hashKeySql("vec_id", "graft")}," +
@@ -2998,10 +3008,7 @@ object SparkEntry {
     Q("q_psi_emb_drift",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val anchors = emb.where(col("vec_id") < 8)
-          .select(col("vec_id").cast("int"), col("embedding"))
-          .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
-          .sortBy(_._1)
+        val anchors = anchorVecs(emb)
         graft.stats.Drift.psiEmbedding(
           emb.where(col("vec_id") % 2 === 0),
           emb.where(col("vec_id") % 2 =!= 0),
@@ -3062,10 +3069,7 @@ object SparkEntry {
     Q("q_sample_cluster_balanced",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val anchors = emb.where(col("vec_id") < 8)
-          .select(col("vec_id").cast("int"), col("embedding"))
-          .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
-          .sortBy(_._1)
+        val anchors = anchorVecs(emb)
         val assigned = emb.select(col("vec_id"),
           graft.stats.Drift.embeddingBucket(col("embedding"), anchors)
             .cast("long").as("cluster"))
@@ -3086,10 +3090,7 @@ object SparkEntry {
         import s.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
         val emb = Tables.embeddings(s, dir)
-        val anchors = emb.where(col("vec_id") < 8)
-          .select(col("vec_id").cast("int"), col("embedding"))
-          .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
-          .sortBy(_._1)
+        val anchors = anchorVecs(emb)
         def buckets(df: DataFrame) = df
           .select(lit("embedding").as("metric"),
             graft.stats.Drift.embeddingBucket(col("embedding"), anchors)

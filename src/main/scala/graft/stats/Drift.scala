@@ -104,17 +104,26 @@ object Drift {
       curr.withColumn("metric", lit("embedding")), "metric",
       embeddingBucket(emb, anchors))
 
-  /** DuckDB twin of [[psiEmbedding]]: `obsSql` selects `(oid, e)`
-    * observation rows, `anchorsSql` selects `(cid, cemb)` anchors;
-    * row_number argmin over (4dp L2, cid) replays [[embeddingBucket]]
-    * exactly. Feed the two results to [[psiByGroupSql]].
+  /** Nearest-anchor assignment as a `(oid, cid)` subquery — THE
+    * replayable assignment contract (4dp L2, anchor-id tie-break)
+    * every oracle composing with [[embeddingBucket]] must build on,
+    * so the contract exists in exactly one SQL string. `obsSql`
+    * selects `(oid, e)` observation rows, `anchorsSql` selects
+    * `(cid, cemb)` anchors.
     */
-  def embeddingBucketSql(obsSql: String, anchorsSql: String): String =
-    s"""SELECT 'embedding' AS g, cid AS bucket FROM (
+  def assignSql(obsSql: String, anchorsSql: String): String =
+    s"""SELECT oid, cid FROM (
        |  SELECT o.oid, a.cid,
        |    row_number() OVER (PARTITION BY o.oid
        |      ORDER BY ${graft.oracle.Sql.l2("o.e", "a.cemb")}, a.cid) AS rn
        |  FROM ($obsSql) o, ($anchorsSql) a) WHERE rn = 1""".stripMargin
+
+  /** DuckDB twin of [[psiEmbedding]]: [[assignSql]] shaped as the
+    * `(g, bucket)` rows [[psiByGroupSql]] consumes.
+    */
+  def embeddingBucketSql(obsSql: String, anchorsSql: String): String =
+    s"""SELECT 'embedding' AS g, cid AS bucket FROM (
+       |${assignSql(obsSql, anchorsSql)})""".stripMargin
 
   /** DuckDB twin of [[psiByGroup]]: `baseSql`/`currSql` select
     * `(g, bucket)` observation rows; identical smoothing, grid

@@ -243,6 +243,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"expected a map-side WindowGroupLimit below the exchange:\n$plan")
   }
 
+  test("cluster-balanced sampling rank-limits map-side despite an 8-value partition key") {
+    // an 8-value cluster key would funnel the corpus through 8 window
+    // tasks — UNLESS the rank<=n filter pushes a WindowGroupLimit
+    // below the exchange, making each map task emit <= n rows per
+    // cluster first. Pin that: it is the op's whole scale story
+    val emb = Tables.embeddings(spark, dir)
+    val anchors = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").cast("int"), col("embedding"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq.sortBy(_._1)
+    val assigned = emb.select(col("vec_id"),
+      graft.stats.Drift.embeddingBucket(col("embedding"), anchors)
+        .cast("long").as("cluster"))
+    val plan = executed(graft.operators.Sampling.sampleNPerGroup(
+      assigned, col("cluster"), col("vec_id"), nPer = 10))
+    val preShuffle = plan.substring(plan.indexOf("Exchange"))
+    assert(preShuffle.contains("WindowGroupLimit"),
+      s"expected a map-side WindowGroupLimit below the exchange:\n$plan")
+  }
+
   test("CDC chunking is a shuffle-free narrow map + generator") {
     val plan = executed(graft.text.Cdc.cdcChunks(
       Tables.documents(spark, dir), col("doc_id"), col("text")))
