@@ -193,8 +193,17 @@ object Bench {
         val txt = new String(java.nio.file.Files.readAllBytes(priorPath), "UTF-8")
         val priorSf = """"sf"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(txt)
           .map(_.group(1))
+        // scope extraction to the queries object: the file's top-level
+        // numeric fields (value, n_errors) must not enter the prior map,
+        // where a query named like one of them would compare against the
+        // suite total (ADVICE r11). The object holds only flat
+        // name→number pairs, so the first '}' after it closes it.
+        val qBody = """"queries"\s*:\s*\{""".r.findFirstMatchIn(txt).map { m =>
+          val close = txt.indexOf('}', m.end)
+          txt.substring(m.end, if (close < 0) txt.length else close)
+        }.getOrElse("")
         if (!priorSf.contains(sfDir)) Map.empty
-        else """"([A-Za-z0-9_]+)"\s*:\s*([0-9][0-9.eE+-]*)""".r.findAllMatchIn(txt)
+        else """"([A-Za-z0-9_]+)"\s*:\s*([0-9][0-9.eE+-]*)""".r.findAllMatchIn(qBody)
           .flatMap(m => scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption)
           .toMap
       } else Map.empty

@@ -204,16 +204,20 @@ object Spans {
     def inIv(ivCol: String, posCol: Column): Column =
       coalesce(exists(col(ivCol), r =>
         posCol >= r.getField("s") && posCol <= r.getField("e")), lit(false))
+    // the verbatim branch keys on NOTHING ACTUALLY REMOVED, not on the
+    // presence of intervals: winner protection can cover a doc's loser
+    // intervals entirely (winner seeds flanking a loser seed), and that
+    // doc must keep its original whitespace, not a space-rejoined copy
+    // (ADVICE r11). iv-null docs keep every token, so the one predicate
+    // covers both cases.
     joined
       .withColumn("kept", filter(col("t"), (tok, i) =>
         !inIv("iv", i + 1) ||
           (if (protectIv.isEmpty) lit(false) else inIv("wiv", i + 1))))
       .select(col("doc_id"),
-        when(col("iv").isNull, col("orig"))
+        when(size(col("t")) === size(col("kept")), col("orig"))
           .otherwise(array_join(col("kept"), " ")).as("clean_text"),
-        when(col("iv").isNull, lit(0L))
-          .otherwise((size(col("t")) - size(col("kept"))).cast("long"))
-          .as("n_removed"))
+        (size(col("t")) - size(col("kept"))).cast("long").as("n_removed"))
   }
 
   /** Cross-corpus decontamination CLIP — the span-level form of the
@@ -307,16 +311,12 @@ object Spans {
        |kept AS (
        |  SELECT p.doc_id, p.i, p.t[p.i] AS tok FROM posns p
        |  WHERE NOT EXISTS (SELECT 1 FROM iv
-       |      WHERE iv.doc_id = p.doc_id AND p.i BETWEEN iv.s AND iv.e)$protectClause),
-       |affected AS (SELECT DISTINCT doc_id AS adoc FROM iv)
+       |      WHERE iv.doc_id = p.doc_id AND p.i BETWEEN iv.s AND iv.e)$protectClause)
        |SELECT toks.doc_id,
-       |  CASE WHEN a.adoc IS NULL THEN toks.orig
+       |  CASE WHEN len(toks.t) = coalesce(k.n_kept, 0) THEN toks.orig
        |       ELSE coalesce(k.clean_text, '') END AS clean_text,
-       |  CAST(CASE WHEN a.adoc IS NULL THEN 0
-       |       ELSE len(toks.t) - coalesce(k.n_kept, 0) END AS BIGINT)
-       |    AS n_removed
+       |  CAST(len(toks.t) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
        |FROM toks
-       |LEFT JOIN affected a ON toks.doc_id = a.adoc
        |LEFT JOIN (
        |  SELECT doc_id AS kdoc, string_agg(tok, ' ' ORDER BY i) AS clean_text,
        |    count(*) AS n_kept

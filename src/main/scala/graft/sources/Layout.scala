@@ -153,14 +153,29 @@ object Layout {
     * `createNewFile` is exists-then-create, a TOCTOU two same-JVM
     * threads lose routinely; on other schemes `fs.create(path,
     * overwrite = false)` (atomic on HDFS). Each claim carries the
-    * writer's UUID, re-read after creation, immediately before the
-    * commit-marker create, AND once more after it (retracting the
-    * marker if the claim was swept mid-commit) — so even on a store
-    * where create is not exclusive (S3A-style), a lost race or a
-    * [[pruneVersions]] sweep of a live claim is DETECTED and the write
-    * aborts loudly instead of committing a clobbered or truncated
-    * snapshot. The sweep cooperates from its side: claim revoked
-    * first, data deleted only while no commit marker exists. Two concurrent
+    * writer's UUID, re-read after creation, immediately before
+    * publication, AND once more after the commit-marker create
+    * (retracting the marker if the claim was swept mid-commit).
+    *
+    * Data never lands in `v=N` directly: each writer stages into its
+    * OWN `_staging/v-N-<uuid>` directory and publishes with a single
+    * `rename` into `v=N` (atomic on `file:` and HDFS) — two writers
+    * that both believe they hold the claim on a store whose create is
+    * not exclusive (S3A-style) therefore cannot interleave bytes
+    * inside one data directory (the ADVICE r11 clobber: A's overwrite
+    * landing after B's commit marker). After the rename the writer
+    * reads back the `_WRITER` tag it staged: HDFS rename semantics
+    * move the source INSIDE an existing destination directory, so a
+    * lost rename race surfaces as a missing/foreign tag and the write
+    * aborts before any marker exists. On a store with NEITHER atomic
+    * exclusive create NOR atomic rename (S3A has copy+delete renames),
+    * these checks narrow every race to detection windows but cannot
+    * close them — multi-writer use there additionally requires an
+    * external lock (single-writer remains safe); on `file:`/HDFS the
+    * claim create is exclusive and the protocol is lock-free.
+    *
+    * The sweep cooperates from its side: claim revoked first, data
+    * deleted only while no commit marker exists. Two concurrent
     * writers that both compute `next = N` race on the claim; exactly
     * one wins, the loser advances to N+1. A claimed-but-uncommitted
     * version from a crashed writer just leaves a skipped number (its
@@ -181,24 +196,50 @@ object Layout {
     val writerId = java.util.UUID.randomUUID().toString
     val candidate = claimVersion(fs, root, writerId)
     val dataDir = new org.apache.hadoop.fs.Path(root, s"v=$candidate")
-    // we own this version number exclusively; any leftover dir here is
-    // unclaimed crash garbage that was never visible
-    fs.delete(dataDir, true)
-    df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+    // stage into a writer-UNIQUE directory: even if a non-exclusive
+    // store handed the same claim to two writers, their bytes cannot
+    // interleave — publication below is a single rename
+    val staging = new org.apache.hadoop.fs.Path(root,
+      s"_staging/v-$candidate-$writerId")
+    fs.delete(staging, true)
+    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    // tag the payload so the post-rename read-back can prove WHOSE
+    // data sits at v=N (underscore files are invisible to parquet)
+    val tag = new org.apache.hadoop.fs.Path(staging, "_WRITER")
+    val tagOut = fs.create(tag, true)
+    try tagOut.write(writerId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally tagOut.close()
     beforeCommit(candidate)
     val claim = new org.apache.hadoop.fs.Path(root, s"_claims/v-$candidate")
-    // verify-before-commit: the claim must still exist and still carry
-    // OUR id. Gone → a pruneVersions sweep took us for a crashed writer
-    // (and may have deleted part of the data dir); another id → a
-    // non-exclusive store lost us the race after the first verify.
-    // Either way the snapshot must never become visible.
+    // verify-before-publish: the claim must still exist and still carry
+    // OUR id. Gone → a pruneVersions sweep took us for a crashed writer;
+    // another id → a non-exclusive store lost us the race after the
+    // first verify. Either way v=N must never receive our data.
     require(readMarker(fs, claim).contains(writerId),
-      s"claim for v=$candidate under $root was lost before commit " +
+      s"claim for v=$candidate under $root was lost before publish " +
         "(swept by pruneVersions or raced on a non-atomic store) — " +
-        "aborting without committing; the data dir is invisible garbage")
+        "aborting; the staged data was never visible")
     val commits = new org.apache.hadoop.fs.Path(root, "_commits")
     fs.mkdirs(commits)
     val marker = new org.apache.hadoop.fs.Path(commits, s"v-$candidate")
+    // a marker here means another writer already PUBLISHED v=N (claim
+    // protocol bypassed or lost on a non-exclusive store) — its data
+    // dir is live and must not be touched
+    require(!fs.exists(marker),
+      s"commit marker for v=$candidate already exists — another writer " +
+        "published this version; refusing to touch its snapshot")
+    // we hold the claim and no commit exists: anything at v=N is
+    // unclaimed crash garbage that was never visible
+    if (fs.exists(dataDir)) fs.delete(dataDir, true)
+    require(fs.rename(staging, dataDir),
+      s"rename of staged data into v=$candidate failed — lost a " +
+        "publication race; aborting without committing")
+    // HDFS rename semantics move the source INSIDE an existing
+    // destination dir — prove the rename landed AS v=N with OUR payload
+    require(readMarker(fs,
+      new org.apache.hadoop.fs.Path(dataDir, "_WRITER")).contains(writerId),
+      s"v=$candidate does not hold this writer's payload after rename — " +
+        "lost a publication race on a non-atomic store; aborting")
     require(atomicCreate(fs, marker,
       writerId.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
       s"commit marker for v=$candidate already exists — another writer " +
@@ -362,6 +403,14 @@ object Layout {
     * its claim immediately before the commit marker and aborts loudly
     * if the sweep took it — a swept live write is a failed job, never
     * a committed truncated snapshot.
+    *
+    * Orphan reclamation (ADVICE r11): a `v=N` data dir with NEITHER a
+    * claim NOR a commit marker can never become visible (readers
+    * resolve through markers; writers publish only while holding the
+    * claim) — it is the residue of a retracted commit or a swept
+    * writer, and is deleted once older than `claimGraceMs`. Stale
+    * `_staging/v-N-<uuid>` dirs are swept under the same age gate when
+    * the claim that owned them is gone or held by someone else.
     */
   def pruneVersions(spark: org.apache.spark.sql.SparkSession, root: String,
                     keepLast: Int,
@@ -378,10 +427,10 @@ object Layout {
       fs.delete(new org.apache.hadoop.fs.Path(root, s"v=$v"), true)
     }
     val retained = committed.takeRight(keepLast)
+    val now = System.currentTimeMillis()
     val claims = new org.apache.hadoop.fs.Path(root, "_claims")
     if (fs.exists(claims) && retained.nonEmpty) {
       val floor = retained.min
-      val now = System.currentTimeMillis()
       fs.listStatus(claims).toSeq
         .filter(_.getPath.getName.startsWith("v-"))
         .foreach { s =>
@@ -400,6 +449,40 @@ object Layout {
               fs.delete(new org.apache.hadoop.fs.Path(root, s"v=$v"), true)
           }
         }
+    }
+    // orphaned data dirs: no claim, no commit marker — unreachable by
+    // any reader or writer (a retracted commit or a swept claimant's
+    // residue), age-gated so a just-renamed dir whose marker is a
+    // moment away is never eligible (its writer still holds the claim
+    // anyway, which alone protects it here)
+    val retainedSet = retained.toSet
+    (if (fs.exists(rootPath)) fs.listStatus(rootPath).toSeq else Seq.empty)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .foreach { s =>
+        val v = s.getPath.getName.stripPrefix("v=").toLong
+        val hasClaim = fs.exists(new org.apache.hadoop.fs.Path(root, s"_claims/v-$v"))
+        if (!retainedSet.contains(v) && !hasClaim &&
+          !fs.exists(new org.apache.hadoop.fs.Path(root, s"_commits/v-$v")) &&
+          now - s.getModificationTime > claimGraceMs)
+          fs.delete(s.getPath, true)
+      }
+    // stale staging dirs: the claim that owned them is gone (writer
+    // aborted/swept) or carries a different writer — never sweep a
+    // live claimant's in-flight stage
+    val stagingRoot = new org.apache.hadoop.fs.Path(root, "_staging")
+    if (fs.exists(stagingRoot)) {
+      val StagingName = """v-(\d+)-(.+)""".r
+      fs.listStatus(stagingRoot).toSeq.foreach { s =>
+        s.getPath.getName match {
+          case StagingName(v, uuid)
+            if now - s.getModificationTime > claimGraceMs &&
+              !readMarker(fs,
+                new org.apache.hadoop.fs.Path(root, s"_claims/v-$v"))
+                .contains(uuid) =>
+            fs.delete(s.getPath, true)
+          case _ => ()
+        }
+      }
     }
     doomed
   }

@@ -572,6 +572,82 @@ object PdfTextExtractor {
     sb.toString
   }
 
+  /** Regex class for one PDF name character: anything but whitespace
+    * and the ISO 32000 delimiters `( ) < > [ ] { } / %` — names may
+    * carry hyphens, dots, and `#xx` escapes that `\w` rejects.
+    */
+  private val NameCharset = """[^\s/\[\]()<>{}%]"""
+
+  /** Decode `#xx` escapes in a PDF name token (ISO 32000 7.3.5). */
+  private[sources] def decodeName(raw: String): String =
+    "#([0-9A-Fa-f]{2})".r.replaceAllIn(raw, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        Integer.parseInt(m.group(1), 16).toChar.toString))
+
+  /** The balanced `<< … >>` dictionary VALUE of top-level key `/name`
+    * (compared after `#xx` decode) inside `dict` — the /CF crypt-filter
+    * map lookup. Non-dictionary values and nested occurrences of the
+    * key are ignored; strings are skipped atomically like
+    * [[topLevelEntries]]. None when absent.
+    */
+  private[sources] def nestedDictOf(dict: String, name: String): Option[String] = {
+    def skipString(from: Int): Int =
+      if (dict.charAt(from) == '(') {
+        var j = from + 1
+        var d = 1
+        while (j < dict.length && d > 0) {
+          val ch = dict.charAt(j)
+          if (ch == '\\') j += 2
+          else { if (ch == '(') d += 1 else if (ch == ')') d -= 1; j += 1 }
+        }
+        j
+      } else { // hex string
+        val j = dict.indexOf('>', from)
+        if (j < 0) dict.length else j + 1
+      }
+    // index just past the `>>` matching the `<<` at `from`
+    def balancedEnd(from: Int): Int = {
+      var j = from
+      var depth = 0
+      while (j < dict.length) {
+        val c = dict.charAt(j)
+        if (c == '<' && j + 1 < dict.length && dict.charAt(j + 1) == '<') {
+          depth += 1; j += 2
+        } else if (c == '>' && j + 1 < dict.length && dict.charAt(j + 1) == '>') {
+          depth -= 1; j += 2
+          if (depth == 0) return j
+        } else if (c == '<' || c == '(') j = skipString(j)
+        else j += 1
+      }
+      dict.length
+    }
+    var i = dict.indexOf("<<")
+    if (i < 0) return None
+    i += 2
+    while (i < dict.length) {
+      val c = dict.charAt(i)
+      if (c == '>' && i + 1 < dict.length && dict.charAt(i + 1) == '>') return None
+      else if (c == '/') {
+        def isNameChar(ch: Char): Boolean =
+          !ch.isWhitespace && "()<>[]{}/%".indexOf(ch) < 0
+        var j = i + 1
+        while (j < dict.length && isNameChar(dict.charAt(j))) j += 1
+        val key = decodeName(dict.substring(i + 1, j))
+        var k = j
+        while (k < dict.length && dict.charAt(k).isWhitespace) k += 1
+        if (k + 1 < dict.length && dict.charAt(k) == '<' && dict.charAt(k + 1) == '<') {
+          val e = balancedEnd(k)
+          if (key == name) return Some(dict.substring(k, e))
+          i = e
+        } else i = j
+      } else if (c == '<' && i + 1 < dict.length && dict.charAt(i + 1) == '<')
+        i = balancedEnd(i)
+      else if (c == '<' || c == '(') i = skipString(i)
+      else i += 1
+    }
+    None
+  }
+
   /** Detect and parse the standard security handler from the trailer's
     * /Encrypt reference. None for unencrypted files, unsupported
     * versions, or non-Standard filters.
@@ -605,10 +681,28 @@ object PdfTextExtractor {
         // encrypt only its streams and leave strings plaintext (or the
         // reverse); "decrypting" plaintext turns AES strings into empty
         // <> and RC4 into garbage, a regression vs leaving them alone.
+        // A NAMED filter resolves through the /CF dictionary to its
+        // /CFM: /None means "no decryption" just like Identity (ADVICE
+        // r11 — treating any non-Identity name as encrypted garbled
+        // /CFM /None files), and name tokens use the full PDF-name
+        // charset with #xx escapes, not \w. A name absent from /CF is
+        // treated as encrypted — the conservative reading of a file
+        // that violates the spec's "shall be present" either way.
         // /V <= 3 has no crypt filters: both are always encrypted.
         def filterActive(key: String): Boolean =
-          v <= 3 || (s"/$key\\s*/(\\w+)").r.findFirstMatchIn(top)
-            .map(_.group(1)).exists(_ != "Identity")
+          v <= 3 || {
+            (s"/$key\\s*/($NameCharset+)").r.findFirstMatchIn(top)
+              .map(m => decodeName(m.group(1))) match {
+              case None => false
+              case Some("Identity") => false
+              case Some(fname) =>
+                val cfm = nestedDictOf(d, "CF")
+                  .flatMap(cf => nestedDictOf(cf, fname))
+                  .flatMap(f => (s"/CFM\\s*/($NameCharset+)").r
+                    .findFirstMatchIn(f).map(m => decodeName(m.group(1))))
+                !cfm.exists(m => m == "None" || m == "Identity")
+            }
+          }
         if (v == 5) {
           // AES-256: unwrap the file key from /U + /UE (Algorithm 2.A,
           // empty user password; /R 6 hardened hash or /R 5 SHA-256)

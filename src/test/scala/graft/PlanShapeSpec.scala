@@ -196,12 +196,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"fingerprint df-cut must map-side combine:\n$winnow")
     assert(!winnow.contains("windowspecdefinition(fp"),
       s"per-fingerprint window count is the straggler shape:\n$winnow")
-    // the clip's winner election runs behind a localCheckpoint (it is
-    // consumed twice), so its aggregates are invisible in the final
-    // plan — assert the straggler shape stays absent and the clip join
-    // stays on hash-join machinery
+    // the clip's winner election deliberately does NOT checkpoint (its
+    // two consumers share the exchange via ReusedExchange — the eager-
+    // checkpoint variant measured 5x slower), so its partial-aggregated
+    // count IS visible in the final plan and assertable, same as the
+    // find half above
     val clip = executed(graft.dedup.Spans.clipSpans(
       Tables.documents(spark, dir), col("doc_id"), col("text"), minTokens = 8))
+    assert(clip.contains("partial_count"),
+      s"winner election must map-side combine:\n$clip")
     assert(!clip.contains("windowspecdefinition(gram"),
       s"per-gram window in the clip path:\n$clip")
     assert(!clip.contains("CartesianProduct"),

@@ -129,6 +129,26 @@ class SpansSpec extends AnyFunSuite with SparkSpec {
     assert(got.drop(1) == Seq((2L, "s1 s2 s3 a", 0L), (3L, "b", 3L)))
   }
 
+  test("a doc whose loser intervals are FULLY winner-protected passes through verbatim") {
+    // ADVICE r11: doc 2's only loser seed ("x y", first seen in doc 1)
+    // sits entirely under winner intervals of grams whose first
+    // occurrence IS doc 2 (doc 3 duplicates it) — nothing is actually
+    // removed, so doc 2 must keep its ORIGINAL double-space whitespace,
+    // not a space-rejoined copy keyed on interval presence
+    val messy = "p q  x y r s"
+    val df = docs((1L, "x y"), (2L, messy), (3L, "p q x y r s"))
+    Seq(false, true).foreach { hash =>
+      val got = Spans.clipSpans(df, col("doc_id"), col("text"),
+          minTokens = 2, hashGrams = hash)
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      assert(got.head == ((1L, "x y", 0L)), s"hash=$hash: ${got.head}")
+      assert(got(1) == ((2L, messy, 0L)),
+        s"hash=$hash: fully-protected doc must keep original whitespace: ${got(1)}")
+      assert(got(2)._3 > 0L, s"hash=$hash: doc 3 must actually clip: ${got(2)}")
+    }
+  }
+
   test("clipAgainst removes benchmark-covered runs, keeps everything else verbatim") {
     val messy = "clean  doc\twith odd   spacing "
     val bench = docs((100L, "eval q1 q2 q3 answer"))

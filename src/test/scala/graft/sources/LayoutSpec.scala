@@ -282,7 +282,7 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
           Layout.pruneVersions(spark, root, keepLast = 1, claimGraceMs = 0L)
         })
     }
-    assert(slow.getMessage.contains("lost before commit"), slow.getMessage)
+    assert(slow.getMessage.contains("lost before publish"), slow.getMessage)
     // the swept version never became visible; the fast snapshot serves
     assert(Layout.committedVersions(spark, root) == Seq(3L))
     assert(Layout.readVersion(spark, root).collect()
@@ -327,5 +327,54 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     assert(Layout.readVersion(spark, root).collect()
       .map(_.getString(1)).toSeq == Seq("v4"))
     intercept[IllegalArgumentException] { Layout.readVersion(spark, root, 1L) }
+  }
+
+  test("pruneVersions reclaims orphaned data dirs (no claim, no marker) — age-gated") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-versions-orphan").toString
+    Layout.writeVersioned(Seq((1L, "v1")).toDF("k", "p"), root)
+    // the ADVICE r11 residue: sweep revoked a claim, skipped the data
+    // delete because a marker appeared, and the writer then RETRACTED
+    // that marker — v=2 holds data with neither claim nor marker
+    val orphan = java.nio.file.Paths.get(root, "v=2")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("part-x.parquet"), Array[Byte](9, 9))
+    // a RECENT orphan survives (could be a rename whose marker is a
+    // moment away on a store where the claim read raced)
+    Layout.pruneVersions(spark, root, keepLast = 1)
+    assert(Files.exists(orphan), "recent orphan must survive the age gate")
+    Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 48L * 3600 * 1000))
+    Layout.pruneVersions(spark, root, keepLast = 1)
+    assert(!Files.exists(orphan), "aged orphan data dir must be reclaimed")
+    // committed snapshots are never touched by the orphan sweep
+    assert(Layout.readVersion(spark, root).collect()
+      .map(_.getString(1)).toSeq == Seq("v1"))
+  }
+
+  test("pruneVersions sweeps aged staging dirs of dead writers, never a live claimant's") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-versions-staging").toString
+    Layout.writeVersioned(Seq((1L, "v1")).toDF("k", "p"), root)
+    val staging = java.nio.file.Paths.get(root, "_staging")
+    Files.createDirectories(staging)
+    val old = System.currentTimeMillis() - 48L * 3600 * 1000
+    // dead writer: stage exists, claim long gone
+    val dead = staging.resolve("v-7-dead-writer-uuid")
+    Files.createDirectories(dead)
+    Files.setLastModifiedTime(dead,
+      java.nio.file.attribute.FileTime.fromMillis(old))
+    // live slow writer: stage is old but its claim still names it
+    val live = staging.resolve("v-8-live-writer-uuid")
+    Files.createDirectories(live)
+    Files.setLastModifiedTime(live,
+      java.nio.file.attribute.FileTime.fromMillis(old))
+    val claims = java.nio.file.Paths.get(root, "_claims")
+    Files.createDirectories(claims)
+    Files.write(claims.resolve("v-8"), "live-writer-uuid".getBytes("UTF-8"))
+    Layout.pruneVersions(spark, root, keepLast = 1)
+    assert(!Files.exists(dead), "claimless aged staging dir must be swept")
+    assert(Files.exists(live), "a live claimant's stage must never be swept")
   }
 }

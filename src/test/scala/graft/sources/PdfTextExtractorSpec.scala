@@ -254,6 +254,66 @@ class PdfTextExtractorSpec extends AnyFunSuite with SparkSpec {
     PdfTextExtractor.extract(v5bad) // must not throw
   }
 
+  test("named crypt filters resolve through /CF: /CFM /None strings stay plaintext; #xx names parse") {
+    // ADVICE r11: /StrF naming a filter whose /CFM is /None was wrongly
+    // "decrypted" into garbage, and names outside \w (hyphens, #xx
+    // escapes) silently fell back to Identity. Streams ride an AESV2
+    // /StdCF; strings ride /My#2DFil#74er (= "My-Filter") with /CFM
+    // /None — content must decrypt, the plaintext /Info must survive.
+    val oVal = Array.tabulate(32)(i => ((i * 7 + 3) & 0xFF).toByte)
+    val id0 = Array.tabulate(16)(i => ((i * 13 + 1) & 0xFF).toByte)
+    val perm = -44
+    val fileKey = PdfTextExtractor.PdfCrypt.fileKey(oVal, perm, id0, 16, 4)
+    def aesEnc(key: Array[Byte], plain: Array[Byte]): Array[Byte] = {
+      val iv = Array.tabulate(16)(i => ((i * 31 + 5) & 0xFF).toByte)
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(key, "AES"),
+        new javax.crypto.spec.IvParameterSpec(iv))
+      iv ++ c.doFinal(plain)
+    }
+    val c5 = aesEnc(PdfTextExtractor.PdfCrypt.objKey(fileKey, 5, 0, aes = true),
+      page1.getBytes(StandardCharsets.ISO_8859_1))
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    def hex(b: Array[Byte]): String = b.map("%02X".format(_)).mkString
+    w("%PDF-1.6\n")
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    w("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    w("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>\nendobj\n")
+    w(s"5 0 obj\n<< /Length ${c5.length} >>\nstream\n")
+    out.write(c5); w("\nendstream\nendobj\n")
+    w(s"7 0 obj\n<< /Filter /Standard /V 4 /R 4 /Length 128 " +
+      "/CF << /StdCF << /CFM /AESV2 /Length 16 >> " +
+      "/My#2DFil#74er << /CFM /None >> >> " +
+      s"/StmF /StdCF /StrF /My#2DFil#74er /P $perm " +
+      s"/O <${hex(oVal)}> /U <${hex(oVal)}> >>\nendobj\n")
+    w("8 0 obj\n<< /Title (Plain Title Kept) >>\nendobj\n")
+    w(s"trailer\n<< /Root 1 0 R /Encrypt 7 0 R /Info 8 0 R " +
+      s"/ID [<${hex(id0)}> <${hex(id0)}>] >>\n%%EOF\n")
+    val pdf = out.toByteArray
+    assert(PdfTextExtractor.extract(pdf) == wantPage1,
+      "streams must still decrypt through the named /StdCF")
+    assert(PdfTextExtractor.info(pdf)("title") == "Plain Title Kept",
+      "/CFM /None strings must not be 'decrypted'")
+  }
+
+  test("nestedDictOf and decodeName: balanced lookup, escapes, strings skipped atomically") {
+    assert(PdfTextExtractor.decodeName("My#2DFil#74er") == "My-Filter")
+    assert(PdfTextExtractor.decodeName("Identity") == "Identity")
+    val d = "<< /A (tricky >> paren) /CF << /X << /CFM /None >> " +
+      "/Hex#41 << /CFM /V2 >> >> /B << /CFM /Nested >> >>"
+    val cf = PdfTextExtractor.nestedDictOf(d, "CF")
+    assert(cf.exists(_.contains("/None")), s"$cf")
+    assert(PdfTextExtractor.nestedDictOf(cf.get, "HexA")
+      .exists(_.contains("/V2")))
+    assert(PdfTextExtractor.nestedDictOf(cf.get, "Missing").isEmpty)
+    // a key whose value is not a dict, and nested keys, never match
+    assert(PdfTextExtractor.nestedDictOf(d, "A").isEmpty)
+    assert(PdfTextExtractor.nestedDictOf(d, "X").isEmpty,
+      "nested occurrences must not match at the outer level")
+  }
+
   test("AES-256 (/V 5 /R 6) encrypted PDFs extract, with /Info metadata") {
     import PdfTextExtractor.PdfCrypt
     // Forward-encrypt with the spec's own ISO 32000-2 algorithms for
