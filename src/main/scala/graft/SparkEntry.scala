@@ -2706,6 +2706,51 @@ object SparkEntry {
         "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)",
         Seq(0.5, 0.9, 0.99)))),
 
+    // CHECKPOINT KILL-AND-RESUME (r12): the complete-mode grouped
+    // sketch STOPPED after two of its three micro-batches and resumed
+    // by a NEW query on the same checkpointLocation — the
+    // crash-recovery path a weeks-long ingest actually runs, until now
+    // a scaladoc claim with no gate. The state store must restore the
+    // (group, bucket) histogram exactly, so the resumed run sits under
+    // the IDENTICAL batch oracle as the uninterrupted route above.
+    Q("streaming_resume_quantiles",
+      (s, dir) => withStreamShuffle(s) {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val rows = Tables.lineitem(s, dir)
+          .where(pmod(col("l_orderkey"), lit(4)) === 0)
+          .select(col("l_returnflag"),
+            floor(col("l_extendedprice") * 100d + 0.5d)
+              .cast("long").as("cents"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        val ms = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(String, Long)]
+        val buckets = graft.operators.Sketches.bucketCountsBy(
+          ms.toDS().toDF("l_returnflag", "cents"), "l_returnflag",
+          col("cents"))
+        val ckpt = graft.TempDirs.create("resume-quant").toString
+        val chunks = rows.grouped(rows.length / 3 + 1).toSeq
+        val q1 = buckets.writeStream.format("memory")
+          .queryName("graft_resume_quantiles_pre").outputMode("complete")
+          .option("checkpointLocation", ckpt).start()
+        try {
+          chunks.take(2).foreach { c => ms.addData(c); q1.processAllAvailable() }
+        } finally q1.stop()
+        val qName = "graft_streaming_resume_quantiles"
+        val q2 = buckets.writeStream.format("memory").queryName(qName)
+          .outputMode("complete").option("checkpointLocation", ckpt).start()
+        try {
+          chunks.drop(2).foreach { c => ms.addData(c); q2.processAllAvailable() }
+        } finally q2.stop()
+        graft.operators.Sketches.quantilesFromBucketsBy(
+          s.table(qName), "l_returnflag", Seq(0.5, 0.9, 0.99))
+      },
+      Some(graft.operators.Sketches.logQuantilesBySql(
+        "(SELECT * FROM lineitem WHERE l_orderkey % 4 = 0) l4",
+        "l_returnflag", "l_returnflag",
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)",
+        Seq(0.5, 0.9, 0.99)))),
+
     // APPEND-MODE grouped quantiles (17th streaming route): the same
     // grouped sketch under a WATERMARKED WINDOW — complete mode
     // re-emits every group's state each trigger, append mode emits
@@ -3250,6 +3295,43 @@ object SparkEntry {
           ms.addData(base); q.processAllAvailable()
           ms.addData(upd); q.processAllAvailable()
         } finally q.stop()
+        s.table(qName).orderBy("doc_id")
+      },
+      Some(graft.operators.Upsert.latestByKeySql(
+        "SELECT doc_id, CAST(1 AS BIGINT) AS version, lang, text FROM documents",
+        """SELECT doc_id, CAST(2 AS BIGINT) AS version, lang,
+          | 'v2 ' || text AS text FROM documents WHERE doc_id % 7 = 0""".stripMargin,
+        "doc_id", "version", Seq("lang", "text")) + " ORDER BY doc_id")),
+
+    // The latest-wins compaction KILLED between the base load and the
+    // update wave, resumed from its checkpoint by a new query (r12
+    // kill-and-resume family): the per-key (version, payload) state
+    // must restore so the update wave lands on the recovered base —
+    // identical oracle as the uninterrupted streaming_upsert_latest.
+    Q("streaming_resume_upsert",
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("text")).collect()
+        val base = docs.map(r =>
+          (r.getLong(0), 1L, r.getString(1), r.getString(2))).toSeq
+        val upd = docs.filter(_.getLong(0) % 7 == 0).map(r =>
+          (r.getLong(0), 2L, r.getString(1), "v2 " + r.getString(2))).toSeq
+        val ms = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Long, String, String)]
+        val out = graft.streaming.StreamingUpsert.latestByKey(
+          ms.toDS().toDF("doc_id", "version", "lang", "text"),
+          "doc_id", "version", Seq("lang", "text"))
+        val ckpt = graft.TempDirs.create("resume-upsert").toString
+        val q1 = out.writeStream.format("memory")
+          .queryName("graft_resume_upsert_pre").outputMode("complete")
+          .option("checkpointLocation", ckpt).start()
+        try { ms.addData(base); q1.processAllAvailable() } finally q1.stop()
+        val qName = "graft_streaming_resume_upsert"
+        val q2 = out.writeStream.format("memory").queryName(qName)
+          .outputMode("complete").option("checkpointLocation", ckpt).start()
+        try { ms.addData(upd); q2.processAllAvailable() } finally q2.stop()
         s.table(qName).orderBy("doc_id")
       },
       Some(graft.operators.Upsert.latestByKeySql(
@@ -4690,6 +4772,53 @@ object SparkEntry {
         // file per cluster dir per batch otherwise grows unbounded);
         // the served probe below reads the COMPACTED layout, so the
         // compaction path sits under this hash gate
+        graft.sources.Layout.compactPartitioned(s, s"$tmp/layout",
+          s"$tmp/layout_c", Seq("cluster_id"))
+        val maintained = Ann.IvfIndex(
+          s.read.parquet(s"$tmp/layout_c"), idx0.centroids)
+        Ann.ivfKnnJoin(emb.where(col("vec_id") < 20)
+            .select(col("vec_id").as("id"), col("embedding")),
+          maintained, k = 3, nprobe = 8)
+          .orderBy("left_id", "rank")
+      },
+      Some(s"""SELECT left_id, right_id, score, CAST(rn AS INTEGER) AS rank FROM (
+              | SELECT l.vec_id AS left_id, r.vec_id AS right_id,
+              |  ${Sql.l2("l.embedding", "r.embedding")} AS score,
+              |  row_number() OVER (PARTITION BY l.vec_id
+              |    ORDER BY ${Sql.l2("l.embedding", "r.embedding")}, r.vec_id) AS rn
+              | FROM (SELECT * FROM embeddings WHERE vec_id < 20) l, embeddings r)
+              |WHERE rn <= 3 ORDER BY left_id, rank""".stripMargin)),
+
+    // The maintained IVF layout's ingest KILLED between its two
+    // waves and resumed from the checkpoint by a new assignAndWrite
+    // query on the SAME output dir (r12 kill-and-resume family): the
+    // parquet sink's _spark_metadata log must hand the restarted query
+    // exactly-once semantics — each row appended once, none lost —
+    // or the served full-probe answer diverges from brute force.
+    // Identical oracle as the uninterrupted streaming_ivf_maintained.
+    Q("streaming_resume_ivf_maintained",
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val emb = Tables.embeddings(s, dir)
+        val idx0 = Ann.buildIvf(emb.where(col("vec_id") < 250), nlist = 8)
+        def rowsOf(pred: Column) = emb.where(pred)
+          .select(col("vec_id"), col("embedding"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+        val tmp = graft.TempDirs.create("resume-sivf").toString
+        val ms = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Seq[Float])]
+        def start() = graft.streaming.StreamingIvf.assignAndWrite(
+          ms.toDS().toDF("vec_id", "embedding"), idx0.centroids,
+          s"$tmp/layout", s"$tmp/ckpt")
+        val q1 = start()
+        try {
+          ms.addData(rowsOf(col("vec_id") < 250)); q1.processAllAvailable()
+        } finally q1.stop()
+        val q2 = start()
+        try {
+          ms.addData(rowsOf(col("vec_id") >= 250)); q2.processAllAvailable()
+        } finally q2.stop()
         graft.sources.Layout.compactPartitioned(s, s"$tmp/layout",
           s"$tmp/layout_c", Seq("cluster_id"))
         val maintained = Ann.IvfIndex(

@@ -89,7 +89,8 @@ object StreamingDecontam {
     */
   def clipStream(stream: DataFrame, idCol: Column, textCol: Column,
                  bench: DataFrame, benchTextCol: Column,
-                 filter: BloomFilter, minTokens: Int)
+                 filter: BloomFilter, minTokens: Int,
+                 checkpointDir: Option[String] = None)
                 (write: DataFrame => Unit):
       org.apache.spark.sql.streaming.StreamingQuery = {
     // the benchmark gram table is immutable for the life of the query
@@ -97,10 +98,17 @@ object StreamingDecontam {
     // the bench corpus inside every micro-batch
     val benchGrams = graft.dedup.Spans
       .benchGramsOf(bench, benchTextCol, minTokens).localCheckpoint()
-    stream
+    val writer = stream
       .select(idCol.cast("long").as("doc_id"),
         textCol.cast("string").as("text"))
-      .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      .writeStream
+    // a pinned checkpoint is the resume contract: a restarted query
+    // continues from the committed offset, and an uncommitted last
+    // batch replays — deterministic rows, so an idempotent sink
+    // (upsert on doc_id) makes the route exactly-once
+    // (StreamingResumeSpec proves both halves)
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    writer.foreachBatch { (batch: DataFrame, _: Long) =>
         val screened = batch.withColumn("__flagged",
           exists(array_distinct(
             graft.dedup.Dedup.shingles(col("text"), minTokens)),
