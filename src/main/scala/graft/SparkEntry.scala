@@ -47,6 +47,40 @@ object SparkEntry {
     try body finally s.conf.set(key, prev)
   }
 
+  /** Oracle for `pipeline_training_data_v2`: the composed quality →
+    * decontam-clip → self-clip → fingerprint-dedup → split pipeline,
+    * with the clip stages embedded as nested-WITH CTEs built by the
+    * same Spans SQL builders the standalone clip gates use.
+    */
+  private lazy val pipelineTrainingV2Sql: String = {
+    val kept =
+      s"""SELECT doc_id, text FROM documents
+         |WHERE doc_id >= 10 AND ${TextAnalysis.qualityScoreSql("text")} >= 0.5
+         |  AND ${TextAnalysis.nTokensWsSql("text")} BETWEEN 5 AND 2000""".stripMargin
+    val c1 = graft.dedup.Spans.clipAgainstSql(
+      s"($kept) qk", "doc_id", "text", "TRUE",
+      "documents", "text", "doc_id < 10", minTokens = 8)
+    val c2 = graft.dedup.Spans.clipSpansSql(
+      "(SELECT doc_id, clean_text AS text FROM c1) c1t",
+      "doc_id", "text", minTokens = 8)
+    val fpExpr = TextAnalysis.fingerprintSql(TextAnalysis.scrubSql("ctext"))
+    s"""WITH c1 AS ($c1),
+       |c2 AS ($c2),
+       |fp AS (
+       |  SELECT c1.doc_id, c1.n_removed AS n_removed_bench,
+       |    cc.n_removed AS n_removed_self,
+       |    $fpExpr AS f
+       |  FROM c1 JOIN (SELECT doc_id AS cdoc, clean_text AS ctext, n_removed
+       |                FROM c2) cc
+       |    ON c1.doc_id = cc.cdoc)
+       |SELECT k.doc_id, ${Splits.assignByHashSql("k.doc_id")} AS split,
+       |  k.n_removed_bench, k.n_removed_self
+       |FROM fp k
+       |JOIN (SELECT f, min(doc_id) AS kdoc FROM fp GROUP BY 1) g
+       |  ON k.f = g.f AND k.doc_id = g.kdoc
+       |ORDER BY k.doc_id""".stripMargin
+  }
+
   /** Oracle for the `serving_restart` composed gate: the three serve
     * answers (brute-force KNN, BM25 join, MaxSim) over the raw tables,
     * union-aligned on (route, qid, id, score, rank).
@@ -5227,6 +5261,50 @@ object SparkEntry {
               |JOIN (SELECT fp, min(doc_id) AS doc_id FROM kept GROUP BY 1) g
               |  ON k.fp = g.fp AND k.doc_id = g.doc_id
               |ORDER BY k.doc_id""".stripMargin)),
+
+    // The r11 clip family made LOAD-BEARING end-to-end (r12): quality
+    // screen → benchmark-decontamination clip → corpus self-dedup clip
+    // (both hashed 100 TB tiers) → exact fingerprint dedup on the
+    // CLIPPED text → deterministic hash split, one composed plan under
+    // one composed oracle. This is the pipeline shape Lee et al.-style
+    // span dedup actually ships in: the clips run BETWEEN the cheap
+    // screens and the doc-level dedup, so fingerprints are computed on
+    // decontaminated text. c1 is localCheckpointed: three downstream
+    // consumers (self-clip seeds, clip tail, the n_removed join) would
+    // otherwise re-run the whole benchmark gram join; at corpus scale
+    // the equivalent is materializing the stage to parquet.
+    Q("pipeline_training_data_v2",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val d = TextAnalysis.docStats(col("text"))
+        val kept = docs.where(col("doc_id") >= 10)
+          .select(col("doc_id"), col("text"),
+            TextAnalysis.qualityScoreF(d, length(col("text"))).as("quality"),
+            TextAnalysis.nTokensWsF(d).as("ntok"))
+          .where(col("quality") >= 0.5 && col("ntok").between(5, 2000))
+        val c1 = graft.dedup.Spans.clipAgainst(
+            kept, col("doc_id"), col("text"),
+            docs.where(col("doc_id") < 10), col("text"),
+            minTokens = 8, hashGrams = true)
+          .localCheckpoint()
+        val c2 = graft.dedup.Spans.clipSpans(
+          c1.select(col("doc_id"), col("clean_text")),
+          col("doc_id"), col("clean_text"), minTokens = 8, hashGrams = true)
+        val merged = c1
+          .select(col("doc_id"), col("n_removed").as("n_removed_bench"))
+          .join(c2.select(col("doc_id"), col("clean_text"),
+            col("n_removed").as("n_removed_self")), "doc_id")
+        val fp = merged.withColumn("fp",
+          TextAnalysis.fingerprint(TextAnalysis.scrub(col("clean_text"))))
+        val keepers = fp.groupBy("fp").agg(min("doc_id").as("doc_id"))
+        Splits.assignByHash(
+            fp.join(keepers, Seq("fp", "doc_id"), "left_semi"),
+            col("doc_id"))
+          .select(col("doc_id"), col("split"),
+            col("n_removed_bench"), col("n_removed_self"))
+          .orderBy("doc_id")
+      },
+      Some(pipelineTrainingV2Sql)),
 
     // Token-budget sequence packing for a pre-training loader:
     // documents shuffled deterministically (sha256 mix key), laid out
