@@ -2507,6 +2507,50 @@ object SparkEntry {
         "documents", "text", "doc_id < 10", minTokens = 8) +
         " ORDER BY doc_id")),
 
+    // Streaming SELF-dedup clip (23rd route, r12): keep-first span
+    // removal WITHIN the arriving stream — each batch clips against
+    // the maintained (xxhash64, gram) registry of everything already
+    // emitted plus a within-batch winner election. Semantics are
+    // prefix-causal (losers identical to batch clipSpans; winner
+    // protection limited to intra-doc duplication — a stream cannot
+    // protect on duplicates it has not seen), which is deterministic
+    // and batch-boundary-independent, so the whole doc_id-ordered
+    // stream sits under the exact full-corpus clipSpansPrefixSql
+    // oracle. Registry appends are batch-id fenced for replay safety
+    // (StreamingSelfDedupSpec replays a batch whose append landed).
+    Q("streaming_clip_self",
+      (s, dir) => withStreamShuffle(s) {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val rows = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+          .sortBy(_._1).toSeq
+        val ms = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val tmp = graft.TempDirs.create("selfclip-gate").toString
+        val out = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+        val q = graft.streaming.StreamingSelfDedup.clipStream(
+          ms.toDS().toDF("doc_id", "text"), col("doc_id"), col("text"),
+          minTokens = 8, s"$tmp/registry") { batchOut =>
+          out.synchronized {
+            out ++= batchOut.collect()
+              .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+          }
+        }
+        try {
+          rows.grouped(rows.length / 3 + 1).foreach { chunk =>
+            ms.addData(chunk)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        out.toSeq.toDF("doc_id", "clean_text", "n_removed")
+          .orderBy("doc_id")
+      },
+      Some(graft.dedup.Spans.clipSpansPrefixSql(
+        "documents", "doc_id", "text", minTokens = 8) +
+        " ORDER BY doc_id")),
+
     // Paragraph-level corpus dedup (CCNet-style): corpus-wide repeated
     // paragraphs dropped, first occurrence kept, documents reassembled
     // in paragraph order. Fixture plants a universal header, per-block

@@ -190,6 +190,106 @@ object Spans {
     applyIntervals(toks, lossIv, Some(winIv))
   }
 
+  /** Prefix-causal batch step of the STREAMING self-dedup clip
+    * ([[graft.streaming.StreamingSelfDedup]]): clip one arriving
+    * micro-batch (doc_id-ordered feed) against the gram REGISTRY of
+    * everything already streamed, elect winners among registry-fresh
+    * grams within the batch, and return (clipped batch, new registry
+    * rows). Semantics — the boundary-independent streaming form of
+    * [[clipSpans]]:
+    *   - losers: every occurrence that is not its gram's stream-order
+    *     first — IDENTICAL to the batch operator's loser set;
+    *   - winner protection: only winners whose second occurrence lies
+    *     in the SAME document (intra-doc duplication). Batch
+    *     [[clipSpans]] also protects winners whose duplicate arrives
+    *     in a LATER document — a stream cannot know the future, so its
+    *     protection is limited to what is causally visible at emission
+    *     time. This is the one documented divergence, and it is
+    *     deterministic and batch-boundary-INDEPENDENT (docs arrive
+    *     whole, so intra-doc evidence is always complete when a doc is
+    *     emitted) — which is what lets the whole route sit under the
+    *     exact full-corpus [[clipSpansPrefixSql]] oracle.
+    * Registry rows are (h = xxhash64(gram), gram); the probe matches
+    * on the 8-byte hash and string-verifies in-row, so a collision can
+    * never clip. At 100 TB the registry lives hash-bucketed so the
+    * per-batch probe shuffles only batch seeds; a replayed batch may
+    * re-append registry rows — duplicates are harmless to output
+    * (interval union is idempotent) and fold away on compaction.
+    */
+  def clipSpansPrefixStep(df: DataFrame, idCol: Column, textCol: Column,
+                          registry: DataFrame, minTokens: Int):
+      (DataFrame, DataFrame) = {
+    require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
+    val n = minTokens
+    val toks = df.select(idCol.cast("long").as("doc_id"),
+      textCol.cast("string").as("orig"),
+      split(trim(textCol), "\\s+").as("t"))
+    // batch-sized and consumed by four branches (registry probe, fresh
+    // election, losers, new-gram append) — pin it once
+    val seeds = seedsOf(toks, n, hashGrams = false)
+      .withColumn("h", xxhash64(col("gram"))).localCheckpoint()
+    val regHits = seeds
+      .join(registry.select(col("h"), col("gram").as("rgram")), "h")
+      .where(col("gram") === col("rgram"))
+      .select("doc_id", "pos")
+    val fresh = seeds.join(registry, Seq("h", "gram"), "left_anti")
+    val winners = fresh.groupBy("gram")
+      .agg(count(lit(1)).as("occ"),
+        min(struct(col("doc_id"), col("pos"))).as("w"))
+      .where(col("occ") >= 2)
+      .select(col("gram"), col("w.doc_id").as("wdoc"), col("w.pos").as("wpos"))
+    val nonFirst = fresh.join(winners, "gram")
+      .where(!(col("doc_id") === col("wdoc") && col("pos") === col("wpos")))
+    val losers = nonFirst.select("doc_id", "pos")
+    // causally-visible protection: the winner's second occurrence sits
+    // in the winner's own document
+    val protWin = winners.join(
+        nonFirst.groupBy("gram")
+          .agg(min(struct(col("doc_id"), col("pos"))).as("s")), "gram")
+      .where(col("s.doc_id") === col("wdoc"))
+      .select(col("wdoc").as("doc_id"), col("wpos").as("pos"))
+    val lossIv = intervalsOf(regHits.unionByName(losers), n)
+    val winIv = intervalsOf(protWin, n).withColumnRenamed("iv", "wiv")
+    (applyIntervals(toks, lossIv, Some(winIv)),
+      fresh.select("h", "gram").distinct())
+  }
+
+  /** DuckDB twin of the [[clipSpansPrefixStep]] STREAM over a full
+    * corpus fed in doc_id order: identical to [[clipSpansSql]] except
+    * the protected-winner set, which is restricted to winners whose
+    * rn=2 occurrence lies in the winner's own document.
+    */
+  def clipSpansPrefixSql(table: String, idExpr: String, textExpr: String,
+                         minTokens: Int): String = {
+    val n = minTokens
+    s"""WITH toks AS (
+       |  SELECT CAST($idExpr AS BIGINT) AS doc_id, $textExpr AS orig,
+       |    string_split_regex(trim($textExpr), '\\s+') AS t FROM $table),
+       |seeds AS (
+       |  SELECT doc_id, i AS pos,
+       |    array_to_string(list_slice(t, i, i + ${n - 1}), ' ') AS gram
+       |  FROM (SELECT doc_id, t,
+       |          unnest(range(1, greatest(len(t) - ${n - 1}, 0) + 1)) AS i
+       |        FROM toks)),
+       |ranked AS (
+       |  SELECT gram, doc_id, pos,
+       |    count(*) OVER (PARTITION BY gram) AS occ,
+       |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+       |  FROM seeds),
+       |win AS (
+       |  SELECT gram, doc_id AS wdoc, pos AS wpos FROM ranked
+       |  WHERE occ >= 2 AND rn = 1),
+       |sec AS (SELECT gram, doc_id AS sdoc FROM ranked WHERE rn = 2),
+       |losers AS (
+       |  SELECT s.doc_id, s.pos FROM seeds s JOIN win w ON s.gram = w.gram
+       |  WHERE NOT (s.doc_id = w.wdoc AND s.pos = w.wpos)),
+       |iv AS (${islandFoldSql("SELECT doc_id, pos FROM losers", n)}),
+       |wiv AS (${islandFoldSql(
+      "SELECT w.wdoc AS doc_id, w.wpos AS pos FROM win w " +
+        "JOIN sec s ON w.gram = s.gram WHERE s.sdoc = w.wdoc", n)}),
+       |${clipTailSql(protect = true)}""".stripMargin
+  }
+
   /** Shared clip tail of the apply-half operators: excise `lossIv`
     * positions (except those covered by the optional `protectIv`),
     * re-join the survivors, and pass documents with nothing to remove

@@ -1,0 +1,128 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.dedup.Spans
+
+/** Streaming self-dedup clip: prefix-causal keep-first semantics —
+  * batch-boundary independence, agreement with batch clipSpans where
+  * protection is causally visible, the DOCUMENTED divergence where it
+  * is not, and replay fencing on the gram registry.
+  */
+class StreamingSelfDedupSpec extends AnyFunSuite with SparkSpec {
+
+  private def runStream(rows: Seq[(Long, String)], nChunks: Int, n: Int,
+                        registryDir: String,
+                        ckpt: Option[String] = None):
+      Seq[(Long, String, Long)] = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+    val q = StreamingSelfDedup.clipStream(
+      ms.toDS().toDF("doc_id", "text"), col("doc_id"), col("text"),
+      n, registryDir, ckpt) { df =>
+      df.collect().foreach(r => got.add((r.getLong(0), r.getString(1), r.getLong(2))))
+    }
+    try {
+      rows.grouped(math.max(1, (rows.length + nChunks - 1) / nChunks))
+        .foreach { c => ms.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    got.asScala.toSeq.sortBy(_._1)
+  }
+
+  private def tmp(tag: String): String = graft.TempDirs.create(tag).toString
+
+  test("output is batch-boundary independent: 1, 2, and per-doc batches agree") {
+    val corpus = Seq(
+      (1L, "a b s1 s2 s3 s4 s5 c d"),
+      (2L, "x s1 s2 s3 s4 s5 y z w q"),
+      (3L, "p q x y p q"),
+      (4L, "fresh doc with no duplication at all"),
+      (5L, "x s1 s2 s3 s4 s5 y z w q"))
+    val runs = Seq(1, 2, corpus.length).map(k =>
+      runStream(corpus, k, n = 3, registryDir = tmp(s"sd-b$k") + "/reg"))
+    assert(runs.distinct.size == 1,
+      s"batch boundaries changed the output:\n${runs.mkString("\n")}")
+  }
+
+  test("agrees with batch clipSpans when protection is causally visible") {
+    // cross-doc duplication with no interleaved-protection corner:
+    // every duplicated run's winner sits in doc 1, so no later doc's
+    // loser interval can overlap one of its own winning seeds
+    val corpus = Seq(
+      (1L, "a b s1 s2 s3 s4 s5 c d"),
+      (2L, "x s1 s2 s3 s4 s5 y z w q"),
+      (3L, "completely original content here three"),
+      (4L, "m n s1 s2 s3 s4 s5 o p"))
+    val streamed = runStream(corpus, 4, n = 3, registryDir = tmp("sd-eq") + "/reg")
+    import spark.implicits._
+    val batch = Spans.clipSpans(corpus.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), minTokens = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
+  }
+
+  test("intra-doc winner protection holds; cross-batch future protection is the documented divergence") {
+    // intra-doc: doc 11's "a b" winner (second occurrence SAME doc) is
+    // protected from the overlapping "x a" loser interval — position 2
+    // survives inside loss interval [1,2]; batch clipSpans produces the
+    // identical answer here since all protection is causally visible
+    val intra = Seq((10L, "x a"), (11L, "x a b x a b"))
+    assert(runStream(intra, 2, n = 2, registryDir = tmp("sd-intra") + "/reg") ==
+      Seq((10L, "x a", 0L), (11L, "a b", 4L)))
+    // the r11 interleave corpus: batch clipSpans yields doc1 -> "b c"
+    // (future-duplicate protection); the stream cannot see doc2 yet,
+    // so doc1's "b c" seed is unprotected — clipped to "c". This is
+    // clipSpansPrefixStep's documented prefix-causal divergence.
+    val corner = Seq((0L, "a b"), (1L, "a b c"), (2L, "b c"))
+    assert(runStream(corner, 3, n = 2, registryDir = tmp("sd-corner") + "/reg") ==
+      Seq((0L, "a b", 0L), (1L, "c", 2L), (2L, "", 2L)))
+  }
+
+  test("replayed batch is fenced from its own registry append: identical rows re-emitted") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val reg = tmp("sd-replay") + "/reg"
+    val ckpt = tmp("sd-replay-ck")
+    val ms = MemoryStream[(Long, String)]
+    val deliveries = new java.util.concurrent.ConcurrentLinkedQueue[Seq[(Long, String, Long)]]()
+    def start() = StreamingSelfDedup.clipStream(
+      ms.toDS().toDF("doc_id", "text"), col("doc_id"), col("text"),
+      2, reg, Some(ckpt)) { df =>
+      deliveries.add(df.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq.sortBy(_._1))
+    }
+    val q1 = start()
+    try {
+      ms.addData(Seq((1L, "k1 k2 tail"), (2L, "other text")))
+      q1.processAllAvailable()
+      // batch 1 contains BOTH a registry hit (k1 k2 from batch 0) and
+      // a within-batch duplication — the two paths the fence must keep
+      // stable across a replay
+      ms.addData(Seq((3L, "k1 k2 again"), (4L, "z1 z2"), (5L, "z1 z2")))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    import scala.jdk.CollectionConverters._
+    val before = deliveries.asScala.toSeq
+    // force the at-least-once replay of batch 1: its registry append
+    // ALREADY LANDED, its commit marker did not
+    val commits = java.nio.file.Paths.get(ckpt, "commits")
+    val names = java.nio.file.Files.list(commits).iterator().asScala
+      .map(_.getFileName.toString).filter(_.forall(_.isDigit)).toSeq.sortBy(_.toInt)
+    java.nio.file.Files.delete(commits.resolve(names.last))
+    java.nio.file.Files.deleteIfExists(commits.resolve(s".${names.last}.crc"))
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val after = deliveries.asScala.toSeq
+    assert(after.size == before.size + 1, s"expected one replayed delivery")
+    assert(after.last == before.last,
+      s"replay diverged (own-append leak through the fence):\n" +
+        s"original ${before.last}\nreplayed ${after.last}")
+  }
+}
