@@ -673,9 +673,10 @@ object PdfTextExtractor {
       if (!d.contains("/Standard")) None
       else {
         val v = """/V\s+(\d+)""".r.findFirstMatchIn(top)
-          .map(_.group(1).toInt).getOrElse(0)
+          .flatMap(m => scala.util.Try(m.group(1).toInt).toOption).getOrElse(0)
         val r = """/R\s+(\d+)""".r.findFirstMatchIn(top)
-          .map(_.group(1).toInt).getOrElse(if (v >= 4) 4 else if (v >= 2) 3 else 2)
+          .flatMap(m => scala.util.Try(m.group(1).toInt).toOption)
+          .getOrElse(if (v >= 4) 4 else if (v >= 2) 3 else 2)
         // ISO 32000 7.6.2: for /V >= 4 the string/stream crypt filters
         // default to /Identity when /StrF//StmF are ABSENT — a file may
         // encrypt only its streams and leave strings plaintext (or the
@@ -715,10 +716,15 @@ object PdfTextExtractor {
             encryptStreams = filterActive("StmF"))
         } else if (v < 1 || v > 4) None
         else {
+          // hostile digit runs must degrade to defaults, not throw:
+          // a 10-digit /Length or 20-digit /P overflows toInt/toLong
+          // (the stream-/Length sibling of this guard is r11's)
           val lenBits = """/Length\s+(\d+)""".r.findFirstMatchIn(top)
-            .map(_.group(1).toInt).getOrElse(40)
+            .flatMap(m => scala.util.Try(m.group(1).toInt).toOption)
+            .getOrElse(40)
           val p = """/P\s+(-?\d+)""".r.findFirstMatchIn(top)
-            .map(_.group(1).toLong.toInt).getOrElse(-1)
+            .flatMap(m => scala.util.Try(m.group(1).toLong.toInt).toOption)
+            .getOrElse(-1)
           val aes = v == 4 && d.contains("/AESV2")
           val o = strVal("O", d)
           val id0 = """/ID\s*\[\s*<([0-9A-Fa-f]*)>""".r

@@ -160,72 +160,78 @@ class PdfTextExtractorSpec extends AnyFunSuite with SparkSpec {
     assert(got == "office\n XYZa\nplain latin")
   }
 
+  // ---- shared encrypted-fixture builders (the decrypt tests AND the
+  // fuzz corpus's encrypted arms build from these) ----
+  // The /O value's provenance is irrelevant to decryption (any 32
+  // bytes the encryptor ALSO derived from work), so fixed vectors keep
+  // the fixtures deterministic.
+  private val encOVal = Array.tabulate(32)(i => ((i * 7 + 3) & 0xFF).toByte)
+  private val encId0 = Array.tabulate(16)(i => ((i * 13 + 1) & 0xFF).toByte)
+  private val encPerm = -44
+
+  private def aesEncrypt(key: Array[Byte], plain: Array[Byte]): Array[Byte] = {
+    val iv = Array.tabulate(16)(i => ((i * 31 + 5) & 0xFF).toByte)
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+    c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    iv ++ c.doFinal(plain)
+  }
+
+  /** Genuinely-encrypted /V2-RC4 or /V4-AESV2 fixture built with the
+    * spec's own algorithms: Algorithm 2 file key from the
+    * empty-user-password pad, Algorithm 1 per-object keys.
+    */
+  private def buildEncrypted(aes: Boolean, encStrings: Boolean = true): Array[Byte] = {
+    val fileKey = PdfTextExtractor.PdfCrypt.fileKey(encOVal, encPerm, encId0, 16, 3)
+    def encFor(num: Int, data: Array[Byte]): Array[Byte] = {
+      val k = PdfTextExtractor.PdfCrypt.objKey(fileKey, num, 0, aes)
+      if (aes) aesEncrypt(k, data)
+      else PdfTextExtractor.PdfCrypt.rc4(k, data)
+    }
+    // NO trailing-byte nudging: the parser bounds streams by the
+    // declared /Length, so ciphertext ending in CR/LF is fine (the
+    // 1-in-128 case the endstream scan used to corrupt)
+    val c5 = encFor(5, page1.getBytes(StandardCharsets.ISO_8859_1))
+    val c6 = encFor(6, deflate(page2.getBytes(StandardCharsets.ISO_8859_1)))
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    def hex(b: Array[Byte]): String = b.map("%02X".format(_)).mkString
+    w("%PDF-1.6\n")
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    w("2 0 obj\n<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>\nendobj\n")
+    w("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>\nendobj\n")
+    w("4 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>\nendobj\n")
+    w(s"5 0 obj\n<< /Length ${c5.length} >>\nstream\n")
+    out.write(c5); w("\nendstream\nendobj\n")
+    w(s"6 0 obj\n<< /Length ${c6.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(c6); w("\nendstream\nendobj\n")
+    val filt =
+      if (aes && encStrings)
+        "/V 4 /R 4 /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
+          "/StmF /StdCF /StrF /StdCF"
+      else if (aes)
+        // streams-only encryption: /StrF ABSENT → spec default
+        // /Identity → strings are plaintext (ISO 32000 7.6.2)
+        "/V 4 /R 4 /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StmF /StdCF"
+      else "/V 2 /R 3"
+    w(s"7 0 obj\n<< /Filter /Standard $filt /Length 128 /P $encPerm " +
+      s"/O <${hex(encOVal)}> /U <${hex(encOVal)}> >>\nendobj\n")
+    // an ENCRYPTED /Info: dictionary strings are ciphertext in a real
+    // encrypted file and must decrypt for S2 metadata to be text —
+    // unless the string filter is /Identity, in which case they are
+    // plaintext and must be left ALONE
+    if (encStrings) {
+      val title = encFor(8, "State vs. Cipher Corp".getBytes(StandardCharsets.ISO_8859_1))
+      w(s"8 0 obj\n<< /Title <${hex(title)}> >>\nendobj\n")
+    } else
+      w("8 0 obj\n<< /Title (State vs. Cipher Corp) >>\nendobj\n")
+    w(s"trailer\n<< /Root 1 0 R /Encrypt 7 0 R /Info 8 0 R " +
+      s"/ID [<${hex(encId0)}> <${hex(encId0)}>] >>\n%%EOF\n")
+    out.toByteArray
+  }
+
   test("encrypted PDFs (RC4-128 and AES-128, empty user password) extract") {
-    // Build genuinely-encrypted files with the spec's own algorithms:
-    // Algorithm 2 file key from the empty-user-password pad, Algorithm
-    // 1 per-object keys, stream payloads RC4'd or AES-CBC'd. The /O
-    // value's provenance is irrelevant to decryption (any 32 bytes the
-    // encryptor ALSO derived from work), so a fixed vector keeps the
-    // fixture deterministic.
-    val oVal = Array.tabulate(32)(i => ((i * 7 + 3) & 0xFF).toByte)
-    val id0 = Array.tabulate(16)(i => ((i * 13 + 1) & 0xFF).toByte)
-    val perm = -44
-    val fileKey = PdfTextExtractor.PdfCrypt.fileKey(oVal, perm, id0, 16, 3)
-    def aesEncrypt(key: Array[Byte], plain: Array[Byte]): Array[Byte] = {
-      val iv = Array.tabulate(16)(i => ((i * 31 + 5) & 0xFF).toByte)
-      val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
-      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
-        new javax.crypto.spec.SecretKeySpec(key, "AES"),
-        new javax.crypto.spec.IvParameterSpec(iv))
-      iv ++ c.doFinal(plain)
-    }
-    def buildEncrypted(aes: Boolean, encStrings: Boolean = true): Array[Byte] = {
-      def encFor(num: Int, data: Array[Byte]): Array[Byte] = {
-        val k = PdfTextExtractor.PdfCrypt.objKey(fileKey, num, 0, aes)
-        if (aes) aesEncrypt(k, data)
-        else PdfTextExtractor.PdfCrypt.rc4(k, data)
-      }
-      // NO trailing-byte nudging: the parser bounds streams by the
-      // declared /Length, so ciphertext ending in CR/LF is fine (the
-      // 1-in-128 case the endstream scan used to corrupt)
-      val c5 = encFor(5, page1.getBytes(StandardCharsets.ISO_8859_1))
-      val c6 = encFor(6, deflate(page2.getBytes(StandardCharsets.ISO_8859_1)))
-      val out = new ByteArrayOutputStream()
-      def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
-      def hex(b: Array[Byte]): String = b.map("%02X".format(_)).mkString
-      w("%PDF-1.6\n")
-      w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
-      w("2 0 obj\n<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>\nendobj\n")
-      w("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>\nendobj\n")
-      w("4 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>\nendobj\n")
-      w(s"5 0 obj\n<< /Length ${c5.length} >>\nstream\n")
-      out.write(c5); w("\nendstream\nendobj\n")
-      w(s"6 0 obj\n<< /Length ${c6.length} /Filter /FlateDecode >>\nstream\n")
-      out.write(c6); w("\nendstream\nendobj\n")
-      val filt =
-        if (aes && encStrings)
-          "/V 4 /R 4 /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
-            "/StmF /StdCF /StrF /StdCF"
-        else if (aes)
-          // streams-only encryption: /StrF ABSENT → spec default
-          // /Identity → strings are plaintext (ISO 32000 7.6.2)
-          "/V 4 /R 4 /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StmF /StdCF"
-        else "/V 2 /R 3"
-      w(s"7 0 obj\n<< /Filter /Standard $filt /Length 128 /P $perm " +
-        s"/O <${hex(oVal)}> /U <${hex(oVal)}> >>\nendobj\n")
-      // an ENCRYPTED /Info: dictionary strings are ciphertext in a real
-      // encrypted file and must decrypt for S2 metadata to be text —
-      // unless the string filter is /Identity, in which case they are
-      // plaintext and must be left ALONE
-      if (encStrings) {
-        val title = encFor(8, "State vs. Cipher Corp".getBytes(StandardCharsets.ISO_8859_1))
-        w(s"8 0 obj\n<< /Title <${hex(title)}> >>\nendobj\n")
-      } else
-        w("8 0 obj\n<< /Title (State vs. Cipher Corp) >>\nendobj\n")
-      w(s"trailer\n<< /Root 1 0 R /Encrypt 7 0 R /Info 8 0 R " +
-        s"/ID [<${hex(id0)}> <${hex(id0)}>] >>\n%%EOF\n")
-      out.toByteArray
-    }
     val rc4Pdf = buildEncrypted(aes = false)
     val got = PdfTextExtractor.extract(rc4Pdf)
     assert(got == s"$wantPage1\n$wantPage2",
@@ -314,18 +320,22 @@ class PdfTextExtractorSpec extends AnyFunSuite with SparkSpec {
       "nested occurrences must not match at the outer level")
   }
 
-  test("AES-256 (/V 5 /R 6) encrypted PDFs extract, with /Info metadata") {
+  /** /V5 /R6 AES-256 fixture, forward-encrypted with the spec's own
+    * ISO 32000-2 algorithms for the empty user password: U =
+    * hash2B(pwd, validationSalt) ‖ validationSalt ‖ keySalt, UE =
+    * AES-256-CBC(intermediateKey, iv=0, fileKey). Returns (pdf,
+    * hex(/U), hex(non-validating /U), /R 5 variant) so the decrypt
+    * test can also exercise the refuse-the-key and deprecated-R5
+    * paths.
+    */
+  private lazy val aes256Fixture: (Array[Byte], String, String, Array[Byte]) = {
     import PdfTextExtractor.PdfCrypt
-    // Forward-encrypt with the spec's own ISO 32000-2 algorithms for
-    // the empty user password: U = hash2B(pwd, validationSalt) ‖
-    // validationSalt ‖ keySalt, UE = AES-256-CBC(intermediateKey,
-    // iv=0, fileKey). The extractor must validate /U, unwrap /UE, and
-    // use the file key DIRECTLY per object (no Algorithm 1 for /V 5).
     val fileKey = Array.tabulate(32)(i => ((i * 11 + 2) & 0xFF).toByte)
     val valSalt = Array.tabulate(8)(i => ((i * 3 + 1) & 0xFF).toByte)
     val keySalt = Array.tabulate(8)(i => ((i * 5 + 9) & 0xFF).toByte)
     val empty = Array.emptyByteArray
     val uVal = PdfCrypt.hash2B(empty, valSalt, empty, 6) ++ valSalt ++ keySalt
+    val badU = PdfCrypt.hash2B(empty, keySalt, empty, 6) ++ valSalt ++ keySalt
     val ik = PdfCrypt.hash2B(empty, keySalt, empty, 6)
     val ue = PdfCrypt.aesCbcEncryptNoPad(ik, new Array[Byte](16), fileKey)
     def aes256(plain: Array[Byte]): Array[Byte] = {
@@ -357,28 +367,33 @@ class PdfTextExtractorSpec extends AnyFunSuite with SparkSpec {
       s"/U <${hex(uVal)}> /UE <${hex(ue)}> >>\nendobj\n")
     w(s"8 0 obj\n<< /Title <${hex(title)}> >>\nendobj\n")
     w("trailer\n<< /Root 1 0 R /Encrypt 7 0 R /Info 8 0 R >>\n%%EOF\n")
-    val pdf = out.toByteArray
+    // /R 5 variant (deprecated single-SHA-256 derivation): same file
+    // key, re-derived /U //UE
+    val u5 = PdfCrypt.hash2B(empty, valSalt, empty, 5) ++ valSalt ++ keySalt
+    val ik5 = PdfCrypt.hash2B(empty, keySalt, empty, 5)
+    val ue5 = PdfCrypt.aesCbcEncryptNoPad(ik5, new Array[Byte](16), fileKey)
+    val r5 = new String(out.toByteArray, StandardCharsets.ISO_8859_1)
+      .replace("/V 5 /R 6", "/V 5 /R 5")
+      .replace(hex(uVal), hex(u5))
+      .replace(hex(ue), hex(ue5))
+      .getBytes(StandardCharsets.ISO_8859_1)
+    (out.toByteArray, hex(uVal), hex(badU), r5)
+  }
+
+  test("AES-256 (/V 5 /R 6) encrypted PDFs extract, with /Info metadata") {
+    val (pdf, uHex, badUHex, r5) = aes256Fixture
     val got = PdfTextExtractor.extract(pdf)
     assert(got == s"$wantPage1\n$wantPage2", s"AES-256 decryption: got '$got'")
     assert(PdfTextExtractor.info(pdf)("title") == "AES-256 Judgment",
       "AES-256 dictionary-string (/Info) decryption")
     // a WRONG validation salt means the user password is not empty:
     // the extractor must refuse the key (no garbage), not throw
-    val badU = PdfCrypt.hash2B(empty, keySalt, empty, 6) ++ valSalt ++ keySalt
     val bad = new String(pdf, StandardCharsets.ISO_8859_1)
-      .replace(hex(uVal), hex(badU)).getBytes(StandardCharsets.ISO_8859_1)
+      .replace(uHex, badUHex).getBytes(StandardCharsets.ISO_8859_1)
     PdfTextExtractor.extract(bad) // must not throw
     assert(PdfTextExtractor.extract(bad) != s"$wantPage1\n$wantPage2",
       "non-validating /U must not silently decrypt")
     // /R 5 (deprecated, single-SHA-256 derivation) also decrypts
-    val u5 = PdfCrypt.hash2B(empty, valSalt, empty, 5) ++ valSalt ++ keySalt
-    val ik5 = PdfCrypt.hash2B(empty, keySalt, empty, 5)
-    val ue5 = PdfCrypt.aesCbcEncryptNoPad(ik5, new Array[Byte](16), fileKey)
-    val r5 = new String(pdf, StandardCharsets.ISO_8859_1)
-      .replace("/V 5 /R 6", "/V 5 /R 5")
-      .replace(hex(uVal), hex(u5))
-      .replace(hex(ue), hex(ue5))
-      .getBytes(StandardCharsets.ISO_8859_1)
     assert(PdfTextExtractor.extract(r5) == s"$wantPage1\n$wantPage2",
       "R5 single-hash derivation")
   }
@@ -446,9 +461,19 @@ class PdfTextExtractorSpec extends AnyFunSuite with SparkSpec {
     val corpus: Seq[Array[Byte]] = Seq(
       buildPdf(page1, page2),
       Files.readAllBytes(java.nio.file.Paths.get(dir, "case_0a.pdf")), // 1.4 + Type0
-      Files.readAllBytes(java.nio.file.Paths.get(dir, "case_1a.pdf"))  // 1.5 ObjStm
+      Files.readAllBytes(java.nio.file.Paths.get(dir, "case_1a.pdf")), // 1.5 ObjStm
+      // the decrypt arms (r12): the newest and previously least-fuzzed
+      // code paths — RC4-128, AES-128 with crypt filters, AES-256 /V5
+      buildEncrypted(aes = false),
+      buildEncrypted(aes = true),
+      aes256Fixture._1
     )
-    def mutate(base: Array[Byte]): Array[Byte] = rnd.nextInt(6) match {
+    // encryption-targeted string rewrites (no-ops on plaintext seeds —
+    // a no-op mutation still must not throw)
+    def mutateLatin(base: Array[Byte])(f: String => String): Array[Byte] =
+      f(new String(base, StandardCharsets.ISO_8859_1))
+        .getBytes(StandardCharsets.ISO_8859_1)
+    def mutate(base: Array[Byte]): Array[Byte] = rnd.nextInt(9) match {
       case 0 => // truncate anywhere
         base.take(rnd.nextInt(base.length))
       case 1 => // flip 1-16 random bits
@@ -476,12 +501,38 @@ class PdfTextExtractorSpec extends AnyFunSuite with SparkSpec {
         val len = math.min(1 + rnd.nextInt(64), b.length - at)
         (0 until len).foreach(i => b(at + i) = rnd.nextInt(256).toByte)
         b
-      case _ => // duplicate a slice (confuses object/stream scanning)
+      case 5 => // duplicate a slice (confuses object/stream scanning)
         val at = rnd.nextInt(base.length)
         val len = math.min(1 + rnd.nextInt(128), base.length - at)
         base.take(at + len) ++ base.slice(at, at + len) ++ base.drop(at + len)
+      case 6 => // truncated / oddified key material: /O //U //UE //OE
+        // hex strings lose a tail or gain an odd nibble — key
+        // derivation must refuse or fail closed, never throw
+        val k = Seq("O", "U", "UE", "OE")(rnd.nextInt(4))
+        mutateLatin(base) {
+          _.replaceAll(s"/$k <([0-9A-Fa-f]{8})[0-9A-Fa-f]*>",
+            rnd.nextInt(3) match {
+              case 0 => s"/$k <$$1>"  // truncated to 4 bytes
+              case 1 => s"/$k <$$1F>" // odd nibble count
+              case _ => s"/$k <>"     // empty
+            })
+        }
+      case 7 => // lying crypt-filter names: /StrF//StmF point at a
+        // filter that is absent from /CF, at Identity, or at a name
+        // needing escape decoding — resolution must fail closed
+        mutateLatin(base) {
+          _.replaceAll("/(StrF|StmF) /\\w+",
+            s"/$$1 ${Seq("/Ghost", "/Identity", "/We#69rd-N#61me",
+              "/StdCF /CFM /None")(rnd.nextInt(4))}")
+        }
+      case _ => // /V //R lies: unsupported, negative, or mismatched
+        // versions over real ciphertext
+        mutateLatin(base) {
+          _.replaceAll("/V \\d+", s"/V ${Seq("9", "-1", "5", "0")(rnd.nextInt(4))}")
+            .replaceAll("/R \\d+", s"/R ${Seq("99", "-3", "6", "2")(rnd.nextInt(4))}")
+        }
     }
-    (0 until 300).foreach { i =>
+    (0 until 450).foreach { i =>
       val m = mutate(corpus(i % corpus.length))
       val text = PdfTextExtractor.extract(m)       // must not throw
       val meta = PdfTextExtractor.info(m)          // must not throw
