@@ -232,7 +232,12 @@ object Spans {
       .join(registry.select(col("h"), col("gram").as("rgram")), "h")
       .where(col("gram") === col("rgram"))
       .select("doc_id", "pos")
+    // ALSO pinned: the caller runs two actions (emit + registry
+    // append), and without this the REGISTRY — the one input that
+    // grows for the life of the stream — would be scanned and
+    // anti-joined twice per batch
     val fresh = seeds.join(registry, Seq("h", "gram"), "left_anti")
+      .localCheckpoint()
     val winners = fresh.groupBy("gram")
       .agg(count(lit(1)).as("occ"),
         min(struct(col("doc_id"), col("pos"))).as("w"))

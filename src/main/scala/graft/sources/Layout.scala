@@ -235,11 +235,18 @@ object Layout {
       s"rename of staged data into v=$candidate failed — lost a " +
         "publication race; aborting without committing")
     // HDFS rename semantics move the source INSIDE an existing
-    // destination dir — prove the rename landed AS v=N with OUR payload
-    require(readMarker(fs,
-      new org.apache.hadoop.fs.Path(dataDir, "_WRITER")).contains(writerId),
-      s"v=$candidate does not hold this writer's payload after rename — " +
-        "lost a publication race on a non-atomic store; aborting")
+    // destination dir — prove the rename landed AS v=N with OUR payload.
+    // On failure, remove the nested-move residue first: our stage may
+    // now sit INSIDE the other writer's live snapshot, where neither
+    // the orphan sweep (commit marker present) nor the staging sweep
+    // (dir no longer under _staging) could ever reclaim it
+    if (!readMarker(fs,
+      new org.apache.hadoop.fs.Path(dataDir, "_WRITER")).contains(writerId)) {
+      fs.delete(new org.apache.hadoop.fs.Path(dataDir, staging.getName), true)
+      require(false,
+        s"v=$candidate does not hold this writer's payload after rename — " +
+          "lost a publication race on a non-atomic store; aborting")
+    }
     require(atomicCreate(fs, marker,
       writerId.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
       s"commit marker for v=$candidate already exists — another writer " +
@@ -457,7 +464,9 @@ object Layout {
     // anyway, which alone protects it here)
     val retainedSet = retained.toSet
     (if (fs.exists(rootPath)) fs.listStatus(rootPath).toSeq else Seq.empty)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      // numeric names only: the root is user-visible surface, and a
+      // stray 'v=backup' dir must not crash the whole maintenance job
+      .filter(s => s.isDirectory && s.getPath.getName.matches("v=\\d+"))
       .foreach { s =>
         val v = s.getPath.getName.stripPrefix("v=").toLong
         val hasClaim = fs.exists(new org.apache.hadoop.fs.Path(root, s"_claims/v-$v"))

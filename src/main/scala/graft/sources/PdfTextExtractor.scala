@@ -572,11 +572,21 @@ object PdfTextExtractor {
     sb.toString
   }
 
-  /** Regex class for one PDF name character: anything but whitespace
-    * and the ISO 32000 delimiters `( ) < > [ ] { } / %` — names may
-    * carry hyphens, dots, and `#xx` escapes that `\w` rejects.
+  /** Regex class for one PDF name character: anything but the ISO
+    * 32000 whitespace set (NUL HT LF FF CR SP — NOT Java's `\s` or
+    * `isWhitespace`, both of which differ) and the delimiters
+    * `( ) < > [ ] { } / %` — names may carry hyphens, dots, and `#xx`
+    * escapes that `\w` rejects.
+    * [[isNameChar]] is the predicate form of the SAME charset; the two
+    * must stay character-for-character identical (pinned by a spec
+    * sweep over the full char range) or key tokenization in
+    * [[nestedDictOf]] diverges from the filter-name matching that
+    * references it.
     */
-  private val NameCharset = """[^\s/\[\]()<>{}%]"""
+  private[sources] val NameCharset = "[^\\x00\\t\\n\\f\\r /\\[\\]()<>{}%]"
+
+  private[sources] def isNameChar(ch: Char): Boolean =
+    "\u0000\t\n\f\r ()<>[]{}/%".indexOf(ch) < 0
 
   /** Decode `#xx` escapes in a PDF name token (ISO 32000 7.3.5). */
   private[sources] def decodeName(raw: String): String =
@@ -628,8 +638,6 @@ object PdfTextExtractor {
       val c = dict.charAt(i)
       if (c == '>' && i + 1 < dict.length && dict.charAt(i + 1) == '>') return None
       else if (c == '/') {
-        def isNameChar(ch: Char): Boolean =
-          !ch.isWhitespace && "()<>[]{}/%".indexOf(ch) < 0
         var j = i + 1
         while (j < dict.length && isNameChar(dict.charAt(j))) j += 1
         val key = decodeName(dict.substring(i + 1, j))

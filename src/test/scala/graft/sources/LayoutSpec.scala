@@ -339,6 +339,10 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     val orphan = java.nio.file.Paths.get(root, "v=2")
     Files.createDirectories(orphan)
     Files.write(orphan.resolve("part-x.parquet"), Array[Byte](9, 9))
+    // a stray non-numeric v= dir (user surface) must neither crash the
+    // sweep nor be touched by it
+    val stray = java.nio.file.Paths.get(root, "v=backup")
+    Files.createDirectories(stray)
     // a RECENT orphan survives (could be a rename whose marker is a
     // moment away on a store where the claim read raced)
     Layout.pruneVersions(spark, root, keepLast = 1)
@@ -348,6 +352,7 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
         System.currentTimeMillis() - 48L * 3600 * 1000))
     Layout.pruneVersions(spark, root, keepLast = 1)
     assert(!Files.exists(orphan), "aged orphan data dir must be reclaimed")
+    assert(Files.exists(stray), "non-numeric v= dirs are not ours to delete")
     // committed snapshots are never touched by the orphan sweep
     assert(Layout.readVersion(spark, root).collect()
       .map(_.getString(1)).toSeq == Seq("v1"))

@@ -318,6 +318,14 @@ class PdfTextExtractorSpec extends AnyFunSuite with SparkSpec {
     assert(PdfTextExtractor.nestedDictOf(d, "A").isEmpty)
     assert(PdfTextExtractor.nestedDictOf(d, "X").isEmpty,
       "nested occurrences must not match at the outer level")
+    // the charset's regex and predicate forms must agree on EVERY char
+    // — nestedDictOf tokenizes keys with the predicate, filterActive
+    // matches names with the regex
+    val rx = PdfTextExtractor.NameCharset.r
+    (0 until 0x10000).map(_.toChar).foreach { ch =>
+      assert(rx.matches(ch.toString) == PdfTextExtractor.isNameChar(ch),
+        f"name-charset divergence at U+${ch.toInt}%04X")
+    }
   }
 
   /** /V5 /R6 AES-256 fixture, forward-encrypted with the spec's own
