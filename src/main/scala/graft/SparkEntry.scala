@@ -2532,7 +2532,10 @@ object SparkEntry {
         val out = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
         val q = graft.streaming.StreamingSelfDedup.clipStream(
           ms.toDS().toDF("doc_id", "text"), col("doc_id"), col("text"),
-          minTokens = 8, s"$tmp/registry") { batchOut =>
+          minTokens = 8, s"$tmp/registry",
+          // the scale form: h-bucketed registry, probe joins shuffle
+          // only batch seeds (plain-dir equality pinned in the spec)
+          registryBuckets = 8) { batchOut =>
           out.synchronized {
             out ++= batchOut.collect()
               .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Streaming SELF-dedup substring clip (23rd route) — keep-first span
   * removal WITHIN an arriving stream: each micro-batch is clipped
@@ -21,24 +21,45 @@ import org.apache.spark.sql.functions.col
   * exact full-corpus [[graft.dedup.Spans.clipSpansPrefixSql]] oracle
   * when fed in doc_id order.
   *
-  * Scale shape: the registry is an append-only parquet table of
-  * (xxhash64, gram) rows — at 100 TB it lives hash-BUCKETED so the
-  * per-batch probe is a bucket-local join that shuffles only the
-  * batch's seeds, the [[StreamingBm25]] postings pattern. Replays
-  * (at-least-once) re-emit deterministic rows and may re-append
-  * registry rows; duplicates cannot change any future clip (interval
-  * union is idempotent, the anti-join is set-semantics), so an
-  * idempotent sink makes the route exactly-once.
+  * Scale shape: the registry is an append-only table of (xxhash64,
+  * gram, batch_id) rows that grows for the life of the stream — the
+  * one input the per-batch probe must not re-shuffle. With
+  * `registryBuckets > 0` it lives as a HASH-BUCKETED catalog table
+  * (the [[StreamingBm25]] postings shape): each append writes
+  * bucket-aligned files, the probe reads through the bucketed scan,
+  * and both registry joins cluster on `h`, so only the BATCH's seeds
+  * shuffle — the registry never re-partitions
+  * (StreamingSelfDedupSpec pins the exchange count). Appends leave
+  * one file per bucket per batch; reap with
+  * [[StreamingBm25.compact]] (bucket-preserving) between runs.
+  * `registryBuckets = 0` appends a plain parquet dir — the
+  * harness-scale form. Replays (at-least-once) re-emit deterministic
+  * rows and may re-append registry rows; duplicates cannot change any
+  * future clip (interval union is idempotent, the anti-join is
+  * set-semantics), so an idempotent sink makes the route exactly-once.
   */
 object StreamingSelfDedup {
 
+  /** Catalog name for a bucketed registry at `registryDir` — derived
+    * from the dir so concurrent streams in one session cannot collide.
+    */
+  private[streaming] def registryTableName(registryDir: String): String =
+    s"graft_selfdedup_reg_${java.lang.Long.toHexString(
+      org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+        registryDir.getBytes("UTF-8"),
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        registryDir.length, 42) & 0xFFFFFFFFL)}"
+
   /** Start the self-dedup clip over `stream`; `write` receives each
     * batch's (doc_id, clean_text, n_removed). `registryDir` holds the
-    * maintained gram registry (created on first batch).
+    * maintained gram registry (created on first batch), as a plain
+    * parquet dir (`registryBuckets = 0`) or an `h`-bucketed catalog
+    * table (`> 0` — the scale form).
     */
   def clipStream(stream: DataFrame, idCol: Column, textCol: Column,
                  minTokens: Int, registryDir: String,
-                 checkpointDir: Option[String] = None)
+                 checkpointDir: Option[String] = None,
+                 registryBuckets: Int = 0)
                 (write: DataFrame => Unit):
       org.apache.spark.sql.streaming.StreamingQuery = {
     val writer = stream
@@ -46,6 +67,7 @@ object StreamingSelfDedup {
         textCol.cast("string").as("text"))
       .writeStream
     checkpointDir.foreach(writer.option("checkpointLocation", _))
+    val tbl = registryTableName(registryDir)
     writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val s = batch.sparkSession
       val regPath = new org.apache.hadoop.fs.Path(registryDir)
@@ -61,7 +83,12 @@ object StreamingSelfDedup {
       // `< batchId` filter... (it IS visible to batch_id+1 — exactly
       // once, as the original rows would have been).
       val registry =
-        if (fs.exists(regPath))
+        if (registryBuckets > 0 && s.catalog.tableExists(tbl)) {
+          // this batch must see the previous batch's append: refresh
+          // the (micro-batch-session) catalog's cached file listing
+          s.catalog.refreshTable(tbl)
+          s.table(tbl).where(col("batch_id") < batchId).select("h", "gram")
+        } else if (registryBuckets == 0 && fs.exists(regPath))
           s.read.parquet(registryDir)
             .where(col("batch_id") < batchId).select("h", "gram")
         else {
@@ -71,9 +98,15 @@ object StreamingSelfDedup {
       val (clipped, newGrams) = graft.dedup.Spans.clipSpansPrefixStep(
         batch, col("doc_id"), col("text"), registry, minTokens)
       write(clipped)
-      newGrams.select(col("h"), col("gram"),
-          org.apache.spark.sql.functions.lit(batchId).as("batch_id"))
-        .write.mode("append").parquet(registryDir)
+      val out = newGrams.select(col("h"), col("gram"),
+        lit(batchId).as("batch_id"))
+      if (registryBuckets > 0)
+        out.write.mode("append").format("parquet")
+          .option("path", registryDir)
+          .bucketBy(registryBuckets, "h").sortBy("h")
+          .saveAsTable(tbl)
+      else
+        out.write.mode("append").parquet(registryDir)
       ()
     }.start()
   }
