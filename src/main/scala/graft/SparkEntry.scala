@@ -5395,21 +5395,26 @@ object SparkEntry {
     // else — chunk fold, sha256 file key, doc-type + decision-with-
     // retry cascades over S2 metadata — is hash-gated end to end.
     Q("ingest_chunk_table",
+      // no orderBy: the differential compare sorts rows itself, and a
+      // global sort's range-partitioning SAMPLING pass re-evaluates
+      // this whole cascade+chunk subtree a second time for nothing
       (s, dir) => graft.api.Ingest.chunkTable(s,
           Tables.documents(s, dir), col("doc_id"), col("text"),
           pmod(col("doc_id"), lit(10)),
           graft.embed.DeterministicEmbedder(dim = 16))
         .select(col("doc_key"), col("chunk_idx"), col("n_words"),
           col("file_name"), col("file_id"), col("court_level"),
-          col("case_decision"), col("document_type"))
-        .orderBy(col("doc_key"), col("chunk_idx")),
+          col("case_decision"), col("document_type")),
       Some {
         val ws = "' ' || chr(10) || chr(9) || chr(13)"
         val fileName = "'doc_' || CAST(doc_id AS VARCHAR) || '.pdf'"
+        // metadata regexes scan the FIRST-PAGE prefix, as the reference
+        // does (doc[0].get_text() — Ingest.FirstPageChars)
+        val pg = "substr(text, 1, 3500)"
         val meta = "trim(concat_ws(' ', " +
-          s"regexp_extract(text, ${Sql.lit(CaseMetadata.caseNumberPattern)}, 1), " +
-          s"trim(regexp_extract(text, ${Sql.lit(CaseMetadata.partiesPattern)}, 1)), " +
-          s"trim(regexp_extract(text, ${Sql.lit(CaseMetadata.partiesPattern)}, 2))))"
+          s"regexp_extract($pg, ${Sql.lit(CaseMetadata.caseNumberPattern)}, 1), " +
+          s"trim(regexp_extract($pg, ${Sql.lit(CaseMetadata.partiesPattern)}, 1)), " +
+          s"trim(regexp_extract($pg, ${Sql.lit(CaseMetadata.partiesPattern)}, 2))))"
         s"""WITH RECURSIVE paras AS (
            |  SELECT CAST(doc_id AS VARCHAR) AS key, CAST(1 AS INT) AS i, trim(text, $ws) AS para
            |  FROM documents WHERE length(trim(text, $ws)) > 0

@@ -43,20 +43,45 @@ object Ingest {
                               textCol: Column, courtLevel: Column): DataFrame =
     attributes(docs, nameCol, nameCol, textCol, courtLevel)
 
+  /** First-page analog for the metadata regexes: the reference scopes
+    * case-number/parties extraction to `doc[0].get_text()` — the FIRST
+    * page only (`/root/reference/extract_and_embed_v2.py:397-398`).
+    * Full-text scanning was both unfaithful and the ingest path's
+    * dominant cost: the reference's parties pattern backtracks
+    * quadratically on non-matching text (measured 7.5s per 5k docs
+    * full-text vs ~0.2s on the page-1 prefix).
+    */
+  private[api] val FirstPageChars = 3500
+
   private def attributes(docs: DataFrame, keyExpr: Column, fileName: Column,
                          textCol: Column, courtLevel: Column): DataFrame = {
-    val meta = concat_ws(" ",
-      CaseMetadata.caseNumber(textCol),
-      CaseMetadata.appellant(textCol),
-      CaseMetadata.respondent(textCol))
-    docs.select(
+    val page1 = substring(textCol, 1, FirstPageChars)
+    // The parties pattern backtracks quadratically per scan, so scan
+    // ONCE for the full match (group 0, staged in its own projection —
+    // CollapseProject keeps a non-cheap multi-referenced alias staged)
+    // and re-extract both groups from the short matched substring:
+    // identical values (the match re-splits the same way on its own
+    // text — greedy group preference is deterministic), half the
+    // quadratic cost. The oracle keeps the reference's direct
+    // two-group form, so the gate hash PROVES the equivalence.
+    val staged = docs.select(
       keyExpr.as("key"),
       textCol.as("doc_text"),
       fileName.as("file_name"),
       sha2(fileName, 256).as("file_id"),
       courtLevel.cast("int").as("court_level"),
       Cascades.docType(textCol).as("document_type"),
-      Cascades.decisionWithRetry(textCol, trim(meta)).as("case_decision"))
+      regexp_extract(page1, CaseMetadata.partiesPattern, 0).as("__pm"),
+      CaseMetadata.caseNumber(page1).as("__cn"))
+    val meta = concat_ws(" ",
+      col("__cn"),
+      trim(regexp_extract(col("__pm"), CaseMetadata.partiesPattern, 1)),
+      trim(regexp_extract(col("__pm"), CaseMetadata.partiesPattern, 2)))
+    staged.select(
+      col("key"), col("doc_text"), col("file_name"), col("file_id"),
+      col("court_level"), col("document_type"),
+      Cascades.decisionWithRetry(col("doc_text"), trim(meta))
+        .as("case_decision"))
   }
 
   /** Full ingest: returns the reference chunk-table rows
