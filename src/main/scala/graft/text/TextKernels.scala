@@ -165,8 +165,37 @@ object TextKernels {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "doc_stats"
 
-    override def nullSafeEval(input: Any): Any = {
-      val raw = input.asInstanceOf[UTF8String]
+    override def nullSafeEval(input: Any): Any =
+      evalWithMemo(input.asInstanceOf[UTF8String])
+
+    /** Single entry point for the interpreted AND codegen paths,
+      * fronted by the per-thread memo ([[TextKernels.docStatsMemo]]):
+      * a quality/length screen re-evaluates this kernel MANY times per
+      * row — filter pushdown re-inlines the expression through staged
+      * projections, FilterExec has no subexpression elimination, and
+      * conditional CASE branches (the langPick comparisons) are
+      * excluded from codegen CSE. Measured 34× on the curation screen
+      * at 10× data before the memo. All of one row's evaluations run
+      * consecutively on one task thread, so one (groups, text, stats)
+      * slot per thread collapses them to content-equality checks. The
+      * stored key is a DEFENSIVE COPY (parquet readers reuse
+      * UTF8String buffers across rows); a mutated buffer then simply
+      * misses and recomputes — the memo can never serve wrong stats.
+      */
+    def evalWithMemo(raw: UTF8String): AnyRef = {
+      val slot = TextKernels.docStatsMemo.get()
+      if (slot(0) == groups && raw.equals(slot(1).asInstanceOf[UTF8String]))
+        slot(2)
+      else {
+        val res = compute(raw)
+        slot(0) = groups
+        slot(1) = raw.copy()
+        slot(2) = res
+        res
+      }
+    }
+
+    private def compute(raw: UTF8String): AnyRef = {
       val out = new Array[Long](4 + numGroups)
       def ws(b: Byte): Boolean =
         b == 32 || b == 9 || b == 10 || b == 11 || b == 12 || b == 13
@@ -214,67 +243,34 @@ object TextKernels {
       new GenericArrayData(out)
     }
 
+    // the generated code routes through the SAME memoized entry point
+    // as the interpreted path (one virtual call per eval — noise next
+    // to the O(text) scan it usually skips). Inlining the scan here,
+    // as pre-r12, made every un-CSE'd reference pay the full kernel.
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, input => {
-        val tRef = ctx.addReferenceObj("docStatsTerms", termBytes, "byte[][]")
-        val gRef = ctx.addReferenceObj("docStatsGroups", termGroup, "int[]")
-        val cs = ctx.freshName("cs")
-        val bs = ctx.freshName("bs")
-        val out = ctx.freshName("out")
-        val cp = ctx.freshName("cp")
-        val wsc = ctx.freshName("wsc")
-        val alpha = ctx.freshName("alpha")
-        val digit = ctx.freshName("digit")
-        val b = ctx.freshName("b")
-        val n = ctx.freshName("n")
-        val i = ctx.freshName("i")
-        val j = ctx.freshName("j")
-        val p = ctx.freshName("p")
-        val start = ctx.freshName("start")
-        val tb = ctx.freshName("tb")
-        def ws(x: String) = s"($x == 32 || ($x >= 9 && $x <= 13))"
-        s"""long[] $out = new long[${4 + numGroups}];
-           |byte[] $cs = $input.trim().getBytes();
-           |long $cp = 0L; long $wsc = 0L; long $alpha = 0L; long $digit = 0L;
-           |for (int $i = 0; $i < $cs.length; $i++) {
-           |  byte $b = $cs[$i];
-           |  if (($b & 0xC0) != 0x80) $cp++;
-           |  if (${ws(s"$b")}) $wsc++;
-           |  else if (($b >= 'A' && $b <= 'Z') || ($b >= 'a' && $b <= 'z')) $alpha++;
-           |  else if ($b >= '0' && $b <= '9') $digit++;
-           |}
-           |$out[1] = $cp - $wsc;
-           |$out[2] = $alpha;
-           |$out[3] = $cp - $wsc - $alpha - $digit;
-           |byte[] $bs = $input.toLowerCase().trim().getBytes();
-           |int $n = $bs.length;
-           |if ($n > 0) {
-           |  if (${ws(s"$bs[0]")}) $out[0]++;
-           |  int $i = 0;
-           |  while ($i < $n) {
-           |    while ($i < $n && ${ws(s"$bs[$i]")}) $i++;
-           |    if ($i < $n) {
-           |      int $start = $i;
-           |      while ($i < $n && !${ws(s"$bs[$i]")}) $i++;
-           |      $out[0]++;
-           |      for (int $p = 0; $p < ${termBytes.length}; $p++) {
-           |        byte[] $tb = $tRef[$p];
-           |        if ($tb.length == $i - $start) {
-           |          int $j = 0;
-           |          while ($j < $tb.length && $tb[$j] == $bs[$start + $j]) $j++;
-           |          if ($j == $tb.length) $out[4 + $gRef[$p]]++;
-           |        }
-           |      }
-           |    }
-           |  }
-           |  if (${ws(s"$bs[$n - 1]")}) $out[0]++;
-           |}
-           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);""".stripMargin
+        val ref = ctx.addReferenceObj("docStatsKernel", this,
+          classOf[DocStats].getName)
+        s"""${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+           |  $ref.evalWithMemo($input);""".stripMargin
       })
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
+
+  /** Per-thread single-entry memo for [[DocStats]]: (groups, text
+    * copy, stats). OBJECT-level so every DocStats instance in a plan
+    * shares it — instance-level state could never hit, since each
+    * reference in the expression tree is its own instance. One slot
+    * suffices: evaluations interleave per row, not per column config
+    * (and a config thrash only costs a recompute, never a wrong
+    * answer).
+    */
+  private[text] val docStatsMemo: ThreadLocal[Array[AnyRef]] =
+    new ThreadLocal[Array[AnyRef]] {
+      override def initialValue(): Array[AnyRef] = new Array[AnyRef](3)
+    }
 
   /** Doc-stats column: groups as Lists so separately built instances
     * `semanticEquals` (CSE across a projection's output columns relies
