@@ -68,7 +68,11 @@ object ClusterSmoke {
     "q_psi_emb_drift",          // r11: least()-fold anchor assignment + PSI
     "streaming_maxsim_maintained", // r11: maintained layout served across refresh
     "dedup_clip_decontam",      // r11: hashed cross-corpus clip (verify join)
-    "streaming_clip_decontam")  // r11: bloom screen + exact clip in foreachBatch
+    "streaming_clip_decontam",  // r11: bloom screen + exact clip in foreachBatch
+    "streaming_clip_self",      // r12: bucketed gram registry + prefix-causal clip
+    "streaming_resume_quantiles", // r12: checkpoint stop/resume, state-store restore
+    "streaming_resume_ivf_maintained", // r12: file-sink exactly-once across restart
+    "pipeline_training_data_v2")  // r12: composed clip pipeline (memoized docStats)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
