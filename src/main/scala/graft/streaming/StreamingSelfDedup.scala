@@ -43,12 +43,16 @@ object StreamingSelfDedup {
   /** Catalog name for a bucketed registry at `registryDir` — derived
     * from the dir so concurrent streams in one session cannot collide.
     */
-  private[streaming] def registryTableName(registryDir: String): String =
+  private[streaming] def registryTableName(registryDir: String): String = {
+    val bytes = registryDir.getBytes("UTF-8")
+    // hash the byte array's FULL length — String.length counts chars,
+    // and truncating a multi-byte path's tail would collide two dirs
+    // differing only in their final bytes onto one catalog table
     s"graft_selfdedup_reg_${java.lang.Long.toHexString(
       org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
-        registryDir.getBytes("UTF-8"),
-        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-        registryDir.length, 42) & 0xFFFFFFFFL)}"
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        bytes.length, 42) & 0xFFFFFFFFL)}"
+  }
 
   /** Start the self-dedup clip over `stream`; `write` receives each
     * batch's (doc_id, clean_text, n_removed). `registryDir` holds the
@@ -82,6 +86,19 @@ object StreamingSelfDedup {
       // same batch_id and stays invisible to every later probe's
       // `< batchId` filter... (it IS visible to batch_id+1 — exactly
       // once, as the original rows would have been).
+      // checkpoint resume in a FRESH session: the files survive but the
+      // session catalog is empty — re-register the bucketed table over
+      // them (bucket identity lives in the part-file names), or the
+      // first post-restart batch would silently probe an EMPTY
+      // registry and re-emit previously-clipped grams. The bucket mode
+      // is part of the registry dir's on-disk contract: re-registering
+      // plain-dir files as bucketed fails loudly at read, never
+      // silently.
+      if (registryBuckets > 0 && !s.catalog.tableExists(tbl) &&
+        fs.exists(regPath))
+        s.sql(s"CREATE TABLE $tbl (h BIGINT, gram STRING, batch_id BIGINT) " +
+          s"USING parquet CLUSTERED BY (h) SORTED BY (h) " +
+          s"INTO $registryBuckets BUCKETS LOCATION '$registryDir'")
       val registry =
         if (registryBuckets > 0 && s.catalog.tableExists(tbl)) {
           // this batch must see the previous batch's append: refresh

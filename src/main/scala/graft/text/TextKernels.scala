@@ -188,9 +188,16 @@ object TextKernels {
         slot(2)
       else {
         val res = compute(raw)
-        slot(0) = groups
-        slot(1) = raw.copy()
-        slot(2) = res
+        // size-capped: the slot pins its key for the thread's lifetime,
+        // and a multi-MB outlier document is not worth holding per task
+        // thread (it just recomputes — the memo can only SKIP work,
+        // never change an answer). The defensive copy on a miss costs
+        // one memcpy next to compute's two full scans.
+        if (raw.numBytes <= TextKernels.DocStatsMemoMaxBytes) {
+          slot(0) = groups
+          slot(1) = raw.copy()
+          slot(2) = res
+        }
         res
       }
     }
@@ -271,6 +278,9 @@ object TextKernels {
     new ThreadLocal[Array[AnyRef]] {
       override def initialValue(): Array[AnyRef] = new Array[AnyRef](3)
     }
+
+  /** Largest text the memo will pin per thread (outliers recompute). */
+  private[text] val DocStatsMemoMaxBytes = 4 * 1024 * 1024
 
   /** Doc-stats column: groups as Lists so separately built instances
     * `semanticEquals` (CSE across a projection's output columns relies

@@ -121,6 +121,34 @@ class StreamingSelfDedupSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
+  test("bucketed registry survives a fresh-session resume: re-registered over existing files") {
+    // simulate the restart's empty catalog: DROP the (external) table
+    // between batches while its files persist — the next batch must
+    // re-register the bucketed table and still clip previously-seen
+    // grams, not silently probe an empty registry
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val reg = tmp("sd-reregister") + "/reg"
+    val ms = MemoryStream[(Long, String)]
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+    val q = StreamingSelfDedup.clipStream(
+      ms.toDS().toDF("doc_id", "text"), col("doc_id"), col("text"),
+      2, reg, registryBuckets = 4) { df =>
+      df.collect().foreach(r => got.add((r.getLong(0), r.getString(1), r.getLong(2))))
+    }
+    try {
+      ms.addData(Seq((1L, "k1 k2 tail")))
+      q.processAllAvailable()
+      spark.sql(s"DROP TABLE ${StreamingSelfDedup.registryTableName(reg)}")
+      ms.addData(Seq((2L, "k1 k2 again")))
+      q.processAllAvailable()
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSeq.sortBy(_._1) ==
+      Seq((1L, "k1 k2 tail", 0L), (2L, "again", 2L)),
+      s"post-'restart' batch must still clip batch-0 grams: ${got.asScala.toSeq}")
+  }
+
   test("replayed batch is fenced from its own registry append: identical rows re-emitted") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
