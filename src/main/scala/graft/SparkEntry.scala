@@ -2542,11 +2542,72 @@ object SparkEntry {
           }
         }
         try {
-          rows.grouped(rows.length / 3 + 1).foreach { chunk =>
-            ms.addData(chunk)
-            q.processAllAvailable()
+          rows.grouped(rows.length / 3 + 1).zipWithIndex.foreach {
+            case (chunk, i) =>
+              ms.addData(chunk)
+              q.processAllAvailable()
+              // between batches (single-maintenance-writer contract):
+              // fold the one-file-per-bucket-per-batch append residue
+              // back to <=1 file/bucket — the long-stream maintenance
+              // a week-long ingest runs, in-gate so the oracle proves
+              // compaction cannot change a later batch's clip
+              if (i == 1)
+                graft.streaming.StreamingSelfDedup.compactRegistry(
+                  s, s"$tmp/registry", registryBuckets = 8)
           }
         } finally q.stop()
+        out.toSeq.toDF("doc_id", "clean_text", "n_removed")
+          .orderBy("doc_id")
+      },
+      Some(graft.dedup.Spans.clipSpansPrefixSql(
+        "documents", "doc_id", "text", minTokens = 8) +
+        " ORDER BY doc_id")),
+
+    // CHECKPOINT KILL-AND-RESUME for the stateful-ON-DISK route (r13):
+    // streaming_clip_self's durable state is the gram registry +
+    // catalog registration, not a state store — the resume trio's
+    // pattern re-run with the part its siblings cannot cover: after
+    // stopping q1 we DROP the registered table (the external catalog
+    // is per-SparkContext, so a same-JVM newSession() would still see
+    // it — DROP is the honest simulation of a fresh process's empty
+    // catalog) and restart a NEW query on the SAME checkpoint. The
+    // first post-restart batch must re-register the bucketed table
+    // over the surviving part-files (validated against the _BUCKETS
+    // marker) and rebuild the bloom screen from the registry — any
+    // failure under-clips and the full-corpus oracle hash catches it.
+    Q("streaming_resume_clip_self",
+      (s, dir) => withStreamShuffle(s) {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val rows = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+          .sortBy(_._1).toSeq
+        val ms = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val tmp = graft.TempDirs.create("selfclip-resume").toString
+        val reg = s"$tmp/registry"
+        val out = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+        def start() = graft.streaming.StreamingSelfDedup.clipStream(
+          ms.toDS().toDF("doc_id", "text"), col("doc_id"), col("text"),
+          minTokens = 8, reg, Some(s"$tmp/ckpt"),
+          registryBuckets = 8) { batchOut =>
+          out.synchronized {
+            out ++= batchOut.collect()
+              .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+          }
+        }
+        val chunks = rows.grouped(rows.length / 3 + 1).toSeq
+        val q1 = start()
+        try {
+          chunks.take(2).foreach { c => ms.addData(c); q1.processAllAvailable() }
+        } finally q1.stop()
+        s.sql(s"DROP TABLE ${
+          graft.streaming.StreamingSelfDedup.registryTableName(reg)}")
+        val q2 = start()
+        try {
+          chunks.drop(2).foreach { c => ms.addData(c); q2.processAllAvailable() }
+        } finally q2.stop()
         out.toSeq.toDF("doc_id", "clean_text", "n_removed")
           .orderBy("doc_id")
       },

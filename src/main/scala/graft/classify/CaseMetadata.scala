@@ -19,7 +19,18 @@ object CaseMetadata {
   val datePattern =
     """(?i)\d{1,2}[\/\.\-]\d{1,2}[\/\.\-]\d{2,4}|\d{1,2}(?:st|nd|rd|th)?\s+(?:jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)[a-z]*\.?\s+\d{2,4}"""
 
-  /** `extract_and_embed_v2.py:413` — "X versus Y" parties. */
+  /** `extract_and_embed_v2.py:413` — "X versus Y" parties.
+    *
+    * CONSTRAINT (Ingest's scan-once optimization depends on it): this
+    * pattern must stay free of anchors, word boundaries, and
+    * lookarounds. Ingest extracts group 0 once and re-runs the pattern
+    * ON ITS OWN MATCH to split groups 1/2 — equivalent only while a
+    * match re-matches identically against itself (self-contained
+    * pattern, greedy-preference determinism). CaseMetadataSpec's
+    * property test pins the equivalence over varied texts; if you add
+    * `\b`/`^`/lookarounds here, Ingest must go back to direct
+    * two-group extraction.
+    */
   val partiesPattern =
     """(?i)([A-Za-z\s\.,]+)\s+(?:versus|vs\.?|v\.)\s+([A-Za-z\s\.,]+)"""
 

@@ -215,10 +215,26 @@ object Spans {
     * per-batch probe shuffles only batch seeds; a replayed batch may
     * re-append registry rows — duplicates are harmless to output
     * (interval union is idempotent) and fold away on compaction.
+    *
+    * `registryScreen`: an optional membership screen over registry
+    * gram hashes (no false negatives — a Bloom filter over every `h`
+    * ever appended). When NO batch seed passes the screen, the batch
+    * provably has zero registry hits and both registry joins collapse
+    * to an empty relation — the registry is not even SCANNED, which is
+    * what keeps per-batch cost independent of stream lifetime on clean
+    * batches. A false positive merely runs the exact join; the screen
+    * can never change the answer.
+    *
+    * @return (clipped batch, new registry rows, release) — `release`
+    *         unpersists the step's two pinned localCheckpoints; call
+    *         it after BOTH output actions (emit + registry append)
+    *         complete, or a long-running stream accretes checkpoint
+    *         blocks until their RDDs happen to be GC'd.
     */
   def clipSpansPrefixStep(df: DataFrame, idCol: Column, textCol: Column,
-                          registry: DataFrame, minTokens: Int):
-      (DataFrame, DataFrame) = {
+                          registry: DataFrame, minTokens: Int,
+                          registryScreen: Option[Long => Boolean] = None):
+      (DataFrame, DataFrame, () => Unit) = {
     require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
     val n = minTokens
     val toks = df.select(idCol.cast("long").as("doc_id"),
@@ -228,15 +244,26 @@ object Spans {
     // election, losers, new-gram append) — pin it once
     val seeds = seedsOf(toks, n, hashGrams = false)
       .withColumn("h", xxhash64(col("gram"))).localCheckpoint()
+    // clean-batch fast path: when the screen (no false negatives)
+    // clears every seed hash, swap the registry for limit(0) — the
+    // optimizer's OptimizeLimitZero folds it to an empty relation, so
+    // neither join below ever touches the registry scan. The screen
+    // probe itself is one pass over the already-pinned batch seeds.
+    val reg = registryScreen match {
+      case Some(mightContain) =>
+        val hit = udf(mightContain)
+        if (seeds.where(hit(col("h"))).isEmpty) registry.limit(0) else registry
+      case None => registry
+    }
     val regHits = seeds
-      .join(registry.select(col("h"), col("gram").as("rgram")), "h")
+      .join(reg.select(col("h"), col("gram").as("rgram")), "h")
       .where(col("gram") === col("rgram"))
       .select("doc_id", "pos")
     // ALSO pinned: the caller runs two actions (emit + registry
     // append), and without this the REGISTRY — the one input that
     // grows for the life of the stream — would be scanned and
     // anti-joined twice per batch
-    val fresh = seeds.join(registry, Seq("h", "gram"), "left_anti")
+    val fresh = seeds.join(reg, Seq("h", "gram"), "left_anti")
       .localCheckpoint()
     val winners = fresh.groupBy("gram")
       .agg(count(lit(1)).as("occ"),
@@ -256,8 +283,22 @@ object Spans {
     val lossIv = intervalsOf(regHits.unionByName(losers), n)
     val winIv = intervalsOf(protWin, n).withColumnRenamed("iv", "wiv")
     (applyIntervals(toks, lossIv, Some(winIv)),
-      fresh.select("h", "gram").distinct())
+      fresh.select("h", "gram").distinct(),
+      () => { unpinLocalCheckpoint(seeds); unpinLocalCheckpoint(fresh) })
   }
+
+  /** Unpersist the block-backed RDD behind a `localCheckpoint()`ed
+    * frame. `Dataset.unpersist` only touches the CacheManager, not the
+    * checkpoint's storage blocks — those are otherwise reclaimed only
+    * when the RDD object is GC'd (ContextCleaner), which is unbounded
+    * on a long-running stream pinning two per batch.
+    */
+  private def unpinLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** DuckDB twin of the [[clipSpansPrefixStep]] STREAM over a full
     * corpus fed in doc_id order: identical to [[clipSpansSql]] except

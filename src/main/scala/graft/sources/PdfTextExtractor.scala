@@ -647,6 +647,13 @@ object PdfTextExtractor {
           val e = balancedEnd(k)
           if (key == name) return Some(dict.substring(k, e))
           i = e
+        } else if (k < dict.length && dict.charAt(k) == '/') {
+          // name-valued entry (`/X /CF`): consume the VALUE name too,
+          // or the key scan would re-read it as a key and a following
+          // dict (`/X /CF << … >>`) would mis-resolve as /CF's value
+          var v = k + 1
+          while (v < dict.length && isNameChar(dict.charAt(v))) v += 1
+          i = v
         } else i = j
       } else if (c == '<' && i + 1 < dict.length && dict.charAt(i + 1) == '<')
         i = balancedEnd(i)
@@ -836,11 +843,16 @@ object PdfTextExtractor {
 
     // page order: walk /Root → /Pages → /Kids when the tree resolves,
     // else every /Type /Page object (or raw content stream) in
-    // document order
+    // document order. The fallback dedupes by OBJECT NUMBER keeping
+    // the LAST declaration: an incremental-update file (ISO 32000
+    // 7.5.6) re-declares updated objects in an appended revision, and
+    // the tree path already resolves last-wins through `byNum` — the
+    // fallback must not extract the superseded revision's page too.
     val pageObjs: Seq[Obj] = pageTreeOrder(latin, byNum).getOrElse {
       val typed = objects.filter(_.dict.contains("/Type") )
         .filter(o => """/Type\s*/Page\b""".r.findFirstIn(o.dict).isDefined)
-      if (typed.nonEmpty) typed else objects.filter(_.stream.isDefined)
+      lastDeclarationWins(
+        if (typed.nonEmpty) typed else objects.filter(_.stream.isDefined))
     }
 
     val pages = pageObjs.flatMap { page =>
@@ -852,6 +864,17 @@ object PdfTextExtractor {
       Some(text)
     }
     pages.mkString("\n")
+  }
+
+  /** Keep only each object number's LAST declaration, in the order the
+    * surviving declarations appear — document order of the newest
+    * revision, the incremental-update contract `byNum`'s `toMap`
+    * already applies on the resolving path.
+    */
+  private def lastDeclarationWins(objs: Seq[Obj]): Seq[Obj] = {
+    val last = objs.zipWithIndex
+      .groupMapReduce(_._1.num)(_._2)(math.max)
+    objs.zipWithIndex.collect { case (o, i) if last(o.num) == i => o }
   }
 
   /** Expand PDF 1.5+ OBJECT STREAMS (`/Type /ObjStm`): modern

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, xxhash64}
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Streaming SELF-dedup substring clip (23rd route) — keep-first span
   * removal WITHIN an arriving stream: each micro-batch is clipped
@@ -22,36 +23,151 @@ import org.apache.spark.sql.functions.{col, lit}
   * when fed in doc_id order.
   *
   * Scale shape: the registry is an append-only table of (xxhash64,
-  * gram, batch_id) rows that grows for the life of the stream — the
-  * one input the per-batch probe must not re-shuffle. With
-  * `registryBuckets > 0` it lives as a HASH-BUCKETED catalog table
-  * (the [[StreamingBm25]] postings shape): each append writes
-  * bucket-aligned files, the probe reads through the bucketed scan,
-  * and both registry joins cluster on `h`, so only the BATCH's seeds
-  * shuffle — the registry never re-partitions
-  * (StreamingSelfDedupSpec pins the exchange count). Appends leave
-  * one file per bucket per batch; reap with
-  * [[StreamingBm25.compact]] (bucket-preserving) between runs.
+  * gram, batch_id) rows that grows for the life of the stream. Three
+  * mechanisms keep the per-batch probe's cost from tracking that
+  * growth:
+  *   - `registryBuckets > 0` stores it as a HASH-BUCKETED catalog
+  *     table (the [[StreamingBm25]] postings shape): each append
+  *     writes bucket-aligned files, both registry joins cluster on
+  *     `h`, so only the BATCH's seeds shuffle — the registry never
+  *     re-partitions (StreamingSelfDedupSpec pins the exchange count);
+  *   - a maintained BLOOM SCREEN over every registry hash (rebuilt
+  *     from the registry on restart, extended with each batch's new
+  *     grams): a batch none of whose seed hashes might be registered
+  *     provably has zero registry hits, and the probe skips the
+  *     registry SCAN entirely — clean batches cost O(batch), not
+  *     O(stream lifetime). A false positive runs the exact join; the
+  *     screen can never change an answer (no false negatives);
+  *   - [[compactRegistry]] (bucket-preserving, crash-safe — the
+  *     [[StreamingBm25.compact]] manifest protocol) folds the
+  *     one-file-per-bucket-per-batch append residue back to ≤1 file
+  *     per bucket, so a week-long stream's dirty-batch probe opens a
+  *     bounded file count. Run it from the maintenance driver between
+  *     batches (single-maintenance-writer contract).
+  *
   * `registryBuckets = 0` appends a plain parquet dir — the
   * harness-scale form. Replays (at-least-once) re-emit deterministic
   * rows and may re-append registry rows; duplicates cannot change any
   * future clip (interval union is idempotent, the anti-join is
-  * set-semantics), so an idempotent sink makes the route exactly-once.
+  * set-semantics, the bloom is a set union), so an idempotent sink
+  * makes the route exactly-once.
   */
 object StreamingSelfDedup {
 
   /** Catalog name for a bucketed registry at `registryDir` — derived
     * from the dir so concurrent streams in one session cannot collide.
+    * XXH64 of the path bytes: a 32-bit hash over many long-lived
+    * registry dirs has a real birthday-collision chance, and a
+    * collision would silently cross-contaminate two streams' gram
+    * registries. [[requireRegistryTable]] additionally verifies the
+    * registered table's LOCATION, so even a 64-bit collision (or a
+    * foreign table squatting on the name) fails loudly instead of
+    * probing someone else's grams.
     */
-  private[streaming] def registryTableName(registryDir: String): String = {
+  private[graft] def registryTableName(registryDir: String): String = {
     val bytes = registryDir.getBytes("UTF-8")
-    // hash the byte array's FULL length — String.length counts chars,
-    // and truncating a multi-byte path's tail would collide two dirs
-    // differing only in their final bytes onto one catalog table
     s"graft_selfdedup_reg_${java.lang.Long.toHexString(
-      org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
         bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-        bytes.length, 42) & 0xFFFFFFFFL)}"
+        bytes.length, 42L))}"
+  }
+
+  /** Bucket-count marker (`_BUCKETS`) inside the registry dir: the
+    * bucket count is part of the on-disk contract — a fresh-session
+    * resume that re-registered the table with a DIFFERENT count would
+    * bucket-prune probes against the wrong buckets (silent
+    * under-clipping) before the next append even got the chance to
+    * fail on the spec mismatch. Written on first append, required to
+    * match on every (re-)registration.
+    */
+  private def bucketsMarker(registryDir: String) =
+    new org.apache.hadoop.fs.Path(registryDir, "_BUCKETS")
+
+  private def readBucketsMarker(fs: org.apache.hadoop.fs.FileSystem,
+                                registryDir: String): Option[Int] = {
+    val p = bucketsMarker(registryDir)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        "UTF-8").trim.toInt)
+      finally in.close()
+    }
+  }
+
+  private def writeBucketsMarkerIfAbsent(
+      fs: org.apache.hadoop.fs.FileSystem, registryDir: String,
+      buckets: Int): Unit = {
+    val p = bucketsMarker(registryDir)
+    if (!fs.exists(p)) {
+      val out = fs.create(p, false)
+      try out.write(buckets.toString.getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  /** Ensure the bucketed registry table for `registryDir` is
+    * registered in `spark`'s (shared) catalog and safe to use:
+    * validates the `_BUCKETS` marker against `registryBuckets` and —
+    * when the table already exists — that its LOCATION is actually
+    * `registryDir` (name-hash collision / foreign table guard).
+    * Idempotent; the checkpoint-resume path in a fresh session runs
+    * this before its first probe, or the batch would silently probe an
+    * empty registry and re-emit previously-clipped grams.
+    */
+  private[streaming] def requireRegistryTable(
+      spark: SparkSession, registryDir: String, registryBuckets: Int): String = {
+    val tbl = registryTableName(registryDir)
+    val regPath = new org.apache.hadoop.fs.Path(registryDir)
+    val fs = regPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readBucketsMarker(fs, registryDir).foreach { m =>
+      require(m == registryBuckets,
+        s"registry at $registryDir was written with $m buckets; " +
+          s"refusing to open it as $registryBuckets (probes would " +
+          s"bucket-prune against the wrong buckets)")
+    }
+    if (spark.catalog.tableExists(tbl)) {
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl)).location
+      val want = fs.makeQualified(regPath).toUri
+      if (fs.makeQualified(new org.apache.hadoop.fs.Path(loc)).toUri != want)
+        throw new IllegalStateException(
+          s"catalog table $tbl points at $loc, not $registryDir — " +
+            "table-name collision or foreign table; refusing to probe it")
+    } else if (fs.exists(regPath))
+      spark.sql(s"CREATE TABLE $tbl (h BIGINT, gram STRING, batch_id BIGINT) " +
+        s"USING parquet CLUSTERED BY (h) SORTED BY (h) " +
+        s"INTO $registryBuckets BUCKETS LOCATION '$registryDir'")
+    tbl
+  }
+
+  /** Distributed bloom build over `df`'s `h` column; the empty-frame
+    * guard matters — `stat.bloomFilter` NPEs on zero rows (the
+    * aggregate's zero-row result is null) and both build sites can
+    * legitimately see an empty frame (first batch's registry, an
+    * all-short-docs batch's new grams).
+    */
+  private def bloomOver(df: DataFrame, capacity: Long,
+                        fpp: Double): BloomFilter =
+    if (df.isEmpty) BloomFilter.create(capacity, fpp)
+    else df.stat.bloomFilter(col("h"), capacity, fpp)
+
+  /** Fold the registry's append residue (one file per bucket per
+    * batch) back to ≤1 file per bucket, preserving bucket identity —
+    * [[StreamingBm25.compact]]'s staged-manifest protocol, so a crash
+    * mid-compaction is rolled forward and batch_id fencing rows
+    * survive verbatim. Run between batches (single maintenance
+    * writer, same contract as the postings table); returns the data
+    * file count after compaction.
+    */
+  def compactRegistry(spark: SparkSession, registryDir: String,
+                      registryBuckets: Int,
+                      maxRecordsPerFile: Long = 0L): Int = {
+    require(registryBuckets > 0, "only bucketed registries compact")
+    val tbl = requireRegistryTable(spark, registryDir, registryBuckets)
+    StreamingBm25.compact(spark, tbl, registryDir, bucketCol = "h",
+      numBuckets = registryBuckets, maxRecordsPerFile = maxRecordsPerFile)
   }
 
   /** Start the self-dedup clip over `stream`; `write` receives each
@@ -59,11 +175,22 @@ object StreamingSelfDedup {
     * maintained gram registry (created on first batch), as a plain
     * parquet dir (`registryBuckets = 0`) or an `h`-bucketed catalog
     * table (`> 0` — the scale form).
+    *
+    * `screenCapacity`/`screenFpp` size the maintained bloom screen
+    * (0 capacity disables it). The screen is driver-held closure
+    * state: rebuilt with ONE registry scan on (re)start, then extended
+    * with each batch's appended grams — never re-derived per batch. A
+    * registry that outgrows the capacity only degrades the false-
+    * positive rate (more batches pay the exact join), never
+    * correctness. A replayed batch re-merges the same hashes — a
+    * set-union no-op.
     */
   def clipStream(stream: DataFrame, idCol: Column, textCol: Column,
                  minTokens: Int, registryDir: String,
                  checkpointDir: Option[String] = None,
-                 registryBuckets: Int = 0)
+                 registryBuckets: Int = 0,
+                 screenCapacity: Long = 4L * 1000 * 1000,
+                 screenFpp: Double = 0.03)
                 (write: DataFrame => Unit):
       org.apache.spark.sql.streaming.StreamingQuery = {
     val writer = stream
@@ -72,6 +199,10 @@ object StreamingSelfDedup {
       .writeStream
     checkpointDir.foreach(writer.option("checkpointLocation", _))
     val tbl = registryTableName(registryDir)
+    // the maintained screen; null until the first batch (re)builds it.
+    // foreachBatch bodies run sequentially on the stream execution
+    // thread, so plain closure state needs no synchronization.
+    var bloom: BloomFilter = null
     writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val s = batch.sparkSession
       val regPath = new org.apache.hadoop.fs.Path(registryDir)
@@ -86,21 +217,9 @@ object StreamingSelfDedup {
       // same batch_id and stays invisible to every later probe's
       // `< batchId` filter... (it IS visible to batch_id+1 — exactly
       // once, as the original rows would have been).
-      // checkpoint resume in a FRESH session: the files survive but the
-      // session catalog is empty — re-register the bucketed table over
-      // them (bucket identity lives in the part-file names), or the
-      // first post-restart batch would silently probe an EMPTY
-      // registry and re-emit previously-clipped grams. The bucket mode
-      // is part of the registry dir's on-disk contract: re-registering
-      // plain-dir files as bucketed fails loudly at read, never
-      // silently.
-      if (registryBuckets > 0 && !s.catalog.tableExists(tbl) &&
-        fs.exists(regPath))
-        s.sql(s"CREATE TABLE $tbl (h BIGINT, gram STRING, batch_id BIGINT) " +
-          s"USING parquet CLUSTERED BY (h) SORTED BY (h) " +
-          s"INTO $registryBuckets BUCKETS LOCATION '$registryDir'")
       val registry =
-        if (registryBuckets > 0 && s.catalog.tableExists(tbl)) {
+        if (registryBuckets > 0 && fs.exists(regPath)) {
+          requireRegistryTable(s, registryDir, registryBuckets)
           // this batch must see the previous batch's append: refresh
           // the (micro-batch-session) catalog's cached file listing
           s.catalog.refreshTable(tbl)
@@ -112,18 +231,33 @@ object StreamingSelfDedup {
           import s.implicits._
           Seq.empty[(Long, String)].toDF("h", "gram")
         }
-      val (clipped, newGrams) = graft.dedup.Spans.clipSpansPrefixStep(
-        batch, col("doc_id"), col("text"), registry, minTokens)
-      write(clipped)
-      val out = newGrams.select(col("h"), col("gram"),
-        lit(batchId).as("batch_id"))
-      if (registryBuckets > 0)
-        out.write.mode("append").format("parquet")
-          .option("path", registryDir)
-          .bucketBy(registryBuckets, "h").sortBy("h")
-          .saveAsTable(tbl)
-      else
-        out.write.mode("append").parquet(registryDir)
+      if (bloom == null && screenCapacity > 0)
+        // (re)start: ONE scan of the registry as it stands — every
+        // per-batch rebuild after this is replaced by the merge below
+        bloom = bloomOver(registry, screenCapacity, screenFpp)
+      val screen = Option(bloom).map { bf =>
+        (h: Long) => bf.mightContainLong(h)
+      }
+      val (clipped, newGrams, release) =
+        graft.dedup.Spans.clipSpansPrefixStep(
+          batch, col("doc_id"), col("text"), registry, minTokens, screen)
+      try {
+        write(clipped)
+        val out = newGrams.select(col("h"), col("gram"),
+          lit(batchId).as("batch_id"))
+        if (registryBuckets > 0) {
+          out.write.mode("append").format("parquet")
+            .option("path", registryDir)
+            .bucketBy(registryBuckets, "h").sortBy("h")
+            .saveAsTable(tbl)
+          writeBucketsMarkerIfAbsent(fs, registryDir, registryBuckets)
+        } else
+          out.write.mode("append").parquet(registryDir)
+        if (bloom != null)
+          // extend, don't rebuild: one pass over the (pinned) new
+          // grams; compatible by construction (same capacity/fpp)
+          bloom.mergeInPlace(bloomOver(newGrams, screenCapacity, screenFpp))
+      } finally release()
       ()
     }.start()
   }

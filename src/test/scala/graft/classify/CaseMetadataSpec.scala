@@ -1,0 +1,61 @@
+package graft.classify
+
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the contract Ingest's scan-once parties optimization depends
+  * on: extracting group 0 once and re-running [[CaseMetadata.partiesPattern]]
+  * on its own match must split groups 1/2 exactly as direct extraction
+  * from the full text does. This holds only while the pattern stays
+  * free of anchors, word boundaries, and lookarounds (see the
+  * constraint note on the pattern) — a future pattern edit that breaks
+  * the property fails HERE, not silently in case_decision inputs.
+  */
+class CaseMetadataSpec extends AnyFunSuite {
+
+  private val p = java.util.regex.Pattern.compile(CaseMetadata.partiesPattern)
+
+  private def direct(text: String): Option[(String, String)] = {
+    val m = p.matcher(text)
+    if (m.find()) Some((m.group(1), m.group(2))) else None
+  }
+
+  private def viaGroup0(text: String): Option[(String, String)] = {
+    val m = p.matcher(text)
+    if (!m.find()) None
+    else {
+      // the Ingest form: re-run the pattern on the short group-0 match
+      val m2 = p.matcher(m.group(0))
+      assert(m2.find(), s"group 0 must re-match itself: '${m.group(0)}'")
+      Some((m2.group(1), m2.group(2)))
+    }
+  }
+
+  test("group-0 re-extraction equals direct two-group extraction on varied texts") {
+    val rnd = new Random(1013)
+    val seps = Seq("versus", "Versus", "VS", "vs.", "vs", "v.", "V.")
+    val wordChars = "abcdefgzXYZ .,"
+    def word(len: Int): String =
+      (0 until len).map(_ => wordChars(rnd.nextInt(wordChars.length))).mkString
+    val fixed = Seq(
+      "State of Kerala versus K. Ramachandran Nair, C.A. No. 42 of 2011",
+      "a. b. c, versus d, e. f",
+      "no parties here at all 123",
+      "X v. Y",
+      "one vs two vs three versus four",
+      " leading space versus trailing space ",
+      "commas,,, versus ...dots",
+      "versus", "vs. vs. vs.", "")
+    val randomized = (1 to 400).map { _ =>
+      val n = rnd.nextInt(4)
+      (0 to n).map(_ => word(1 + rnd.nextInt(12)))
+        .mkString(" " + seps(rnd.nextInt(seps.length)) + " ")
+    }
+    (fixed ++ randomized).foreach { text =>
+      assert(viaGroup0(text) == direct(text),
+        s"scan-once diverged on '$text': " +
+          s"viaGroup0=${viaGroup0(text)} direct=${direct(text)}")
+    }
+  }
+}

@@ -318,6 +318,17 @@ class PdfTextExtractorSpec extends AnyFunSuite with SparkSpec {
     assert(PdfTextExtractor.nestedDictOf(d, "A").isEmpty)
     assert(PdfTextExtractor.nestedDictOf(d, "X").isEmpty,
       "nested occurrences must not match at the outer level")
+    // a NAME-valued entry must consume its value: in `/X /CF << … >>`
+    // the `/CF` is /X's value, not a key — the following dict must not
+    // resolve as /CF's (ADVICE r12; impact was /CF crypt-filter
+    // misdetection on hostile files)
+    assert(PdfTextExtractor.nestedDictOf(
+      "<< /X /CF << /StdCF << /CFM /AESV2 >> >> >>", "CF").isEmpty,
+      "name value mistaken for a key")
+    // …and the real key after a name-valued entry still resolves
+    assert(PdfTextExtractor.nestedDictOf(
+      "<< /X /CF /CF << /StdCF 1 >> >>", "CF")
+      .exists(_.contains("/StdCF")))
     // the charset's regex and predicate forms must agree on EVERY char
     // — nestedDictOf tokenizes keys with the predicate, filterActive
     // matches names with the regex
@@ -456,6 +467,56 @@ class PdfTextExtractorSpec extends AnyFunSuite with SparkSpec {
       "For the reasons recorded the appeal dismissed as without merit"))
   }
 
+  /** `base` plus an appended incremental-update revision (ISO 32000
+    * 7.5.6): re-declares page 1's content stream (obj 5) with
+    * `updated`, re-declares /Info (obj 7) with an amended title, and
+    * optionally re-declares the PAGE object itself (obj 3) — the case
+    * that exercises the fallback path's last-declaration-wins dedupe.
+    */
+  private def appendRevision(base: Array[Byte], updated: String,
+                             redeclarePage: Boolean): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(base)
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    val u = updated.getBytes(StandardCharsets.ISO_8859_1)
+    if (redeclarePage)
+      w("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>\nendobj\n")
+    w(s"5 0 obj\n<< /Length ${u.length} >>\nstream\n")
+    out.write(u)
+    w("\nendstream\nendobj\n")
+    w("7 0 obj\n<< /Title (Amended Title) >>\nendobj\n")
+    w("trailer\n<< /Root 1 0 R /Info 7 0 R >>\n%%EOF\n")
+    out.toByteArray
+  }
+
+  test("incremental update: the appended revision wins on the page-tree path") {
+    val updated = "BT (Amended: appeal dismissed.) Tj ET"
+    val pdf = appendRevision(buildPdf(page1, page2), updated,
+      redeclarePage = false)
+    // obj 5 declared twice; the tree path resolves /Contents through
+    // byNum's last-wins map — page 1 must extract ONLY the revision
+    assert(PdfTextExtractor.extract(pdf) ==
+      s"Amended: appeal dismissed.\n$wantPage2")
+    assert(PdfTextExtractor.info(pdf)("title") == "Amended Title")
+  }
+
+  test("incremental update: the fallback path extracts a re-declared page once, last revision") {
+    val updated = "BT (Amended fallback text.) Tj ET"
+    // break the catalog's /Pages ref so pageTreeOrder cannot resolve
+    // (the /Catalog-sniffing root fallback would survive a broken
+    // /Root ref): the typed-page fallback walks ALL objects — obj 3 is
+    // declared twice and must extract exactly once, from its last
+    // declaration (in the position the LAST declaration holds, after
+    // the untouched obj 4)
+    val pdf = new String(
+      appendRevision(buildPdf(page1, page2), updated, redeclarePage = true),
+      StandardCharsets.ISO_8859_1)
+      .replaceAll("/Pages 2 0 R", "/Pages 99 0 R")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assert(PdfTextExtractor.extract(pdf) ==
+      s"$wantPage2\nAmended fallback text.")
+  }
+
   test("fuzz: mutated/truncated/hostile PDFs never throw, never explode output") {
     // Seeded property sweep over the four real-world parser arms
     // (Flate, CMap/Type0, ObjStm, encryption): bit flips, truncations,
@@ -481,7 +542,7 @@ class PdfTextExtractorSpec extends AnyFunSuite with SparkSpec {
     def mutateLatin(base: Array[Byte])(f: String => String): Array[Byte] =
       f(new String(base, StandardCharsets.ISO_8859_1))
         .getBytes(StandardCharsets.ISO_8859_1)
-    def mutate(base: Array[Byte]): Array[Byte] = rnd.nextInt(9) match {
+    def mutate(base: Array[Byte]): Array[Byte] = rnd.nextInt(10) match {
       case 0 => // truncate anywhere
         base.take(rnd.nextInt(base.length))
       case 1 => // flip 1-16 random bits
@@ -533,6 +594,16 @@ class PdfTextExtractorSpec extends AnyFunSuite with SparkSpec {
             s"/$$1 ${Seq("/Ghost", "/Identity", "/We#69rd-N#61me",
               "/StdCF /CFM /None")(rnd.nextInt(4))}")
         }
+      case 8 => // incremental-update splice: an appended revision
+        // re-declares a random object number (possibly the page tree
+        // or key material itself) — last-declaration-wins resolution
+        // and the fallback dedupe must both stay bounded, never throw
+        val num = 1 + rnd.nextInt(8)
+        val body = s"BT (rev ${rnd.nextInt(1000)}) Tj ET"
+        base ++ (s"$num 0 obj\n<< /Length ${body.length} >>\nstream\n" +
+          s"$body\nendstream\nendobj\n" +
+          "trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+          .getBytes(StandardCharsets.ISO_8859_1)
       case _ => // /V //R lies: unsupported, negative, or mismatched
         // versions over real ciphertext
         mutateLatin(base) {

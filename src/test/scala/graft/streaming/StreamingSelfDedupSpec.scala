@@ -149,6 +149,129 @@ class StreamingSelfDedupSpec extends AnyFunSuite with SparkSpec {
       s"post-'restart' batch must still clip batch-0 grams: ${got.asScala.toSeq}")
   }
 
+  test("per-batch localCheckpoints are released: no persistent RDDs accrete across batches") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    runStream(Seq(
+      (1L, "a b s1 s2 s3 c"),
+      (2L, "x s1 s2 s3 y"),
+      (3L, "p q r unique here"),
+      (4L, "x s1 s2 s3 y tail")), 4, n = 3,
+      registryDir = tmp("sd-unpin") + "/reg")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"per-batch checkpoint blocks leaked past release(): rdd ids $leaked")
+  }
+
+  test("bloom screen: a clean batch never plans the registry scan; a false positive cannot change the answer") {
+    import spark.implicits._
+    val regDir = tmp("sd-screen") + "/reg"
+    Seq("k1 k2").toDF("gram")
+      .select(xxhash64(col("gram")).as("h"), col("gram"))
+      .write.parquet(regDir)
+    val registry = spark.read.parquet(regDir)
+    // clean batch + all-negative screen (what the maintained bloom
+    // reports when no seed hash was ever appended): the registry must
+    // not even appear in the plan — this is the O(batch)-not-
+    // O(lifetime) claim for clean batches
+    val clean = Seq((5L, "zz yy xx ww")).toDF("doc_id", "text")
+    val (clipped, newGrams, release) = Spans.clipSpansPrefixStep(
+      clean, col("doc_id"), col("text"), registry, 2, Some(_ => false))
+    val plan = clipped.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("FileScan") && !plan.contains(regDir),
+      s"clean batch must not scan the registry:\n$plan")
+    assert(clipped.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((5L, "zz yy xx ww", 0L)))
+    assert(newGrams.count() == 3L)
+    release()
+    // dirty batch under an ALL-positive screen (pure false positives)
+    // must equal the unscreened exact route — a FP only costs the join
+    val dirty = Seq((6L, "a k1 k2 b"), (7L, "c k1 k2 d")).toDF("doc_id", "text")
+    def run(screen: Option[Long => Boolean]) = {
+      val (c, g, rel) = Spans.clipSpansPrefixStep(
+        dirty, col("doc_id"), col("text"), registry, 2, screen)
+      val got = (c.collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getLong(2))).toSeq.sortBy(_._1),
+        g.collect().map(_.getString(1)).toSeq.sorted)
+      rel(); got
+    }
+    assert(run(Some(_ => true)) == run(None),
+      "false-positive screen diverged from the exact route")
+  }
+
+  test("mid-stream registry compaction: output unchanged, <=1 file/bucket, probe still exchange-free") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq(
+      (1L, "a b s1 s2 s3 s4 s5 c d"),
+      (2L, "x s1 s2 s3 s4 s5 y z w q"),
+      (3L, "p q x y p q"),
+      (4L, "x s1 s2 s3 s4 s5 y z w q"))
+    val regDir = tmp("sd-compact") + "/reg"
+    val ms = MemoryStream[(Long, String)]
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+    val q = StreamingSelfDedup.clipStream(
+      ms.toDS().toDF("doc_id", "text"), col("doc_id"), col("text"),
+      3, regDir, registryBuckets = 4) { df =>
+      df.collect().foreach(r => got.add((r.getLong(0), r.getString(1), r.getLong(2))))
+    }
+    try {
+      corpus.take(2).foreach { r => ms.addData(Seq(r)); q.processAllAvailable() }
+      // between batches — the single-maintenance-writer window
+      val files = StreamingSelfDedup.compactRegistry(spark, regDir, 4)
+      assert(files <= 4, s"compaction left $files files for 4 buckets")
+      corpus.drop(2).foreach { r => ms.addData(Seq(r)); q.processAllAvailable() }
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val compacted = got.asScala.toSeq.sortBy(_._1)
+    val reference = runStream(corpus, 4, n = 3,
+      registryDir = tmp("sd-nocompact") + "/reg", buckets = 4)
+    assert(compacted == reference,
+      s"compaction changed the stream's output:\n$compacted\n$reference")
+    // compaction preserved bucket identity: the probe join still reads
+    // through the bucketed scan with only the batch side shuffling
+    val tbl = StreamingSelfDedup.registryTableName(regDir)
+    spark.catalog.refreshTable(tbl)
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val batchSeeds = Seq((123L, "k1 k2")).toDF("h", "gram")
+      val j = batchSeeds.join(
+        spark.table(tbl).select(col("h"), col("gram").as("rgram")), "h")
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("Bucketed: true") &&
+        "Exchange".r.findAllIn(plan).size == 1,
+        s"compaction broke the exchange-free probe:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
+  test("_BUCKETS marker: reopening with a different bucket count fails loudly") {
+    val regDir = tmp("sd-marker") + "/reg"
+    runStream(Seq((1L, "a b c d"), (2L, "a b c e")), 2, n = 2,
+      registryDir = regDir, buckets = 4)
+    val e = intercept[IllegalArgumentException] {
+      StreamingSelfDedup.requireRegistryTable(spark, regDir, 8)
+    }
+    assert(e.getMessage.contains("4 buckets"), e.getMessage)
+  }
+
+  test("foreign table squatting the derived catalog name fails loudly") {
+    val regDir = tmp("sd-foreign") + "/reg" // never written
+    val other = tmp("sd-foreign-other")
+    val tbl = StreamingSelfDedup.registryTableName(regDir)
+    spark.sql(s"CREATE TABLE $tbl (h BIGINT, gram STRING, batch_id BIGINT) " +
+      s"USING parquet LOCATION '$other'")
+    try {
+      val e = intercept[IllegalStateException] {
+        StreamingSelfDedup.requireRegistryTable(spark, regDir, 4)
+      }
+      assert(e.getMessage.contains("refusing to probe"), e.getMessage)
+    } finally spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("replayed batch is fenced from its own registry append: identical rows re-emitted") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
