@@ -216,14 +216,15 @@ object Spans {
     * re-append registry rows — duplicates are harmless to output
     * (interval union is idempotent) and fold away on compaction.
     *
-    * `registryScreen`: an optional membership screen over registry
-    * gram hashes (no false negatives — a Bloom filter over every `h`
-    * ever appended). When NO batch seed passes the screen, the batch
-    * provably has zero registry hits and both registry joins collapse
-    * to an empty relation — the registry is not even SCANNED, which is
-    * what keeps per-batch cost independent of stream lifetime on clean
-    * batches. A false positive merely runs the exact join; the screen
-    * can never change the answer.
+    * `registryScreen`: an optional DRIVER-SIDE membership screen over
+    * registry gram hashes (no false negatives — a Bloom filter over
+    * every `h` ever appended; it is probed on the driver and never
+    * serialized to executors). When NO batch seed passes the screen,
+    * the batch provably has zero registry hits and both registry joins
+    * collapse to an empty relation — the registry is not even SCANNED,
+    * which is what keeps per-batch cost independent of stream lifetime
+    * on clean batches. A false positive merely runs the exact join;
+    * the screen can never change the answer.
     *
     * @return (clipped batch, new registry rows, release) — `release`
     *         unpersists the step's two pinned localCheckpoints; call
@@ -247,12 +248,18 @@ object Spans {
     // clean-batch fast path: when the screen (no false negatives)
     // clears every seed hash, swap the registry for limit(0) — the
     // optimizer's OptimizeLimitZero folds it to an empty relation, so
-    // neither join below ever touches the registry scan. The screen
-    // probe itself is one pass over the already-pinned batch seeds.
+    // neither join below ever touches the registry scan. The test runs
+    // ON THE DRIVER against the driver-held screen, streaming the
+    // pinned batch seeds' 8-byte hashes (O(batch), early-exit on first
+    // hit) — shipping a registry-sized filter to executors would make
+    // even clean batches pay O(registry cardinality) serialization per
+    // batch, the exact scaling this screen exists to break.
     val reg = registryScreen match {
       case Some(mightContain) =>
-        val hit = udf(mightContain)
-        if (seeds.where(hit(col("h"))).isEmpty) registry.limit(0) else registry
+        import scala.jdk.CollectionConverters._
+        val anyHit = seeds.select(col("h")).toLocalIterator().asScala
+          .exists(r => mightContain(r.getLong(0)))
+        if (anyHit) registry else registry.limit(0)
       case None => registry
     }
     val regHits = seeds

@@ -142,16 +142,58 @@ object StreamingSelfDedup {
     tbl
   }
 
-  /** Distributed bloom build over `df`'s `h` column; the empty-frame
-    * guard matters — `stat.bloomFilter` NPEs on zero rows (the
-    * aggregate's zero-row result is null) and both build sites can
-    * legitimately see an empty frame (first batch's registry, an
-    * all-short-docs batch's new grams).
+  /** Distributed bloom build over `df`'s `h` column. Two traps:
+    * `stat.bloomFilter` NPEs on zero rows (the aggregate's zero-row
+    * result is null) and the first batch's registry is legitimately
+    * empty; and the build SILENTLY CLAMPS its bit count to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` (default
+    * 2^26 = 8 MB) AND its item estimate to `...maxNumItems` (default
+    * 4M — which skews the hash-function count: k is derived from the
+    * clamped estimate, so a 30M-item build gets k≈149 and saturates
+    * at expectedFpp ≈ 0.4 even with the right bit count). Raise both
+    * confs to the requested geometry for the build's duration.
+    * Verified post-build: a saturated filter is a silent no-op screen
+    * that still costs a probe per seed — return None so the caller
+    * DROPS the screen (graceful degradation to the always-exact path)
+    * instead of trusting it.
     */
-  private def bloomOver(df: DataFrame, capacity: Long,
-                        fpp: Double): BloomFilter =
-    if (df.isEmpty) BloomFilter.create(capacity, fpp)
-    else df.stat.bloomFilter(col("h"), capacity, fpp)
+  private[graft] def bloomOver(df: DataFrame, capacity: Long,
+                               fpp: Double): Option[BloomFilter] =
+    if (df.isEmpty) Some(BloomFilter.create(capacity, fpp))
+    else {
+      val conf = df.sparkSession.conf
+      val wanted = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" ->
+          BloomFilter.optimalNumOfBits(capacity, fpp),
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> capacity)
+      val priors = wanted.map { case (k, v) =>
+        val prior = conf.getOption(k)
+        conf.set(k, math.max(prior.map(_.toLong).getOrElse(0L), v).toString)
+        k -> prior
+      }
+      val built =
+        try df.stat.bloomFilter(col("h"), capacity, fpp)
+        finally priors.foreach {
+          case (k, Some(v)) => conf.set(k, v)
+          case (k, None) => conf.unset(k)
+        }
+      if (built.expectedFpp() <= ScreenUsableFpp) Some(built)
+      else {
+        Console.err.println(
+          s"[graft] self-dedup screen disabled: registry outgrew " +
+            s"screenCapacity=$capacity (bloom expectedFpp " +
+            s"${built.expectedFpp()}) — batches take the exact path")
+        None
+      }
+    }
+
+  /** The screen stops paying once its false-positive rate times a
+    * batch's seed count approaches 1 (the skip is all-or-nothing per
+    * batch): past this rate the filter is ballast, so the stream drops
+    * it and every batch runs the exact join — a perf cliff, never a
+    * correctness one.
+    */
+  private[graft] val ScreenUsableFpp = 1e-4
 
   /** Fold the registry's append residue (one file per bucket per
     * batch) back to ≤1 file per bucket, preserving bucket identity —
@@ -179,18 +221,24 @@ object StreamingSelfDedup {
     * `screenCapacity`/`screenFpp` size the maintained bloom screen
     * (0 capacity disables it). The screen is driver-held closure
     * state: rebuilt with ONE registry scan on (re)start, then extended
-    * with each batch's appended grams — never re-derived per batch. A
-    * registry that outgrows the capacity only degrades the false-
-    * positive rate (more batches pay the exact join), never
-    * correctness. A replayed batch re-merges the same hashes — a
-    * set-union no-op.
+    * per batch by streaming the appended grams' 8-byte hashes to the
+    * driver (cheaper than a distributed bloom build, whose partials
+    * each weigh the full filter). The default fpp is 1e-6, NOT the
+    * conventional 1-3%: the skip is all-or-nothing per batch, so the
+    * expected false positives per batch (fpp × batch seed count) must
+    * sit well under 1 or the skip never fires — at 1e-6 a 100k-seed
+    * batch skips with probability ~0.9 and the filter still costs only
+    * ~3.6 bytes/gram. A registry that outgrows the capacity only
+    * degrades the false-positive rate (more batches pay the exact
+    * join), never correctness. A replayed batch re-puts the same
+    * hashes — a set-union no-op.
     */
   def clipStream(stream: DataFrame, idCol: Column, textCol: Column,
                  minTokens: Int, registryDir: String,
                  checkpointDir: Option[String] = None,
                  registryBuckets: Int = 0,
                  screenCapacity: Long = 4L * 1000 * 1000,
-                 screenFpp: Double = 0.03)
+                 screenFpp: Double = 1e-6)
                 (write: DataFrame => Unit):
       org.apache.spark.sql.streaming.StreamingQuery = {
     val writer = stream
@@ -199,10 +247,12 @@ object StreamingSelfDedup {
       .writeStream
     checkpointDir.foreach(writer.option("checkpointLocation", _))
     val tbl = registryTableName(registryDir)
-    // the maintained screen; null until the first batch (re)builds it.
+    // the maintained screen; null until the first batch (re)builds it,
+    // null again (with the tombstone set) if the registry outgrows it.
     // foreachBatch bodies run sequentially on the stream execution
     // thread, so plain closure state needs no synchronization.
     var bloom: BloomFilter = null
+    var screenDead = screenCapacity <= 0
     writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val s = batch.sparkSession
       val regPath = new org.apache.hadoop.fs.Path(registryDir)
@@ -231,10 +281,18 @@ object StreamingSelfDedup {
           import s.implicits._
           Seq.empty[(Long, String)].toDF("h", "gram")
         }
-      if (bloom == null && screenCapacity > 0)
+      if (bloom == null && !screenDead)
         // (re)start: ONE scan of the registry as it stands — every
-        // per-batch rebuild after this is replaced by the merge below
-        bloom = bloomOver(registry, screenCapacity, screenFpp)
+        // per-batch rebuild after this is replaced by the extension
+        // below. None = already outgrown; tombstone so no later batch
+        // pays the rebuild scan again.
+        bloomOver(registry, screenCapacity, screenFpp) match {
+          case Some(b) => bloom = b
+          case None => screenDead = true
+        }
+      // the screen is probed on the DRIVER (clipSpansPrefixStep pulls
+      // the batch's seed hashes to it) — the filter, which scales with
+      // registry cardinality, is never serialized anywhere
       val screen = Option(bloom).map { bf =>
         (h: Long) => bf.mightContainLong(h)
       }
@@ -253,10 +311,23 @@ object StreamingSelfDedup {
           writeBucketsMarkerIfAbsent(fs, registryDir, registryBuckets)
         } else
           out.write.mode("append").parquet(registryDir)
-        if (bloom != null)
-          // extend, don't rebuild: one pass over the (pinned) new
-          // grams; compatible by construction (same capacity/fpp)
-          bloom.mergeInPlace(bloomOver(newGrams, screenCapacity, screenFpp))
+        if (bloom != null) {
+          // extend, don't rebuild: stream the pinned new grams' hashes
+          // to the driver (8 bytes each — a distributed build's
+          // partial aggregates each weigh the FULL filter)
+          newGrams.select(col("h")).toLocalIterator().forEachRemaining(
+            r => bloom.putLong(r.getLong(0)))
+          if (bloom.expectedFpp() > ScreenUsableFpp) {
+            // the stream outgrew the screen mid-run: drop it (exact
+            // path from here on) rather than keep paying per-seed
+            // probes for skips that can no longer fire
+            Console.err.println(
+              s"[graft] self-dedup screen dropped at batch $batchId: " +
+                s"registry outgrew screenCapacity=$screenCapacity")
+            bloom = null
+            screenDead = true
+          }
+        }
       } finally release()
       ()
     }.start()
