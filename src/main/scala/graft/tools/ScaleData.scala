@@ -23,7 +23,10 @@ import org.apache.spark.sql.functions._
   *  - every other table is copied through unchanged (the relational
   *    queries are not the scale question here).
   *
-  * Usage: `runMain graft.tools.ScaleData <srcSfDir> <destDir> [factor]`.
+  * Usage: `runMain graft.tools.ScaleData <srcSfDir> <destDir> [factor]
+  * [tablesCsv]`. `tablesCsv` restricts the output to the named tables
+  * (e.g. `documents` for the 100× dedup-family probe — the relational
+  * tables would dominate the build for queries that never read them).
   * Writes only under destDir; never touches the source.
   */
 object ScaleData {
@@ -31,6 +34,8 @@ object ScaleData {
     val src = args(0)
     val dest = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
+    val tables: String => Boolean =
+      if (args.length > 3) args(3).split(",").map(_.trim).toSet else _ => true
     require(factor >= 1, "factor must be >= 1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -45,7 +50,7 @@ object ScaleData {
     val idStride = 100000000L
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
-    (0 until factor).map { c =>
+    if (tables("documents")) (0 until factor).map { c =>
       docs.select(
         (col("doc_id") + lit(c * idStride)).as("doc_id"),
         // namespace every token: copy c's vocabulary is disjoint from
@@ -59,7 +64,7 @@ object ScaleData {
       .write.mode(SaveMode.Overwrite).parquet(s"$dest/documents.parquet")
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
-    (0 until factor).map { c =>
+    if (tables("embeddings")) (0 until factor).map { c =>
       emb.select(
         (col("vec_id") + lit(c * idStride)).as("vec_id"),
         // rotate by c positions: norms preserved, cross-copy cosine
@@ -72,7 +77,7 @@ object ScaleData {
       .write.mode(SaveMode.Overwrite).parquet(s"$dest/embeddings.parquet")
 
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events")) {
+        "orders", "lineitem", "events") if tables(t)) {
       val p = new java.io.File(s"$src/$t.parquet")
       if (p.exists())
         spark.read.parquet(p.toString)
