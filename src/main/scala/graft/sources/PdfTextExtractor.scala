@@ -843,16 +843,19 @@ object PdfTextExtractor {
 
     // page order: walk /Root → /Pages → /Kids when the tree resolves,
     // else every /Type /Page object (or raw content stream) in
-    // document order. The fallback dedupes by OBJECT NUMBER keeping
-    // the LAST declaration: an incremental-update file (ISO 32000
-    // 7.5.6) re-declares updated objects in an appended revision, and
-    // the tree path already resolves last-wins through `byNum` — the
-    // fallback must not extract the superseded revision's page too.
+    // document order. The fallback considers only each object number's
+    // GLOBALLY-LAST declaration (`byNum(num) eq o`): an incremental-
+    // update file (ISO 32000 7.5.6) re-declares updated objects in an
+    // appended revision, and the tree path already resolves last-wins
+    // through `byNum` — the fallback must not extract a superseded
+    // page, including one whose NEWEST revision is no longer a page
+    // at all (a page deleted/replaced by the update), so the dedupe
+    // runs BEFORE the type filter, not after.
+    val current = objects.filter(o => byNum(o.num) eq o)
     val pageObjs: Seq[Obj] = pageTreeOrder(latin, byNum).getOrElse {
-      val typed = objects.filter(_.dict.contains("/Type") )
+      val typed = current.filter(_.dict.contains("/Type"))
         .filter(o => """/Type\s*/Page\b""".r.findFirstIn(o.dict).isDefined)
-      lastDeclarationWins(
-        if (typed.nonEmpty) typed else objects.filter(_.stream.isDefined))
+      if (typed.nonEmpty) typed else current.filter(_.stream.isDefined)
     }
 
     val pages = pageObjs.flatMap { page =>
@@ -864,17 +867,6 @@ object PdfTextExtractor {
       Some(text)
     }
     pages.mkString("\n")
-  }
-
-  /** Keep only each object number's LAST declaration, in the order the
-    * surviving declarations appear — document order of the newest
-    * revision, the incremental-update contract `byNum`'s `toMap`
-    * already applies on the resolving path.
-    */
-  private def lastDeclarationWins(objs: Seq[Obj]): Seq[Obj] = {
-    val last = objs.zipWithIndex
-      .groupMapReduce(_._1.num)(_._2)(math.max)
-    objs.zipWithIndex.collect { case (o, i) if last(o.num) == i => o }
   }
 
   /** Expand PDF 1.5+ OBJECT STREAMS (`/Type /ObjStm`): modern

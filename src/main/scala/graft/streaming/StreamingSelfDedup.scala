@@ -299,23 +299,31 @@ object StreamingSelfDedup {
       val (clipped, newGrams, release) =
         graft.dedup.Spans.clipSpansPrefixStep(
           batch, col("doc_id"), col("text"), registry, minTokens, screen)
+      // cache the appended frame for the batch: the registry append
+      // and the bloom extension both consume it, and without the cache
+      // the second consumer re-runs the distinct's shuffle
+      val out = newGrams.select(col("h"), col("gram"),
+        lit(batchId).as("batch_id")).persist()
       try {
         write(clipped)
-        val out = newGrams.select(col("h"), col("gram"),
-          lit(batchId).as("batch_id"))
         if (registryBuckets > 0) {
+          // marker FIRST: a crash between the append and a
+          // marker-after write would leave bucket-named files with no
+          // recorded count — the unvalidated-resume hole the marker
+          // exists to close. An extra marker next to zero data files
+          // is harmless (the registry reads empty).
+          writeBucketsMarkerIfAbsent(fs, registryDir, registryBuckets)
           out.write.mode("append").format("parquet")
             .option("path", registryDir)
             .bucketBy(registryBuckets, "h").sortBy("h")
             .saveAsTable(tbl)
-          writeBucketsMarkerIfAbsent(fs, registryDir, registryBuckets)
         } else
           out.write.mode("append").parquet(registryDir)
         if (bloom != null) {
           // extend, don't rebuild: stream the pinned new grams' hashes
           // to the driver (8 bytes each — a distributed build's
           // partial aggregates each weigh the FULL filter)
-          newGrams.select(col("h")).toLocalIterator().forEachRemaining(
+          out.select(col("h")).toLocalIterator().forEachRemaining(
             r => bloom.putLong(r.getLong(0)))
           if (bloom.expectedFpp() > ScreenUsableFpp) {
             // the stream outgrew the screen mid-run: drop it (exact
@@ -328,7 +336,10 @@ object StreamingSelfDedup {
             screenDead = true
           }
         }
-      } finally release()
+      } finally {
+        out.unpersist(blocking = false)
+        release()
+      }
       ()
     }.start()
   }

@@ -49,8 +49,12 @@ object ScaleData {
 
     val idStride = 100000000L
 
+    // reads sit INSIDE the guards: an excluded table's source file may
+    // legitimately be absent (e.g. rescaling a documents-only output
+    // of this very tool), and even the schema read would throw
+    if (tables("documents")) {
     val docs = spark.read.parquet(s"$src/documents.parquet")
-    if (tables("documents")) (0 until factor).map { c =>
+    (0 until factor).map { c =>
       docs.select(
         (col("doc_id") + lit(c * idStride)).as("doc_id"),
         // namespace every token: copy c's vocabulary is disjoint from
@@ -62,9 +66,11 @@ object ScaleData {
       .withColumn("n_chars", length(col("text")))
       .select("doc_id", "text", "lang", "source", "n_chars")
       .write.mode(SaveMode.Overwrite).parquet(s"$dest/documents.parquet")
+    }
 
+    if (tables("embeddings")) {
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
-    if (tables("embeddings")) (0 until factor).map { c =>
+    (0 until factor).map { c =>
       emb.select(
         (col("vec_id") + lit(c * idStride)).as("vec_id"),
         // rotate by c positions: norms preserved, cross-copy cosine
@@ -75,6 +81,7 @@ object ScaleData {
         col("label"))
     }.reduce(_ unionAll _)
       .write.mode(SaveMode.Overwrite).parquet(s"$dest/embeddings.parquet")
+    }
 
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events") if tables(t)) {

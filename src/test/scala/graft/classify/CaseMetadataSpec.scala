@@ -35,7 +35,10 @@ class CaseMetadataSpec extends AnyFunSuite {
   test("group-0 re-extraction equals direct two-group extraction on varied texts") {
     val rnd = new Random(1013)
     val seps = Seq("versus", "Versus", "VS", "vs.", "vs", "v.", "V.")
-    val wordChars = "abcdefgzXYZ .,"
+    // includes the separator letters (v, s, u, r, V, S) so generated
+    // party text can itself contain "vs"/"v."/"versus"-like fragments
+    // — the greedy-backtracking ambiguity the equivalence must survive
+    val wordChars = "abvsurceVSZ .,"
     def word(len: Int): String =
       (0 until len).map(_ => wordChars(rnd.nextInt(wordChars.length))).mkString
     val fixed = Seq(

@@ -515,6 +515,14 @@ class PdfTextExtractorSpec extends AnyFunSuite with SparkSpec {
       .getBytes(StandardCharsets.ISO_8859_1)
     assert(PdfTextExtractor.extract(pdf) ==
       s"$wantPage2\nAmended fallback text.")
+    // a further revision RETYPES page 4 (page deletion/replacement):
+    // its older page-typed declaration must not resurrect through the
+    // type filter — the dedupe runs on global last declarations FIRST
+    val retyped = (new String(pdf, StandardCharsets.ISO_8859_1) +
+      "4 0 obj\n<< /Type /XObject /Subtype /Form >>\nendobj\n" +
+      "trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assert(PdfTextExtractor.extract(retyped) == "Amended fallback text.")
   }
 
   test("fuzz: mutated/truncated/hostile PDFs never throw, never explode output") {
