@@ -70,6 +70,7 @@ object ClusterSmoke {
     "dedup_clip_decontam",      // r11: hashed cross-corpus clip (verify join)
     "streaming_clip_decontam",  // r11: bloom screen + exact clip in foreachBatch
     "streaming_clip_self",      // r12: bucketed gram registry + prefix-causal clip
+    "streaming_resume_clip_self", // r13: catalog re-registration + bloom rebuild on resume
     "streaming_resume_quantiles", // r12: checkpoint stop/resume, state-store restore
     "streaming_resume_ivf_maintained", // r12: file-sink exactly-once across restart
     "pipeline_training_data_v2")  // r12: composed clip pipeline (memoized docStats)
