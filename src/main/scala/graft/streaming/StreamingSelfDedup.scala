@@ -101,9 +101,17 @@ object StreamingSelfDedup {
       buckets: Int): Unit = {
     val p = bucketsMarker(registryDir)
     if (!fs.exists(p)) {
-      val out = fs.create(p, false)
+      // temp-then-rename: a crash between create and write must not
+      // leave a zero-byte marker that wedges every later open on
+      // `"".toInt` — after the rename the marker is complete or absent
+      val tmp = new org.apache.hadoop.fs.Path(registryDir, "._BUCKETS.tmp")
+      val out = fs.create(tmp, true)
       try out.write(buckets.toString.getBytes("UTF-8"))
       finally out.close()
+      if (!fs.rename(tmp, p)) {
+        fs.delete(tmp, false) // lost a (single-writer-violating) race
+        ()
+      }
     }
   }
 
@@ -121,11 +129,19 @@ object StreamingSelfDedup {
     val tbl = registryTableName(registryDir)
     val regPath = new org.apache.hadoop.fs.Path(registryDir)
     val fs = regPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    readBucketsMarker(fs, registryDir).foreach { m =>
-      require(m == registryBuckets,
-        s"registry at $registryDir was written with $m buckets; " +
-          s"refusing to open it as $registryBuckets (probes would " +
-          s"bucket-prune against the wrong buckets)")
+    readBucketsMarker(fs, registryDir) match {
+      case Some(m) =>
+        require(m == registryBuckets,
+          s"registry at $registryDir was written with $m buckets; " +
+            s"refusing to open it as $registryBuckets (probes would " +
+            s"bucket-prune against the wrong buckets)")
+      case None if fs.exists(regPath) =>
+        // marker-less dir (pre-marker registry, or a crash before the
+        // marker landed): this open necessarily TRUSTS the caller's
+        // count — stamp it so every LATER open is validated instead of
+        // staying trust-forever
+        writeBucketsMarkerIfAbsent(fs, registryDir, registryBuckets)
+      case None => ()
     }
     if (spark.catalog.tableExists(tbl)) {
       val loc = spark.sessionState.catalog.getTableMetadata(
@@ -161,6 +177,12 @@ object StreamingSelfDedup {
                                fpp: Double): Option[BloomFilter] =
     if (df.isEmpty) Some(BloomFilter.create(capacity, fpp))
     else {
+      // conf mutation scope: df.sparkSession inside foreachBatch is
+      // the QUERY's cloned session (MicroBatchExecution clones at
+      // start), so concurrent streams each mutate their own SQLConf —
+      // no cross-stream snapshot/restore race. Callers building from
+      // a shared interactive session should not run two bloomOver
+      // calls concurrently on it.
       val conf = df.sparkSession.conf
       val wanted = Seq(
         "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" ->
@@ -253,6 +275,12 @@ object StreamingSelfDedup {
     // thread, so plain closure state needs no synchronization.
     var bloom: BloomFilter = null
     var screenDead = screenCapacity <= 0
+    // marker + LOCATION validation is immutable per (dir, buckets)
+    // under the single-writer contract — validate once per closure
+    // lifetime, re-validating only if the table vanishes (a dropped
+    // catalog entry, the fresh-session simulation), instead of paying
+    // 3-4 metadata RPCs per micro-batch forever
+    var registryValidated = false
     writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val s = batch.sparkSession
       val regPath = new org.apache.hadoop.fs.Path(registryDir)
@@ -269,7 +297,10 @@ object StreamingSelfDedup {
       // once, as the original rows would have been).
       val registry =
         if (registryBuckets > 0 && fs.exists(regPath)) {
-          requireRegistryTable(s, registryDir, registryBuckets)
+          if (!registryValidated || !s.catalog.tableExists(tbl)) {
+            requireRegistryTable(s, registryDir, registryBuckets)
+            registryValidated = true
+          }
           // this batch must see the previous batch's append: refresh
           // the (micro-batch-session) catalog's cached file listing
           s.catalog.refreshTable(tbl)
@@ -311,8 +342,17 @@ object StreamingSelfDedup {
           // marker-after write would leave bucket-named files with no
           // recorded count — the unvalidated-resume hole the marker
           // exists to close. An extra marker next to zero data files
-          // is harmless (the registry reads empty).
+          // is harmless (the registry reads empty). Then the guard —
+          // writing the marker created the dir, so requireRegistryTable
+          // runs even on the FIRST append and a squatter on the
+          // derived name fails loudly BEFORE receiving this batch's
+          // rows (saveAsTable appends into an existing table's own
+          // location, ignoring the path option).
           writeBucketsMarkerIfAbsent(fs, registryDir, registryBuckets)
+          if (!registryValidated || !s.catalog.tableExists(tbl)) {
+            requireRegistryTable(s, registryDir, registryBuckets)
+            registryValidated = true
+          }
           out.write.mode("append").format("parquet")
             .option("path", registryDir)
             .bucketBy(registryBuckets, "h").sortBy("h")

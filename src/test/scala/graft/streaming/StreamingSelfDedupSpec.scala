@@ -258,6 +258,25 @@ class StreamingSelfDedupSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("4 buckets"), e.getMessage)
   }
 
+  test("marker-less registry dir: first open stamps the marker so later opens validate") {
+    // a pre-marker registry (or crash before the marker landed): the
+    // first open must TRUST the caller's count exactly once and stamp
+    // it — a later open with a different count then fails loudly
+    // instead of silently probing the wrong buckets forever
+    val regDir = tmp("sd-backfill") + "/reg"
+    runStream(Seq((1L, "a b c d")), 1, n = 2, registryDir = regDir, buckets = 4)
+    val marker = new org.apache.hadoop.fs.Path(regDir, "_BUCKETS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(marker, false) // simulate the pre-marker dir
+    spark.sql(s"DROP TABLE ${StreamingSelfDedup.registryTableName(regDir)}")
+    StreamingSelfDedup.requireRegistryTable(spark, regDir, 4)
+    assert(fs.exists(marker), "trusted open must stamp the marker")
+    val e = intercept[IllegalArgumentException] {
+      StreamingSelfDedup.requireRegistryTable(spark, regDir, 8)
+    }
+    assert(e.getMessage.contains("4 buckets"), e.getMessage)
+  }
+
   test("foreign table squatting the derived catalog name fails loudly") {
     val regDir = tmp("sd-foreign") + "/reg" // never written
     val other = tmp("sd-foreign-other")
