@@ -37,6 +37,18 @@ object Conclusion {
 
   private val numberedPara = Pattern.compile("""\n\s*\d+\.\s+""")
 
+  // compiled ONCE: extract() runs per row, and compiling the combined
+  // alternation (plus up to seven order-phrase patterns) per document
+  // was a measurable slice of the ingest path's CPU
+  private val tribunalPattern = Pattern.compile(
+    tribunalIndicators.mkString("|"), Pattern.CASE_INSENSITIVE)
+  private val orderInOriginalPattern = Pattern.compile(
+    orderInOriginalIndicators.mkString("|"), Pattern.CASE_INSENSITIVE)
+  private val genericPattern = Pattern.compile(
+    genericIndicators.mkString("|"), Pattern.CASE_INSENSITIVE)
+  private val orderPhrasePatterns =
+    orderPhrases.map(p => Pattern.compile(p, Pattern.CASE_INSENSITIVE))
+
   private def lastMatchStart(p: Pattern, text: String): Option[Int] = {
     val m = p.matcher(text)
     var last = -1
@@ -46,7 +58,7 @@ object Conclusion {
 
   /** Direct transcription of `extract_conclusion_section`. */
   def extract(text: String, documentType: String = "generic_legal_document"): String = {
-    val indicators = documentType match {
+    val pattern = documentType match {
       case "appellate_tribunal" =>
         // tribunal docs: prefer the last 3 numbered paragraphs (emb_v2:200-204)
         val starts = {
@@ -56,13 +68,12 @@ object Conclusion {
           buf
         }
         if (starts.length > 2) return text.substring(starts(starts.length - 3))
-        tribunalIndicators
-      case "order_in_original" => orderInOriginalIndicators
-      case _                   => genericIndicators
+        tribunalPattern
+      case "order_in_original" => orderInOriginalPattern
+      case _                   => genericPattern
     }
 
     // last indicator match → +2000 chars (emb_v2:222-233)
-    val pattern = Pattern.compile(indicators.mkString("|"), Pattern.CASE_INSENSITIVE)
     lastMatchStart(pattern, text) match {
       case Some(start) =>
         return text.substring(start, math.min(text.length, start + 2000))
@@ -70,8 +81,8 @@ object Conclusion {
     }
 
     // order phrases → ±500 chars of context (emb_v2:236-249)
-    for (phrase <- orderPhrases) {
-      val m = Pattern.compile(phrase, Pattern.CASE_INSENSITIVE).matcher(text)
+    for (phrase <- orderPhrasePatterns) {
+      val m = phrase.matcher(text)
       if (m.find()) {
         val start = math.max(0, m.start() - 500)
         val end   = math.min(text.length, m.end() + 500)
