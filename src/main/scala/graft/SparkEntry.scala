@@ -2602,7 +2602,10 @@ object SparkEntry {
         try {
           chunks.take(2).foreach { c => ms.addData(c); q1.processAllAvailable() }
         } finally q1.stop()
-        s.sql(s"DROP TABLE ${
+        // IF EXISTS: if q1 never completed a bucketed append (tiny or
+        // failing corpus) the gate must surface THAT failure via the
+        // oracle hash, not die on the fresh-process simulation's DROP
+        s.sql(s"DROP TABLE IF EXISTS ${
           graft.streaming.StreamingSelfDedup.registryTableName(reg)}")
         val q2 = start()
         try {

@@ -43,6 +43,17 @@ import org.apache.spark.sql.functions._
   */
 object Spans {
 
+  /** Ceiling on the screen-positive hash set pushed into the registry
+    * scan as an `IN` filter. Past it the batch is mostly duplicate
+    * (most seeds screen positive), the filter no longer prunes
+    * meaningfully, and per-row `InSet` probes plus the literal-list
+    * plan cost outweigh the full scan it would replace — so the step
+    * falls back to the unfiltered registry (the exact path; a perf
+    * dial, never a correctness one). The bound also caps driver memory
+    * for the set at ~0.5 MB of longs.
+    */
+  private[graft] val ScreenPushLimit = 65536
+
   /** Hash-then-verify candidate pre-filter — the 100 TB tier's first
     * pass: count seed occurrences on `xxhash64(gram)` (8 bytes per
     * seed instead of the n-token string — a ~20× shuffle-byte cut at
@@ -223,8 +234,13 @@ object Spans {
     * the batch provably has zero registry hits and both registry joins
     * collapse to an empty relation — the registry is not even SCANNED,
     * which is what keeps per-batch cost independent of stream lifetime
-    * on clean batches. A false positive merely runs the exact join;
-    * the screen can never change the answer.
+    * on clean batches. When SOME seeds pass, only their hash set —
+    * bounded by true hits + fpp × batch seeds, never by registry size
+    * — is pushed into the registry scan of both joins as `h IN (…)`:
+    * bucket pruning and the h-sorted files' parquet page stats then
+    * skip everything the batch does not touch, so a dirty batch pays
+    * ∝ its hits. A false positive merely admits one extra hash to the
+    * pushed set; the screen can never change the answer.
     *
     * @return (clipped batch, new registry rows, release) — `release`
     *         unpersists the step's two pinned localCheckpoints; call
@@ -235,6 +251,18 @@ object Spans {
   def clipSpansPrefixStep(df: DataFrame, idCol: Column, textCol: Column,
                           registry: DataFrame, minTokens: Int,
                           registryScreen: Option[Long => Boolean] = None):
+      (DataFrame, DataFrame, () => Unit) =
+    clipSpansPrefixStepScreened(df, idCol, textCol, registry, minTokens,
+      registryScreen.map(SeedScreen.fromDriverProbe))
+
+  /** [[clipSpansPrefixStep]] under a general [[SeedScreen]] — the form
+    * [[graft.streaming.BucketScreen]]'s two-tier (executor bucket
+    * blooms + driver tail bloom) screen plugs into.
+    */
+  def clipSpansPrefixStepScreened(
+      df: DataFrame, idCol: Column, textCol: Column,
+      registry: DataFrame, minTokens: Int,
+      registryScreen: Option[SeedScreen]):
       (DataFrame, DataFrame, () => Unit) = {
     require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
     val n = minTokens
@@ -245,21 +273,27 @@ object Spans {
     // election, losers, new-gram append) — pin it once
     val seeds = seedsOf(toks, n, hashGrams = false)
       .withColumn("h", xxhash64(col("gram"))).localCheckpoint()
-    // clean-batch fast path: when the screen (no false negatives)
-    // clears every seed hash, swap the registry for limit(0) — the
-    // optimizer's OptimizeLimitZero folds it to an empty relation, so
-    // neither join below ever touches the registry scan. The test runs
-    // ON THE DRIVER against the driver-held screen, streaming the
-    // pinned batch seeds' 8-byte hashes (O(batch), early-exit on first
-    // hit) — shipping a registry-sized filter to executors would make
-    // even clean batches pay O(registry cardinality) serialization per
-    // batch, the exact scaling this screen exists to break.
+    // screen fast path: probe the pinned batch seeds' 8-byte hashes
+    // through the screen (no false negatives) and keep the POSITIVE
+    // set — bounded by true hits + fpp × batch, never by registry
+    // size. A clean batch (empty set) swaps the registry for limit(0)
+    // — OptimizeLimitZero folds both joins to an empty relation, so
+    // the registry is not even scanned. A DIRTY batch pushes
+    // `h IN (positives)` into the registry scan of BOTH joins: the
+    // batch pays ∝ its hits (bucket pruning + the h-sorted files'
+    // page stats skip untouched data), not ∝ stream lifetime — the
+    // all-or-nothing skip re-exposed the full registry scan on a
+    // single hit (r13's measured 2.6/3.5/8.6s dirty slope). Shipping a
+    // registry-sized filter to executors would re-create O(registry)
+    // per batch; the positive SET ships instead, and only when small
+    // (a batch where most seeds screen positive is mostly duplicate —
+    // the full scan it falls back to is then genuinely needed).
     val reg = registryScreen match {
-      case Some(mightContain) =>
-        import scala.jdk.CollectionConverters._
-        val anyHit = seeds.select(col("h")).toLocalIterator().asScala
-          .exists(r => mightContain(r.getLong(0)))
-        if (anyHit) registry else registry.limit(0)
+      case Some(screen) =>
+        val positives = screen.positives(seeds.select(col("h")))
+        if (positives.isEmpty) registry.limit(0)
+        else if (positives.length > ScreenPushLimit) registry
+        else registry.where(col("h").isin(positives.toIndexedSeq: _*))
       case None => registry
     }
     val regHits = seeds

@@ -136,17 +136,35 @@ object StreamingBm25 {
     * transiently incomplete/doubled listing — pause serving or accept
     * the window, as with any in-place file-level reorganization.
     *
+    * `minFileBytes > 0` makes the compaction SIZE-TIERED — the LSM
+    * answer to the full-rewrite problem: only data files SMALLER than
+    * the floor (the per-batch append residue) are read and merged;
+    * files at or above it (earlier compactions' output) are left
+    * untouched on disk, so amortized maintenance cost tracks NEW data,
+    * not table lifetime. The merged output lands as one additional
+    * file per bucket beside the big one — Spark's bucketed reader
+    * groups part-files by their `_0000N` bucket id, so reads stay
+    * exchange-free; batch-id fencing rows ride along verbatim. The
+    * default 0 keeps the full rewrite (back to ≤1 file per bucket) —
+    * run one occasionally to fold the tiers together.
+    *
     * Returns the number of data files after compaction.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, table: String,
               path: String, bucketCol: String = "token",
-              numBuckets: Int = 32, maxRecordsPerFile: Long = 0L): Int = {
+              numBuckets: Int = 32, maxRecordsPerFile: Long = 0L,
+              minFileBytes: Long = 0L): Int = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverCompact(fs, root)
     spark.catalog.refreshTable(table)
-    val old = dataFiles(fs, root)
-    if (old.size <= numBuckets) return old.size // already ≤1 file/bucket
+    val all = fs.listStatus(root).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+    val (smallSt, bigSt) =
+      if (minFileBytes > 0) all.partition(_.getLen < minFileBytes)
+      else (all, Seq.empty)
+    val old = smallSt.map(_.getPath.getName)
+    if (old.size <= numBuckets) return all.size // ≤1 mergeable file/bucket
     val stagePath = new Path(root, "__compact/stage")
     fs.delete(stagePath, true)
     val stageTable = s"${table}_compact_stage"
@@ -160,7 +178,13 @@ object StreamingBm25 {
     // id (observed: buckets split across tasks → files per bucket
     // MULTIPLIED instead of compacted).
     import org.apache.spark.sql.functions.{col => fcol, hash, lit, pmod}
-    val reader = spark.table(table)
+    // tiered: read ONLY the small files (the writer re-derives each
+    // row's bucket from bucketCol, so the merged files carry the same
+    // bucket ids the rows always had); full: read through the table
+    val src =
+      if (bigSt.isEmpty) spark.table(table)
+      else spark.read.parquet(smallSt.map(_.getPath.toString): _*)
+    val reader = src
       .repartition(numBuckets, pmod(hash(fcol(bucketCol)), lit(numBuckets)))
       .write.mode(SaveMode.Overwrite).format("parquet")
       .option("path", stagePath.toString)
@@ -184,7 +208,7 @@ object StreamingBm25 {
     spark.sql(s"DROP TABLE IF EXISTS $stageTable")
     fs.delete(new Path(root, "__compact"), true)
     spark.catalog.refreshTable(table)
-    staged.size
+    staged.size + bigSt.size
   }
 
   /** Start the maintenance sink over a document stream: per batch,

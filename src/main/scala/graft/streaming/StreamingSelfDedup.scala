@@ -72,6 +72,16 @@ object StreamingSelfDedup {
         bytes.length, 42L))}"
   }
 
+  /* Ops note (r13 name-scheme change): this derivation switched from
+   * murmur32 to XXH64 in r13. With the in-memory catalog used
+   * everywhere here nothing migrates — tables re-register per process.
+   * A deployment on a PERSISTENT external metastore that registered a
+   * registry under the old 8-hex-digit derived name will simply get a
+   * second table registered over the same LOCATION while the stale
+   * entry lingers; both read the same files (harmless), but drop the
+   * legacy `graft_selfdedup_reg_<8 hex>` entry when upgrading to keep
+   * the catalog clean. */
+
   /** Bucket-count marker (`_BUCKETS`) inside the registry dir: the
     * bucket count is part of the on-disk contract — a fresh-session
     * resume that re-registered the table with a DIFFERENT count would
@@ -138,8 +148,20 @@ object StreamingSelfDedup {
       case None if fs.exists(regPath) =>
         // marker-less dir (pre-marker registry, or a crash before the
         // marker landed): this open necessarily TRUSTS the caller's
-        // count — stamp it so every LATER open is validated instead of
-        // staying trust-forever
+        // count — but cross-check it against the bucket ids the
+        // existing part-file NAMES carry (the `_0000N` suffix Spark's
+        // bucketed writer assigns) before stamping, or a wrong count on
+        // this one trusted open is locked in and every later probe
+        // silently under-clips against the wrong buckets (ADVICE r13)
+        val bucketIdRe = "_(\\d{5})\\.".r
+        val maxSeen = fs.listStatus(regPath).toSeq
+          .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+          .flatMap(st => bucketIdRe.findFirstMatchIn(st.getPath.getName)
+            .map(_.group(1).toInt))
+          .maxOption
+        maxSeen.foreach(m => require(m < registryBuckets,
+          s"registry at $registryDir has part-files up to bucket id $m; " +
+            s"refusing to stamp it as $registryBuckets buckets"))
         writeBucketsMarkerIfAbsent(fs, registryDir, registryBuckets)
       case None => ()
     }
@@ -176,13 +198,15 @@ object StreamingSelfDedup {
   private[graft] def bloomOver(df: DataFrame, capacity: Long,
                                fpp: Double): Option[BloomFilter] =
     if (df.isEmpty) Some(BloomFilter.create(capacity, fpp))
-    else {
+    else df.sparkSession.synchronized {
       // conf mutation scope: df.sparkSession inside foreachBatch is
       // the QUERY's cloned session (MicroBatchExecution clones at
       // start), so concurrent streams each mutate their own SQLConf —
-      // no cross-stream snapshot/restore race. Callers building from
-      // a shared interactive session should not run two bloomOver
-      // calls concurrently on it.
+      // no cross-stream snapshot/restore race. Two concurrent calls on
+      // a SHARED interactive session would interleave the set/restore
+      // pairs non-atomically — the synchronized-on-session block
+      // serializes them (ENFORCED, not just documented: each build
+      // then sees and restores a consistent prior).
       val conf = df.sparkSession.conf
       val wanted = Seq(
         "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" ->
@@ -209,6 +233,19 @@ object StreamingSelfDedup {
       }
     }
 
+  /** Screen lifecycle events (built / dropped / revived) in arrival
+    * order — a diagnostic seam so the outgrowth→rebuild→revival path
+    * is observable (specs assert on it; ops can drain it). Bounded.
+    */
+  private[graft] val screenEvents =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  private def screenEvent(msg: String): Unit = {
+    while (screenEvents.size > 256) screenEvents.poll()
+    screenEvents.add(msg)
+    Console.err.println(s"[graft] $msg")
+  }
+
   /** The screen stops paying once its false-positive rate times a
     * batch's seed count approaches 1 (the skip is all-or-nothing per
     * batch): past this rate the filter is ballast, so the stream drops
@@ -227,11 +264,22 @@ object StreamingSelfDedup {
     */
   def compactRegistry(spark: SparkSession, registryDir: String,
                       registryBuckets: Int,
-                      maxRecordsPerFile: Long = 0L): Int = {
+                      maxRecordsPerFile: Long = 0L,
+                      minFileBytes: Long = 0L,
+                      rebuildScreen: Boolean = false,
+                      screenFpp: Double = 1e-6): Int = {
     require(registryBuckets > 0, "only bucketed registries compact")
     val tbl = requireRegistryTable(spark, registryDir, registryBuckets)
-    StreamingBm25.compact(spark, tbl, registryDir, bucketCol = "h",
-      numBuckets = registryBuckets, maxRecordsPerFile = maxRecordsPerFile)
+    val n = StreamingBm25.compact(spark, tbl, registryDir, bucketCol = "h",
+      numBuckets = registryBuckets, maxRecordsPerFile = maxRecordsPerFile,
+      minFileBytes = minFileBytes)
+    // rebuild the per-bucket screens over the freshly compacted rows:
+    // the stream's next batch sees the new covered_batch, rebuilds its
+    // (now small) tail bloom, and a screen that had outgrown the
+    // driver capacity comes back — see [[BucketScreen]]
+    if (rebuildScreen)
+      BucketScreen.build(spark, tbl, registryDir, registryBuckets, screenFpp)
+    n
   }
 
   /** Start the self-dedup clip over `stream`; `write` receives each
@@ -245,7 +293,11 @@ object StreamingSelfDedup {
     * state: rebuilt with ONE registry scan on (re)start, then extended
     * per batch by streaming the appended grams' 8-byte hashes to the
     * driver (cheaper than a distributed bloom build, whose partials
-    * each weigh the full filter). The default fpp is 1e-6, NOT the
+    * each weigh the full filter). When an on-disk [[BucketScreen]]
+    * exists (built by [[compactRegistry]]`(rebuildScreen = true)` —
+    * the beyond-driver-memory form), the driver bloom holds only the
+    * TAIL of appends since the screen build; the bulk is probed on
+    * executors, and an outgrown tail revives at the next rebuild. The default fpp is 1e-6, NOT the
     * conventional 1-3%: the skip is all-or-nothing per batch, so the
     * expected false positives per batch (fpp × batch seed count) must
     * sit well under 1 or the skip never fires — at 1e-6 a 100k-seed
@@ -269,11 +321,22 @@ object StreamingSelfDedup {
       .writeStream
     checkpointDir.foreach(writer.option("checkpointLocation", _))
     val tbl = registryTableName(registryDir)
-    // the maintained screen; null until the first batch (re)builds it,
-    // null again (with the tombstone set) if the registry outgrows it.
+    // the maintained driver-held screen; null until the first batch
+    // (re)builds it, null again (with the tombstone set) if it
+    // outgrows its capacity. Two forms, decided at (re)build time:
+    //   - bucketCovered = None: `bloom` covers the WHOLE registry
+    //     (the pre-r14 form — fine until the registry outgrows the
+    //     driver's capacity);
+    //   - bucketCovered = Some(c): an on-disk BucketScreen (executor-
+    //     probed, built by compactRegistry(rebuildScreen=true)) covers
+    //     rows with batch_id <= c, and `bloom` is only the TAIL over
+    //     later appends — driver memory now tracks inter-compaction
+    //     growth, not registry size, and outgrowth is revived by the
+    //     next screen rebuild instead of being permanent.
     // foreachBatch bodies run sequentially on the stream execution
     // thread, so plain closure state needs no synchronization.
     var bloom: BloomFilter = null
+    var bucketCovered: Option[Long] = None
     var screenDead = screenCapacity <= 0
     // marker + LOCATION validation is immutable per (dir, buckets)
     // under the single-writer contract — validate once per closure
@@ -283,6 +346,15 @@ object StreamingSelfDedup {
     var registryValidated = false
     writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val s = batch.sparkSession
+      // a DIRTY batch pushes its screen-positive hash set into the
+      // registry scan as `h IN (…)` (Spans.clipSpansPrefixStep); at
+      // the default inFilterThreshold=10 any >10-value IN degrades to
+      // a min/max range at the parquet reader — useless on uniform
+      // 64-bit hashes. Raising it lets the set reach the reader, where
+      // the h-SORTED files' row-group/page stats skip everything the
+      // batch does not touch. Session scope is the stream's clone
+      // (MicroBatchExecution clones at start) — no cross-stream leak.
+      s.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "4096")
       val regPath = new org.apache.hadoop.fs.Path(registryDir)
       val fs = regPath.getFileSystem(s.sparkContext.hadoopConfiguration)
       // batch-id fencing makes the REPLAY correct, not just tolerated:
@@ -312,23 +384,71 @@ object StreamingSelfDedup {
           import s.implicits._
           Seq.empty[(Long, String)].toDF("h", "gram")
         }
-      if (bloom == null && !screenDead)
-        // (re)start: ONE scan of the registry as it stands — every
-        // per-batch rebuild after this is replaced by the extension
-        // below. None = already outgrown; tombstone so no later batch
-        // pays the rebuild scan again.
-        bloomOver(registry, screenCapacity, screenFpp) match {
-          case Some(b) => bloom = b
-          case None => screenDead = true
+      // (re)start, or REVIVAL after an outgrown screen: prefer the
+      // on-disk bucket screen when one is present — the driver then
+      // only rebuilds the small TAIL (batch_id > covered; row-group
+      // stats on the compacted files skip the bulk, so this scan also
+      // costs ∝ tail) instead of one scan of the whole registry. A
+      // dead screen re-checks the meta each batch (2 metadata RPCs):
+      // once maintenance rebuilds the screen past the covered batch we
+      // died under, the tail shrinks back under capacity and the
+      // screen comes back WITHOUT a stream restart.
+      val wantInit = bloom == null && !screenDead
+      val wantRevive = screenDead && screenCapacity > 0 &&
+        registryBuckets > 0 && fs.exists(regPath)
+      if (wantInit || wantRevive) {
+        val meta =
+          if (registryBuckets > 0 && fs.exists(regPath))
+            BucketScreen.readMeta(fs, registryDir)
+              .filter(_.buckets == registryBuckets)
+          else None
+        meta match {
+          case Some(m) if wantInit || bucketCovered.forall(m.coveredBatch > _) =>
+            val tail = s.table(tbl)
+              .where(col("batch_id") > m.coveredBatch &&
+                col("batch_id") < batchId)
+              .select(col("h"))
+            bloomOver(tail, screenCapacity, screenFpp) match {
+              case Some(b) =>
+                bloom = b; bucketCovered = Some(m.coveredBatch)
+                if (wantRevive) screenEvent(
+                  s"self-dedup screen revived at batch $batchId under " +
+                    s"bucket screen covered=${m.coveredBatch}")
+                else screenEvent(
+                  s"self-dedup screen built at batch $batchId: bucket " +
+                    s"screen covered=${m.coveredBatch} + driver tail")
+                screenDead = false
+              case None =>
+                bucketCovered = Some(m.coveredBatch); screenDead = true
+            }
+          case None if wantInit =>
+            bloomOver(registry, screenCapacity, screenFpp) match {
+              case Some(b) =>
+                bloom = b
+                screenEvent(s"self-dedup screen built at batch $batchId: " +
+                  "whole-registry driver bloom")
+              case None => screenDead = true
+            }
+          case _ => () // dead, and no newer screen to revive under
         }
-      // the screen is probed on the DRIVER (clipSpansPrefixStep pulls
-      // the batch's seed hashes to it) — the filter, which scales with
-      // registry cardinality, is never serialized anywhere
-      val screen = Option(bloom).map { bf =>
-        (h: Long) => bf.mightContainLong(h)
       }
+      // the driver-held filter is never serialized anywhere: the tail/
+      // whole-registry bloom is probed ON THE DRIVER against the
+      // batch's seed hashes, and the bucket blooms are probed on
+      // executors through their JVM-local cache
+      val screen: Option[graft.dedup.SeedScreen] =
+        if (bloom == null) None
+        else {
+          val bf = bloom
+          bucketCovered match {
+            case Some(_) => Some(BucketScreen.probe(
+              registryDir, registryBuckets, h => bf.mightContainLong(h)))
+            case None => Some(graft.dedup.SeedScreen.fromDriverProbe(
+              h => bf.mightContainLong(h)))
+          }
+        }
       val (clipped, newGrams, release) =
-        graft.dedup.Spans.clipSpansPrefixStep(
+        graft.dedup.Spans.clipSpansPrefixStepScreened(
           batch, col("doc_id"), col("text"), registry, minTokens, screen)
       // cache the appended frame for the batch: the registry append
       // and the bloom extension both consume it, and without the cache
@@ -368,10 +488,18 @@ object StreamingSelfDedup {
           if (bloom.expectedFpp() > ScreenUsableFpp) {
             // the stream outgrew the screen mid-run: drop it (exact
             // path from here on) rather than keep paying per-seed
-            // probes for skips that can no longer fire
-            Console.err.println(
-              s"[graft] self-dedup screen dropped at batch $batchId: " +
-                s"registry outgrew screenCapacity=$screenCapacity")
+            // probes for skips that can no longer fire. With a bucket
+            // screen this is no longer permanent: the next
+            // compactRegistry(rebuildScreen = true) folds the tail
+            // into the bucket blooms and the dead-screen re-check
+            // above revives it.
+            screenEvent(
+              s"self-dedup ${if (bucketCovered.isDefined) "tail "
+                else ""}screen dropped at batch $batchId: outgrew " +
+                s"screenCapacity=$screenCapacity" +
+                (if (registryBuckets > 0)
+                   " (a screen rebuild at the next compaction revives it)"
+                 else ""))
             bloom = null
             screenDead = true
           }

@@ -193,6 +193,69 @@ class StreamingBm25Spec extends AnyFunSuite with SparkSpec {
       numBuckets = nBuckets) == after)
   }
 
+  test("size-tiered compact merges only sub-floor files; the compacted base tier is untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sbm25t").toString
+    val path = s"$dir/idx"
+    val tbl = "sbm25t_idx"
+    val n = 2
+    Bucketing.dropTable(spark, tbl)
+    spark.range(20000)
+      .select(concat(lit("tok"), col("id") % 64).as("token"), col("id").as("x"))
+      .write.format("parquet").option("path", path)
+      .bucketBy(n, "token").sortBy("token").saveAsTable(tbl)
+    // fold the base down to one BIG file per bucket (the earlier-
+    // compaction tier the size floor must protect)
+    StreamingBm25.compact(spark, tbl, path, numBuckets = n)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parts() = fs.listStatus(root).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+    val base = parts()
+      .map(f => (f.getPath.getName, f.getLen, f.getModificationTime)).toSet
+    val floor = base.map(_._2).min
+    // per-batch append residue: five tiny files per bucket
+    (1 to 5).foreach { i =>
+      spark.range(4)
+        .select(concat(lit("tok"), (col("id") + i) % 64).as("token"),
+          col("id").as("x"))
+        .write.mode("append").format("parquet").option("path", path)
+        .bucketBy(n, "token").sortBy("token").saveAsTable(tbl)
+    }
+    spark.catalog.refreshTable(tbl)
+    val want = spark.table(tbl).orderBy("token", "x").collect().toSeq
+    val smalls = parts().filter(_.getLen < floor)
+    assert(smalls.size > n, s"appends must litter sub-floor files: ${smalls.size}")
+    val after = StreamingBm25.compact(spark, tbl, path, numBuckets = n,
+      minFileBytes = floor)
+    // the LSM claim: cost ∝ new data — the base tier is not rewritten,
+    // not moved, not even touched (same names, lengths, mtimes)
+    val now = parts()
+      .map(f => (f.getPath.getName, f.getLen, f.getModificationTime)).toSet
+    assert(base.subsetOf(now),
+      s"tiered compact must leave the base tier untouched:\n$base\nvs\n$now")
+    assert(parts().size == after && after <= 2 * n,
+      s"small litter must merge to <=1 extra file per bucket: $after, ${parts().map(_.getPath.getName)}")
+    spark.catalog.refreshTable(tbl)
+    assert(spark.table(tbl).orderBy("token", "x").collect().toSeq == want,
+      "tiered compaction changed the table's contents")
+    // idempotent: the merged tier is <=1 sub-floor file per bucket now
+    assert(StreamingBm25.compact(spark, tbl, path, numBuckets = n,
+      minFileBytes = floor) == after)
+    // and the bucketed layout survived the partial rewrite
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import spark.implicits._
+      val probe = Seq("tok3").toDF("token")
+      val j = probe.join(spark.table(tbl), "token")
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("Bucketed: true") &&
+        "Exchange".r.findAllIn(plan).size == 1,
+        s"tiered compact broke the exchange-free read:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("a compact crash after the manifest rolls forward on recovery") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-sbm25rf").toString

@@ -200,6 +200,45 @@ class StreamingSelfDedupSpec extends AnyFunSuite with SparkSpec {
       "false-positive screen diverged from the exact route")
   }
 
+  test("dirty batch pushes only its screen-positive hash set into the registry scan") {
+    import spark.implicits._
+    val regDir = tmp("sd-push") + "/reg"
+    Seq("k1 k2", "m1 m2", "n1 n2").toDF("gram")
+      .select(xxhash64(col("gram")).as("h"), col("gram"))
+      .write.parquet(regDir)
+    val registry = spark.read.parquet(regDir)
+    val regHashes = registry.select("h").collect().map(_.getLong(0)).toSet
+    // an EXACT membership screen (what the maintained bloom approaches
+    // at fpp 1e-6): the batch's one registry hit is "k1 k2"
+    val screen = Some((h: Long) => regHashes.contains(h))
+    val dirty = Seq((6L, "a k1 k2 b"), (7L, "fresh stuff here")).toDF("doc_id", "text")
+    val (clipped, newGrams, release) = Spans.clipSpansPrefixStep(
+      dirty, col("doc_id"), col("text"), registry, 2, screen)
+    try {
+      val got = clipped.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq.sortBy(_._1)
+      assert(got == Seq((6L, "a b", 2L), (7L, "fresh stuff here", 0L)), got.toString)
+      // the scale claim: the registry scan carries the positive-set IN
+      // filter — pushed to the parquet reader (PushedFilters), where
+      // bucket pruning + the h-sorted files' page stats skip untouched
+      // data — and the set holds ONLY the hit's hash, not all seeds
+      val plan = clipped.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val hitVal = Seq(("k1 k2")).toDF("g")
+        .select(xxhash64(col("g"))).collect()(0).getLong(0)
+      val missVal = Seq(("m1 m2")).toDF("g")
+        .select(xxhash64(col("g"))).collect()(0).getLong(0)
+      val pushed = plan.linesIterator
+        .filter(_.contains("PushedFilters")).mkString("\n")
+      assert(pushed.contains(hitVal.toString),
+        s"registry scan must carry the pushed positive-hash filter:\n$plan")
+      assert(!pushed.contains(missVal.toString),
+        s"untouched registry hashes must not appear in the pushed set:\n$pushed")
+      assert(newGrams.collect().map(_.getString(1)).sorted.mkString(",")
+        == "a k1,fresh stuff,k2 b,stuff here", "fresh grams wrong")
+    } finally release()
+  }
+
   test("mid-stream registry compaction: output unchanged, <=1 file/bucket, probe still exchange-free") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
