@@ -5576,6 +5576,54 @@ object SparkEntry {
               |    i -> xor(codes[CAST((i * len) // out_len AS INT) + 1], 16))) AS BIGINT) AS payload_sum
               |FROM o ORDER BY media_id""".stripMargin)),
 
+    // REAL image resize under the differential gate (the MediaFixture
+    // move applied to stills): per doc, a real 24-bit BMP with
+    // closed-form pixels is BUILT, decoded by JDK ImageIO, box-average
+    // resampled to 4x3 (integer arithmetic — bit-stable across JREs,
+    // unlike AWT rendering), re-encoded PNG, then DECODED BACK to
+    // per-pixel RGB rows (raw PNG bytes are not comparable across
+    // engines; decoded channels are). The oracle replays pixel formula
+    // + box-average in SQL — a drift anywhere in BMP build -> ImageIO
+    // decode -> resample -> PNG encode -> PNG decode breaks the hash.
+    Q("mm_resize_real",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id =>
+            (id, graft.multimodal.MediaFixture.bmpBytes(id))))
+          .toDF("media_id", "data")
+        val resized = graft.multimodal.Multimodal
+          .resizeImages(s, media, "media_id", "data", targetW = 4, targetH = 3)
+          .toDF()
+        graft.multimodal.Multimodal
+          .decodePixels(s, resized, "media_id", "data")
+          .toDF().orderBy("media_id", "y", "x")
+      },
+      Some("""WITH d AS (SELECT doc_id AS media_id,
+             |            CAST(8 + doc_id % 9 AS BIGINT) AS sw,
+             |            CAST(6 + doc_id % 7 AS BIGINT) AS sh FROM documents),
+             |ox AS (SELECT media_id, sw, sh, unnest(range(0, 4)) AS x FROM d),
+             |oxy AS (SELECT media_id, sw, sh, x, unnest(range(0, 3)) AS y FROM ox),
+             |box AS (SELECT media_id, x, y,
+             |          (x * sw) // 4 AS x0,
+             |          greatest((x * sw) // 4 + 1, ((x + 1) * sw) // 4) AS x1,
+             |          (y * sh) // 3 AS y0,
+             |          greatest((y * sh) // 3 + 1, ((y + 1) * sh) // 3) AS y1
+             |        FROM oxy),
+             |sx AS (SELECT media_id, x, y, y0, y1, unnest(range(x0, x1)) AS px FROM box),
+             |sxy AS (SELECT media_id, x, y, px, unnest(range(y0, y1)) AS py FROM sx),
+             |vals AS (SELECT media_id, x, y,
+             |           (media_id * 7 + px * 13 + py * 31) % 256 AS r,
+             |           (media_id * 11 + px * 3 + py * 17) % 256 AS g,
+             |           (media_id * 5 + px * 29 + py * 23) % 256 AS b
+             |         FROM sxy)
+             |SELECT media_id, CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y,
+             |  CAST(SUM(r) // COUNT(*) AS INTEGER) AS r,
+             |  CAST(SUM(g) // COUNT(*) AS INTEGER) AS g,
+             |  CAST(SUM(b) // COUNT(*) AS INTEGER) AS b
+             |FROM vals GROUP BY media_id, x, y
+             |ORDER BY media_id, y, x""".stripMargin)),
+
     // Multimodal: video frame sampling — bounded fan-out flatMap
     // (stride everyN, cap maxFrames), one frame live per task at a
     // time; frame index set + per-frame byte sums are the surface

@@ -52,6 +52,62 @@ object MediaFixture {
     "RIFF".getBytes ++ le32(body.length.toLong) ++ body
   }
 
+  // ---- BMP ----------------------------------------------------------
+
+  def bmpWidth(id: Long): Int = (8 + id % 9).toInt // 8..16
+  def bmpHeight(id: Long): Int = (6 + id % 7).toInt // 6..12
+
+  /** Closed-form RGB of pixel (x, y) — plain integer arithmetic the
+    * oracle replays, full 0..255 coverage across the corpus.
+    */
+  def bmpR(id: Long, x: Int, y: Int): Int = ((id * 7 + x * 13 + y * 31) % 256).toInt
+  def bmpG(id: Long, x: Int, y: Int): Int = ((id * 11 + x * 3 + y * 17) % 256).toInt
+  def bmpB(id: Long, x: Int, y: Int): Int = ((id * 5 + x * 29 + y * 23) % 256).toInt
+
+  /** A complete, real 24-bit uncompressed BMP (BITMAPINFOHEADER,
+    * BI_RGB, bottom-up rows, 4-byte row padding) whose pixels follow
+    * the closed forms above — the input side of the REAL-image resize
+    * gate: JDK ImageIO decodes THIS, not a stub.
+    */
+  def bmpBytes(id: Long): Array[Byte] = {
+    val w = bmpWidth(id); val h = bmpHeight(id)
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val dataSize = rowBytes * h
+    val out = new Array[Byte](54 + dataSize)
+    def put16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte; out(off + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    def put32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte
+      out(off + 1) = ((v >> 8) & 0xFF).toByte
+      out(off + 2) = ((v >> 16) & 0xFF).toByte
+      out(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    out(0) = 'B'.toByte; out(1) = 'M'.toByte
+    put32(2, 54 + dataSize) // file size
+    put32(10, 54) // pixel data offset
+    put32(14, 40) // BITMAPINFOHEADER size
+    put32(18, w); put32(22, h)
+    put16(26, 1) // planes
+    put16(28, 24) // bpp
+    put32(30, 0) // BI_RGB
+    put32(34, dataSize)
+    var y = 0
+    while (y < h) {
+      val rowOff = 54 + (h - 1 - y) * rowBytes // bottom-up storage
+      var x = 0
+      while (x < w) {
+        val o = rowOff + 3 * x
+        out(o) = bmpB(id, x, y).toByte // BGR order on disk
+        out(o + 1) = bmpG(id, x, y).toByte
+        out(o + 2) = bmpR(id, x, y).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   // ---- MP4 ----------------------------------------------------------
 
   val Mp4Timescale = 600L

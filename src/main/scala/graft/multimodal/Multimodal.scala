@@ -361,6 +361,38 @@ object Multimodal {
       }
   }
 
+  /** One decoded pixel. The per-pixel fan-out form is for SMALL images
+    * (thumbnails, fixtures, diff surfaces) — a 4k frame is 8M rows and
+    * belongs in [[extractImageFeatures]]' aggregate form instead.
+    */
+  final case class PixelRow(media_id: Long, x: Int, y: Int,
+                            r: Int, g: Int, b: Int)
+
+  /** REAL full decode to per-pixel RGB rows — the inspection /
+    * differential surface for the image arm (raw PNG bytes cannot be
+    * compared across engines; decoded integer channels can).
+    * Undecodable rows are dropped; one image decoded at a time per
+    * task.
+    */
+  def decodePixels(spark: SparkSession, media: DataFrame,
+                   idCol: String, dataCol: String): Dataset[PixelRow] = {
+    import spark.implicits._
+    media.selectExpr(s"CAST($idCol AS BIGINT)", dataCol).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, data) =>
+          readImage(data).iterator.flatMap { img =>
+            for {
+              y <- Iterator.range(0, img.getHeight)
+              x <- Iterator.range(0, img.getWidth)
+            } yield {
+              val p = img.getRGB(x, y)
+              PixelRow(id, x, y, (p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF)
+            }
+          }
+        }
+      }
+  }
+
   /** REAL feature extraction: decode → box-average to a `grid`×`grid`
     * patch → per-patch RGB channel means in [0,1], row-major —
     * 3·grid² floats, the classic color-layout descriptor (a cheap,

@@ -61,9 +61,9 @@ object SelfDedupProbe {
 
     val debug = sys.env.contains("SDPROBE_DEBUG")
     def stepSeconds(b: DataFrame, registry: DataFrame,
-                    screen: Option[Long => Boolean]): Double = {
+                    screen: Option[graft.dedup.SeedScreen]): Double = {
       val t0 = System.nanoTime()
-      val (clipped, newGrams, release) = Spans.clipSpansPrefixStep(
+      val (clipped, newGrams, release) = Spans.clipSpansPrefixStepScreened(
         b, col("doc_id"), col("text"), registry, 8, screen)
       val t1 = System.nanoTime()
       clipped.queryExecution.toRdd.count()
@@ -91,7 +91,14 @@ object SelfDedupProbe {
       val bloom = graft.streaming.StreamingSelfDedup.bloomOver(
         registry, math.max(n, 1000L), 1e-6).get
       println(f"  bloom bits=${bloom.bitSize()}%,d expectedFpp=${bloom.expectedFpp()}%.2e")
-      val screen = Some((h: Long) => bloom.mightContainLong(h))
+      val screen = Some(graft.dedup.SeedScreen.fromDriverProbe(
+        bloom.mightContainLong))
+      // the beyond-driver-memory tier: per-bucket blooms beside the
+      // registry, probed on executors; tail empty (fresh build) —
+      // measures the SAME skip property with NO driver-held filter
+      graft.streaming.BucketScreen.build(spark, tbl, dir, buckets)
+      val bucketScreen = Some(graft.streaming.BucketScreen.probe(
+        dir, buckets, _ => false))
       // dirty batch: 200 docs whose first 8 tokens ARE registry grams
       val dirty = spark.range(200).select(col("id").as("doc_id"),
         concat_ws(" ", regGram +: (8 until 200).map(k =>
@@ -108,16 +115,23 @@ object SelfDedupProbe {
         stepSeconds(clean, registry, screen)).min
       val dirtyScreened = (1 to 2).map(_ =>
         stepSeconds(dirty, registry, screen)).min
+      val cleanBucket = (1 to 2).map(_ =>
+        stepSeconds(clean, registry, bucketScreen)).min
+      val dirtyBucket = (1 to 2).map(_ =>
+        stepSeconds(dirty, registry, bucketScreen)).min
       println(f"registry=$n%,d  floor=$floor%.2fs  clean_noscreen=$noScreen%.2fs  " +
-        f"clean_screen=$screened%.2fs  dirty_screen=$dirtyScreened%.2fs")
-      (n, floor, noScreen, screened, dirtyScreened)
+        f"clean_screen=$screened%.2fs  dirty_screen=$dirtyScreened%.2fs  " +
+        f"clean_bucket_screen=$cleanBucket%.2fs  dirty_bucket_screen=$dirtyBucket%.2fs")
+      (n, floor, noScreen, screened, dirtyScreened, cleanBucket, dirtyBucket)
     }
     val json =
       s"""{"registry_rows":[${results.map(_._1).mkString(",")}],""" +
       s""""floor":[${results.map(r => f"${r._2}%.3f").mkString(",")}],""" +
       s""""clean_noscreen":[${results.map(r => f"${r._3}%.3f").mkString(",")}],""" +
       s""""clean_screen":[${results.map(r => f"${r._4}%.3f").mkString(",")}],""" +
-      s""""dirty_screen":[${results.map(r => f"${r._5}%.3f").mkString(",")}]}"""
+      s""""dirty_screen":[${results.map(r => f"${r._5}%.3f").mkString(",")}],""" +
+      s""""clean_bucket_screen":[${results.map(r => f"${r._6}%.3f").mkString(",")}],""" +
+      s""""dirty_bucket_screen":[${results.map(r => f"${r._7}%.3f").mkString(",")}]}"""
     println(json)
     outPath.foreach(p => java.nio.file.Files.write(
       java.nio.file.Paths.get(p), json.getBytes("UTF-8")))

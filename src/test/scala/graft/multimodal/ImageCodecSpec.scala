@@ -85,6 +85,51 @@ class ImageCodecSpec extends AnyFunSuite with SparkSpec {
       assert(a.getRGB(x, y) == b.getRGB(x, y))
   }
 
+  test("BMP fixture roundtrip: ImageIO decodes the built file to the closed-form pixels") {
+    import spark.implicits._
+    // the mm_resize_real gate's input side: the generated 24-bit BMP
+    // must decode — through the REAL JDK reader — to exactly the
+    // closed-form pixel values the DuckDB oracle replays
+    val ids = Seq(0L, 1L, 7L, 62L)
+    val media = ids.map(id => (id, MediaFixture.bmpBytes(id))).toDF("media_id", "data")
+    val meta = Multimodal.decodeImageMeta(spark, media, "media_id", "data")
+      .collect().sortBy(_.media_id)
+    assert(meta.map(m => (m.media_id, m.format, m.width, m.height)).toSeq ==
+      ids.map(id => (id, "bmp",
+        MediaFixture.bmpWidth(id), MediaFixture.bmpHeight(id))))
+    val px = Multimodal.decodePixels(spark, media, "media_id", "data").collect()
+    assert(px.length == ids.map(id =>
+      MediaFixture.bmpWidth(id) * MediaFixture.bmpHeight(id)).sum)
+    px.foreach { p =>
+      assert((p.r, p.g, p.b) ==
+        (MediaFixture.bmpR(p.media_id, p.x, p.y),
+          MediaFixture.bmpG(p.media_id, p.x, p.y),
+          MediaFixture.bmpB(p.media_id, p.x, p.y)),
+        s"pixel (${p.x},${p.y}) of id ${p.media_id} drifted")
+    }
+    // and the full gate pipeline (resize -> PNG -> decode back) equals
+    // a directly-computed box average
+    val resized = Multimodal.resizeImages(spark, media, "media_id", "data",
+      targetW = 4, targetH = 3).toDF()
+    val got = Multimodal.decodePixels(spark, resized, "media_id", "data")
+      .collect().map(p => (p.media_id, p.x, p.y, p.r, p.g, p.b)).toSet
+    val want = ids.flatMap { id =>
+      val sw = MediaFixture.bmpWidth(id); val sh = MediaFixture.bmpHeight(id)
+      for (y <- 0 until 3; x <- 0 until 4) yield {
+        val x0 = x * sw / 4; val x1 = math.max(x0 + 1, (x + 1) * sw / 4)
+        val y0 = y * sh / 3; val y1 = math.max(y0 + 1, (y + 1) * sh / 3)
+        var r = 0L; var g = 0L; var b = 0L; var n = 0L
+        for (py <- y0 until y1; px2 <- x0 until x1) {
+          r += MediaFixture.bmpR(id, px2, py)
+          g += MediaFixture.bmpG(id, px2, py)
+          b += MediaFixture.bmpB(id, px2, py); n += 1
+        }
+        (id, x, y, (r / n).toInt, (g / n).toInt, (b / n).toInt)
+      }
+    }.toSet
+    assert(got == want, "resize gate pipeline drifted from the box-average reference")
+  }
+
   test("extractImageFeatures: fixed dim, [0,1] range, gradient structure") {
     val f = Multimodal.extractImageFeatures(spark, media, "media_id", "data",
       grid = 4).collect().sortBy(_.media_id)
