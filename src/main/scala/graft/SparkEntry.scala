@@ -2602,6 +2602,15 @@ object SparkEntry {
         try {
           chunks.take(2).foreach { c => ms.addData(c); q1.processAllAvailable() }
         } finally q1.stop()
+        // the maintenance window a fresh process restarts into (r14):
+        // size-tiered registry compaction + a per-bucket screen build,
+        // so q2's first batch takes the TWO-TIER screen path (executor
+        // bucket blooms + driver tail over post-build appends) under
+        // the same full-corpus oracle — a screen false negative
+        // under-clips and breaks the hash
+        graft.streaming.StreamingSelfDedup.compactRegistry(
+          s, reg, registryBuckets = 8, minFileBytes = 1L << 20,
+          rebuildScreen = true)
         // IF EXISTS: if q1 never completed a bucketed append (tiny or
         // failing corpus) the gate must surface THAT failure via the
         // oracle hash, not die on the fresh-process simulation's DROP

@@ -1,0 +1,100 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measures registry compaction cost against BASE size — the r13
+  * verdict's LSM question: does per-invocation maintenance cost track
+  * the table's lifetime (full rewrite) or the new data (size-tiered)?
+  *
+  * For each base size N: build a compacted registry of N rows, append
+  * M ≪ N rows as per-batch litter (16 small appends), then time
+  * (a) SIZE-TIERED compact (minFileBytes floor: merges only the
+  * litter) and (b) FULL compact (rewrites everything), on separate
+  * copies. Tiered time should be ~flat across N; full time grows with
+  * N. Also times the bucket-screen rebuild at each N for the screen's
+  * maintenance-cost line. Prints one JSON line.
+  *
+  * Usage: runMain graft.tools.CompactProbe [rowsCsv] [outPath]
+  */
+object CompactProbe {
+  def main(args: Array[String]): Unit = {
+    val sizes = args.headOption.getOrElse("1000000,10000000,30000000")
+      .split(",").map(_.trim.toLong).toSeq
+    val outPath = args.lift(1)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val buckets = 32
+    val appendRows = 50000L
+    val appendBatches = 16
+
+    def gram(prefix: String) = concat_ws(" ", (0 until 8).map(k =>
+      concat(lit(prefix), (col("id") + k).cast("string"))): _*)
+
+    // base registry: built bucketed, then FULL-compacted once so the
+    // base tier is exactly one big file per bucket (the steady state a
+    // long-running stream's maintenance produces)
+    def mkRegistry(n: Long, dir: String): Unit = {
+      val tbl = graft.streaming.StreamingSelfDedup.registryTableName(dir)
+      spark.range(n).select(lit(0L).as("batch_id"), gram("r").as("gram"))
+        .select(xxhash64(col("gram")).as("h"), col("gram"), col("batch_id"))
+        .write.format("parquet").option("path", dir)
+        .bucketBy(buckets, "h").sortBy("h").saveAsTable(tbl)
+      graft.streaming.StreamingSelfDedup.compactRegistry(spark, dir, buckets)
+      // per-batch append litter: 16 batches, one file per bucket each
+      val per = appendRows / appendBatches
+      (1 to appendBatches).foreach { b =>
+        spark.range(per)
+          .select(xxhash64(gram(s"a$b")).as("h"), gram(s"a$b").as("gram"),
+            lit(b.toLong).as("batch_id"))
+          .write.mode("append").format("parquet").option("path", dir)
+          .bucketBy(buckets, "h").sortBy("h").saveAsTable(tbl)
+      }
+    }
+
+    spark.range(100).count()
+    val results = sizes.map { n =>
+      val tieredDir = graft.TempDirs.create(s"cprobe-t-$n").toString + "/reg"
+      val fullDir = graft.TempDirs.create(s"cprobe-f-$n").toString + "/reg"
+      mkRegistry(n, tieredDir)
+      mkRegistry(n, fullDir)
+      // floor: litter files are ~per-batch sized; the base files are
+      // ~N/buckets rows. Anything under 1/4 of a base file is litter.
+      val fs = new org.apache.hadoop.fs.Path(tieredDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val baseLen = fs.listStatus(new org.apache.hadoop.fs.Path(tieredDir))
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        .map(_.getLen).max
+      val t0 = System.nanoTime()
+      graft.streaming.StreamingSelfDedup.compactRegistry(
+        spark, tieredDir, buckets, minFileBytes = baseLen / 4)
+      val tiered = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      graft.streaming.StreamingSelfDedup.compactRegistry(spark, fullDir, buckets)
+      val full = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      graft.streaming.BucketScreen.build(spark,
+        graft.streaming.StreamingSelfDedup.registryTableName(fullDir),
+        fullDir, buckets)
+      val screen = (System.nanoTime() - t2) / 1e9
+      println(f"base=$n%,d append=$appendRows%,d  tiered=$tiered%.2fs  " +
+        f"full=$full%.2fs  screen_build=$screen%.2fs")
+      (n, tiered, full, screen)
+    }
+    val json =
+      s"""{"base_rows":[${results.map(_._1).mkString(",")}],""" +
+      s""""append_rows":$appendRows,""" +
+      s""""tiered_compact":[${results.map(r => f"${r._2}%.3f").mkString(",")}],""" +
+      s""""full_compact":[${results.map(r => f"${r._3}%.3f").mkString(",")}],""" +
+      s""""screen_build":[${results.map(r => f"${r._4}%.3f").mkString(",")}]}"""
+    println(json)
+    outPath.foreach(p => java.nio.file.Files.write(
+      java.nio.file.Paths.get(p), json.getBytes("UTF-8")))
+    spark.stop()
+  }
+}

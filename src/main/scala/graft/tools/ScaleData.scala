@@ -71,13 +71,23 @@ object ScaleData {
     if (tables("embeddings")) {
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     (0 until factor).map { c =>
+      // rotate by c mod dim positions (a rotation by >= dim sliced a
+      // negative length and failed at factor > 64); copies past one
+      // full rotation cycle additionally NEGATE the vector, so no two
+      // copies are positively correlated for factor <= 2*dim — norms
+      // preserved, cross-copy cosine decorrelated (or -1, which no
+      // positive-threshold query matches) and planted near-dup
+      // structure still scales in COUNT, not in size
+      val rot = s"concat(" +
+        s"slice(embedding, pmod($c, size(embedding)) + 1, " +
+        s"size(embedding) - pmod($c, size(embedding))), " +
+        s"slice(embedding, 1, pmod($c, size(embedding))))"
       emb.select(
         (col("vec_id") + lit(c * idStride)).as("vec_id"),
-        // rotate by c positions: norms preserved, cross-copy cosine
-        // decorrelated (random-vector rotations are near-orthogonal)
         (if (c == 0) col("embedding")
-         else expr(s"concat(slice(embedding, ${c + 1}, size(embedding) - $c), " +
-           s"slice(embedding, 1, $c))")).as("embedding"),
+         else expr(s"CASE WHEN CAST($c / size(embedding) AS INT) % 2 = 0 " +
+           s"THEN $rot ELSE transform($rot, x -> CAST(-x AS FLOAT)) END"))
+          .as("embedding"),
         col("label"))
     }.reduce(_ unionAll _)
       .write.mode(SaveMode.Overwrite).parquet(s"$dest/embeddings.parquet")
