@@ -29,6 +29,12 @@ object SelfDedupProbe {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      // production parity: clipStream raises this on its stream's
+      // cloned session so a dirty batch's pushed `h IN (…)` set
+      // reaches the parquet reader (row-group/page stats on the
+      // h-sorted files) instead of degrading to a useless min/max
+      // range at the default threshold of 10
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
