@@ -2627,6 +2627,71 @@ object SparkEntry {
         "documents", "doc_id", "text", minTokens = 8) +
         " ORDER BY doc_id")),
 
+    // Streaming SELF near-dup (24th route): every arriving document is
+    // checked against everything the stream has EVER admitted via a
+    // maintained band registry (bucketed on band_key) + a shingle-set
+    // registry (bucketed on id, fetched only for band-colliding
+    // candidates), under the maintained band-key screen. Keep-earliest
+    // verdicts: dup_of = smallest earlier id whose exact Jaccard
+    // clears 0.9. Oracle-exact by the dedup_minhash_verified argument:
+    // the only fixture pairs at J >= 0.9 are identical-shingle-set
+    // pairs, identical sets collide in EVERY band, so LSH recall is
+    // deterministically 1 and the stream's verdicts equal DuckDB's
+    // exact indexed all-pairs reduction. In-gate maintenance after
+    // batch 2: size-tiered compaction of BOTH registries + a bucket-
+    // screen build — the oracle proves maintenance cannot change a
+    // later batch's verdicts (the running stream keeps its extended
+    // driver bloom; the restart-onto-two-tier path is pinned by
+    // StreamingNearDupSpec's kill-and-resume test).
+    Q("streaming_neardup_self",
+      (s, dir) => withStreamShuffle(s) {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val rows = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            Enrich.dedupContent(col("text"), col("doc_id")).as("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+          .sortBy(_._1).toSeq
+        val ms = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val tmp = graft.TempDirs.create("neardup-gate").toString
+        val out = scala.collection.mutable
+          .ArrayBuffer[(Long, Option[Long], Option[Double])]()
+        val q = graft.streaming.StreamingNearDup.nearDupStream(
+          ms.toDS().toDF("id", "text"), col("id"), col("text"),
+          s"$tmp/registry", buckets = 8, minJaccard = 0.9) { batchOut =>
+          out.synchronized {
+            out ++= batchOut.collect().map(r => (r.getLong(0),
+              if (r.isNullAt(1)) None else Some(r.getLong(1)),
+              if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+          }
+        }
+        try {
+          rows.grouped(rows.length / 3 + 1).zipWithIndex.foreach {
+            case (chunk, i) =>
+              ms.addData(chunk)
+              q.processAllAvailable()
+              if (i == 1)
+                graft.streaming.StreamingNearDup.compact(
+                  s, s"$tmp/registry", 8, minFileBytes = 1L << 20,
+                  rebuildScreen = true)
+          }
+        } finally q.stop()
+        out.toSeq.toDF("id", "dup_of", "jaccard").orderBy("id")
+      },
+      Some(s"""WITH pairs AS (${graft.dedup.Dedup.ngramJaccardPairsIndexedSql(
+                "documents", "doc_id",
+                Enrich.dedupContentSql("text", "doc_id"), n = 3,
+                minJaccard = 0.9)}),
+              |best AS (SELECT id_b AS id, id_a AS dup_of, jaccard,
+              |  row_number() OVER (PARTITION BY id_b ORDER BY id_a) AS rn
+              |  FROM pairs)
+              |SELECT d.doc_id AS id, b.dup_of, b.jaccard
+              |FROM documents d
+              |LEFT JOIN (SELECT id, dup_of, jaccard FROM best WHERE rn = 1) b
+              |  ON b.id = d.doc_id
+              |ORDER BY id""".stripMargin)),
+
     // Paragraph-level corpus dedup (CCNet-style): corpus-wide repeated
     // paragraphs dropped, first occurrence kept, documents reassembled
     // in paragraph order. Fixture plants a universal header, per-block

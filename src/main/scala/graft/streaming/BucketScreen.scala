@@ -85,7 +85,8 @@ object BucketScreen {
     * everything after ITS covered_batch).
     */
   def build(spark: SparkSession, table: String, registryDir: String,
-            buckets: Int, fpp: Double = 1e-6): Option[Long] = {
+            buckets: Int, fpp: Double = 1e-6,
+            keyCol: String = "h"): Option[Long] = {
     require(buckets > 0, "bucket screens need a bucketed registry")
     spark.catalog.refreshTable(table)
     val agg = spark.table(table)
@@ -105,7 +106,7 @@ object BucketScreen {
     // group rows by BUCKET ID so each bucket's bloom is built whole in
     // one task and written from that task — the full screen (which
     // scales with registry cardinality) never exists in one place
-    val built = spark.table(table).select(col("h"))
+    val built = spark.table(table).select(col(keyCol).as("h"))
       .withColumn("b", pmod(hash(col("h")), lit(buckets)))
       .repartition(buckets, col("b"))
       .mapPartitions { it =>

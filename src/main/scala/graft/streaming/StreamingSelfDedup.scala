@@ -64,13 +64,8 @@ object StreamingSelfDedup {
     * foreign table squatting on the name) fails loudly instead of
     * probing someone else's grams.
     */
-  private[graft] def registryTableName(registryDir: String): String = {
-    val bytes = registryDir.getBytes("UTF-8")
-    s"graft_selfdedup_reg_${java.lang.Long.toHexString(
-      org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-        bytes.length, 42L))}"
-  }
+  private[graft] def registryTableName(registryDir: String): String =
+    BucketedRegistry.tableName("graft_selfdedup_reg", registryDir)
 
   /* Ops note (r13 name-scheme change): this derivation switched from
    * murmur32 to XXH64 in r13. With the in-memory catalog used
@@ -82,103 +77,17 @@ object StreamingSelfDedup {
    * legacy `graft_selfdedup_reg_<8 hex>` entry when upgrading to keep
    * the catalog clean. */
 
-  /** Bucket-count marker (`_BUCKETS`) inside the registry dir: the
-    * bucket count is part of the on-disk contract — a fresh-session
-    * resume that re-registered the table with a DIFFERENT count would
-    * bucket-prune probes against the wrong buckets (silent
-    * under-clipping) before the next append even got the chance to
-    * fail on the spec mismatch. Written on first append, required to
-    * match on every (re-)registration.
-    */
-  private def bucketsMarker(registryDir: String) =
-    new org.apache.hadoop.fs.Path(registryDir, "_BUCKETS")
-
-  private def readBucketsMarker(fs: org.apache.hadoop.fs.FileSystem,
-                                registryDir: String): Option[Int] = {
-    val p = bucketsMarker(registryDir)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(new String(
-        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-        "UTF-8").trim.toInt)
-      finally in.close()
-    }
-  }
-
-  private def writeBucketsMarkerIfAbsent(
-      fs: org.apache.hadoop.fs.FileSystem, registryDir: String,
-      buckets: Int): Unit = {
-    val p = bucketsMarker(registryDir)
-    if (!fs.exists(p)) {
-      // temp-then-rename: a crash between create and write must not
-      // leave a zero-byte marker that wedges every later open on
-      // `"".toInt` — after the rename the marker is complete or absent
-      val tmp = new org.apache.hadoop.fs.Path(registryDir, "._BUCKETS.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(buckets.toString.getBytes("UTF-8"))
-      finally out.close()
-      if (!fs.rename(tmp, p)) {
-        fs.delete(tmp, false) // lost a (single-writer-violating) race
-        ()
-      }
-    }
-  }
-
   /** Ensure the bucketed registry table for `registryDir` is
-    * registered in `spark`'s (shared) catalog and safe to use:
-    * validates the `_BUCKETS` marker against `registryBuckets` and —
-    * when the table already exists — that its LOCATION is actually
-    * `registryDir` (name-hash collision / foreign table guard).
-    * Idempotent; the checkpoint-resume path in a fresh session runs
-    * this before its first probe, or the batch would silently probe an
-    * empty registry and re-emit previously-clipped grams.
+    * registered and safe to use — [[BucketedRegistry.requireTable]]
+    * (marker validation + LOCATION guard) with the gram schema. The
+    * checkpoint-resume path in a fresh session runs this before its
+    * first probe, or the batch would silently probe an empty registry
+    * and re-emit previously-clipped grams.
     */
   private[streaming] def requireRegistryTable(
-      spark: SparkSession, registryDir: String, registryBuckets: Int): String = {
-    val tbl = registryTableName(registryDir)
-    val regPath = new org.apache.hadoop.fs.Path(registryDir)
-    val fs = regPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    readBucketsMarker(fs, registryDir) match {
-      case Some(m) =>
-        require(m == registryBuckets,
-          s"registry at $registryDir was written with $m buckets; " +
-            s"refusing to open it as $registryBuckets (probes would " +
-            s"bucket-prune against the wrong buckets)")
-      case None if fs.exists(regPath) =>
-        // marker-less dir (pre-marker registry, or a crash before the
-        // marker landed): this open necessarily TRUSTS the caller's
-        // count — but cross-check it against the bucket ids the
-        // existing part-file NAMES carry (the `_0000N` suffix Spark's
-        // bucketed writer assigns) before stamping, or a wrong count on
-        // this one trusted open is locked in and every later probe
-        // silently under-clips against the wrong buckets (ADVICE r13)
-        val bucketIdRe = "_(\\d{5})\\.".r
-        val maxSeen = fs.listStatus(regPath).toSeq
-          .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-          .flatMap(st => bucketIdRe.findFirstMatchIn(st.getPath.getName)
-            .map(_.group(1).toInt))
-          .maxOption
-        maxSeen.foreach(m => require(m < registryBuckets,
-          s"registry at $registryDir has part-files up to bucket id $m; " +
-            s"refusing to stamp it as $registryBuckets buckets"))
-        writeBucketsMarkerIfAbsent(fs, registryDir, registryBuckets)
-      case None => ()
-    }
-    if (spark.catalog.tableExists(tbl)) {
-      val loc = spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(tbl)).location
-      val want = fs.makeQualified(regPath).toUri
-      if (fs.makeQualified(new org.apache.hadoop.fs.Path(loc)).toUri != want)
-        throw new IllegalStateException(
-          s"catalog table $tbl points at $loc, not $registryDir — " +
-            "table-name collision or foreign table; refusing to probe it")
-    } else if (fs.exists(regPath))
-      spark.sql(s"CREATE TABLE $tbl (h BIGINT, gram STRING, batch_id BIGINT) " +
-        s"USING parquet CLUSTERED BY (h) SORTED BY (h) " +
-        s"INTO $registryBuckets BUCKETS LOCATION '$registryDir'")
-    tbl
-  }
+      spark: SparkSession, registryDir: String, registryBuckets: Int): String =
+    BucketedRegistry.requireTable(spark, registryDir, registryBuckets,
+      "graft_selfdedup_reg", "h BIGINT, gram STRING, batch_id BIGINT", "h")
 
   /** Distributed bloom build over `df`'s `h` column. Two traps:
     * `stat.bloomFilter` NPEs on zero rows (the aggregate's zero-row
@@ -234,17 +143,10 @@ object StreamingSelfDedup {
     }
 
   /** Screen lifecycle events (built / dropped / revived) in arrival
-    * order — a diagnostic seam so the outgrowth→rebuild→revival path
-    * is observable (specs assert on it; ops can drain it). Bounded.
+    * order — [[MaintainedScreen.events]], shared by every maintained-
+    * screen route (specs assert on it; ops can drain it). Bounded.
     */
-  private[graft] val screenEvents =
-    new java.util.concurrent.ConcurrentLinkedQueue[String]()
-
-  private def screenEvent(msg: String): Unit = {
-    while (screenEvents.size > 256) screenEvents.poll()
-    screenEvents.add(msg)
-    Console.err.println(s"[graft] $msg")
-  }
+  private[graft] def screenEvents = MaintainedScreen.events
 
   /** The screen stops paying once its false-positive rate times a
     * batch's seed count approaches 1 (the skip is all-or-nothing per
@@ -321,23 +223,14 @@ object StreamingSelfDedup {
       .writeStream
     checkpointDir.foreach(writer.option("checkpointLocation", _))
     val tbl = registryTableName(registryDir)
-    // the maintained driver-held screen; null until the first batch
-    // (re)builds it, null again (with the tombstone set) if it
-    // outgrows its capacity. Two forms, decided at (re)build time:
-    //   - bucketCovered = None: `bloom` covers the WHOLE registry
-    //     (the pre-r14 form — fine until the registry outgrows the
-    //     driver's capacity);
-    //   - bucketCovered = Some(c): an on-disk BucketScreen (executor-
-    //     probed, built by compactRegistry(rebuildScreen=true)) covers
-    //     rows with batch_id <= c, and `bloom` is only the TAIL over
-    //     later appends — driver memory now tracks inter-compaction
-    //     growth, not registry size, and outgrowth is revived by the
-    //     next screen rebuild instead of being permanent.
-    // foreachBatch bodies run sequentially on the stream execution
-    // thread, so plain closure state needs no synchronization.
-    var bloom: BloomFilter = null
-    var bucketCovered: Option[Long] = None
-    var screenDead = screenCapacity <= 0
+    // the maintained screen: whole-registry driver bloom, or (once a
+    // BucketScreen is built by compactRegistry(rebuildScreen=true))
+    // executor bucket blooms + a driver TAIL bloom — see
+    // [[MaintainedScreen]]. foreachBatch bodies run sequentially on
+    // the stream execution thread, so the closure state (inside
+    // MaintainedScreen and registryValidated) needs no synchronization.
+    val maintained = new MaintainedScreen(registryDir, registryBuckets,
+      screenCapacity, screenFpp, "self-dedup")
     // marker + LOCATION validation is immutable per (dir, buckets)
     // under the single-writer contract — validate once per closure
     // lifetime, re-validating only if the table vanishes (a dropped
@@ -347,14 +240,10 @@ object StreamingSelfDedup {
     writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val s = batch.sparkSession
       // a DIRTY batch pushes its screen-positive hash set into the
-      // registry scan as `h IN (…)` (Spans.clipSpansPrefixStep); at
-      // the default inFilterThreshold=10 any >10-value IN degrades to
-      // a min/max range at the parquet reader — useless on uniform
-      // 64-bit hashes. Raising it lets the set reach the reader, where
-      // the h-SORTED files' row-group/page stats skip everything the
-      // batch does not touch. Session scope is the stream's clone
-      // (MicroBatchExecution clones at start) — no cross-stream leak.
-      s.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "4096")
+      // registry scan as `h IN (…)` (Spans.clipSpansPrefixStep) —
+      // raise the parquet IN-pushdown threshold so it reaches the
+      // h-sorted files' row-group/page stats
+      MaintainedScreen.raiseInPushdown(s)
       val regPath = new org.apache.hadoop.fs.Path(registryDir)
       val fs = regPath.getFileSystem(s.sparkContext.hadoopConfiguration)
       // batch-id fencing makes the REPLAY correct, not just tolerated:
@@ -384,72 +273,21 @@ object StreamingSelfDedup {
           import s.implicits._
           Seq.empty[(Long, String)].toDF("h", "gram")
         }
-      // (re)start, or REVIVAL after an outgrown screen: prefer the
-      // on-disk bucket screen when one is present — the driver then
-      // only rebuilds the small TAIL (batch_id > covered; row-group
-      // stats on the compacted files skip the bulk, so this scan also
-      // costs ∝ tail) instead of one scan of the whole registry. A
-      // dead screen re-checks the meta each batch (2 metadata RPCs):
-      // once maintenance rebuilds the screen past the covered batch we
-      // died under, the tail shrinks back under capacity and the
-      // screen comes back WITHOUT a stream restart.
-      val wantInit = bloom == null && !screenDead
-      val wantRevive = screenDead && screenCapacity > 0 &&
-        registryBuckets > 0 && fs.exists(regPath)
-      if (wantInit || wantRevive) {
-        val meta =
-          if (registryBuckets > 0 && fs.exists(regPath))
-            BucketScreen.readMeta(fs, registryDir)
-              .filter(_.buckets == registryBuckets)
-          else None
-        meta match {
-          case Some(m) if wantInit || bucketCovered.forall(m.coveredBatch > _) =>
-            val tail = s.table(tbl)
-              .where(col("batch_id") > m.coveredBatch &&
-                col("batch_id") < batchId)
-              .select(col("h"))
-            bloomOver(tail, screenCapacity, screenFpp) match {
-              case Some(b) =>
-                bloom = b; bucketCovered = Some(m.coveredBatch)
-                if (wantRevive) screenEvent(
-                  s"self-dedup screen revived at batch $batchId under " +
-                    s"bucket screen covered=${m.coveredBatch}")
-                else screenEvent(
-                  s"self-dedup screen built at batch $batchId: bucket " +
-                    s"screen covered=${m.coveredBatch} + driver tail")
-                screenDead = false
-              case None =>
-                bucketCovered = Some(m.coveredBatch); screenDead = true
-            }
-          case None if wantInit =>
-            bloomOver(registry, screenCapacity, screenFpp) match {
-              case Some(b) =>
-                bloom = b
-                screenEvent(s"self-dedup screen built at batch $batchId: " +
-                  "whole-registry driver bloom")
-              case None => screenDead = true
-            }
-          case _ => () // dead, and no newer screen to revive under
-        }
-      }
-      // the driver-held filter is never serialized anywhere: the tail/
-      // whole-registry bloom is probed ON THE DRIVER against the
-      // batch's seed hashes, and the bucket blooms are probed on
-      // executors through their JVM-local cache
-      val screen: Option[graft.dedup.SeedScreen] =
-        if (bloom == null) None
-        else {
-          val bf = bloom
-          bucketCovered match {
-            case Some(_) => Some(BucketScreen.probe(
-              registryDir, registryBuckets, h => bf.mightContainLong(h)))
-            case None => Some(graft.dedup.SeedScreen.fromDriverProbe(
-              h => bf.mightContainLong(h)))
-          }
-        }
+      // (re)build / revive the screen for this batch — see
+      // [[MaintainedScreen.refresh]]: with an on-disk bucket screen
+      // the driver only rebuilds the small tail (row-group stats on
+      // the compacted files skip the bulk, so the scan costs ∝ tail),
+      // and a dead screen comes back once maintenance rebuilds past
+      // the covered batch it died under — no stream restart.
+      maintained.refresh(fs, regPath, batchId,
+        registryHashes = registry.select(col("h")),
+        tailHashes = covered => s.table(tbl)
+          .where(col("batch_id") > covered && col("batch_id") < batchId)
+          .select(col("h")))
       val (clipped, newGrams, release) =
         graft.dedup.Spans.clipSpansPrefixStepScreened(
-          batch, col("doc_id"), col("text"), registry, minTokens, screen)
+          batch, col("doc_id"), col("text"), registry, minTokens,
+          maintained.screen)
       // cache the appended frame for the batch: the registry append
       // and the bloom extension both consume it, and without the cache
       // the second consumer re-runs the distinct's shuffle
@@ -468,7 +306,8 @@ object StreamingSelfDedup {
           // derived name fails loudly BEFORE receiving this batch's
           // rows (saveAsTable appends into an existing table's own
           // location, ignoring the path option).
-          writeBucketsMarkerIfAbsent(fs, registryDir, registryBuckets)
+          BucketedRegistry.writeBucketsMarkerIfAbsent(
+            fs, registryDir, registryBuckets)
           if (!registryValidated || !s.catalog.tableExists(tbl)) {
             requireRegistryTable(s, registryDir, registryBuckets)
             registryValidated = true
@@ -479,31 +318,11 @@ object StreamingSelfDedup {
             .saveAsTable(tbl)
         } else
           out.write.mode("append").parquet(registryDir)
-        if (bloom != null) {
-          // extend, don't rebuild: stream the pinned new grams' hashes
-          // to the driver (8 bytes each — a distributed build's
-          // partial aggregates each weigh the FULL filter)
-          out.select(col("h")).toLocalIterator().forEachRemaining(
-            r => bloom.putLong(r.getLong(0)))
-          if (bloom.expectedFpp() > ScreenUsableFpp) {
-            // the stream outgrew the screen mid-run: drop it (exact
-            // path from here on) rather than keep paying per-seed
-            // probes for skips that can no longer fire. With a bucket
-            // screen this is no longer permanent: the next
-            // compactRegistry(rebuildScreen = true) folds the tail
-            // into the bucket blooms and the dead-screen re-check
-            // above revives it.
-            screenEvent(
-              s"self-dedup ${if (bucketCovered.isDefined) "tail "
-                else ""}screen dropped at batch $batchId: outgrew " +
-                s"screenCapacity=$screenCapacity" +
-                (if (registryBuckets > 0)
-                   " (a screen rebuild at the next compaction revives it)"
-                 else ""))
-            bloom = null
-            screenDead = true
-          }
-        }
+        // extend, don't rebuild: stream the pinned new grams' hashes
+        // to the driver (8 bytes each — a distributed build's partial
+        // aggregates each weigh the FULL filter); an extension that
+        // saturates the screen drops it (revived at the next rebuild)
+        maintained.extend(out.select(col("h")), batchId)
       } finally {
         out.unpersist(blocking = false)
         release()
