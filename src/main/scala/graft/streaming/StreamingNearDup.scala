@@ -227,11 +227,16 @@ object StreamingNearDup {
           requireDocsTable(s, registryDir, buckets)
           validated = true
         }
+        // repartition by the BUCKET ID first: one file per bucket per
+        // batch instead of (partitions × buckets) — see clipStream's
+        // append for the measured 32× litter consequence
         batchBands.withColumn("batch_id", lit(batchId))
+          .repartition(buckets, pmod(hash(col("band_key")), lit(buckets)))
           .write.mode("append").format("parquet").option("path", bDir)
           .bucketBy(buckets, "band_key").sortBy("band_key")
           .saveAsTable(bTbl)
         base.select(col("id"), col("sh"), lit(batchId).as("batch_id"))
+          .repartition(buckets, pmod(hash(col("id")), lit(buckets)))
           .write.mode("append").format("parquet").option("path", dDir)
           .bucketBy(buckets, "id").sortBy("id")
           .saveAsTable(dTbl)

@@ -312,7 +312,20 @@ object StreamingSelfDedup {
             requireRegistryTable(s, registryDir, registryBuckets)
             registryValidated = true
           }
-          out.write.mode("append").format("parquet")
+          // repartition by the BUCKET ID before the bucketed append:
+          // the writer emits one file per (task, bucket) pair, so an
+          // un-repartitioned batch appends (partitions × buckets)
+          // files — measured 15,650 litter files where the design
+          // said 512 (32× the listing/footer cost at every probe,
+          // compaction, and screen build). Grouping each bucket whole
+          // into one task (pmod(murmur3, n) — the writer's own bucket
+          // id) restores the ≤1-file-per-bucket-per-batch contract
+          // for one batch-bounded shuffle.
+          out.repartition(registryBuckets,
+              org.apache.spark.sql.functions.pmod(
+                org.apache.spark.sql.functions.hash(col("h")),
+                lit(registryBuckets)))
+            .write.mode("append").format("parquet")
             .option("path", registryDir)
             .bucketBy(registryBuckets, "h").sortBy("h")
             .saveAsTable(tbl)

@@ -73,7 +73,8 @@ object ClusterSmoke {
     "streaming_resume_clip_self", // r13: catalog re-registration + bloom rebuild on resume
     "streaming_resume_quantiles", // r12: checkpoint stop/resume, state-store restore
     "streaming_resume_ivf_maintained", // r12: file-sink exactly-once across restart
-    "pipeline_training_data_v2")  // r12: composed clip pipeline (memoized docStats)
+    "pipeline_training_data_v2",  // r12: composed clip pipeline (memoized docStats)
+    "streaming_neardup_self")     // r14: band registry + executor bucket blooms
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

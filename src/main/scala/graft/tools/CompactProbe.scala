@@ -46,12 +46,17 @@ object CompactProbe {
         .write.format("parquet").option("path", dir)
         .bucketBy(buckets, "h").sortBy("h").saveAsTable(tbl)
       graft.streaming.StreamingSelfDedup.compactRegistry(spark, dir, buckets)
-      // per-batch append litter: 16 batches, one file per bucket each
+      // per-batch append litter: 16 batches, ONE file per bucket each —
+      // the bucket-id repartition the production append performs (an
+      // un-repartitioned bucketed append writes partitions × buckets
+      // files; the first version of this probe did exactly that and
+      // measured the 32×-litter world: tiered 30s vs full 13s at 1M)
       val per = appendRows / appendBatches
       (1 to appendBatches).foreach { b =>
         spark.range(per)
           .select(xxhash64(gram(s"a$b")).as("h"), gram(s"a$b").as("gram"),
             lit(b.toLong).as("batch_id"))
+          .repartition(buckets, pmod(hash(col("h")), lit(buckets)))
           .write.mode("append").format("parquet").option("path", dir)
           .bucketBy(buckets, "h").sortBy("h").saveAsTable(tbl)
       }

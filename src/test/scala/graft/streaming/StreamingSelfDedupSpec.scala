@@ -96,6 +96,16 @@ class StreamingSelfDedupSpec extends AnyFunSuite with SparkSpec {
     val plain = runStream(corpus, 2, n = 3, registryDir = tmp("sd-plain") + "/reg")
     val bucketed = runStream(corpus, 2, n = 3, registryDir = regDir, buckets = 4)
     assert(plain == bucketed, s"bucketed registry changed the output:\n$plain\n$bucketed")
+    // append shape: each batch lands AT MOST one file per bucket (the
+    // bucket-id repartition before the bucketed append) — without it a
+    // batch writes partitions × buckets files and a long stream's
+    // listing/footer costs multiply 32× (measured via CompactProbe r14)
+    val regFs = new org.apache.hadoop.fs.Path(regDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nFiles = regFs.listStatus(new org.apache.hadoop.fs.Path(regDir))
+      .count(st => st.isFile && st.getPath.getName.startsWith("part-"))
+    assert(nFiles <= 2 * 4,
+      s"2 batches x 4 buckets must append <= 8 files, found $nFiles")
     // the scale claim itself: a batch-seed probe against the bucketed
     // table plans the registry side through its bucketed scan with NO
     // exchange — only the batch side shuffles (broadcast disabled so
