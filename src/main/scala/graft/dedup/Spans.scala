@@ -44,15 +44,20 @@ import org.apache.spark.sql.functions._
 object Spans {
 
   /** Ceiling on the screen-positive hash set pushed into the registry
-    * scan as an `IN` filter. Past it the batch is mostly duplicate
-    * (most seeds screen positive), the filter no longer prunes
-    * meaningfully, and per-row `InSet` probes plus the literal-list
-    * plan cost outweigh the full scan it would replace — so the step
-    * falls back to the unfiltered registry (the exact path; a perf
-    * dial, never a correctness one). The bound also caps driver memory
-    * for the set at ~0.5 MB of longs.
+    * scan as an `IN` filter. Past it the step falls back to the
+    * unfiltered registry (the exact path; a perf dial, never a
+    * correctness one) — a batch with thousands of distinct registry
+    * hits is substantially duplicate, and the full scan is then
+    * genuinely cheaper than the filter: the literal list is PLAN, so
+    * its cost is paid on the driver at analysis/optimization time
+    * per batch (this first shipped at 65536 and a boilerplate-heavy
+    * sf0.1 batch pushed ~4× the gate's whole r13 runtime into isin()
+    * construction — 26 s vs the 6.8 s exact path it "saved").
+    * 2048 keeps the push in the regime where it wins (the probe's
+    * measured flat dirty batches carry ~200 hits) and caps the
+    * driver-held set at 16 KB.
     */
-  private[graft] val ScreenPushLimit = 65536
+  private[graft] val ScreenPushLimit = 2048
 
   /** Hash-then-verify candidate pre-filter — the 100 TB tier's first
     * pass: count seed occurrences on `xxhash64(gram)` (8 bytes per

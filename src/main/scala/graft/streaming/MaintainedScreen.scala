@@ -152,7 +152,18 @@ private[streaming] object MaintainedScreen {
     * everything the batch does not touch. Session scope is the
     * stream's clone (MicroBatchExecution clones at start) — no
     * cross-stream leak.
+    *
+    * 512, NOT arbitrary: Spark folds the pushed values with
+    * `reduceLeft(FilterApi.or)` — a LINEAR predicate chain whose
+    * build/evaluation recursion depth equals the value count.
+    * `tools.InPushProbe` measured the cliff on this JVM (1 MB task
+    * stacks): 1024 values fine, 2048 = StackOverflowError inside the
+    * parquet reader — which first shipped as a 4096 raise and killed
+    * `streaming_clip_self` at sf0.1 mid-scale-run. 512 keeps a 4×
+    * margin; sets past the threshold still filter through the
+    * execution-level InSet and bucket pruning, they just lose the
+    * row-group skip.
     */
   def raiseInPushdown(s: SparkSession): Unit =
-    s.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "4096")
+    s.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "512")
 }

@@ -105,6 +105,19 @@ object StreamingNearDup {
     * `screenCapacity`/`screenFpp` size the maintained band-key screen
     * (0 disables it); see [[StreamingSelfDedup.clipStream]] for the
     * fpp sizing argument (the skip is all-or-nothing per batch).
+    *
+    * `registerDups = false` registers only ADMITTED documents — the
+    * keep-first production setting, where the registry grows with
+    * UNIQUE content instead of stream volume (a boilerplate-heavy
+    * corpus's dup orbit adds one registrant, not thousands). Verdicts
+    * then compare against surviving keepers only: a transitive chain
+    * A≈B, B≈C with A≉C admits C (B was never registered) — the
+    * standard keep-first transitivity tradeoff, while identical
+    * orbits still resolve to their keeper (the keeper collides with
+    * every member). Within-batch candidates are unaffected (the
+    * batch-local join sees all earlier-in-batch rows either way). The
+    * default `true` matches the all-pairs batch operator exactly and
+    * sits under the gate's oracle.
     */
   def nearDupStream(stream: DataFrame, idCol: Column, textCol: Column,
                     registryDir: String,
@@ -112,7 +125,8 @@ object StreamingNearDup {
                     buckets: Int = 8, shingleN: Int = 3,
                     minJaccard: Double = 0.9,
                     screenCapacity: Long = 4L * 1000 * 1000,
-                    screenFpp: Double = 1e-6)
+                    screenFpp: Double = 1e-6,
+                    registerDups: Boolean = true)
                    (write: DataFrame => Unit):
       org.apache.spark.sql.streaming.StreamingQuery = {
     val writer = stream
@@ -214,34 +228,46 @@ object StreamingNearDup {
           .agg(min(struct(col("cand_id"), col("jaccard"))).as("m"))
           .select(col("id"), col("m.cand_id").as("dup_of"),
             col("m.jaccard").as("jaccard"))
-        val out = base.select(col("id")).join(best, Seq("id"), "left")
-          .select(col("id"), col("dup_of"), col("jaccard"))
-        write(out)
-        // appends, marker-first per table (see clipStream's ordering
-        // argument); both fenced under this batch's id for replays
-        BucketedRegistry.writeBucketsMarkerIfAbsent(fs, bDir, buckets)
-        BucketedRegistry.writeBucketsMarkerIfAbsent(fs, dDir, buckets)
-        if (!validated || !s.catalog.tableExists(bTbl) ||
-            !s.catalog.tableExists(dTbl)) {
-          requireBandsTable(s, registryDir, buckets)
-          requireDocsTable(s, registryDir, buckets)
-          validated = true
-        }
-        // repartition by the BUCKET ID first: one file per bucket per
-        // batch instead of (partitions × buckets) — see clipStream's
-        // append for the measured 32× litter consequence
-        batchBands.withColumn("batch_id", lit(batchId))
-          .repartition(buckets, pmod(hash(col("band_key")), lit(buckets)))
-          .write.mode("append").format("parquet").option("path", bDir)
-          .bucketBy(buckets, "band_key").sortBy("band_key")
-          .saveAsTable(bTbl)
-        base.select(col("id"), col("sh"), lit(batchId).as("batch_id"))
-          .repartition(buckets, pmod(hash(col("id")), lit(buckets)))
-          .write.mode("append").format("parquet").option("path", dDir)
-          .bucketBy(buckets, "id").sortBy("id")
-          .saveAsTable(dTbl)
-        maintained.extend(
-          batchBands.select(col("band_key").as("h")).distinct(), batchId)
+          .persist() // batch-bounded; consumed by the output AND (in
+                     // keep-first mode) the registration anti-join
+        try {
+          val out = base.select(col("id")).join(best, Seq("id"), "left")
+            .select(col("id"), col("dup_of"), col("jaccard"))
+          write(out)
+          // registration scope: everything (the oracle-exact default)
+          // or admitted documents only (keep-first production — the
+          // registry grows with unique content, not stream volume)
+          val registrants =
+            if (registerDups) base
+            else base.join(best.select(col("id")), Seq("id"), "left_anti")
+          val registrantBands = registrants
+            .select(col("id"), explode(col("bands")).as("band_key"))
+          // appends, marker-first per table (see clipStream's ordering
+          // argument); both fenced under this batch's id for replays
+          BucketedRegistry.writeBucketsMarkerIfAbsent(fs, bDir, buckets)
+          BucketedRegistry.writeBucketsMarkerIfAbsent(fs, dDir, buckets)
+          if (!validated || !s.catalog.tableExists(bTbl) ||
+              !s.catalog.tableExists(dTbl)) {
+            requireBandsTable(s, registryDir, buckets)
+            requireDocsTable(s, registryDir, buckets)
+            validated = true
+          }
+          // repartition by the BUCKET ID first: one file per bucket per
+          // batch instead of (partitions × buckets) — see clipStream's
+          // append for the measured 32× litter consequence
+          registrantBands.withColumn("batch_id", lit(batchId))
+            .repartition(buckets, pmod(hash(col("band_key")), lit(buckets)))
+            .write.mode("append").format("parquet").option("path", bDir)
+            .bucketBy(buckets, "band_key").sortBy("band_key")
+            .saveAsTable(bTbl)
+          registrants.select(col("id"), col("sh"), lit(batchId).as("batch_id"))
+            .repartition(buckets, pmod(hash(col("id")), lit(buckets)))
+            .write.mode("append").format("parquet").option("path", dDir)
+            .bucketBy(buckets, "id").sortBy("id")
+            .saveAsTable(dTbl)
+          maintained.extend(
+            registrantBands.select(col("band_key").as("h")).distinct(), batchId)
+        } finally best.unpersist(blocking = false)
       } finally base.unpersist(blocking = false)
       ()
     }.start()

@@ -33,8 +33,9 @@ object SelfDedupProbe {
       // cloned session so a dirty batch's pushed `h IN (…)` set
       // reaches the parquet reader (row-group/page stats on the
       // h-sorted files) instead of degrading to a useless min/max
-      // range at the default threshold of 10
-      .config("spark.sql.parquet.pushdown.inFilterThreshold", "4096")
+      // range at the default threshold of 10. 512 = the stack-safe
+      // bound (see MaintainedScreen.raiseInPushdown / InPushProbe)
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "512")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

@@ -21,7 +21,8 @@ class StreamingNearDupSpec extends AnyFunSuite with SparkSpec {
   private def runStream(rows: Seq[(Long, String)], nChunks: Int,
                         registryDir: String, minJaccard: Double,
                         ckpt: Option[String] = None,
-                        buckets: Int = 4):
+                        buckets: Int = 4,
+                        registerDups: Boolean = true):
       Seq[(Long, Option[Long], Option[Double])] = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -30,7 +31,8 @@ class StreamingNearDupSpec extends AnyFunSuite with SparkSpec {
       (Long, Option[Long], Option[Double])]()
     val q = StreamingNearDup.nearDupStream(
       ms.toDS().toDF("id", "text"), col("id"), col("text"),
-      registryDir, ckpt, buckets = buckets, minJaccard = minJaccard) { df =>
+      registryDir, ckpt, buckets = buckets, minJaccard = minJaccard,
+      registerDups = registerDups) { df =>
       df.collect().foreach(r => got.add((r.getLong(0),
         if (r.isNullAt(1)) None else Some(r.getLong(1)),
         if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
@@ -105,6 +107,23 @@ class StreamingNearDupSpec extends AnyFunSuite with SparkSpec {
     assert(flagged.forall(_._3.contains(1.0)), flagged.toString)
     assert(flagged.collect { case (5L, d, _) => d }.head.contains(1L))
     assert(flagged.collect { case (9L, d, _) => d }.head.contains(3L))
+  }
+
+  test("keep-first registration: registry grows with admitted docs, orbits resolve via the keeper") {
+    val reg = tmp("nd-keepfirst") + "/reg"
+    val got = runStream(corpus, 3, reg, minJaccard = 0.9,
+      registerDups = false)
+    // identical orbit {1, 5, 7}: 5 and 7 both resolve to keeper 1 even
+    // though dup 5 was never registered (cross-batch via the keeper,
+    // or within-batch where registration scope does not apply)
+    assert(got.filter(_._2.isDefined).map(r => (r._1, r._2.get)) ==
+      Seq((5L, 1L), (7L, 1L), (9L, 3L)), got.toString)
+    // the registries hold ONLY the 7 admitted documents
+    spark.catalog.refreshTable(StreamingNearDup.docsTableName(reg))
+    spark.catalog.refreshTable(StreamingNearDup.bandsTableName(reg))
+    assert(spark.table(StreamingNearDup.docsTableName(reg)).count() == 7L)
+    assert(spark.table(StreamingNearDup.bandsTableName(reg))
+      .select("id").distinct().count() == 7L)
   }
 
   test("bands probe reads the registry through its bucketed scan, no registry exchange") {
