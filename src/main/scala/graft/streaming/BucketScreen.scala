@@ -56,6 +56,28 @@ object BucketScreen {
   final case class Meta(buckets: Int, coveredBatch: Long, fpp: Double,
                         capacityPerBucket: Long)
 
+  /** The SESSION's hadoop conf, shipped to executor closures via
+    * hadoop's own Writable form: a bare `new Configuration()` on the
+    * executor loses every session-applied fs setting (object-store
+    * credentials, endpoints) — fine on local/default-HDFS, wrong on
+    * the 100 TB deployment this screen exists for. (Spark's internal
+    * SerializableConfiguration is private[spark].)
+    */
+  private def confBytes(conf: org.apache.hadoop.conf.Configuration): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    conf.write(out)
+    out.close()
+    bos.toByteArray
+  }
+
+  private def confFrom(bytes: Array[Byte]): org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    c.readFields(new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
+    c
+  }
+
   private def screenPath(registryDir: String) = new Path(registryDir, "_screen")
   private def stagePath(registryDir: String) = new Path(registryDir, "_screen_stage")
   private def bloomName(b: Int) = f"bloom-$b%05d.bin"
@@ -103,6 +125,8 @@ object BucketScreen {
     fs.mkdirs(stage)
     val stageStr = stage.toString
     import spark.implicits._
+    // session hadoop conf to the write tasks (see confBytes)
+    val hconf = confBytes(spark.sessionState.newHadoopConf())
     // group rows by BUCKET ID so each bucket's bloom is built whole in
     // one task and written from that task — the full screen (which
     // scales with registry cardinality) never exists in one place
@@ -115,7 +139,7 @@ object BucketScreen {
           blooms.getOrElseUpdate(r.getInt(1), BloomFilter.create(capacity, fpp))
             .putLong(r.getLong(0))
         }
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = confFrom(hconf)
         blooms.iterator.map { case (b, bf) =>
           val p = new Path(stageStr, bloomName(b))
           val out = p.getFileSystem(conf).create(p, true)
@@ -188,11 +212,13 @@ object BucketScreen {
       val spark = seedHashes.sparkSession
       val dir = screenPath(registryDir).toString
       import spark.implicits._
+      // session hadoop conf to the probe tasks (see confBytes)
+      val hconf = confBytes(spark.sessionState.newHadoopConf())
       val bucketLeg = seedHashes.select(col("h"))
         .withColumn("b", pmod(hash(col("h")), lit(buckets)))
         .repartition(buckets, col("b"))
         .mapPartitions { it =>
-          val conf = new org.apache.hadoop.conf.Configuration()
+          val conf = confFrom(hconf)
           val loaded = scala.collection.mutable.HashMap.empty[Int, BloomFilter]
           val emitted = scala.collection.mutable.HashSet.empty[Long]
           it.flatMap { r =>
