@@ -178,6 +178,102 @@ object BucketScreen {
     Some(covered)
   }
 
+  /** Fold ONLY the registry rows appended after the screen's covered
+    * batch into the EXISTING bucket blooms — the incremental form of
+    * [[build]], making screen maintenance cost track new data like
+    * size-tiered compaction does: the registry scan is `batch_id >
+    * covered_batch` (row-group stats on the compacted files skip the
+    * bulk), and per-bucket bloom I/O is the screen's own bytes (~3.6
+    * per gram at 1e-6), not the data's. Tasks write each extended
+    * bloom to a `.tmp-extend` sibling; the driver swaps them in ONLY
+    * after every bucket validated under [[StreamingSelfDedup
+    * .ScreenUsableFpp]], then advances the meta (temp-then-rename)
+    * LAST. Crash anywhere: extended blooms can only ADD positives and
+    * the un-advanced meta keeps the driver tail covering everything
+    * after the OLD covered batch — a superset screen, never a false
+    * negative. Returns the new covered batch id; None when there is
+    * no compatible screen or any bucket's filter would saturate at
+    * its build-time capacity (tmps discarded — the caller falls back
+    * to a full [[build]], which re-sizes capacity from the table).
+    */
+  def extend(spark: SparkSession, table: String, registryDir: String,
+             buckets: Int, keyCol: String = "h"): Option[Long] = {
+    val root = new Path(registryDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = readMeta(fs, registryDir).filter(_.buckets == buckets)
+      .getOrElse(return None)
+    spark.catalog.refreshTable(table)
+    val tail = spark.table(table).where(col("batch_id") > meta.coveredBatch)
+    val agg = tail.agg(count(lit(1)).as("n"), max(col("batch_id")).as("m"))
+      .collect()(0)
+    if (agg.getLong(0) == 0L) return Some(meta.coveredBatch)
+    val newCovered = agg.getLong(1)
+    val hconf = confBytes(spark.sessionState.newHadoopConf())
+    val dir = screenPath(registryDir).toString
+    import spark.implicits._
+    val extended = tail.select(col(keyCol).as("h"))
+      .withColumn("b", pmod(hash(col("h")), lit(buckets)))
+      .repartition(buckets, col("b"))
+      .mapPartitions { it =>
+        val conf = confFrom(hconf)
+        val blooms = scala.collection.mutable.HashMap.empty[Int, BloomFilter]
+        it.foreach { r =>
+          val b = r.getInt(1)
+          val bf = blooms.getOrElseUpdate(b, {
+            val p = new Path(dir, bloomName(b))
+            val in = p.getFileSystem(conf).open(p)
+            try BloomFilter.readFrom(in) finally in.close()
+          })
+          bf.putLong(r.getLong(0))
+        }
+        blooms.iterator.map { case (b, bf) =>
+          val p = new Path(dir, s".${bloomName(b)}.tmp-extend")
+          val out = p.getFileSystem(conf).create(p, true)
+          try bf.writeTo(out) finally out.close()
+          (b, bf.expectedFpp())
+        }
+      }.collect()
+    def tmpOf(b: Int) = new Path(dir, s".${bloomName(b)}.tmp-extend")
+    if (extended.exists(_._2 > StreamingSelfDedup.ScreenUsableFpp)) {
+      Console.err.println(s"[graft] bucket-screen extend aborted: " +
+        s"${extended.count(_._2 > StreamingSelfDedup.ScreenUsableFpp)} " +
+        s"bucket filters would saturate at their build-time capacity=" +
+        s"${meta.capacityPerBucket} - falling back to a full rebuild")
+      extended.foreach { case (b, _) => fs.delete(tmpOf(b), false) }
+      return None
+    }
+    // swap per file (delete + rename; maintenance-window contract —
+    // same visibility window the full build's dir swap has), meta last
+    extended.foreach { case (b, _) =>
+      val dst = new Path(dir, bloomName(b))
+      fs.delete(dst, false)
+      if (!fs.rename(tmpOf(b), dst))
+        throw new java.io.IOException(
+          s"bucket-screen extend swap failed for bucket $b")
+    }
+    val metaTmp = new Path(dir, ".meta.tmp-extend")
+    val out = fs.create(metaTmp, true)
+    try out.write(
+      (s"buckets=$buckets\ncovered_batch=$newCovered\nfpp=${meta.fpp}\n" +
+        s"capacity_per_bucket=${meta.capacityPerBucket}\n").getBytes("UTF-8"))
+    finally out.close()
+    val metaDst = new Path(dir, "meta")
+    fs.delete(metaDst, false)
+    if (!fs.rename(metaTmp, metaDst))
+      throw new java.io.IOException("bucket-screen extend meta swap failed")
+    Some(newCovered)
+  }
+
+  /** [[extend]] when a compatible screen exists (cost ∝ tail),
+    * [[build]] otherwise or on saturation (cost ∝ registry, re-sizes
+    * capacity) — what registry maintenance should call.
+    */
+  def extendOrBuild(spark: SparkSession, table: String, registryDir: String,
+                    buckets: Int, fpp: Double = 1e-6,
+                    keyCol: String = "h"): Option[Long] =
+    extend(spark, table, registryDir, buckets, keyCol)
+      .orElse(build(spark, table, registryDir, buckets, fpp, keyCol))
+
   /** JVM-local (executor-side) cache of deserialized bucket blooms,
     * keyed by (file path, mtime) so a rebuilt screen is picked up on
     * its first probe. Bounded crudely: a full clear past 1024 entries

@@ -13,7 +13,7 @@ import org.apache.spark.sql.SparkSession
   * buckets (silent wrong answers) before the next append even got the
   * chance to fail on the spec mismatch.
   */
-private[streaming] object BucketedRegistry {
+private[graft] object BucketedRegistry {
 
   /** Catalog name for the registry at `dir` — derived from the dir so
     * concurrent streams in one session cannot collide. XXH64 of the

@@ -59,9 +59,9 @@ object StreamingNearDup {
   private def bandsDir(registryDir: String) = s"$registryDir/bands"
   private def docsDir(registryDir: String) = s"$registryDir/docs"
 
-  private[streaming] def bandsTableName(registryDir: String): String =
+  private[graft] def bandsTableName(registryDir: String): String =
     BucketedRegistry.tableName("graft_neardup_bands", bandsDir(registryDir))
-  private[streaming] def docsTableName(registryDir: String): String =
+  private[graft] def docsTableName(registryDir: String): String =
     BucketedRegistry.tableName("graft_neardup_docs", docsDir(registryDir))
 
   private def requireBandsTable(s: SparkSession, registryDir: String,
@@ -94,8 +94,8 @@ object StreamingNearDup {
     StreamingBm25.compact(spark, dt, docsDir(registryDir),
       bucketCol = "id", numBuckets = buckets, minFileBytes = minFileBytes)
     if (rebuildScreen)
-      BucketScreen.build(spark, bt, bandsDir(registryDir), buckets, screenFpp,
-        keyCol = "band_key")
+      BucketScreen.extendOrBuild(spark, bt, bandsDir(registryDir), buckets,
+        screenFpp, keyCol = "band_key")
   }
 
   /** Start the self near-dup check over `stream`; `write` receives
@@ -200,12 +200,32 @@ object StreamingNearDup {
           case None => bandsReg
         }
         // historical candidates: band-colliding (new id, earlier id)
-        // pairs; distinct is batch-bounded (collisions per batch)
+        // pairs; distinct is batch-bounded (collisions per batch).
+        // Pinned: consumed by the candidate-id collect below AND the
+        // verification join
         val crossCand = batchBands
           .join(probedBands.withColumnRenamed("id", "cand_id"), "band_key")
           .select(col("id"), col("cand_id")).distinct()
+          .persist()
+        // the docs fetch must not scan the registry either: a
+        // broadcast join of few candidates against the docs table
+        // still READS every docs row — an O(registry) term per dirty
+        // batch the band screen cannot remove. Collect the candidate
+        // ids (bounded by this batch's band collisions; a clean batch
+        // is a statically-empty relation and costs nothing) and push
+        // `id IN (…)` into the bucketed docs scan — bucket pruning +
+        // the id-sorted files' row-group stats skip every uninvolved
+        // doc. Past the push limit the batch is substantially
+        // duplicate and the full fetch is the cheaper plan (the
+        // ScreenPushLimit rationale).
+        val candIds = crossCand.select(col("cand_id")).distinct()
+          .limit(Spans.ScreenPushLimit + 1).collect().map(_.getLong(0))
+        val docsFetch =
+          if (candIds.isEmpty) docsReg.limit(0)
+          else if (candIds.length > Spans.ScreenPushLimit) docsReg
+          else docsReg.where(col("id").isin(candIds.toIndexedSeq: _*))
         val crossPairs = crossCand
-          .join(docsReg.select(col("id").as("cand_id"),
+          .join(docsFetch.select(col("id").as("cand_id"),
             col("sh").as("cand_sh")), Seq("cand_id"))
           .join(base.select(col("id"), col("sh")), Seq("id"))
         // within-batch candidates: earlier id in the SAME batch (the
@@ -267,7 +287,10 @@ object StreamingNearDup {
             .saveAsTable(dTbl)
           maintained.extend(
             registrantBands.select(col("band_key").as("h")).distinct(), batchId)
-        } finally best.unpersist(blocking = false)
+        } finally {
+          best.unpersist(blocking = false)
+          crossCand.unpersist(blocking = false)
+        }
       } finally base.unpersist(blocking = false)
       ()
     }.start()

@@ -175,12 +175,16 @@ object StreamingSelfDedup {
     val n = StreamingBm25.compact(spark, tbl, registryDir, bucketCol = "h",
       numBuckets = registryBuckets, maxRecordsPerFile = maxRecordsPerFile,
       minFileBytes = minFileBytes)
-    // rebuild the per-bucket screens over the freshly compacted rows:
-    // the stream's next batch sees the new covered_batch, rebuilds its
-    // (now small) tail bloom, and a screen that had outgrown the
-    // driver capacity comes back — see [[BucketScreen]]
+    // refresh the per-bucket screens: EXTEND the existing blooms with
+    // only the rows appended since the last build (cost ∝ tail, like
+    // the tiered compaction above), full build when none exist or a
+    // bucket saturates. The stream's next batch sees the new
+    // covered_batch, rebuilds its (now small) tail bloom, and a screen
+    // that had outgrown the driver capacity comes back — see
+    // [[BucketScreen]]
     if (rebuildScreen)
-      BucketScreen.build(spark, tbl, registryDir, registryBuckets, screenFpp)
+      BucketScreen.extendOrBuild(spark, tbl, registryDir, registryBuckets,
+        screenFpp)
     n
   }
 

@@ -87,16 +87,39 @@ object CompactProbe {
         graft.streaming.StreamingSelfDedup.registryTableName(fullDir),
         fullDir, buckets)
       val screen = (System.nanoTime() - t2) / 1e9
+      // the r14 incremental form: append more per-batch litter on top
+      // of the built screen, then EXTEND it — the tail scan rides the
+      // batch_id>covered row-group stats and the bloom I/O is the
+      // screen's own bytes, so this should stay ~flat across base N
+      // while screen_build grows with it
+      val tbl = graft.streaming.StreamingSelfDedup.registryTableName(fullDir)
+      val perB = appendRows / appendBatches
+      (appendBatches + 1 to appendBatches + 4).foreach { b =>
+        spark.range(perB)
+          .select(xxhash64(gram(s"x$b")).as("h"), gram(s"x$b").as("gram"),
+            lit(b.toLong).as("batch_id"))
+          .repartition(buckets, pmod(hash(col("h")), lit(buckets)))
+          .write.mode("append").format("parquet").option("path", fullDir)
+          .bucketBy(buckets, "h").sortBy("h").saveAsTable(tbl)
+      }
+      val t3 = System.nanoTime()
+      val ext = graft.streaming.BucketScreen.extendOrBuild(
+        spark, tbl, fullDir, buckets)
+      val screenExt = (System.nanoTime() - t3) / 1e9
+      require(ext.contains((appendBatches + 4).toLong),
+        s"extend must advance covered to ${appendBatches + 4}, got $ext")
       println(f"base=$n%,d append=$appendRows%,d  tiered=$tiered%.2fs  " +
-        f"full=$full%.2fs  screen_build=$screen%.2fs")
-      (n, tiered, full, screen)
+        f"full=$full%.2fs  screen_build=$screen%.2fs  " +
+        f"screen_extend=$screenExt%.2fs")
+      (n, tiered, full, screen, screenExt)
     }
     val json =
       s"""{"base_rows":[${results.map(_._1).mkString(",")}],""" +
       s""""append_rows":$appendRows,""" +
       s""""tiered_compact":[${results.map(r => f"${r._2}%.3f").mkString(",")}],""" +
       s""""full_compact":[${results.map(r => f"${r._3}%.3f").mkString(",")}],""" +
-      s""""screen_build":[${results.map(r => f"${r._4}%.3f").mkString(",")}]}"""
+      s""""screen_build":[${results.map(r => f"${r._4}%.3f").mkString(",")}],""" +
+      s""""screen_extend":[${results.map(r => f"${r._5}%.3f").mkString(",")}]}"""
     println(json)
     outPath.foreach(p => java.nio.file.Files.write(
       java.nio.file.Paths.get(p), json.getBytes("UTF-8")))

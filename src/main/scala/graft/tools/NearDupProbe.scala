@@ -1,0 +1,154 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.streaming.{BucketScreen, BucketedRegistry, StreamingNearDup}
+
+/** Per-batch cost of the streaming self near-dup route against band-
+  * registry SIZE — the [[SelfDedupProbe]] question asked of the r14
+  * route: once the registries hold N band postings, what does the
+  * NEXT batch cost, clean vs dirty, with and without the maintained
+  * screen? The scale claim under test: a clean batch under the
+  * two-tier screen never scans the registry (folds to limit(0)); a
+  * dirty batch pushes only its screen-positive band keys into the
+  * bucketed bands scan (`band_key IN (…)`), paying ∝ collisions; the
+  * unscreened route re-reads the full bands registry per batch and
+  * must grow with N.
+  *
+  * Registries are PRE-BUILT at batch_id = -1 (visible to the stream's
+  * `batch_id < 0` fence from its first checkpointed batch) with the
+  * stream's own kernels (shingle → minhash → 8 bands), one file per
+  * bucket, bucket screen built on top — the steady state a long-lived
+  * stream's maintenance produces. Measured per batch through a REAL
+  * checkpointed nearDupStream (the ~1-2 s micro-batch floor is in
+  * every cell; flatness across N is the claim, not the absolute).
+  * The unscreened leg runs on a byte-copy of the registry dir so the
+  * two streams cannot fence each other's appends in.
+  *
+  * Usage: runMain graft.tools.NearDupProbe [bandRowsCsv] [outPath]
+  */
+object NearDupProbe {
+  def main(args: Array[String]): Unit = {
+    val sizes = args.headOption.getOrElse("1000000,10000000,30000000")
+      .split(",").map(_.trim.toLong).toSeq
+    val outPath = args.lift(1)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      // production parity with the stream's cloned-session raise
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "512")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val buckets = 32
+    val bandsPerDoc = Dedup.NumBands
+
+    // doc i's text: 10 disjoint tokens — distinct shingle sets, no
+    // cross-doc collisions except the planted dirty copy of doc 0
+    def textOf(idCol: org.apache.spark.sql.Column) = concat_ws(" ",
+      (0 until 10).map(k => concat(lit("d"), idCol, lit(s"w$k"))): _*)
+
+    /** Bands + docs registries at batch_id = -1, one file per bucket,
+      * bucket screen built over the bands.
+      */
+    def mkRegistry(nBands: Long, dir: String): Unit = {
+      val nDocs = nBands / bandsPerDoc
+      val base = spark.range(nDocs).select(col("id"), textOf(col("id")).as("text"))
+        .withColumn("sh", Dedup.shingleHashes(col("text"), 3))
+        .withColumn("bands", graft.dedup.ShingleKernel.bandHash64(
+          Dedup.minhashSignatureFromHashes(col("sh")), bandsPerDoc))
+      val bDir = s"$dir/bands"; val dDir = s"$dir/docs"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(bDir))
+      fs.mkdirs(new org.apache.hadoop.fs.Path(dDir))
+      BucketedRegistry.writeBucketsMarkerIfAbsent(fs, bDir, buckets)
+      BucketedRegistry.writeBucketsMarkerIfAbsent(fs, dDir, buckets)
+      val bTbl = StreamingNearDup.bandsTableName(dir)
+      val dTbl = StreamingNearDup.docsTableName(dir)
+      base.select(col("id"), explode(col("bands")).as("band_key"),
+          lit(-1L).as("batch_id"))
+        .select(col("band_key"), col("id"), col("batch_id"))
+        .repartition(buckets, pmod(hash(col("band_key")), lit(buckets)))
+        .write.mode("append").format("parquet").option("path", bDir)
+        .bucketBy(buckets, "band_key").sortBy("band_key").saveAsTable(bTbl)
+      base.select(col("id"), col("sh"), lit(-1L).as("batch_id"))
+        .repartition(buckets, pmod(hash(col("id")), lit(buckets)))
+        .write.mode("append").format("parquet").option("path", dDir)
+        .bucketBy(buckets, "id").sortBy("id").saveAsTable(dTbl)
+      require(BucketScreen.build(spark, bTbl, bDir, buckets,
+        keyCol = "band_key").contains(-1L), "screen build failed")
+    }
+
+    /** One stream, one batch at a time; returns seconds per batch. */
+    def runBatches(dir: String, screenCapacity: Long,
+                   batches: Seq[DataFrame]): Seq[Double] = {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val ckpt = graft.TempDirs.create("ndp-ckpt").toString
+      var verdicts = 0L
+      val q = StreamingNearDup.nearDupStream(
+        ms.toDS().toDF("id", "text"), col("id"), col("text"), dir,
+        Some(ckpt), buckets = buckets, minJaccard = 0.9,
+        screenCapacity = screenCapacity) { out =>
+        verdicts += out.count()
+      }
+      try batches.map { b =>
+        val rows = b.as[(Long, String)].collect().toSeq
+        val t0 = System.nanoTime()
+        ms.addData(rows)
+        q.processAllAvailable()
+        (System.nanoTime() - t0) / 1e9
+      } finally q.stop()
+    }
+
+    // clean: 200 fresh docs (ids far past every registry id); dirty:
+    // 199 fresh + 1 EXACT copy of registered doc 0's text (collides in
+    // all 8 bands, verifies at jaccard 1.0 against the docs registry)
+    def clean(tag: Long) = spark.range(200)
+      .select((col("id") + 900000000L + tag * 1000).as("id"),
+        textOf(col("id") + 900000000L + tag * 1000).as("text"))
+    def dirty(tag: Long) = clean(tag).where(col("id") % 200 =!= 0)
+      .unionByName(spark.range(1)
+        .select((col("id") + 900000000L + tag * 1000).as("id"),
+          textOf(lit(0L)).as("text")))
+
+    spark.range(100).count()
+    val results = sizes.map { n =>
+      val dir = graft.TempDirs.create(s"ndp-$n").toString + "/reg"
+      mkRegistry(n, dir)
+      // byte-copy for the unscreened leg (separate checkpoint => its
+      // batch ids restart at 0; sharing a dir would fence wrong)
+      val dirNs = graft.TempDirs.create(s"ndp-ns-$n").toString + "/reg"
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(dir), fs,
+        new org.apache.hadoop.fs.Path(dirNs), false, conf)
+      val screened = runBatches(dir, screenCapacity = 4000000L,
+        Seq(clean(1), clean(2), dirty(3), dirty(4)))
+      val unscreened = runBatches(dirNs, screenCapacity = 0L,
+        Seq(clean(1), clean(2)))
+      println(f"bands=$n%,d  clean_screen=${math.min(screened(0), screened(1))}%.2fs  " +
+        f"dirty_screen=${math.min(screened(2), screened(3))}%.2fs  " +
+        f"clean_noscreen=${math.min(unscreened(0), unscreened(1))}%.2fs")
+      (n, math.min(screened(0), screened(1)),
+        math.min(screened(2), screened(3)),
+        math.min(unscreened(0), unscreened(1)))
+    }
+    val json =
+      s"""{"registry_band_rows":[${results.map(_._1).mkString(",")}],""" +
+      s""""clean_screen":[${results.map(r => f"${r._2}%.3f").mkString(",")}],""" +
+      s""""dirty_screen":[${results.map(r => f"${r._3}%.3f").mkString(",")}],""" +
+      s""""clean_noscreen":[${results.map(r => f"${r._4}%.3f").mkString(",")}]}"""
+    println(json)
+    outPath.foreach(p => java.nio.file.Files.write(
+      java.nio.file.Paths.get(p), json.getBytes("UTF-8")))
+    spark.stop()
+  }
+}

@@ -61,6 +61,80 @@ class BucketScreenSpec extends AnyFunSuite with SparkSpec {
     assert(pos2.toSet == hits.toSet + tailHash, "tail tier must union in")
   }
 
+  /** Append `grams` to an existing registry table under `batchId`. */
+  private def appendRegistry(grams: Seq[String], dir: String, buckets: Int,
+                             batchId: Long): Unit = {
+    import spark.implicits._
+    val tbl = StreamingSelfDedup.registryTableName(dir)
+    grams.toDF("gram")
+      .select(xxhash64(col("gram")).as("h"), col("gram"),
+        lit(batchId).as("batch_id"))
+      .repartition(buckets, pmod(hash(col("h")), lit(buckets)))
+      .write.mode("append").format("parquet").option("path", dir)
+      .bucketBy(buckets, "h").sortBy("h").saveAsTable(tbl)
+  }
+
+  test("extend folds only the tail into the existing blooms; covered advances, no false negatives") {
+    import spark.implicits._
+    val dir = tmp("bs-extend") + "/reg"
+    val base = (0 until 400).map(i => s"base gram $i")
+    val tbl = mkRegistry(base, dir, buckets = 4)
+    assert(BucketScreen.build(spark, tbl, dir, buckets = 4).contains(0L))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cap0 = BucketScreen.readMeta(fs, dir).get.capacityPerBucket
+    val tail1 = (0 until 80).map(i => s"tail one gram $i")
+    val tail2 = (0 until 80).map(i => s"tail two gram $i")
+    appendRegistry(tail1, dir, 4, batchId = 1L)
+    appendRegistry(tail2, dir, 4, batchId = 2L)
+    assert(BucketScreen.extendOrBuild(spark, tbl, dir, buckets = 4)
+      .contains(2L))
+    val meta = BucketScreen.readMeta(fs, dir).get
+    assert(meta.coveredBatch == 2L && meta.capacityPerBucket == cap0,
+      s"extend must advance covered and keep build-time capacity: $meta")
+    // old AND tail hits all screen positive with an EMPTY driver tail
+    // (proves they sit in the bucket blooms), fresh hashes do not
+    val hits = (base.take(5) ++ tail1.take(5) ++ tail2.take(5)).map(hashOf)
+    val fresh = (0 until 200).map(i => hashOf(s"never registered $i"))
+    val pos = BucketScreen.probe(dir, 4, _ => false)
+      .positives((hits ++ fresh).toDF("h"))
+    assert(pos.toSet == hits.toSet,
+      s"extended screen must hit old+tail and nothing else: ${pos.length}")
+    // idempotent: nothing past covered => no-op at the same covered id
+    assert(BucketScreen.extend(spark, tbl, dir, buckets = 4).contains(2L))
+  }
+
+  test("a tail that saturates the build-time capacity falls back to a full re-sized build") {
+    import spark.implicits._
+    val dir = tmp("bs-saturate") + "/reg"
+    val tbl = mkRegistry((0 until 100).map(i => s"small base $i"), dir, 4)
+    assert(BucketScreen.build(spark, tbl, dir, buckets = 4).contains(0L))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cap0 = BucketScreen.readMeta(fs, dir).get.capacityPerBucket
+    // ~10k rows/bucket >> the ~1k build-time floor: extend must refuse
+    // (a silently saturated bloom still has no false negatives but
+    // over-fires forever) and extendOrBuild re-sizes via full build
+    val big = (0 until 40000).map(i => s"saturating tail gram $i")
+    appendRegistry(big, dir, 4, batchId = 1L)
+    assert(BucketScreen.extend(spark, tbl, dir, buckets = 4).isEmpty,
+      "a saturating tail must abort the incremental extend")
+    assert(BucketScreen.extendOrBuild(spark, tbl, dir, buckets = 4)
+      .contains(1L))
+    val meta = BucketScreen.readMeta(fs, dir).get
+    assert(meta.capacityPerBucket > cap0,
+      s"fallback build must re-size capacity: $cap0 -> $meta")
+    // no stranded extend tmps
+    val leftovers = fs.listStatus(
+      new org.apache.hadoop.fs.Path(dir, "_screen"))
+      .map(_.getPath.getName).filter(_.endsWith(".tmp-extend"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+    val hit = hashOf("saturating tail gram 7")
+    val pos = BucketScreen.probe(dir, 4, _ => false)
+      .positives(Seq(hit, hashOf("absent gram x")).toDF("h"))
+    assert(pos.sameElements(Array(hit)))
+  }
+
   test("a swept-away bloom file fails loudly instead of returning false negatives") {
     import spark.implicits._
     val dir = tmp("bs-missing") + "/reg"
