@@ -2692,6 +2692,77 @@ object SparkEntry {
               |  ON b.id = d.doc_id
               |ORDER BY id""".stripMargin)),
 
+    // Streaming SELF near-dup in EMBEDDING space (25th route): the
+    // vector analog of streaming_neardup_self — every arriving
+    // embedding is checked against everything the stream has EVER
+    // admitted via a maintained hyperplane-band registry + a vector
+    // store fetched only for band-colliding candidate ids, same
+    // shared SelfRegistryDedup engine (pushed band_key IN / id IN
+    // dirty paths, batch-id fencing, keep-earliest). Oracle-exact by
+    // the dedup_embedding_lsh argument: the only corpus pairs at
+    // cosine >= 0.9 are the planted scale-doubles (cosine EXACTLY 1),
+    // identical directions share every sign band deterministically,
+    // so LSH recall is 1 and the stream's verdicts equal DuckDB's
+    // exact all-pairs keep-earliest reduction. In-gate maintenance
+    // after batch 2: size-tiered compaction of both registries + the
+    // incremental bucket-screen build.
+    Q("streaming_neardup_emb",
+      (s, dir) => withStreamShuffle(s) {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val emb = Tables.embeddings(s, dir)
+          .select(col("vec_id").as("id"), col("embedding"))
+        val planted = emb.select((col("id") + 1000000L).as("id"),
+          transform(col("embedding"), x => (x * lit(2.0f)).cast("float"))
+            .as("embedding"))
+        val rows = emb.unionAll(planted).as[(Long, Seq[Float])]
+          .collect().sortBy(_._1).toSeq
+        val ms = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Seq[Float])]
+        val tmp = graft.TempDirs.create("embdedup-gate").toString
+        val out = scala.collection.mutable
+          .ArrayBuffer[(Long, Option[Long], Option[Double])]()
+        val q = graft.streaming.StreamingEmbDedup.embDedupStream(
+          ms.toDS().toDF("id", "embedding"), col("id"), col("embedding"),
+          s"$tmp/registry", buckets = 8, dim = 64, minCosine = 0.9) { bo =>
+          out.synchronized {
+            out ++= bo.collect().map(r => (r.getLong(0),
+              if (r.isNullAt(1)) None else Some(r.getLong(1)),
+              if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+          }
+        }
+        try {
+          rows.grouped(rows.length / 3 + 1).zipWithIndex.foreach {
+            case (chunk, i) =>
+              ms.addData(chunk)
+              q.processAllAvailable()
+              if (i == 1)
+                graft.streaming.StreamingEmbDedup.compact(
+                  s, s"$tmp/registry", 8, minFileBytes = 1L << 20,
+                  rebuildScreen = true)
+          }
+        } finally q.stop()
+        out.toSeq.toDF("id", "dup_of", "cosine").orderBy("id")
+      },
+      Some(s"""WITH corpus AS (
+              |  SELECT vec_id AS id, embedding FROM embeddings
+              |  UNION ALL
+              |  SELECT vec_id + 1000000,
+              |    list_transform(embedding, x -> CAST(x * CAST(2.0 AS FLOAT) AS FLOAT))
+              |  FROM embeddings),
+              |pairs AS (
+              |  SELECT l.id AS id_a, r.id AS id_b,
+              |    ${graft.oracle.Sql.cosine("l.embedding", "r.embedding")} AS cosine
+              |  FROM corpus l JOIN corpus r ON l.id < r.id),
+              |best AS (SELECT id_b AS id, id_a AS dup_of, cosine,
+              |  row_number() OVER (PARTITION BY id_b ORDER BY id_a) AS rn
+              |  FROM pairs WHERE cosine >= 0.9)
+              |SELECT c.id AS id, b.dup_of, b.cosine
+              |FROM corpus c
+              |LEFT JOIN (SELECT id, dup_of, cosine FROM best WHERE rn = 1) b
+              |  ON b.id = c.id
+              |ORDER BY c.id""".stripMargin)),
+
     // Paragraph-level corpus dedup (CCNet-style): corpus-wide repeated
     // paragraphs dropped, first occurrence kept, documents reassembled
     // in paragraph order. Fixture plants a universal header, per-block

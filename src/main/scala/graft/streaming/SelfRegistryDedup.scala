@@ -1,0 +1,264 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Spans
+
+/** The shared engine under the streaming SELF-dedup-by-banding routes
+  * ([[StreamingNearDup]]: MinHash bands over shingle sets;
+  * [[StreamingEmbDedup]]: hyperplane sign bands over embeddings) —
+  * "is this new item a near-copy of anything that has EVER streamed
+  * past", as one parameterized core instead of two near-copies:
+  *
+  *   - TWO bucketed registries under `registryDir`: `bands/`
+  *     (band_key, id, batch_id — the probe side, bucketed+sorted on
+  *     `band_key`) and a feature store (id, <feature>, batch_id —
+  *     bucketed on `id`, fetched ONLY for band-colliding candidates);
+  *   - a [[MaintainedScreen]] over the band keys (clean batches fold
+  *     both registry scans away; dirty batches push their screen-
+  *     positive band keys into the bands scan as `band_key IN (…)`);
+  *   - the candidate-id `id IN (…)` push into the feature fetch
+  *     (bounded by the batch's band collisions — a broadcast join of
+  *     few candidates against the feature table would still READ
+  *     every row);
+  *   - batch-id fencing for at-least-once replays, keep-earliest
+  *     verdicts via exact verification, optional keep-first
+  *     registration, size-tiered compaction + screen extend/rebuild.
+  *
+  * The kinds differ only in the feature column (name + DDL type), the
+  * band computation, and the exact verification expression — exactly
+  * the [[Kind]] + `featurize` + `verify` parameters.
+  */
+private[streaming] object SelfRegistryDedup {
+
+  /** One route's identity: screen-event label, catalog-name prefixes,
+    * feature store subdir, and the feature column's name + SQL type.
+    */
+  final case class Kind(label: String, bandsPrefix: String,
+                        featsPrefix: String, featsSubdir: String,
+                        featName: String, featSqlType: String)
+
+  def bandsDir(registryDir: String) = s"$registryDir/bands"
+  def featsDir(kind: Kind, registryDir: String) =
+    s"$registryDir/${kind.featsSubdir}"
+
+  def bandsTableName(kind: Kind, registryDir: String): String =
+    BucketedRegistry.tableName(kind.bandsPrefix, bandsDir(registryDir))
+  def featsTableName(kind: Kind, registryDir: String): String =
+    BucketedRegistry.tableName(kind.featsPrefix, featsDir(kind, registryDir))
+
+  private def requireBandsTable(s: SparkSession, kind: Kind,
+                                registryDir: String, buckets: Int): String =
+    BucketedRegistry.requireTable(s, bandsDir(registryDir), buckets,
+      kind.bandsPrefix, "band_key BIGINT, id BIGINT, batch_id BIGINT",
+      "band_key")
+
+  private def requireFeatsTable(s: SparkSession, kind: Kind,
+                                registryDir: String, buckets: Int): String =
+    BucketedRegistry.requireTable(s, featsDir(kind, registryDir), buckets,
+      kind.featsPrefix,
+      s"id BIGINT, ${kind.featName} ${kind.featSqlType}, batch_id BIGINT",
+      "id")
+
+  /** Fold both registries' append residue back toward ≤1 file per
+    * bucket ([[StreamingBm25.compact]]'s staged-manifest protocol;
+    * `minFileBytes` makes it size-tiered) and optionally refresh the
+    * band registry's [[BucketScreen]] (incremental
+    * [[BucketScreen.extendOrBuild]]) so the stream's maintained screen
+    * revives/upgrades at its next batch. Run between batches (single
+    * maintenance writer).
+    */
+  def compact(spark: SparkSession, kind: Kind, registryDir: String,
+              buckets: Int, minFileBytes: Long, rebuildScreen: Boolean,
+              screenFpp: Double): Unit = {
+    val bt = requireBandsTable(spark, kind, registryDir, buckets)
+    StreamingBm25.compact(spark, bt, bandsDir(registryDir),
+      bucketCol = "band_key", numBuckets = buckets,
+      minFileBytes = minFileBytes)
+    val dt = requireFeatsTable(spark, kind, registryDir, buckets)
+    StreamingBm25.compact(spark, dt, featsDir(kind, registryDir),
+      bucketCol = "id", numBuckets = buckets, minFileBytes = minFileBytes)
+    if (rebuildScreen)
+      BucketScreen.extendOrBuild(spark, bt, bandsDir(registryDir), buckets,
+        screenFpp, keyCol = "band_key")
+  }
+
+  /** Start the self-dedup stream. `featurize` turns the raw batch
+    * (already projected to an `id` column plus the route's payload)
+    * into `(id, <featName>, bands ARRAY<BIGINT>)`; `verify(a, b)`
+    * is the exact similarity expression over two feature columns
+    * (its ≥ `minSim` verdict decides duplication). `write` receives
+    * each batch's `(id, dup_of, similarity-as-named-by-simName)` —
+    * every input row, with nulls for admitted rows.
+    */
+  def run(prepared: DataFrame, kind: Kind, registryDir: String,
+          checkpointDir: Option[String], buckets: Int,
+          featurize: DataFrame => DataFrame,
+          verify: (Column, Column) => Column, minSim: Double,
+          simName: String, screenCapacity: Long, screenFpp: Double,
+          registerDups: Boolean)
+         (write: DataFrame => Unit):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = prepared.writeStream
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    val bDir = bandsDir(registryDir)
+    val dDir = featsDir(kind, registryDir)
+    val feat = kind.featName
+    val maintained = new MaintainedScreen(bDir, buckets,
+      screenCapacity, screenFpp, kind.label)
+    var validated = false
+    writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val s = batch.sparkSession
+      MaintainedScreen.raiseInPushdown(s)
+      val bPath = new org.apache.hadoop.fs.Path(bDir)
+      val fs = bPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val bTbl = bandsTableName(kind, registryDir)
+      val dTbl = featsTableName(kind, registryDir)
+      val exists = fs.exists(bPath)
+      if (exists && (!validated || !s.catalog.tableExists(bTbl) ||
+          !s.catalog.tableExists(dTbl))) {
+        requireBandsTable(s, kind, registryDir, buckets)
+        requireFeatsTable(s, kind, registryDir, buckets)
+        validated = true
+      }
+      if (exists) {
+        // this batch must see the previous batch's append: refresh the
+        // (micro-batch-session) catalog's cached file listings
+        s.catalog.refreshTable(bTbl)
+        s.catalog.refreshTable(dTbl)
+      }
+      // one pass over the batch computes everything reused below
+      // (bands probe both sides, features for verification, both
+      // appends, the screen extension) — pin it for the batch
+      val base = featurize(batch)
+        .select(col("id"), col(feat), col("bands"))
+        .persist()
+      try {
+        val batchBands = base.select(col("id"), explode(col("bands"))
+          .as("band_key"))
+        val bandsReg =
+          if (exists) s.table(bTbl).where(col("batch_id") < batchId)
+            .select("band_key", "id")
+          else {
+            import s.implicits._
+            Seq.empty[(Long, Long)].toDF("band_key", "id")
+          }
+        val featsReg =
+          if (exists) s.table(dTbl).where(col("batch_id") < batchId)
+            .select("id", feat)
+          else base.limit(0).select("id", feat)
+        maintained.refresh(fs, bPath, batchId,
+          registryHashes = bandsReg.select(col("band_key").as("h")),
+          tailHashes = covered => s.table(bTbl)
+            .where(col("batch_id") > covered && col("batch_id") < batchId)
+            .select(col("band_key").as("h")))
+        // screen fast path (same contract as the gram registry's):
+        // empty positive set ⇒ both registry scans fold away; a small
+        // positive set is pushed into the bands scan as `IN (…)`
+        val probedBands = maintained.screen match {
+          case Some(sc) =>
+            val positives = sc.positives(
+              batchBands.select(col("band_key").as("h")))
+            if (positives.isEmpty) bandsReg.limit(0)
+            else if (positives.length > Spans.ScreenPushLimit) bandsReg
+            else bandsReg.where(
+              col("band_key").isin(positives.toIndexedSeq: _*))
+          case None => bandsReg
+        }
+        // historical candidates: band-colliding (new id, earlier id)
+        // pairs; distinct is batch-bounded (collisions per batch).
+        // Pinned: consumed by the candidate-id collect below AND the
+        // verification join
+        val crossCand = batchBands
+          .join(probedBands.withColumnRenamed("id", "cand_id"), "band_key")
+          .select(col("id"), col("cand_id")).distinct()
+          .persist()
+        // the feature fetch must not scan the registry either: a
+        // broadcast join of few candidates against the feature table
+        // still READS every row — an O(registry) term per dirty batch
+        // the band screen cannot remove. Collect the candidate ids
+        // (bounded by this batch's band collisions; a clean batch is a
+        // statically-empty relation and costs nothing) and push
+        // `id IN (…)` into the bucketed scan — bucket pruning + the
+        // id-sorted files' row-group stats skip every uninvolved row.
+        // Past the push limit the batch is substantially duplicate and
+        // the full fetch is the cheaper plan (ScreenPushLimit).
+        val candIds = crossCand.select(col("cand_id")).distinct()
+          .limit(Spans.ScreenPushLimit + 1).collect().map(_.getLong(0))
+        val featsFetch =
+          if (candIds.isEmpty) featsReg.limit(0)
+          else if (candIds.length > Spans.ScreenPushLimit) featsReg
+          else featsReg.where(col("id").isin(candIds.toIndexedSeq: _*))
+        val crossPairs = crossCand
+          .join(featsFetch.select(col("id").as("cand_id"),
+            col(feat).as("cand_feat")), Seq("cand_id"))
+          .join(base.select(col("id"), col(feat)), Seq("id"))
+        // within-batch candidates: earlier id in the SAME batch (the
+        // registry only holds strictly earlier batches)
+        val selfPairs = batchBands.as("a")
+          .join(batchBands.as("b"),
+            col("a.band_key") === col("b.band_key") &&
+              col("b.id") < col("a.id"))
+          .select(col("a.id").as("id"), col("b.id").as("cand_id")).distinct()
+          .join(base.select(col("id").as("cand_id"),
+            col(feat).as("cand_feat")), Seq("cand_id"))
+          .join(base.select(col("id"), col(feat)), Seq("id"))
+        val verified = crossPairs.unionByName(selfPairs)
+          .select(col("id"), col("cand_id"),
+            verify(col(feat), col("cand_feat")).as(simName))
+          .where(col(simName) >= minSim)
+        // keep-earliest verdict: the SMALLEST qualifying earlier id
+        // (struct min orders by cand_id first), carrying ITS value
+        val best = verified.groupBy("id")
+          .agg(min(struct(col("cand_id"), col(simName))).as("m"))
+          .select(col("id"), col("m.cand_id").as("dup_of"),
+            col(s"m.$simName").as(simName))
+          .persist() // batch-bounded; consumed by the output AND (in
+                     // keep-first mode) the registration anti-join
+        try {
+          val out = base.select(col("id")).join(best, Seq("id"), "left")
+            .select(col("id"), col("dup_of"), col(simName))
+          write(out)
+          // registration scope: everything (the oracle-exact default)
+          // or admitted rows only (keep-first production — the
+          // registry grows with unique content, not stream volume)
+          val registrants =
+            if (registerDups) base
+            else base.join(best.select(col("id")), Seq("id"), "left_anti")
+          val registrantBands = registrants
+            .select(col("id"), explode(col("bands")).as("band_key"))
+          // appends, marker-first per table (see clipStream's ordering
+          // argument); both fenced under this batch's id for replays
+          BucketedRegistry.writeBucketsMarkerIfAbsent(fs, bDir, buckets)
+          BucketedRegistry.writeBucketsMarkerIfAbsent(fs, dDir, buckets)
+          if (!validated || !s.catalog.tableExists(bTbl) ||
+              !s.catalog.tableExists(dTbl)) {
+            requireBandsTable(s, kind, registryDir, buckets)
+            requireFeatsTable(s, kind, registryDir, buckets)
+            validated = true
+          }
+          // repartition by the BUCKET ID first: one file per bucket per
+          // batch instead of (partitions × buckets) — see clipStream's
+          // append for the measured 32× litter consequence
+          registrantBands.withColumn("batch_id", lit(batchId))
+            .repartition(buckets, pmod(hash(col("band_key")), lit(buckets)))
+            .write.mode("append").format("parquet").option("path", bDir)
+            .bucketBy(buckets, "band_key").sortBy("band_key")
+            .saveAsTable(bTbl)
+          registrants.select(col("id"), col(feat), lit(batchId).as("batch_id"))
+            .repartition(buckets, pmod(hash(col("id")), lit(buckets)))
+            .write.mode("append").format("parquet").option("path", dDir)
+            .bucketBy(buckets, "id").sortBy("id")
+            .saveAsTable(dTbl)
+          maintained.extend(
+            registrantBands.select(col("band_key").as("h")).distinct(), batchId)
+        } finally {
+          best.unpersist(blocking = false)
+          crossCand.unpersist(blocking = false)
+        }
+      } finally base.unpersist(blocking = false)
+      ()
+    }.start()
+  }
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.EmbeddingDedup
+import graft.vector.VectorKernels
+
+/** Streaming SELF near-dup detection in EMBEDDING space (25th route):
+  * each arriving vector is checked against every vector the stream has
+  * ever admitted — semantic dedup at ingest, the vector analog of
+  * [[StreamingNearDup]] and the continuous-ingest form of
+  * [[graft.dedup.EmbeddingDedup.cosineLshPairs]]. Hyperplane
+  * sign-random-projection band keys (Charikar) replace MinHash bands,
+  * an ARRAY<FLOAT> vector store replaces the shingle-set store, and
+  * exact 4dp-rounded cosine replaces exact Jaccard as the
+  * verification; everything else — the bucketed band registry, the
+  * maintained screen with the pushed `band_key IN (…)` dirty path,
+  * the candidate-id `id IN (…)` vector fetch, batch-id fencing,
+  * keep-first registration, size-tiered compaction + incremental
+  * screen extension — is [[SelfRegistryDedup]], shared verbatim with
+  * the text route.
+  *
+  * Emitted per input vector: `(id, dup_of, cosine)` — `dup_of` the
+  * SMALLEST earlier id whose exact cosine clears `minCosine`, nulls
+  * for admitted vectors. Recall is the batch operator's own banding
+  * geometry (`bands` × `bits` sign bits; identical-direction vectors
+  * share every band deterministically — scaled copies always
+  * collide); precision is exact via verification.
+  */
+object StreamingEmbDedup {
+
+  private val kind = SelfRegistryDedup.Kind(
+    label = "emb-dedup", bandsPrefix = "graft_embdedup_bands",
+    featsPrefix = "graft_embdedup_vecs", featsSubdir = "vecs",
+    featName = "embedding", featSqlType = "ARRAY<FLOAT>")
+
+  private[graft] def bandsTableName(registryDir: String): String =
+    SelfRegistryDedup.bandsTableName(kind, registryDir)
+  private[graft] def vecsTableName(registryDir: String): String =
+    SelfRegistryDedup.featsTableName(kind, registryDir)
+
+  /** [[StreamingNearDup.compact]] for the embedding registries. */
+  def compact(spark: SparkSession, registryDir: String, buckets: Int,
+              minFileBytes: Long = 0L, rebuildScreen: Boolean = false,
+              screenFpp: Double = 1e-6): Unit =
+    SelfRegistryDedup.compact(spark, kind, registryDir, buckets,
+      minFileBytes, rebuildScreen, screenFpp)
+
+  /** Start the self embedding-dedup check over `stream`; `write`
+    * receives each batch's `(id, dup_of, cosine)`. Parameters mirror
+    * [[StreamingNearDup.nearDupStream]]; `dim`/`bands`/`bits`/`seed`
+    * are the batch operator's banding geometry
+    * ([[EmbeddingDedup.cosineLshPairs]] defaults) — the registry pins
+    * them implicitly (band keys from a different geometry would never
+    * collide with registered ones), so use one geometry per registry.
+    */
+  def embDedupStream(stream: DataFrame, idCol: Column, embCol: Column,
+                     registryDir: String,
+                     checkpointDir: Option[String] = None,
+                     buckets: Int = 8, dim: Int = 64,
+                     bands: Int = EmbeddingDedup.NumBands,
+                     bits: Int = EmbeddingDedup.BitsPerBand,
+                     seed: Long = 42L,
+                     minCosine: Double = 0.9,
+                     screenCapacity: Long = 4L * 1000 * 1000,
+                     screenFpp: Double = 1e-6,
+                     registerDups: Boolean = true)
+                    (write: DataFrame => Unit):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    val planes = EmbeddingDedup.hyperplanes(dim, bands, bits, seed)
+    SelfRegistryDedup.run(
+      stream.select(idCol.cast("long").as("id"),
+        embCol.cast("array<float>").as("embedding")),
+      kind, registryDir, checkpointDir, buckets,
+      featurize = batch => batch.withColumn("bands",
+        VectorKernels.hyperplaneBandKeys(
+          col("embedding"), planes, dim, bands, bits)),
+      verify = (a, b) => round(VectorKernels.cosine(a, b), 4),
+      minSim = minCosine, simName = "cosine",
+      screenCapacity = screenCapacity, screenFpp = screenFpp,
+      registerDups = registerDups)(write)
+  }
+}
