@@ -2722,9 +2722,18 @@ object SparkEntry {
         val tmp = graft.TempDirs.create("embdedup-gate").toString
         val out = scala.collection.mutable
           .ArrayBuffer[(Long, Option[Long], Option[Double])]()
+        // 8 bands x 16 sign bits — the 0.9-threshold geometry
+        // (dedup_embedding_lsh's): random pairs collide per band at
+        // 2^-16, so candidates stay ∝ true near-dups. The default
+        // 16x4 geometry is built for 0.35-recall and floods ~1
+        // candidate PER RANDOM PAIR at this threshold (measured: the
+        // sf0.1 gate went quadratic at 20s). Colinear planted pairs
+        // collide in every band under ANY geometry, so the oracle's
+        // recall-1 argument is unchanged.
         val q = graft.streaming.StreamingEmbDedup.embDedupStream(
           ms.toDS().toDF("id", "embedding"), col("id"), col("embedding"),
-          s"$tmp/registry", buckets = 8, dim = 64, minCosine = 0.9) { bo =>
+          s"$tmp/registry", buckets = 8, dim = 64, bands = 8, bits = 16,
+          minCosine = 0.9) { bo =>
           out.synchronized {
             out ++= bo.collect().map(r => (r.getLong(0),
               if (r.isNullAt(1)) None else Some(r.getLong(1)),

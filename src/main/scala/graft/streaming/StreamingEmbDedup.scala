@@ -50,17 +50,23 @@ object StreamingEmbDedup {
   /** Start the self embedding-dedup check over `stream`; `write`
     * receives each batch's `(id, dup_of, cosine)`. Parameters mirror
     * [[StreamingNearDup.nearDupStream]]; `dim`/`bands`/`bits`/`seed`
-    * are the batch operator's banding geometry
-    * ([[EmbeddingDedup.cosineLshPairs]] defaults) — the registry pins
-    * them implicitly (band keys from a different geometry would never
-    * collide with registered ones), so use one geometry per registry.
+    * are the banding geometry — the registry pins them implicitly
+    * (band keys from a different geometry would never collide with
+    * registered ones), so use one geometry per registry. The DEFAULT
+    * is 8 bands × 16 bits, the near-dup-threshold operating point
+    * (random pairs collide per band at 2⁻¹⁶, so candidates stay ∝
+    * true near-dups; colinear copies still collide in every band) —
+    * NOT the batch operator's 16×4 default, which is sized for
+    * 0.35-threshold recall and floods ~one candidate per random pair
+    * at 0.9 (measured: a 3.3k-vector batch went quadratic). Lower
+    * `minCosine` substantially ⇒ widen the geometry accordingly.
     */
   def embDedupStream(stream: DataFrame, idCol: Column, embCol: Column,
                      registryDir: String,
                      checkpointDir: Option[String] = None,
                      buckets: Int = 8, dim: Int = 64,
-                     bands: Int = EmbeddingDedup.NumBands,
-                     bits: Int = EmbeddingDedup.BitsPerBand,
+                     bands: Int = 8,
+                     bits: Int = 16,
                      seed: Long = 42L,
                      minCosine: Double = 0.9,
                      screenCapacity: Long = 4L * 1000 * 1000,

@@ -30,10 +30,15 @@ class StreamingEmbDedupSpec extends AnyFunSuite with SparkSpec {
     val ms = MemoryStream[(Long, Seq[Float])]
     val got = new java.util.concurrent.ConcurrentLinkedQueue[
       (Long, Option[Long], Option[Double])]()
+    // SAME banding geometry as batchExpected's operator (16x4, the
+    // batch defaults): the stream-equals-batch-op assertion relies on
+    // identical planes => identical band collisions (the stream's OWN
+    // default is the 8x16 near-dup operating point)
     val q = StreamingEmbDedup.embDedupStream(
       ms.toDS().toDF("id", "embedding"), col("id"), col("embedding"),
-      registryDir, ckpt, buckets = 4, dim = Dim, minCosine = minCosine,
-      registerDups = registerDups) { df =>
+      registryDir, ckpt, buckets = 4, dim = Dim,
+      bands = EmbeddingDedup.NumBands, bits = EmbeddingDedup.BitsPerBand,
+      minCosine = minCosine, registerDups = registerDups) { df =>
       df.collect().foreach(r => got.add((r.getLong(0),
         if (r.isNullAt(1)) None else Some(r.getLong(1)),
         if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
@@ -136,7 +141,10 @@ class StreamingEmbDedupSpec extends AnyFunSuite with SparkSpec {
       (Long, Option[Long], Option[Double])]()
     def start() = StreamingEmbDedup.embDedupStream(
       ms.toDS().toDF("id", "embedding"), col("id"), col("embedding"),
-      reg, Some(ckpt), buckets = 4, dim = Dim, minCosine = 0.95) { df =>
+      reg, Some(ckpt), buckets = 4, dim = Dim,
+      minCosine = 0.95) { df =>  // stream default geometry (8x16):
+      // colinear pairs collide under any geometry, which is all the
+      // 0.95 threshold admits
       df.collect().foreach(r => got.add((r.getLong(0),
         if (r.isNullAt(1)) None else Some(r.getLong(1)),
         if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
