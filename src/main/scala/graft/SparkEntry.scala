@@ -2772,6 +2772,78 @@ object SparkEntry {
               |  ON b.id = c.id
               |ORDER BY c.id""".stripMargin)),
 
+    // KEEP-FIRST PRODUCTION MODE under the full oracle (r15): the
+    // registerDups=false setting a real 100 TB ingest runs — only
+    // ADMITTED documents register, so the registry grows with unique
+    // content, not stream volume. On this fixture keep-first verdicts
+    // EQUAL keep-earliest (the planted dup orbits are identical-
+    // shingle-set groups, so every member's smallest qualifying
+    // earlier id is the orbit keeper, which is always admitted — no
+    // transitive chain A≈B≈C with A≉C exists), so the exact-Jaccard
+    // DuckDB reduction applies verbatim. The gate additionally pins
+    // the registry-stays-small claim: the feature store's row count
+    // must equal the ADMITTED count exactly (a dup orbit adds one
+    // registrant). In-gate maintenance runs the r15 MULTI-TIER
+    // compaction (tierFanout=4) so tier selection sits under the hash.
+    Q("streaming_neardup_keepfirst",
+      (s, dir) => withStreamShuffle(s) {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val rows = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            Enrich.dedupContent(col("text"), col("doc_id")).as("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+          .sortBy(_._1).toSeq
+        val ms = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val tmp = graft.TempDirs.create("neardup-keepfirst").toString
+        val out = scala.collection.mutable
+          .ArrayBuffer[(Long, Option[Long], Option[Double])]()
+        val q = graft.streaming.StreamingNearDup.nearDupStream(
+          ms.toDS().toDF("id", "text"), col("id"), col("text"),
+          s"$tmp/registry", buckets = 8, minJaccard = 0.9,
+          registerDups = false) { batchOut =>
+          out.synchronized {
+            out ++= batchOut.collect().map(r => (r.getLong(0),
+              if (r.isNullAt(1)) None else Some(r.getLong(1)),
+              if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+          }
+        }
+        try {
+          rows.grouped(rows.length / 3 + 1).zipWithIndex.foreach {
+            case (chunk, i) =>
+              ms.addData(chunk)
+              q.processAllAvailable()
+              if (i == 1)
+                graft.streaming.StreamingNearDup.compact(
+                  s, s"$tmp/registry", 8, minFileBytes = 1L << 20,
+                  rebuildScreen = true, tierFanout = 4)
+          }
+        } finally q.stop()
+        // registry ∝ unique content: exactly one feature-store row per
+        // ADMITTED document (replays are marker-fenced; dup orbits add
+        // only their keeper)
+        val admitted = out.count(_._2.isEmpty).toLong
+        val registered = s.read.parquet(s"$tmp/registry/docs")
+          .select(col("id")).distinct().count()
+        require(registered == admitted,
+          s"keep-first registry must hold exactly the admitted docs: " +
+            s"registered=$registered admitted=$admitted")
+        out.toSeq.toDF("id", "dup_of", "jaccard").orderBy("id")
+      },
+      Some(s"""WITH pairs AS (${graft.dedup.Dedup.ngramJaccardPairsIndexedSql(
+                "documents", "doc_id",
+                Enrich.dedupContentSql("text", "doc_id"), n = 3,
+                minJaccard = 0.9)}),
+              |best AS (SELECT id_b AS id, id_a AS dup_of, jaccard,
+              |  row_number() OVER (PARTITION BY id_b ORDER BY id_a) AS rn
+              |  FROM pairs)
+              |SELECT d.doc_id AS id, b.dup_of, b.jaccard
+              |FROM documents d
+              |LEFT JOIN (SELECT id, dup_of, jaccard FROM best WHERE rn = 1) b
+              |  ON b.id = d.doc_id
+              |ORDER BY id""".stripMargin)),
+
     // Paragraph-level corpus dedup (CCNet-style): corpus-wide repeated
     // paragraphs dropped, first occurrence kept, documents reassembled
     // in paragraph order. Fixture plants a universal header, per-block

@@ -103,6 +103,35 @@ object Dedup {
   val NumBands = 8
   val RowsPerBand: Int = NumPerms / NumBands
 
+  /** Derive the MinHash banding geometry from the OPERATING POINT
+    * instead of remembering it: the number of bands (over the fixed
+    * [[NumPerms]]-permutation signature) such that a pair at exactly
+    * `minJaccard` collides in some band with probability ≥
+    * `targetRecall` — i.e. 1 − (1 − J^r)^b ≥ target with b·r =
+    * NumPerms. Among qualifying band counts the SMALLEST wins: fewer
+    * bands means more rows per band, so random pairs (whose per-band
+    * collision probability is J_rand^r) fall off the steepest — the
+    * anti-flood direction. Bands must divide NumPerms; b = NumPerms
+    * (one row per band, collision prob = the raw minhash agreement)
+    * is the always-feasible floor for very low thresholds.
+    *
+    * At the package defaults (minJaccard 0.9, recall 0.95) this
+    * derives the long-standing 8×8 geometry; at the documented 0.77
+    * knee it widens to 16 bands, and at 0.5 to 32 — the operating
+    * points the scaladoc used to ask callers to remember.
+    */
+  def geometryFor(minJaccard: Double, targetRecall: Double = 0.95): Int = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in (0, 1], got $minJaccard")
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"targetRecall must be in (0, 1), got $targetRecall")
+    val divisors = (1 to NumPerms).filter(NumPerms % _ == 0)
+    divisors.find { b =>
+      val r = NumPerms / b
+      1.0 - math.pow(1.0 - math.pow(minJaccard, r), b) >= targetRecall
+    }.getOrElse(NumPerms)
+  }
+
   /** Deterministic affine-permutation parameters (public textbook
     * construction: h_j(x) = (a_j·x + b_j) mod p over a 31-bit universe;
     * base hash is xxhash64 masked to 31 bits so products stay in 62

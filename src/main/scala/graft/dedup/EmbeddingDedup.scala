@@ -40,6 +40,41 @@ object EmbeddingDedup {
   val NumBands = 16
   val BitsPerBand = 4
 
+  /** Derive the sign-hyperplane banding geometry `(bands, bits)` from
+    * the operating point instead of remembering it. A pair at cosine
+    * `c` agrees on one sign bit with probability p = 1 − acos(c)/π
+    * (Charikar), so it shares a `bits`-bit band with probability
+    * p^bits and SOME of `bands` bands with 1 − (1 − p^bits)^bands.
+    * Random pairs (cosine ≈ 0, p = ½) collide per band at 2^−bits —
+    * so wider bands are the anti-flood direction, and the search
+    * takes the LARGEST bits whose minimal qualifying band count fits
+    * `maxBands` and the `maxPlanes` compute cap (bands·bits
+    * hyperplane dot products per vector). This is exactly the trap
+    * the r14 scaledown measured: the 16×4 default (sized for
+    * 0.35-threshold recall) floods ~one candidate per RANDOM pair at
+    * a 0.9 threshold, where this derivation yields 30×15 — expected
+    * random collisions 30·2^−15 ≈ 10⁻³ per pair, recall ≥ 0.95 at
+    * the threshold, and colinear exact copies still collide in every
+    * band deterministically.
+    */
+  def geometryFor(minCosine: Double, targetRecall: Double = 0.95,
+                  maxBands: Int = 32, maxPlanes: Int = 512): (Int, Int) = {
+    require(minCosine > 0.0 && minCosine < 1.0,
+      s"minCosine must be in (0, 1), got $minCosine")
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"targetRecall must be in (0, 1), got $targetRecall")
+    val p = 1.0 - math.acos(minCosine) / math.Pi
+    val lnMiss = math.log1p(-targetRecall) // ln(1 − target) < 0
+    (24 to 1 by -1).iterator.flatMap { bits =>
+      val perBand = math.pow(p, bits)
+      // minimal b with 1 − (1 − perBand)^b ≥ target
+      val b = math.ceil(lnMiss / math.log1p(-perBand)).toInt
+      if (b >= 1 && b <= maxBands && b * bits <= maxPlanes)
+        Some((b, bits))
+      else None
+    }.nextOption().getOrElse((maxBands, 1))
+  }
+
   /** Deterministic Gaussian hyperplanes, (bands·bits) × dim row-major.
     * `java.util.Random` is seeded and spec-pinned, so planes (hence
     * signatures, hence results) are identical across JVMs and runs.

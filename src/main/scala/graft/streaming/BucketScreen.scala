@@ -82,6 +82,21 @@ object BucketScreen {
   private def stagePath(registryDir: String) = new Path(registryDir, "_screen_stage")
   private def bloomName(b: Int) = f"bloom-$b%05d.bin"
 
+  /** Delete stranded `*.tmp-extend*` files in the live screen dir —
+    * losing task attempts' blooms and the residue of a driver crash
+    * between [[extend]]'s collect and its swap. Safe at any time in
+    * the maintenance window: nothing reads tmp names, and the live
+    * `bloom-NNNNN.bin` / `meta` files never match.
+    */
+  private def sweepExtendTmps(fs: FileSystem, registryDir: String): Unit = {
+    val dir = screenPath(registryDir)
+    if (fs.exists(dir))
+      fs.listStatus(dir).foreach { st =>
+        if (st.isFile && st.getPath.getName.contains(".tmp-extend"))
+          fs.delete(st.getPath, false)
+      }
+  }
+
   def readMeta(fs: FileSystem, registryDir: String): Option[Meta] = {
     val p = new Path(screenPath(registryDir), "meta")
     if (!fs.exists(p)) None
@@ -202,6 +217,11 @@ object BucketScreen {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val meta = readMeta(fs, registryDir).filter(_.buckets == buckets)
       .getOrElse(return None)
+    // a driver crash between the task collect and the swap (or losing
+    // task attempts — see the attempt-unique names below) strands
+    // `.tmp-extend-*` files in the live screen dir; nothing later ever
+    // reads them, so reap them here before writing fresh ones
+    sweepExtendTmps(fs, registryDir)
     spark.catalog.refreshTable(table)
     val tail = spark.table(table).where(col("batch_id") > meta.coveredBatch)
     val agg = tail.agg(count(lit(1)).as("n"), max(col("batch_id")).as("m"))
@@ -226,31 +246,40 @@ object BucketScreen {
           })
           bf.putLong(r.getLong(0))
         }
+        // attempt-unique tmp names: a speculative or retried attempt
+        // writing the SAME fixed tmp path could interleave with another
+        // attempt's stream, and the driver would then install a
+        // corrupt-but-parseable bloom (silent false negatives). Each
+        // attempt writes its own file; exactly one attempt per
+        // partition wins the collect, and the driver renames only the
+        // winner's files (losers are reaped by sweepExtendTmps).
+        val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
         blooms.iterator.map { case (b, bf) =>
-          val p = new Path(dir, s".${bloomName(b)}.tmp-extend")
+          val name = s".${bloomName(b)}.tmp-extend-$attempt"
+          val p = new Path(dir, name)
           val out = p.getFileSystem(conf).create(p, true)
           try bf.writeTo(out) finally out.close()
-          (b, bf.expectedFpp())
+          (b, bf.expectedFpp(), name)
         }
       }.collect()
-    def tmpOf(b: Int) = new Path(dir, s".${bloomName(b)}.tmp-extend")
     if (extended.exists(_._2 > StreamingSelfDedup.ScreenUsableFpp)) {
       Console.err.println(s"[graft] bucket-screen extend aborted: " +
         s"${extended.count(_._2 > StreamingSelfDedup.ScreenUsableFpp)} " +
         s"bucket filters would saturate at their build-time capacity=" +
         s"${meta.capacityPerBucket} - falling back to a full rebuild")
-      extended.foreach { case (b, _) => fs.delete(tmpOf(b), false) }
+      sweepExtendTmps(fs, registryDir)
       return None
     }
     // swap per file (delete + rename; maintenance-window contract —
     // same visibility window the full build's dir swap has), meta last
-    extended.foreach { case (b, _) =>
+    extended.foreach { case (b, _, tmpName) =>
       val dst = new Path(dir, bloomName(b))
       fs.delete(dst, false)
-      if (!fs.rename(tmpOf(b), dst))
+      if (!fs.rename(new Path(dir, tmpName), dst))
         throw new java.io.IOException(
           s"bucket-screen extend swap failed for bucket $b")
     }
+    sweepExtendTmps(fs, registryDir) // losing attempts' files
     val metaTmp = new Path(dir, ".meta.tmp-extend")
     val out = fs.create(metaTmp, true)
     try out.write(

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, hash, lit, pmod}
 
 /** On-disk contract of a self-growing bucketed registry table — the
   * shared machinery under [[StreamingSelfDedup]]'s gram registry and
@@ -65,6 +66,190 @@ private[graft] object BucketedRegistry {
     }
   }
 
+  // ---- single-writer guard (JVM-local, best-effort) -------------------
+
+  /** Live streams by registry table dir — maintenance ops that rewrite
+    * the table wholesale ([[rebucket]]) refuse while the stream that
+    * owns the dir is still active. JVM-local by design: it protects
+    * the common operational mistake (maintenance driver and stream in
+    * one process); the cross-process case stays on the documented
+    * single-maintenance-writer contract, same as compaction.
+    */
+  private val activeStreams = new java.util.concurrent.ConcurrentHashMap[
+    String, java.lang.ref.WeakReference[
+      org.apache.spark.sql.streaming.StreamingQuery]]()
+
+  private[streaming] def registerStream(
+      dir: String,
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    activeStreams.put(dir, new java.lang.ref.WeakReference(q))
+
+  def requireNoActiveStream(dir: String): Unit = {
+    val ref = activeStreams.get(dir)
+    if (ref != null) {
+      val q = ref.get
+      require(q == null || !q.isActive,
+        s"a stream over the registry at $dir is still active; stop it " +
+          "before rebucketing (single-writer contract)")
+    }
+  }
+
+  // ---- re-bucketing (maintenance-window lifecycle op) -----------------
+
+  private def rebucketManifest(dir: String) =
+    new Path(dir, "__rebucket/manifest")
+
+  /** Roll a crashed [[rebucket]] forward. The manifest only lands
+    * AFTER the full re-bucketed file set staged, so its presence means
+    * every new file exists (still staged or already moved): finish the
+    * moves, delete the listed old files, rewrite the `_BUCKETS`
+    * marker to the new count, drop the stale `_screen`, then drop the
+    * manifest — idempotent at every crash point. No manifest = the
+    * table dir and marker were never touched.
+    */
+  private def recoverRebucket(fs: FileSystem, dir: String): Unit = {
+    val manifest = rebucketManifest(dir)
+    if (!fs.exists(manifest)) return
+    val in = fs.open(manifest)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toList
+      finally in.close()
+    val root = new Path(dir)
+    val stage = new Path(dir, "__rebucket/stage")
+    val newBuckets = lines.collectFirst {
+      case l if l.startsWith("B ") => l.substring(2).trim.toInt
+    }.getOrElse(throw new IllegalStateException(
+      s"rebucket manifest at $manifest has no B line"))
+    lines.foreach { line =>
+      val (tag, name) = (line.charAt(0), line.substring(2))
+      if (tag == 'A') {
+        val src = new Path(stage, name)
+        if (fs.exists(src) && !fs.rename(src, new Path(root, name)))
+          throw new java.io.IOException(
+            s"rebucket roll-forward: rename $src failed")
+      } else if (tag == 'D') fs.delete(new Path(root, name), false)
+    }
+    // marker rewrite: the manifest guards the delete→rename window (a
+    // marker-less dir with a live manifest refuses to open)
+    fs.delete(bucketsMarker(dir), false)
+    writeBucketsMarkerIfAbsent(fs, dir, newBuckets)
+    // per-bucket screen blooms are keyed by pmod(hash, OLD buckets) —
+    // stale the moment the layout changes; rebuild via maintenance
+    fs.delete(new Path(dir, "_screen"), true)
+    fs.delete(new Path(dir, "__rebucket"), true)
+  }
+
+  /** Rewrite the registry table at `dir` with `newBuckets` buckets —
+    * the lifecycle op for a registry that outlived its initial sizing
+    * (probe/compaction parallelism is per bucket, and [[requireTable]]
+    * refuses a mismatched open by design, so without this a registry
+    * created at 8 buckets could never reach 32 except by hand outside
+    * the staged-manifest protocol).
+    *
+    * Protocol (same staged-manifest family as
+    * [[StreamingBm25.compact]], rolled FORWARD): stage the complete
+    * re-bucketed file set under `__rebucket/stage`, land a manifest
+    * (`B <newBuckets>` + `A <new>`/`D <old>` lines, temp+rename), move
+    * the new files in, delete the old, rewrite the `_BUCKETS` marker,
+    * drop the stale `_screen`, drop the manifest. A crash at any point
+    * either left the table untouched (no manifest) or is finished by
+    * the roll-forward that runs at the head of every [[rebucket]] —
+    * and [[requireTable]] REFUSES to open a dir with a live rebucket
+    * manifest, so no probe ever sees the mixed state.
+    *
+    * Refuses while a stream registered in this JVM is still active;
+    * cross-process callers hold the single-maintenance-writer
+    * contract. The catalog table is dropped (its bucket spec is
+    * stale); the next [[requireTable]] re-registers it at the new
+    * count. Cost is one full read + bucketed write of the table — by
+    * construction NOT ∝ new data; run it rarely, at maintenance scale
+    * events.
+    */
+  def rebucket(spark: SparkSession, dir: String, prefix: String,
+               bucketCol: String, newBuckets: Int): Unit = {
+    require(newBuckets > 0, s"newBuckets must be positive, got $newBuckets")
+    requireNoActiveStream(dir)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverRebucket(fs, dir)
+    if (!fs.exists(root)) return // nothing registered yet — first
+                                 // batch creates at the caller's count
+    val current = readBucketsMarker(fs, dir).getOrElse(
+      throw new IllegalStateException(
+        s"registry at $dir has no _BUCKETS marker; open it once (which " +
+          "stamps the marker after the part-file cross-check) before " +
+          "rebucketing"))
+    if (current == newBuckets) return
+    val tbl = tableName(prefix, dir)
+    val old = fs.listStatus(root).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .map(_.getPath.getName)
+    val stage = new Path(dir, "__rebucket/stage")
+    fs.delete(stage, true)
+    val stageTable = s"${tbl}_rebucket_stage"
+    spark.sql(s"DROP TABLE IF EXISTS $stageTable")
+    // raw parquet read (underscore-prefixed protocol files are hidden
+    // from the lister) — the catalog table's bucket spec is the OLD
+    // count and is about to be dropped anyway
+    spark.read.parquet(dir)
+      .repartition(newBuckets, pmod(hash(col(bucketCol)), lit(newBuckets)))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+      .option("path", stage.toString)
+      .bucketBy(newBuckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(stageTable)
+    val staged = fs.listStatus(stage).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("part-"))
+    val mTmp = new Path(dir, "__rebucket/.manifest.tmp")
+    val out = fs.create(mTmp, true)
+    try out.write((Seq(s"B $newBuckets") ++ staged.map("A " + _) ++
+      old.map("D " + _)).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(mTmp, rebucketManifest(dir)))
+      throw new java.io.IOException(
+        s"rebucket manifest rename failed at $dir")
+    spark.sql(s"DROP TABLE IF EXISTS $stageTable")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    recoverRebucket(fs, dir) // the roll-forward IS the commit path
+  }
+
+  /** Validate-or-stamp a `_GEOMETRY` properties marker at the registry
+    * ROOT (the parent of a route's bands/feature table dirs): sorted
+    * `key=value` lines, temp-then-rename like `_BUCKETS`. The banding
+    * geometry (shingle n / perms / bands for MinHash; dim / bands /
+    * bits / seed for sign-hyperplanes) is part of the on-disk contract
+    * exactly like the bucket count — band keys from a DIFFERENT
+    * geometry never collide with registered ones, so a resumed stream
+    * with mismatched geometry would silently emit no duplicates
+    * against prior registrations instead of failing loudly. Absent
+    * marker (pre-geometry registry): trusted stamp, same policy as the
+    * marker-less `_BUCKETS` open.
+    */
+  def requireGeometry(fs: FileSystem, dir: String,
+                      props: Map[String, String]): Unit = {
+    val p = new Path(dir, "_GEOMETRY")
+    val render = props.toSeq.sorted
+      .map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val txt =
+        try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        finally in.close()
+      val found = txt.linesIterator.filter(_.nonEmpty).map(_.split("=", 2))
+        .collect { case Array(k, v) => k -> v }.toMap
+      require(found == props,
+        s"registry at $dir was written with banding geometry $found; " +
+          s"refusing to open it with $props (band keys from a different " +
+          "geometry never collide — duplicates would be silently missed)")
+    } else if (fs.exists(new Path(dir))) {
+      val tmp = new Path(dir, "._GEOMETRY.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(render.getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(tmp, p)) { fs.delete(tmp, false); () }
+    }
+  }
+
   /** Ensure the bucketed registry table for `dir` is registered in
     * `spark`'s (shared) catalog and safe to use: validates the
     * `_BUCKETS` marker against `buckets` and — when the table already
@@ -82,6 +267,15 @@ private[graft] object BucketedRegistry {
     val tbl = tableName(prefix, dir)
     val regPath = new Path(dir)
     val fs = regPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a live rebucket manifest means a [[rebucket]] crashed mid-swap:
+    // the dir holds a mix of old- and new-bucketed files and the
+    // marker may lag — refuse until the roll-forward finishes (re-run
+    // rebucket), or every probe would bucket-prune against a layout
+    // that is half one count and half the other
+    if (fs.exists(rebucketManifest(dir)))
+      throw new IllegalStateException(
+        s"registry at $dir has an unfinished rebucket (manifest " +
+          "present); re-run rebucket to roll it forward before opening")
     readBucketsMarker(fs, dir) match {
       case Some(m) =>
         require(m == buckets,

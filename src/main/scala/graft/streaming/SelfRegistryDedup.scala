@@ -71,17 +71,46 @@ private[streaming] object SelfRegistryDedup {
     */
   def compact(spark: SparkSession, kind: Kind, registryDir: String,
               buckets: Int, minFileBytes: Long, rebuildScreen: Boolean,
-              screenFpp: Double): Unit = {
+              screenFpp: Double, tierFanout: Int = 0): Unit = {
     val bt = requireBandsTable(spark, kind, registryDir, buckets)
     StreamingBm25.compact(spark, bt, bandsDir(registryDir),
       bucketCol = "band_key", numBuckets = buckets,
-      minFileBytes = minFileBytes)
+      minFileBytes = minFileBytes, tierFanout = tierFanout)
     val dt = requireFeatsTable(spark, kind, registryDir, buckets)
     StreamingBm25.compact(spark, dt, featsDir(kind, registryDir),
-      bucketCol = "id", numBuckets = buckets, minFileBytes = minFileBytes)
+      bucketCol = "id", numBuckets = buckets, minFileBytes = minFileBytes,
+      tierFanout = tierFanout)
     if (rebuildScreen)
       BucketScreen.extendOrBuild(spark, bt, bandsDir(registryDir), buckets,
         screenFpp, keyCol = "band_key")
+  }
+
+  /** Rewrite BOTH registries at `newBuckets` buckets — the lifecycle
+    * op for a registry that outlived its initial sizing (probe and
+    * compaction parallelism are per bucket). Staged-manifest protocol
+    * per table ([[BucketedRegistry.rebucket]]); refuses while a stream
+    * registered in this JVM still runs; re-registers the catalog
+    * tables at the new count and (optionally) rebuilds the band
+    * screen, which the rebucket necessarily staled (its per-bucket
+    * blooms were keyed by the old bucket count).
+    */
+  def rebucket(spark: SparkSession, kind: Kind, registryDir: String,
+               newBuckets: Int, rebuildScreen: Boolean = false,
+               screenFpp: Double = 1e-6): Unit = {
+    BucketedRegistry.requireNoActiveStream(bandsDir(registryDir))
+    BucketedRegistry.rebucket(spark, bandsDir(registryDir),
+      kind.bandsPrefix, "band_key", newBuckets)
+    BucketedRegistry.rebucket(spark, featsDir(kind, registryDir),
+      kind.featsPrefix, "id", newBuckets)
+    val fs = new org.apache.hadoop.fs.Path(registryDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(bandsDir(registryDir)))) {
+      val bt = requireBandsTable(spark, kind, registryDir, newBuckets)
+      requireFeatsTable(spark, kind, registryDir, newBuckets)
+      if (rebuildScreen)
+        BucketScreen.build(spark, bt, bandsDir(registryDir), newBuckets,
+          screenFpp, keyCol = "band_key")
+    }
   }
 
   /** Start the self-dedup stream. `featurize` turns the raw batch
@@ -97,7 +126,8 @@ private[streaming] object SelfRegistryDedup {
           featurize: DataFrame => DataFrame,
           verify: (Column, Column) => Column, minSim: Double,
           simName: String, screenCapacity: Long, screenFpp: Double,
-          registerDups: Boolean)
+          registerDups: Boolean,
+          geometry: Map[String, String] = Map.empty)
          (write: DataFrame => Unit):
       org.apache.spark.sql.streaming.StreamingQuery = {
     val writer = prepared.writeStream
@@ -108,7 +138,8 @@ private[streaming] object SelfRegistryDedup {
     val maintained = new MaintainedScreen(bDir, buckets,
       screenCapacity, screenFpp, kind.label)
     var validated = false
-    writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
+    var geomOk = false
+    val query = writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val s = batch.sparkSession
       MaintainedScreen.raiseInPushdown(s)
       val bPath = new org.apache.hadoop.fs.Path(bDir)
@@ -116,6 +147,14 @@ private[streaming] object SelfRegistryDedup {
       val bTbl = bandsTableName(kind, registryDir)
       val dTbl = featsTableName(kind, registryDir)
       val exists = fs.exists(bPath)
+      // geometry contract BEFORE the first probe: a resume against a
+      // registry banded under different geometry must fail loudly here
+      // — its band keys would never collide with registered ones, so
+      // every later batch would silently admit duplicates
+      if (exists && !geomOk && geometry.nonEmpty) {
+        BucketedRegistry.requireGeometry(fs, registryDir, geometry)
+        geomOk = true
+      }
       if (exists && (!validated || !s.catalog.tableExists(bTbl) ||
           !s.catalog.tableExists(dTbl))) {
         requireBandsTable(s, kind, registryDir, buckets)
@@ -174,6 +213,12 @@ private[streaming] object SelfRegistryDedup {
           .join(probedBands.withColumnRenamed("id", "cand_id"), "band_key")
           .select(col("id"), col("cand_id")).distinct()
           .persist()
+        // everything from the candidate-id collect on runs under this
+        // try so an exception anywhere (the collect, the join builds,
+        // the write) unpersists crossCand before the batch retry —
+        // the previous shape only covered it from `best` onward and
+        // leaked the cached plan on an early failure
+        try {
         // the feature fetch must not scan the registry either: a
         // broadcast join of few candidates against the feature table
         // still READS every row — an O(registry) term per dirty batch
@@ -232,6 +277,12 @@ private[streaming] object SelfRegistryDedup {
           // argument); both fenced under this batch's id for replays
           BucketedRegistry.writeBucketsMarkerIfAbsent(fs, bDir, buckets)
           BucketedRegistry.writeBucketsMarkerIfAbsent(fs, dDir, buckets)
+          // stamp the geometry on the fresh registry (validate-only if
+          // a marker already landed — idempotent under replays)
+          if (geometry.nonEmpty && !geomOk) {
+            BucketedRegistry.requireGeometry(fs, registryDir, geometry)
+            geomOk = true
+          }
           if (!validated || !s.catalog.tableExists(bTbl) ||
               !s.catalog.tableExists(dTbl)) {
             requireBandsTable(s, kind, registryDir, buckets)
@@ -253,12 +304,15 @@ private[streaming] object SelfRegistryDedup {
             .saveAsTable(dTbl)
           maintained.extend(
             registrantBands.select(col("band_key").as("h")).distinct(), batchId)
-        } finally {
-          best.unpersist(blocking = false)
-          crossCand.unpersist(blocking = false)
-        }
+        } finally best.unpersist(blocking = false)
+        } finally crossCand.unpersist(blocking = false)
       } finally base.unpersist(blocking = false)
       ()
     }.start()
+    // single-writer guard: rebucket (a whole-table rewrite) refuses
+    // while this query is active in the same JVM
+    BucketedRegistry.registerStream(bandsDir(registryDir), query)
+    BucketedRegistry.registerStream(featsDir(kind, registryDir), query)
+    query
   }
 }

@@ -148,23 +148,57 @@ object StreamingBm25 {
     * default 0 keeps the full rewrite (back to ≤1 file per bucket) —
     * run one occasionally to fold the tiers together.
     *
+    * `tierFanout = K > 1` (with `minFileBytes > 0`) adds the MULTI-
+    * TIER merge rule that bounds per-bucket file count over the
+    * stream's LIFETIME: the single-floor form above leaves one new
+    * ≥-floor file per bucket per maintenance window forever, so after
+    * W windows every probe pays W parquet footers per bucket. Here
+    * each ≥-floor file belongs to the size tier t = ⌊log_K(len /
+    * minFileBytes)⌋, and whenever a bucket holds ≥ K files of the
+    * same tier, exactly those files join the merge set (the merged
+    * output lands one-per-bucket in a higher tier, being ~K× the
+    * bytes). Every byte is therefore rewritten O(log_K W) times total
+    * — amortized cost still ∝ new data — while files per bucket stay
+    * O(K·log_K W) instead of O(W). Tier selection is per bucket; a
+    * window where no tier fills merges only the litter, exactly the
+    * single-floor form.
+    *
     * Returns the number of data files after compaction.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, table: String,
               path: String, bucketCol: String = "token",
               numBuckets: Int = 32, maxRecordsPerFile: Long = 0L,
-              minFileBytes: Long = 0L): Int = {
+              minFileBytes: Long = 0L, tierFanout: Int = 0): Int = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverCompact(fs, root)
     spark.catalog.refreshTable(table)
     val all = fs.listStatus(root).toSeq
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-    val (smallSt, bigSt) =
+    val (smallSt, floorSt) =
       if (minFileBytes > 0) all.partition(_.getLen < minFileBytes)
       else (all, Seq.empty)
-    val old = smallSt.map(_.getPath.getName)
-    if (old.size <= numBuckets) return all.size // ≤1 mergeable file/bucket
+    // multi-tier rule: per (bucket, size tier) groups of ≥-floor files
+    // with at least tierFanout members merge along with the litter.
+    // Bucket identity comes from the part-file NAME (the `_0000N`
+    // suffix), same source of truth the bucketed reader uses.
+    val bucketIdRe = "_(\\d{5})\\.".r
+    val (tierSt, bigSt) =
+      if (minFileBytes > 0 && tierFanout > 1) {
+        val grouped = floorSt.groupBy { st =>
+          val b = bucketIdRe.findFirstMatchIn(st.getPath.getName)
+            .map(_.group(1).toInt).getOrElse(-1)
+          val t = (math.log(st.getLen.toDouble / minFileBytes) /
+            math.log(tierFanout.toDouble)).toInt
+          (b, t)
+        }
+        val (merge, keep) = grouped.partition(_._2.size >= tierFanout)
+        (merge.values.flatten.toSeq, keep.values.flatten.toSeq)
+      } else (Seq.empty, floorSt)
+    val mergeSt = smallSt ++ tierSt
+    val old = mergeSt.map(_.getPath.getName)
+    if (tierSt.isEmpty && old.size <= numBuckets)
+      return all.size // ≤1 mergeable file/bucket and no tier is due
     val stagePath = new Path(root, "__compact/stage")
     fs.delete(stagePath, true)
     val stageTable = s"${table}_compact_stage"
@@ -178,12 +212,12 @@ object StreamingBm25 {
     // id (observed: buckets split across tasks → files per bucket
     // MULTIPLIED instead of compacted).
     import org.apache.spark.sql.functions.{col => fcol, hash, lit, pmod}
-    // tiered: read ONLY the small files (the writer re-derives each
+    // tiered: read ONLY the merge set (the writer re-derives each
     // row's bucket from bucketCol, so the merged files carry the same
     // bucket ids the rows always had); full: read through the table
     val src =
       if (bigSt.isEmpty) spark.table(table)
-      else spark.read.parquet(smallSt.map(_.getPath.toString): _*)
+      else spark.read.parquet(mergeSt.map(_.getPath.toString): _*)
     val reader = src
       .repartition(numBuckets, pmod(hash(fcol(bucketCol)), lit(numBuckets)))
       .write.mode(SaveMode.Overwrite).format("parquet")

@@ -43,30 +43,38 @@ object StreamingEmbDedup {
   /** [[StreamingNearDup.compact]] for the embedding registries. */
   def compact(spark: SparkSession, registryDir: String, buckets: Int,
               minFileBytes: Long = 0L, rebuildScreen: Boolean = false,
-              screenFpp: Double = 1e-6): Unit =
+              screenFpp: Double = 1e-6, tierFanout: Int = 0): Unit =
     SelfRegistryDedup.compact(spark, kind, registryDir, buckets,
-      minFileBytes, rebuildScreen, screenFpp)
+      minFileBytes, rebuildScreen, screenFpp, tierFanout)
+
+  /** [[StreamingNearDup.rebucket]] for the embedding registries. */
+  def rebucket(spark: SparkSession, registryDir: String, newBuckets: Int,
+               rebuildScreen: Boolean = false,
+               screenFpp: Double = 1e-6): Unit =
+    SelfRegistryDedup.rebucket(spark, kind, registryDir, newBuckets,
+      rebuildScreen, screenFpp)
 
   /** Start the self embedding-dedup check over `stream`; `write`
     * receives each batch's `(id, dup_of, cosine)`. Parameters mirror
     * [[StreamingNearDup.nearDupStream]]; `dim`/`bands`/`bits`/`seed`
-    * are the banding geometry — the registry pins them implicitly
-    * (band keys from a different geometry would never collide with
-    * registered ones), so use one geometry per registry. The DEFAULT
-    * is 8 bands × 16 bits, the near-dup-threshold operating point
-    * (random pairs collide per band at 2⁻¹⁶, so candidates stay ∝
-    * true near-dups; colinear copies still collide in every band) —
-    * NOT the batch operator's 16×4 default, which is sized for
-    * 0.35-threshold recall and floods ~one candidate per random pair
-    * at 0.9 (measured: a 3.3k-vector batch went quadratic). Lower
-    * `minCosine` substantially ⇒ widen the geometry accordingly.
+    * are the banding geometry. The default `bands = bits = 0` DERIVES
+    * the geometry from the operating point —
+    * [[EmbeddingDedup.geometryFor]]`(minCosine)`, recall ≥ 0.95 at
+    * the threshold with expected random collisions ∝ true near-dups
+    * (at 0.9 that is 30×15; the batch operator's 16×4, sized for
+    * 0.35-threshold recall, floods ~one candidate per RANDOM pair at
+    * 0.9 — measured: a 3.3k-vector batch went quadratic). Explicit
+    * overrides are honored verbatim. Whatever geometry resolves is
+    * stamped into the registry's `_GEOMETRY` marker and validated on
+    * every (re)open, so a resume under a different geometry fails
+    * loudly instead of silently missing every prior registration.
     */
   def embDedupStream(stream: DataFrame, idCol: Column, embCol: Column,
                      registryDir: String,
                      checkpointDir: Option[String] = None,
                      buckets: Int = 8, dim: Int = 64,
-                     bands: Int = 8,
-                     bits: Int = 16,
+                     bands: Int = 0,
+                     bits: Int = 0,
                      seed: Long = 42L,
                      minCosine: Double = 0.9,
                      screenCapacity: Long = 4L * 1000 * 1000,
@@ -74,17 +82,23 @@ object StreamingEmbDedup {
                      registerDups: Boolean = true)
                     (write: DataFrame => Unit):
       org.apache.spark.sql.streaming.StreamingQuery = {
-    val planes = EmbeddingDedup.hyperplanes(dim, bands, bits, seed)
+    val (b, r) =
+      if (bands > 0 && bits > 0) (bands, bits)
+      else EmbeddingDedup.geometryFor(minCosine)
+    val planes = EmbeddingDedup.hyperplanes(dim, b, r, seed)
     SelfRegistryDedup.run(
       stream.select(idCol.cast("long").as("id"),
         embCol.cast("array<float>").as("embedding")),
       kind, registryDir, checkpointDir, buckets,
       featurize = batch => batch.withColumn("bands",
         VectorKernels.hyperplaneBandKeys(
-          col("embedding"), planes, dim, bands, bits)),
+          col("embedding"), planes, dim, b, r)),
       verify = (a, b) => round(VectorKernels.cosine(a, b), 4),
       minSim = minCosine, simName = "cosine",
       screenCapacity = screenCapacity, screenFpp = screenFpp,
-      registerDups = registerDups)(write)
+      registerDups = registerDups,
+      geometry = Map("kind" -> "sign-hyperplane", "dim" -> dim.toString,
+        "bands" -> b.toString, "bits" -> r.toString,
+        "seed" -> seed.toString))(write)
   }
 }

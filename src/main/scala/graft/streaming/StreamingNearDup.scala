@@ -62,9 +62,21 @@ object StreamingNearDup {
     */
   def compact(spark: SparkSession, registryDir: String, buckets: Int,
               minFileBytes: Long = 0L, rebuildScreen: Boolean = false,
-              screenFpp: Double = 1e-6): Unit =
+              screenFpp: Double = 1e-6, tierFanout: Int = 0): Unit =
     SelfRegistryDedup.compact(spark, kind, registryDir, buckets,
-      minFileBytes, rebuildScreen, screenFpp)
+      minFileBytes, rebuildScreen, screenFpp, tierFanout)
+
+  /** Rewrite both registries at `newBuckets` buckets — the lifecycle
+    * op for a registry that outlived its initial sizing; see
+    * [[SelfRegistryDedup.rebucket]] (staged-manifest, roll-forward,
+    * refuses under a live same-JVM stream). The next stream start must
+    * pass the NEW bucket count.
+    */
+  def rebucket(spark: SparkSession, registryDir: String, newBuckets: Int,
+               rebuildScreen: Boolean = false,
+               screenFpp: Double = 1e-6): Unit =
+    SelfRegistryDedup.rebucket(spark, kind, registryDir, newBuckets,
+      rebuildScreen, screenFpp)
 
   /** Start the self near-dup check over `stream`; `write` receives
     * each batch's `(id, dup_of, jaccard)` — every input document, with
@@ -87,16 +99,29 @@ object StreamingNearDup {
     * default `true` matches the all-pairs batch operator exactly and
     * sits under the gate's oracle.
     */
+  /** `numBands = 0` (the default) DERIVES the banding from the
+    * operating point — [[Dedup.geometryFor]]`(minJaccard)`: the
+    * fewest bands over the fixed 64-permutation signature whose
+    * analytic recall at the threshold clears 0.95 (8 at 0.9 — the
+    * historical default — 16 at the 0.77 knee, 32 at 0.5). The
+    * resolved geometry is stamped into the registry's `_GEOMETRY`
+    * marker and validated on every (re)open, so a resume under a
+    * different shingle n or band count fails loudly instead of
+    * silently missing every prior registration.
+    */
   def nearDupStream(stream: DataFrame, idCol: Column, textCol: Column,
                     registryDir: String,
                     checkpointDir: Option[String] = None,
                     buckets: Int = 8, shingleN: Int = 3,
                     minJaccard: Double = 0.9,
+                    numBands: Int = 0,
                     screenCapacity: Long = 4L * 1000 * 1000,
                     screenFpp: Double = 1e-6,
                     registerDups: Boolean = true)
                    (write: DataFrame => Unit):
-      org.apache.spark.sql.streaming.StreamingQuery =
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    val bands =
+      if (numBands > 0) numBands else Dedup.geometryFor(minJaccard)
     SelfRegistryDedup.run(
       stream.select(idCol.cast("long").as("id"),
         textCol.cast("string").as("text")),
@@ -104,8 +129,13 @@ object StreamingNearDup {
       featurize = batch => batch
         .withColumn("sh", Dedup.shingleHashes(col("text"), shingleN))
         .withColumn("bands", ShingleKernel.bandHash64(
-          Dedup.minhashSignatureFromHashes(col("sh")), Dedup.NumBands)),
+          Dedup.minhashSignatureFromHashes(col("sh")), bands)),
       verify = Dedup.jaccardSorted, minSim = minJaccard,
       simName = "jaccard", screenCapacity = screenCapacity,
-      screenFpp = screenFpp, registerDups = registerDups)(write)
+      screenFpp = screenFpp, registerDups = registerDups,
+      geometry = Map("kind" -> "minhash-jaccard",
+        "shingle_n" -> shingleN.toString,
+        "perms" -> Dedup.NumPerms.toString,
+        "bands" -> bands.toString))(write)
+  }
 }

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.util.sketch.BloomFilter
@@ -169,12 +170,13 @@ object StreamingSelfDedup {
                       maxRecordsPerFile: Long = 0L,
                       minFileBytes: Long = 0L,
                       rebuildScreen: Boolean = false,
-                      screenFpp: Double = 1e-6): Int = {
+                      screenFpp: Double = 1e-6,
+                      tierFanout: Int = 0): Int = {
     require(registryBuckets > 0, "only bucketed registries compact")
     val tbl = requireRegistryTable(spark, registryDir, registryBuckets)
     val n = StreamingBm25.compact(spark, tbl, registryDir, bucketCol = "h",
       numBuckets = registryBuckets, maxRecordsPerFile = maxRecordsPerFile,
-      minFileBytes = minFileBytes)
+      minFileBytes = minFileBytes, tierFanout = tierFanout)
     // refresh the per-bucket screens: EXTEND the existing blooms with
     // only the rows appended since the last build (cost ∝ tail, like
     // the tiered compaction above), full build when none exist or a
@@ -241,7 +243,7 @@ object StreamingSelfDedup {
     // catalog entry, the fresh-session simulation), instead of paying
     // 3-4 metadata RPCs per micro-batch forever
     var registryValidated = false
-    writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
+    val query = writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val s = batch.sparkSession
       // a DIRTY batch pushes its screen-positive hash set into the
       // registry scan as `h IN (…)` (Spans.clipSpansPrefixStep) —
@@ -346,5 +348,29 @@ object StreamingSelfDedup {
       }
       ()
     }.start()
+    // single-writer guard: rebucketRegistry refuses while this query
+    // is active in the same JVM
+    BucketedRegistry.registerStream(registryDir, query)
+    query
+  }
+
+  /** Rewrite the gram registry at `newBuckets` buckets — see
+    * [[BucketedRegistry.rebucket]] (staged-manifest, roll-forward,
+    * refuses under a live same-JVM stream). Re-registers the catalog
+    * table at the new count; `rebuildScreen` rebuilds the per-bucket
+    * [[BucketScreen]] the rebucket necessarily staled.
+    */
+  def rebucketRegistry(spark: SparkSession, registryDir: String,
+                       newBuckets: Int, rebuildScreen: Boolean = false,
+                       screenFpp: Double = 1e-6): Unit = {
+    BucketedRegistry.rebucket(spark, registryDir, "graft_selfdedup_reg",
+      "h", newBuckets)
+    val fs = new Path(registryDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(registryDir))) {
+      val tbl = requireRegistryTable(spark, registryDir, newBuckets)
+      if (rebuildScreen)
+        BucketScreen.build(spark, tbl, registryDir, newBuckets, screenFpp)
+    }
   }
 }

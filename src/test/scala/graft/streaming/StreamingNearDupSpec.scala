@@ -17,6 +17,13 @@ class StreamingNearDupSpec extends AnyFunSuite with SparkSpec {
 
   private def tmp(tag: String): String = graft.TempDirs.create(tag).toString
 
+  /** All messages down the cause chain — streaming wraps foreachBatch
+    * failures in StreamingQueryException layers.
+    */
+  private def chainMsg(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+
   /** Verdict rows (id, dup_of Option, jaccard Option), sorted by id. */
   private def runStream(rows: Seq[(Long, String)], nChunks: Int,
                         registryDir: String, minJaccard: Double,
@@ -194,5 +201,127 @@ class StreamingNearDupSpec extends AnyFunSuite with SparkSpec {
     val events = MaintainedScreen.events.asScala.toSeq
     assert(events.exists(e => e.startsWith("near-dup") &&
       e.contains("bucket screen covered=")), events.toString)
+  }
+
+  test("rebucket 4->8 between stream runs keeps verdicts exact; stale counts refuse") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = tmp("nd-rebucket")
+    val reg = base + "/reg"
+    val ckpt = base + "/ckpt"
+    val expected = batchExpected(corpus, minJaccard = 0.9)
+    val ms = MemoryStream[(Long, String)]
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Option[Long], Option[Double])]()
+    def start(buckets: Int) = StreamingNearDup.nearDupStream(
+      ms.toDS().toDF("id", "text"), col("id"), col("text"),
+      reg, Some(ckpt), buckets = buckets, minJaccard = 0.9) { df =>
+      df.collect().foreach(r => got.add((r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+    }
+    // phase 1 at 4 buckets
+    val q1 = start(4)
+    try {
+      ms.addData(corpus.take(4)); q1.processAllAvailable()
+      ms.addData(corpus.slice(4, 7)); q1.processAllAvailable()
+    } finally q1.stop()
+    // maintenance window: fresh-process simulation (the catalog is
+    // per-context), then the 4->8 rebucket + screen rebuild
+    spark.sql(s"DROP TABLE IF EXISTS ${StreamingNearDup.bandsTableName(reg)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${StreamingNearDup.docsTableName(reg)}")
+    StreamingNearDup.rebucket(spark, reg, 8, rebuildScreen = true)
+    // the non-migrated case stays protected: a resume at the OLD count
+    // must refuse (marker now says 8)
+    val qStale = start(4)
+    val e = intercept[Exception] {
+      try { ms.addData(Seq(99L -> "stale count probe")); qStale.processAllAvailable() }
+      finally qStale.stop()
+    }
+    assert(chainMsg(e).contains("refusing"), chainMsg(e))
+    // phase 2 at 8 buckets resumes the checkpoint: cross-phase dups
+    // (9 is an exact copy of 3, registered in phase 1 pre-rebucket)
+    // must be caught through the re-bucketed registry + rebuilt screen
+    val q2 = start(8)
+    try {
+      ms.addData(corpus.drop(7)); q2.processAllAvailable()
+    } finally q2.stop()
+    import scala.jdk.CollectionConverters._
+    val all = got.asScala.toSeq.sortBy(_._1)
+    all.filterNot(_._1 == 99L).foreach { case (id, dupOf, j) =>
+      expected.get(id) match {
+        case Some((eDup, eJ)) =>
+          assert(dupOf.contains(eDup) && j.contains(eJ),
+            s"id=$id: got ($dupOf, $j), want ($eDup, $eJ) after rebucket")
+        case None => assert(dupOf.isEmpty, s"id=$id wrongly flagged: $dupOf")
+      }
+    }
+    // the rebucketed part-files really carry 8 bucket ids
+    val fs = new org.apache.hadoop.fs.Path(reg)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val re = "_(\\d{5})\\.".r
+    val ids = fs.listStatus(new org.apache.hadoop.fs.Path(reg + "/bands"))
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .flatMap(st => re.findFirstMatchIn(st.getPath.getName)
+        .map(_.group(1).toInt)).toSet
+    assert(ids.max >= 4 && ids.max < 8, s"bucket ids after rebucket: $ids")
+  }
+
+  test("rebucket refuses while the stream is active in this JVM") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val reg = tmp("nd-rebucket-live") + "/reg"
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingNearDup.nearDupStream(
+      ms.toDS().toDF("id", "text"), col("id"), col("text"),
+      reg, buckets = 4) { df => df.collect(); () }
+    try {
+      ms.addData(corpus.take(3)); q.processAllAvailable()
+      val e = intercept[IllegalArgumentException] {
+        StreamingNearDup.rebucket(spark, reg, 8)
+      }
+      assert(e.getMessage.contains("still active"), e.getMessage)
+    } finally q.stop()
+    // stopped stream releases the guard
+    StreamingNearDup.rebucket(spark, reg, 8)
+  }
+
+  test("geometry marker: resume under a different banding fails loudly") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = tmp("nd-geom")
+    val reg = base + "/reg"
+    val ckpt = base + "/ckpt"
+    val ms = MemoryStream[(Long, String)]
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Option[Long], Option[Double])]()
+    def start(shingleN: Int) = StreamingNearDup.nearDupStream(
+      ms.toDS().toDF("id", "text"), col("id"), col("text"),
+      reg, Some(ckpt), buckets = 4, shingleN = shingleN,
+      minJaccard = 0.9) { df =>
+      df.collect().foreach(r => got.add((r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+    }
+    val q1 = start(3)
+    try { ms.addData(corpus.take(5)); q1.processAllAvailable() }
+    finally q1.stop()
+    // different shingle n => band keys that never collide with the
+    // registered ones; without the marker this resume would silently
+    // admit every duplicate of phase-1 content
+    val qBad = start(5)
+    val e = intercept[Exception] {
+      try { ms.addData(corpus.drop(5)); qBad.processAllAvailable() }
+      finally qBad.stop()
+    }
+    assert(chainMsg(e).contains("geometry"), chainMsg(e))
+    // the SAME geometry resumes fine and sees phase-1 registrations:
+    // 7 is an exact copy of 1, registered before the failed resume
+    val q2 = start(3)
+    try { q2.processAllAvailable() } finally q2.stop()
+    import scala.jdk.CollectionConverters._
+    val out = got.asScala.toSeq.sortBy(_._1)
+    assert(out.collect { case (7L, d, _) => d } == Seq(Some(1L)),
+      out.toString)
   }
 }
