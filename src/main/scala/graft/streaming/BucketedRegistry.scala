@@ -185,6 +185,14 @@ private[graft] object BucketedRegistry {
     val old = fs.listStatus(root).toSeq
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
       .map(_.getPath.getName)
+    if (old.isEmpty) {
+      // marker-only dir (a first append crashed before any data file):
+      // nothing to rewrite — restamp the marker at the new count
+      fs.delete(bucketsMarker(dir), false)
+      writeBucketsMarkerIfAbsent(fs, dir, newBuckets)
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      return
+    }
     val stage = new Path(dir, "__rebucket/stage")
     fs.delete(stage, true)
     val stageTable = s"${tbl}_rebucket_stage"

@@ -113,13 +113,95 @@ object CompactProbe {
         f"screen_extend=$screenExt%.2fs")
       (n, tiered, full, screen, screenExt)
     }
+    // ---- lifetime leg (r15): files/bucket over W maintenance windows.
+    // The single-floor form leaves one >=floor file per bucket per
+    // window FOREVER (probe cost grows with window count); the multi-
+    // tier rule (tierFanout=K) merges K same-tier files into the next
+    // tier, bounding files/bucket at O(K log_K W) while each window
+    // still reads only litter + due tiers (amortized cost ~ new data,
+    // each byte rewritten O(log_K W) times over the lifetime).
+    val windows = 30
+    val fanout = 4
+    val windowBatches = 4 // appends per window, each one file/bucket
+    val perWindowRows = appendRows // same litter volume as the legs above
+    def filesPerBucketMax(dir: String): Int = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val re = "_(\\d{5})\\.".r
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        .flatMap(st => re.findFirstMatchIn(st.getPath.getName)
+          .map(_.group(1).toInt))
+        .groupBy(identity).map(_._2.length).maxOption.getOrElse(0)
+    }
+    def windowsLeg(baseRows: Long, tierFanout: Int):
+        (Seq[Int], Seq[Double]) = {
+      val dir = graft.TempDirs.create(
+        s"cprobe-w-$tierFanout").toString + "/reg"
+      val tbl = graft.streaming.StreamingSelfDedup.registryTableName(dir)
+      spark.range(baseRows)
+        .select(xxhash64(gram("w")).as("h"), gram("w").as("gram"),
+          lit(0L).as("batch_id"))
+        .repartition(buckets, pmod(hash(col("h")), lit(buckets)))
+        .write.format("parquet").option("path", dir)
+        .bucketBy(buckets, "h").sortBy("h").saveAsTable(tbl)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      var floor = 0L
+      var batch = 1L
+      val trajectory = scala.collection.mutable.ArrayBuffer[Int]()
+      val secs = scala.collection.mutable.ArrayBuffer[Double]()
+      (1 to windows).foreach { w =>
+        val per = perWindowRows / windowBatches
+        (1 to windowBatches).foreach { _ =>
+          spark.range(per)
+            .select(xxhash64(gram(s"w$batch")).as("h"),
+              gram(s"w$batch").as("gram"), lit(batch).as("batch_id"))
+            .repartition(buckets, pmod(hash(col("h")), lit(buckets)))
+            .write.mode("append").format("parquet").option("path", dir)
+            .bucketBy(buckets, "h").sortBy("h").saveAsTable(tbl)
+          batch += 1
+        }
+        if (floor == 0L) {
+          // calibrate off the first window's real litter: a single
+          // append file sits under 2x its own size, the merged window
+          // (windowBatches of them) lands above it — every window's
+          // merge output escapes the litter floor into tier space
+          val sizes = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+            .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+            .map(_.getLen)
+          floor = sizes.min * 2
+        }
+        val t = System.nanoTime()
+        graft.streaming.StreamingSelfDedup.compactRegistry(
+          spark, dir, buckets, minFileBytes = floor,
+          tierFanout = tierFanout)
+        secs += (System.nanoTime() - t) / 1e9
+        trajectory += filesPerBucketMax(dir)
+      }
+      (trajectory.toSeq, secs.toSeq)
+    }
+    val wBase = 2000000L
+    val (tierTraj, tierSecs) = windowsLeg(wBase, fanout)
+    val (flatTraj, flatSecs) = windowsLeg(wBase, 0)
+    println(f"windows=$windows fanout=$fanout base=$wBase%,d  " +
+      f"tiered files/bucket max=${tierTraj.max} final=${tierTraj.last}  " +
+      f"single-floor final=${flatTraj.last}  " +
+      f"tiered win secs avg=${tierSecs.sum / windows}%.2f  " +
+      f"single-floor avg=${flatSecs.sum / windows}%.2f")
     val json =
       s"""{"base_rows":[${results.map(_._1).mkString(",")}],""" +
       s""""append_rows":$appendRows,""" +
       s""""tiered_compact":[${results.map(r => f"${r._2}%.3f").mkString(",")}],""" +
       s""""full_compact":[${results.map(r => f"${r._3}%.3f").mkString(",")}],""" +
       s""""screen_build":[${results.map(r => f"${r._4}%.3f").mkString(",")}],""" +
-      s""""screen_extend":[${results.map(r => f"${r._5}%.3f").mkString(",")}]}"""
+      s""""screen_extend":[${results.map(r => f"${r._5}%.3f").mkString(",")}],""" +
+      s""""windows":{"count":$windows,"fanout":$fanout,""" +
+      s""""base_rows":$wBase,"window_rows":$perWindowRows,""" +
+      s""""tiered_files_per_bucket":[${tierTraj.mkString(",")}],""" +
+      s""""singlefloor_files_per_bucket":[${flatTraj.mkString(",")}],""" +
+      s""""tiered_window_secs":[${tierSecs.map(s => f"$s%.3f").mkString(",")}],""" +
+      s""""singlefloor_window_secs":[${flatSecs.map(s => f"$s%.3f").mkString(",")}]}}"""
     println(json)
     outPath.foreach(p => java.nio.file.Files.write(
       java.nio.file.Paths.get(p), json.getBytes("UTF-8")))

@@ -118,15 +118,26 @@ object NearDupProbe {
         .select((col("id") + 900000000L + tag * 1000).as("id"),
           textOf(lit(0L)).as("text")))
 
+    // tail-rebuild cost: append this many DOCS' band rows after the
+    // screen build, then time the incremental extend — the maintenance
+    // cost a window pays to fold its new data into the bucket blooms
+    val tailDocs = 50000L
+
     spark.range(100).count()
     val results = sizes.map { n =>
       val dir = graft.TempDirs.create(s"ndp-$n").toString + "/reg"
       mkRegistry(n, dir)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+      // bucket-bloom bytes on disk — the number that decides whether
+      // per-bucket blooms carry billions of grams (scales ~3.6 B/row
+      // at 1e-6 fpp split across the bucket files, never the driver)
+      val screenBytes = fs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$dir/bands/_screen")).toSeq
+        .filter(_.isFile).map(_.getLen).sum
       // byte-copy for the unscreened leg (separate checkpoint => its
       // batch ids restart at 0; sharing a dir would fence wrong)
       val dirNs = graft.TempDirs.create(s"ndp-ns-$n").toString + "/reg"
-      val conf = spark.sparkContext.hadoopConfiguration
-      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
       org.apache.hadoop.fs.FileUtil.copy(fs,
         new org.apache.hadoop.fs.Path(dir), fs,
         new org.apache.hadoop.fs.Path(dirNs), false, conf)
@@ -134,18 +145,42 @@ object NearDupProbe {
         Seq(clean(1), clean(2), dirty(3), dirty(4)))
       val unscreened = runBatches(dirNs, screenCapacity = 0L,
         Seq(clean(1), clean(2)))
+      // tail rebuild: register a 50k-doc tail after the covered batch,
+      // then extend the bucket blooms incrementally — cost must track
+      // the TAIL (bloom bytes + tail scan), not the registry
+      val bTbl = StreamingNearDup.bandsTableName(dir)
+      spark.range(tailDocs)
+        .select((col("id") + 950000000L).as("id"),
+          textOf(col("id") + 950000000L).as("text"))
+        .withColumn("bands", graft.dedup.ShingleKernel.bandHash64(
+          Dedup.minhashSignatureFromHashes(
+            Dedup.shingleHashes(col("text"), 3)), bandsPerDoc))
+        .select(explode(col("bands")).as("band_key"), col("id"),
+          lit(99L).as("batch_id"))
+        .repartition(buckets, pmod(hash(col("band_key")), lit(buckets)))
+        .write.mode("append").format("parquet").option("path", s"$dir/bands")
+        .bucketBy(buckets, "band_key").sortBy("band_key").saveAsTable(bTbl)
+      val tExt = System.nanoTime()
+      val ext = BucketScreen.extendOrBuild(spark, bTbl, s"$dir/bands",
+        buckets, keyCol = "band_key")
+      val extendSecs = (System.nanoTime() - tExt) / 1e9
+      require(ext.contains(99L), s"extend must cover the tail, got $ext")
       println(f"bands=$n%,d  clean_screen=${math.min(screened(0), screened(1))}%.2fs  " +
         f"dirty_screen=${math.min(screened(2), screened(3))}%.2fs  " +
-        f"clean_noscreen=${math.min(unscreened(0), unscreened(1))}%.2fs")
+        f"clean_noscreen=${math.min(unscreened(0), unscreened(1))}%.2fs  " +
+        f"screen_mb=${screenBytes / 1e6}%.1f  tail_extend=$extendSecs%.2fs")
       (n, math.min(screened(0), screened(1)),
         math.min(screened(2), screened(3)),
-        math.min(unscreened(0), unscreened(1)))
+        math.min(unscreened(0), unscreened(1)), screenBytes, extendSecs)
     }
     val json =
       s"""{"registry_band_rows":[${results.map(_._1).mkString(",")}],""" +
       s""""clean_screen":[${results.map(r => f"${r._2}%.3f").mkString(",")}],""" +
       s""""dirty_screen":[${results.map(r => f"${r._3}%.3f").mkString(",")}],""" +
-      s""""clean_noscreen":[${results.map(r => f"${r._4}%.3f").mkString(",")}]}"""
+      s""""clean_noscreen":[${results.map(r => f"${r._4}%.3f").mkString(",")}],""" +
+      s""""screen_bytes":[${results.map(_._5).mkString(",")}],""" +
+      s""""tail_docs":$tailDocs,""" +
+      s""""tail_extend_secs":[${results.map(r => f"${r._6}%.3f").mkString(",")}]}"""
     println(json)
     outPath.foreach(p => java.nio.file.Files.write(
       java.nio.file.Paths.get(p), json.getBytes("UTF-8")))

@@ -159,6 +159,50 @@ class StreamingSelfDedupSpec extends AnyFunSuite with SparkSpec {
       s"post-'restart' batch must still clip batch-0 grams: ${got.asScala.toSeq}")
   }
 
+  test("gram registry rebucket 4->8 between runs: prior grams still clip, stale count refuses") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = tmp("sd-rebucket")
+    val reg = base + "/reg"
+    val ckpt = base + "/ckpt"
+    val ms = MemoryStream[(Long, String)]
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+    def start(buckets: Int) = StreamingSelfDedup.clipStream(
+      ms.toDS().toDF("doc_id", "text"), col("doc_id"), col("text"),
+      2, reg, Some(ckpt), registryBuckets = buckets) { df =>
+      df.collect().foreach(r => got.add((r.getLong(0), r.getString(1), r.getLong(2))))
+    }
+    val q1 = start(4)
+    try {
+      ms.addData(Seq((1L, "k1 k2 tail")))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // maintenance window: fresh-process simulation, then 4 -> 8
+    spark.sql(s"DROP TABLE IF EXISTS ${StreamingSelfDedup.registryTableName(reg)}")
+    StreamingSelfDedup.rebucketRegistry(spark, reg, 8, rebuildScreen = true)
+    // resuming at the stale count must refuse
+    val qStale = start(4)
+    val e = intercept[Exception] {
+      try { ms.addData(Seq((9L, "probe"))); qStale.processAllAvailable() }
+      finally qStale.stop()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("refusing"), msgs)
+    // the new count resumes (replaying doc 9) and still clips batch-0
+    // grams through the re-bucketed registry
+    val q2 = start(8)
+    try {
+      ms.addData(Seq((2L, "k1 k2 again")))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    import scala.jdk.CollectionConverters._
+    val out = got.asScala.toSeq.filter(r => r._1 == 1L || r._1 == 2L)
+      .sortBy(_._1)
+    assert(out == Seq((1L, "k1 k2 tail", 0L), (2L, "again", 2L)),
+      s"post-rebucket batch must still clip pre-rebucket grams: $out")
+  }
+
   test("per-batch localCheckpoints are released: no persistent RDDs accrete across batches") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     runStream(Seq(
