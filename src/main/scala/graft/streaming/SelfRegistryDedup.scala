@@ -240,7 +240,13 @@ private[streaming] object SelfRegistryDedup {
             col(feat).as("cand_feat")), Seq("cand_id"))
           .join(base.select(col("id"), col(feat)), Seq("id"))
         // within-batch candidates: earlier id in the SAME batch (the
-        // registry only holds strictly earlier batches)
+        // registry only holds strictly earlier batches). Quadratic in
+        // a batch's band COLLISIONS, by definition batch-bounded and
+        // independent of registry size — a pathological batch of
+        // thousands of identical docs pays it once; the derived
+        // banding geometry keeps random collisions ∝ true near-dups,
+        // so realistic batches stay ~linear
+
         val selfPairs = batchBands.as("a")
           .join(batchBands.as("b"),
             col("a.band_key") === col("b.band_key") &&

@@ -265,7 +265,8 @@ object StreamingBm25 {
     */
   def maintain(stream: DataFrame, idCol: String, textCol: String,
                table: String, path: String, checkpointDir: String,
-               numBuckets: Int = 32, compactEvery: Int = 0): StreamingQuery = {
+               numBuckets: Int = 32, compactEvery: Int = 0,
+               minFileBytes: Long = 0L, tierFanout: Int = 0): StreamingQuery = {
     // foreachBatch executes under a micro-batch CLONE of the session;
     // a refreshTable there invalidates only the clone's relation
     // cache, and the serving session keeps reading the pre-append file
@@ -336,7 +337,11 @@ object StreamingBm25 {
         // (each append adds a file per bucket; long-running streams
         // otherwise pay unbounded listing + footer opens at serve time)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-          compact(spark, table, path, numBuckets = numBuckets)
+          // same size-tier/multi-tier dials as a standalone compact —
+          // a long-running maintained index pays ~ new data per pass
+          // and bounded files/bucket over its lifetime
+          compact(spark, table, path, numBuckets = numBuckets,
+            minFileBytes = minFileBytes, tierFanout = tierFanout)
           serveSession.catalog.refreshTable(table)
         }
         ()

@@ -75,7 +75,9 @@ object ClusterSmoke {
     "streaming_resume_ivf_maintained", // r12: file-sink exactly-once across restart
     "pipeline_training_data_v2",  // r12: composed clip pipeline (memoized docStats)
     "streaming_neardup_self",     // r14: band registry + executor bucket blooms
-    "streaming_neardup_emb")      // r14: hyperplane-band registry, shared engine
+    "streaming_neardup_emb",      // r14: hyperplane-band registry, shared engine
+    "streaming_neardup_keepfirst") // r15: keep-first registration anti-join +
+                                   // multi-tier compaction across executors
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
