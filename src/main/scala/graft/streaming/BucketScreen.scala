@@ -13,10 +13,10 @@ import graft.dedup.SeedScreen
   * ceiling: at 1e-6 fpp it costs ~3.6 bytes/gram, so a 100 TB stream's
   * billions of registry grams would put tens of GB on the driver, and
   * outgrowing the configured capacity used to drop the screen FOREVER.
-  * This splits the screen in two tiers:
+  * This splits the screen in three tiers:
   *
-  *   - **bucket blooms** (`<registryDir>/_screen/bloom-NNNNN.bin`, one
-  *     per hash bucket): built DISTRIBUTED during
+  *   - **base bucket blooms** (`<registryDir>/_screen/bloom-NNNNN
+  *     .bin`, one per hash bucket): built DISTRIBUTED during
   *     [[StreamingSelfDedup.compactRegistry]] — each bucket's filter
   *     is built whole in one task and written executor-side, so
   *     nothing registry-sized ever transits the driver. At probe time
@@ -24,21 +24,33 @@ import graft.dedup.SeedScreen
   *     each task probes only the filters for the buckets it holds,
   *     through a JVM-local cache keyed by (path, mtime) — the screen
   *     scales with executors, the driver holds none of it;
+  *   - **delta bucket blooms** (`bloom-NNNNN.delta.bin`, written by
+  *     [[extend]]): cover registry rows in `(base_covered,
+  *     covered_batch]` — incremental screen maintenance without
+  *     touching the base. The r14 form extended by rewriting each
+  *     touched BASE bloom whole, so maintenance I/O was the screen's
+  *     own bytes (1.4 GB at 300M registry rows, ~28 GB at 3B); the
+  *     delta is sized to rows since the last full build, so per-window
+  *     I/O tracks NEW DATA on both axes (tail scan via batch_id
+  *     row-group stats + delta-sized bloom bytes). A delta that
+  *     outgrows its capacity rebuilds in place from one
+  *     `batch_id > base_covered` scan at a re-sized capacity
+  *     (geometric ⇒ amortized ∝ rows since base); full [[build]]s at
+  *     major-compaction cadence fold it back into the base;
   *   - **tail bloom** (driver-held, [[StreamingSelfDedup.bloomOver]]):
-  *     covers only registry rows appended AFTER the screen build
-  *     (`batch_id > covered_batch` — row-group stats on the compacted
-  *     files skip the bulk, so the restart rebuild also costs ∝ tail),
+  *     covers only registry rows appended AFTER `covered_batch`,
   *     extended per batch exactly like the whole-registry bloom was.
   *     Its capacity now only needs to hold inter-compaction growth,
   *     and outgrowing it is RECOVERABLE: the next screen rebuild folds
-  *     the tail into the bucket blooms and the stream revives the
+  *     the tail into the on-disk tiers and the stream revives the
   *     screen — a bounded perf dip, no longer a permanent cliff.
   *
   * No false negatives by construction: every registry hash is covered
-  * by exactly one tier (build-time rows by their bucket bloom, later
-  * appends by the tail), and a replayed batch's own `batch_id ==
-  * current` rows can only ADD false positives, which the pushed
-  * `h IN (…)` probe then filters with the exact join.
+  * by at least one tier (rows ≤ base_covered by their base bloom,
+  * (base_covered, covered_batch] by the delta, later appends by the
+  * tail), and a replayed batch's own `batch_id == current` rows can
+  * only ADD false positives, which the pushed `h IN (…)` probe then
+  * filters with the exact join.
   *
   * The `_screen` / `_screen_stage` names start with an underscore, so
   * Spark's file listing never surfaces them as data. Builds are
@@ -50,11 +62,13 @@ import graft.dedup.SeedScreen
 object BucketScreen {
 
   /** Screen manifest: bucket count (must equal the registry's), the
-    * max registry `batch_id` the bucket blooms cover (the tail starts
-    * after it), and the build geometry for diagnostics.
+    * max registry `batch_id` the ON-DISK screen covers (the driver
+    * tail starts after it), the batch id the BASE blooms cover (the
+    * per-bucket delta blooms cover `(baseCovered, coveredBatch]` —
+    * equal means no deltas), and the build geometry for diagnostics.
     */
   final case class Meta(buckets: Int, coveredBatch: Long, fpp: Double,
-                        capacityPerBucket: Long)
+                        capacityPerBucket: Long, baseCovered: Long)
 
   /** The SESSION's hadoop conf, shipped to executor closures via
     * hadoop's own Writable form: a bare `new Configuration()` on the
@@ -81,6 +95,7 @@ object BucketScreen {
   private def screenPath(registryDir: String) = new Path(registryDir, "_screen")
   private def stagePath(registryDir: String) = new Path(registryDir, "_screen_stage")
   private def bloomName(b: Int) = f"bloom-$b%05d.bin"
+  private def deltaName(b: Int) = f"bloom-$b%05d.delta.bin"
 
   /** Delete stranded `*.tmp-extend*` files in the live screen dir —
     * losing task attempts' blooms and the residue of a driver crash
@@ -108,9 +123,28 @@ object BucketScreen {
         finally in.close()
       val kv = txt.linesIterator.map(_.split("=", 2))
         .collect { case Array(k, v) => k -> v }.toMap
-      Some(Meta(kv("buckets").toInt, kv("covered_batch").toLong,
-        kv("fpp").toDouble, kv("capacity_per_bucket").toLong))
+      val covered = kv("covered_batch").toLong
+      Some(Meta(kv("buckets").toInt, covered,
+        kv("fpp").toDouble, kv("capacity_per_bucket").toLong,
+        // pre-delta screens (no base_covered line) have no delta tier:
+        // the base blooms cover everything up to covered_batch
+        kv.get("base_covered").map(_.toLong).getOrElse(covered)))
     }
+  }
+
+  private def writeMeta(fs: FileSystem, dir: Path, tmpSuffix: String,
+                        m: Meta): Unit = {
+    val tmp = new Path(dir, s".meta$tmpSuffix")
+    val out = fs.create(tmp, true)
+    try out.write(
+      (s"buckets=${m.buckets}\ncovered_batch=${m.coveredBatch}\n" +
+        s"fpp=${m.fpp}\ncapacity_per_bucket=${m.capacityPerBucket}\n" +
+        s"base_covered=${m.baseCovered}\n").getBytes("UTF-8"))
+    finally out.close()
+    val dst = new Path(dir, "meta")
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"bucket-screen meta swap failed at $dir")
   }
 
   /** Build the per-bucket blooms over the registry table's CURRENT
@@ -181,7 +215,8 @@ object BucketScreen {
     val out = fs.create(meta, true)
     try out.write(
       (s"buckets=$buckets\ncovered_batch=$covered\nfpp=$fpp\n" +
-        s"capacity_per_bucket=$capacity\n").getBytes("UTF-8"))
+        s"capacity_per_bucket=$capacity\nbase_covered=$covered\n")
+        .getBytes("UTF-8"))
     finally out.close()
     // swap: a crash between delete and rename leaves NO screen — the
     // stream degrades to the whole-registry driver bloom, perf only
@@ -193,45 +228,26 @@ object BucketScreen {
     Some(covered)
   }
 
-  /** Fold ONLY the registry rows appended after the screen's covered
-    * batch into the EXISTING bucket blooms — the incremental form of
-    * [[build]], making screen maintenance cost track new data like
-    * size-tiered compaction does: the registry scan is `batch_id >
-    * covered_batch` (row-group stats on the compacted files skip the
-    * bulk), and per-bucket bloom I/O is the screen's own bytes (~3.6
-    * per gram at 1e-6), not the data's. Tasks write each extended
-    * bloom to a `.tmp-extend` sibling; the driver swaps them in ONLY
-    * after every bucket validated under [[StreamingSelfDedup
-    * .ScreenUsableFpp]], then advances the meta (temp-then-rename)
-    * LAST. Crash anywhere: extended blooms can only ADD positives and
-    * the un-advanced meta keeps the driver tail covering everything
-    * after the OLD covered batch — a superset screen, never a false
-    * negative. Returns the new covered batch id; None when there is
-    * no compatible screen or any bucket's filter would saturate at
-    * its build-time capacity (tmps discarded — the caller falls back
-    * to a full [[build]], which re-sizes capacity from the table).
+  /** Per-bucket bloom write of `rows`' key hashes into attempt-unique
+    * `.tmp-extend-<attempt>` DELTA files. `readExisting` seeds each
+    * bucket from its live delta (the incremental put); otherwise
+    * buckets start fresh at `freshCapacity` (the rebuild / first-delta
+    * path). Attempt-unique names: a speculative or retried attempt
+    * writing one fixed tmp path could interleave with another
+    * attempt's stream and the driver would install a
+    * corrupt-but-parseable bloom (silent false negatives) — each
+    * attempt writes its own file, exactly one attempt per partition
+    * wins the collect, and only the winners' files are renamed
+    * (losers are reaped by [[sweepExtendTmps]]). Returns (bucket,
+    * expectedFpp, tmpName) per touched bucket.
     */
-  def extend(spark: SparkSession, table: String, registryDir: String,
-             buckets: Int, keyCol: String = "h"): Option[Long] = {
-    val root = new Path(registryDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val meta = readMeta(fs, registryDir).filter(_.buckets == buckets)
-      .getOrElse(return None)
-    // a driver crash between the task collect and the swap (or losing
-    // task attempts — see the attempt-unique names below) strands
-    // `.tmp-extend-*` files in the live screen dir; nothing later ever
-    // reads them, so reap them here before writing fresh ones
-    sweepExtendTmps(fs, registryDir)
-    spark.catalog.refreshTable(table)
-    val tail = spark.table(table).where(col("batch_id") > meta.coveredBatch)
-    val agg = tail.agg(count(lit(1)).as("n"), max(col("batch_id")).as("m"))
-      .collect()(0)
-    if (agg.getLong(0) == 0L) return Some(meta.coveredBatch)
-    val newCovered = agg.getLong(1)
+  private def writeDeltaTmps(spark: SparkSession, rows: DataFrame,
+                             dir: String, buckets: Int, keyCol: String,
+                             fpp: Double, freshCapacity: Long,
+                             readExisting: Boolean): Array[(Int, Double, String)] = {
     val hconf = confBytes(spark.sessionState.newHadoopConf())
-    val dir = screenPath(registryDir).toString
     import spark.implicits._
-    val extended = tail.select(col(keyCol).as("h"))
+    rows.select(col(keyCol).as("h"))
       .withColumn("b", pmod(hash(col("h")), lit(buckets)))
       .repartition(buckets, col("b"))
       .mapPartitions { it =>
@@ -240,57 +256,131 @@ object BucketScreen {
         it.foreach { r =>
           val b = r.getInt(1)
           val bf = blooms.getOrElseUpdate(b, {
-            val p = new Path(dir, bloomName(b))
-            val in = p.getFileSystem(conf).open(p)
-            try BloomFilter.readFrom(in) finally in.close()
+            val p = new Path(dir, deltaName(b))
+            val fsx = p.getFileSystem(conf)
+            if (readExisting && fsx.exists(p)) {
+              val in = fsx.open(p)
+              try BloomFilter.readFrom(in) finally in.close()
+            } else BloomFilter.create(freshCapacity, fpp)
           })
           bf.putLong(r.getLong(0))
         }
-        // attempt-unique tmp names: a speculative or retried attempt
-        // writing the SAME fixed tmp path could interleave with another
-        // attempt's stream, and the driver would then install a
-        // corrupt-but-parseable bloom (silent false negatives). Each
-        // attempt writes its own file; exactly one attempt per
-        // partition wins the collect, and the driver renames only the
-        // winner's files (losers are reaped by sweepExtendTmps).
         val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
         blooms.iterator.map { case (b, bf) =>
-          val name = s".${bloomName(b)}.tmp-extend-$attempt"
+          val name = s".${deltaName(b)}.tmp-extend-$attempt"
           val p = new Path(dir, name)
           val out = p.getFileSystem(conf).create(p, true)
           try bf.writeTo(out) finally out.close()
           (b, bf.expectedFpp(), name)
         }
       }.collect()
-    if (extended.exists(_._2 > StreamingSelfDedup.ScreenUsableFpp)) {
-      Console.err.println(s"[graft] bucket-screen extend aborted: " +
-        s"${extended.count(_._2 > StreamingSelfDedup.ScreenUsableFpp)} " +
-        s"bucket filters would saturate at their build-time capacity=" +
-        s"${meta.capacityPerBucket} - falling back to a full rebuild")
-      sweepExtendTmps(fs, registryDir)
-      return None
+  }
+
+  /** Fold ONLY the registry rows appended after the screen's covered
+    * batch into per-bucket DELTA blooms beside the base blooms — the
+    * incremental form of [[build]], with maintenance I/O ∝ NEW DATA on
+    * both axes: the registry scan is `batch_id > covered_batch`
+    * (row-group stats on the compacted files skip the bulk), and the
+    * bloom bytes read + written are the DELTA's (sized to rows since
+    * the last full build), never the base screen's. The r14 form
+    * rewrote each touched base bloom whole — at 300M registry rows
+    * that is 1.4 GB of bloom I/O per maintenance window, at 3B rows
+    * ~28 GB; deltas cut that to the tail's own bytes. A delta that
+    * outgrows its capacity is REBUILT in place from one scan of
+    * `batch_id > base_covered` at a capacity re-sized from the actual
+    * row count (geometric growth ⇒ amortized ∝ rows since base);
+    * folding the delta back into the base is [[build]], which
+    * maintenance runs at major-compaction cadence. Coverage invariant
+    * (no false negatives): base covers `≤ base_covered`, the delta
+    * covers `(base_covered, covered_batch]`, the driver tail covers
+    * everything after — the meta advances (temp-then-rename) LAST, so
+    * a crash anywhere leaves a superset screen. Returns the new
+    * covered batch id; None when no compatible screen exists or even
+    * the re-sized delta saturates (the caller falls back to a full
+    * [[build]]).
+    */
+  def extend(spark: SparkSession, table: String, registryDir: String,
+             buckets: Int, keyCol: String = "h"): Option[Long] = {
+    val root = new Path(registryDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = readMeta(fs, registryDir).filter(_.buckets == buckets)
+      .getOrElse(return None)
+    // a driver crash between the task collect and the swap (or losing
+    // task attempts) strands `.tmp-extend-*` files in the live screen
+    // dir; nothing later ever reads them — reap before writing fresh
+    sweepExtendTmps(fs, registryDir)
+    spark.catalog.refreshTable(table)
+    val tail = spark.table(table).where(col("batch_id") > meta.coveredBatch)
+    val agg = tail.agg(count(lit(1)).as("n"), max(col("batch_id")).as("m"))
+      .collect()(0)
+    if (agg.getLong(0) == 0L) return Some(meta.coveredBatch)
+    val newCovered = agg.getLong(1)
+    val dir = screenPath(registryDir).toString
+    val haveDelta = meta.coveredBatch > meta.baseCovered
+    // fresh deltas (first extend after a build) sized from THIS tail
+    // with 3x headroom so the next few windows extend in place before
+    // the first re-size
+    val freshCap = math.max(agg.getLong(0) / buckets * 3L + 64L, 4096L)
+    val incremental = writeDeltaTmps(spark, tail, dir, buckets, keyCol,
+      meta.fpp, freshCap, readExisting = haveDelta)
+    val written =
+      if (incremental.forall(_._2 <= StreamingSelfDedup.ScreenUsableFpp))
+        Some(incremental)
+      else {
+        // the delta outgrew its capacity: rebuild the DELTA TIER from
+        // one scan of everything after the base (old delta rows + this
+        // tail), re-sized from the actual count — cost ∝ rows since
+        // the last full build, not the registry
+        sweepExtendTmps(fs, registryDir)
+        val deltaRows = spark.table(table)
+          .where(col("batch_id") > meta.baseCovered)
+        val dn = deltaRows.agg(count(lit(1))).collect()(0).getLong(0)
+        val cap = math.max(dn / buckets * 13L / 10L + 64L, 4096L)
+        Console.err.println(s"[graft] bucket-screen delta re-sized to " +
+          s"capacity=$cap from $dn delta-tier rows")
+        val rebuilt = writeDeltaTmps(spark, deltaRows, dir, buckets,
+          keyCol, meta.fpp, cap, readExisting = false)
+        if (rebuilt.forall(_._2 <= StreamingSelfDedup.ScreenUsableFpp))
+          Some(rebuilt)
+        else None
+      }
+    written match {
+      case None =>
+        Console.err.println("[graft] bucket-screen extend aborted: a " +
+          "re-sized delta still saturates (pathological bucket skew) - " +
+          "falling back to a full rebuild")
+        sweepExtendTmps(fs, registryDir)
+        None
+      case Some(tmps) =>
+        // swap per file (delete + rename; maintenance-window contract —
+        // same visibility window the full build's dir swap has)
+        tmps.foreach { case (b, _, tmpName) =>
+          val dst = new Path(dir, deltaName(b))
+          fs.delete(dst, false)
+          if (!fs.rename(new Path(dir, tmpName), dst))
+            throw new java.io.IOException(
+              s"bucket-screen delta swap failed for bucket $b")
+        }
+        sweepExtendTmps(fs, registryDir) // losing attempts' files
+        // every bucket must carry a delta file once the meta says the
+        // delta tier exists — the probe loads them unconditionally and
+        // a missing file must keep meaning "screen swept away", not
+        // "bucket had no tail rows"
+        (0 until buckets).foreach { b =>
+          val p = new Path(dir, deltaName(b))
+          if (!fs.exists(p)) {
+            val out = fs.create(p, true)
+            try BloomFilter.create(64, meta.fpp).writeTo(out)
+            finally out.close()
+          }
+        }
+        // meta LAST: crash before this line leaves the old covered
+        // batch, so the driver tail still covers the rows the new
+        // delta bits also cover — a superset, never a false negative
+        writeMeta(fs, new Path(dir), ".tmp-extend",
+          meta.copy(coveredBatch = newCovered))
+        Some(newCovered)
     }
-    // swap per file (delete + rename; maintenance-window contract —
-    // same visibility window the full build's dir swap has), meta last
-    extended.foreach { case (b, _, tmpName) =>
-      val dst = new Path(dir, bloomName(b))
-      fs.delete(dst, false)
-      if (!fs.rename(new Path(dir, tmpName), dst))
-        throw new java.io.IOException(
-          s"bucket-screen extend swap failed for bucket $b")
-    }
-    sweepExtendTmps(fs, registryDir) // losing attempts' files
-    val metaTmp = new Path(dir, ".meta.tmp-extend")
-    val out = fs.create(metaTmp, true)
-    try out.write(
-      (s"buckets=$buckets\ncovered_batch=$newCovered\nfpp=${meta.fpp}\n" +
-        s"capacity_per_bucket=${meta.capacityPerBucket}\n").getBytes("UTF-8"))
-    finally out.close()
-    val metaDst = new Path(dir, "meta")
-    fs.delete(metaDst, false)
-    if (!fs.rename(metaTmp, metaDst))
-      throw new java.io.IOException("bucket-screen extend meta swap failed")
-    Some(newCovered)
   }
 
   /** [[extend]] when a compatible screen exists (cost ∝ tail),
@@ -312,9 +402,9 @@ object BucketScreen {
   private val bloomCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), BloomFilter]()
 
-  private def cachedBloom(screenDir: String, b: Int,
+  private def cachedBloom(screenDir: String, name: String,
                           conf: org.apache.hadoop.conf.Configuration): BloomFilter = {
-    val p = new Path(screenDir, bloomName(b))
+    val p = new Path(screenDir, name)
     val fs = p.getFileSystem(conf)
     val mtime = fs.getFileStatus(p).getModificationTime
     if (bloomCache.size > 1024) bloomCache.clear()
@@ -327,15 +417,24 @@ object BucketScreen {
   /** The two-tier [[SeedScreen]]: seed hashes shuffle to their buckets
     * and probe the executor-cached bucket blooms (positives collected
     * to the driver — bounded by hits + fpp × batch), unioned with the
-    * driver-held TAIL probe over `tailMightContain`. `registryDir` is
-    * re-resolved per probe, so a screen rebuilt by maintenance between
-    * batches is picked up without restarting the stream.
+    * driver-held TAIL probe over `tailMightContain`. `probeDeltas` is
+    * fixed at screen-(re)build time from the meta (`covered_batch >
+    * base_covered`): a delta tier created by LATER maintenance is
+    * still covered by this stream's live driver tail (which keeps
+    * covering everything after the covered batch it was built
+    * against), so skipping it can only cost false positives never
+    * false negatives — and the probe never trusts a per-probe meta
+    * read whose delete→rename window could transiently vanish.
     */
-  def probe(registryDir: String, buckets: Int,
+  def probe(registryDir: String, buckets: Int, probeDeltas: Boolean,
             tailMightContain: Long => Boolean): SeedScreen = new SeedScreen {
     def positives(seedHashes: DataFrame): Array[Long] = {
       val spark = seedHashes.sparkSession
       val dir = screenPath(registryDir).toString
+      // local copy: referencing the method param from inside the task
+      // lambda would capture it through this (non-serializable)
+      // anonymous SeedScreen instance
+      val withDeltas = probeDeltas
       import spark.implicits._
       // session hadoop conf to the probe tasks (see confBytes)
       val hconf = confBytes(spark.sessionState.newHadoopConf())
@@ -344,13 +443,20 @@ object BucketScreen {
         .repartition(buckets, col("b"))
         .mapPartitions { it =>
           val conf = confFrom(hconf)
-          val loaded = scala.collection.mutable.HashMap.empty[Int, BloomFilter]
+          val loaded = scala.collection.mutable
+            .HashMap.empty[Int, (BloomFilter, BloomFilter)]
           val emitted = scala.collection.mutable.HashSet.empty[Long]
           it.flatMap { r =>
             val h = r.getLong(0)
-            val bf = loaded.getOrElseUpdate(r.getInt(1),
-              cachedBloom(dir, r.getInt(1), conf))
-            if (bf.mightContainLong(h) && emitted.add(h)) Iterator.single(h)
+            val (base, delta) = loaded.getOrElseUpdate(r.getInt(1), {
+              val b = r.getInt(1)
+              (cachedBloom(dir, bloomName(b), conf),
+                if (withDeltas) cachedBloom(dir, deltaName(b), conf)
+                else null)
+            })
+            val hit = base.mightContainLong(h) ||
+              (delta != null && delta.mightContainLong(h))
+            if (hit && emitted.add(h)) Iterator.single(h)
             else Iterator.empty
           }
         }.collect()

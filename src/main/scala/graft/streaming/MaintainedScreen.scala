@@ -37,6 +37,11 @@ private[streaming] final class MaintainedScreen(
 
   private var bloom: BloomFilter = null
   private var bucketCovered: Option[Long] = None
+  // whether the on-disk screen had a delta tier when this driver tail
+  // was built (meta covered_batch > base_covered) — fixed here, not
+  // re-read per probe: a delta created by LATER maintenance is still
+  // covered by this tail, so staleness costs false positives only
+  private var bucketDeltas = false
   private var dead = capacity <= 0
 
   /** (Re)build or revive the screen for this batch if needed.
@@ -65,6 +70,7 @@ private[streaming] final class MaintainedScreen(
             tailHashes(m.coveredBatch), capacity, fpp) match {
           case Some(b) =>
             bloom = b; bucketCovered = Some(m.coveredBatch)
+            bucketDeltas = m.coveredBatch > m.baseCovered
             if (wantRevive) MaintainedScreen.event(
               s"$label screen revived at batch $batchId under " +
                 s"bucket screen covered=${m.coveredBatch}")
@@ -100,7 +106,8 @@ private[streaming] final class MaintainedScreen(
       val bf = bloom
       bucketCovered match {
         case Some(_) => Some(BucketScreen.probe(
-          registryDir, registryBuckets, h => bf.mightContainLong(h)))
+          registryDir, registryBuckets, bucketDeltas,
+          h => bf.mightContainLong(h)))
         case None => Some(SeedScreen.fromDriverProbe(
           h => bf.mightContainLong(h)))
       }

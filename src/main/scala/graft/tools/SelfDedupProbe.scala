@@ -105,7 +105,7 @@ object SelfDedupProbe {
       // measures the SAME skip property with NO driver-held filter
       graft.streaming.BucketScreen.build(spark, tbl, dir, buckets)
       val bucketScreen = Some(graft.streaming.BucketScreen.probe(
-        dir, buckets, _ => false))
+        dir, buckets, probeDeltas = false, _ => false))
       // dirty batch: 200 docs whose first 8 tokens ARE registry grams
       val dirty = spark.range(200).select(col("id").as("doc_id"),
         concat_ws(" ", regGram +: (8 until 200).map(k =>

@@ -46,7 +46,8 @@ class BucketScreenSpec extends AnyFunSuite with SparkSpec {
     val hits = regGrams.take(10).map(hashOf)
     val fresh = (0 until 200).map(i => hashOf(s"fresh gram $i"))
     val seeds = (hits ++ fresh ++ hits).toDF("h") // dupes must collapse
-    val screen = BucketScreen.probe(dir, 4, tailMightContain = _ => false)
+    val screen = BucketScreen.probe(dir, 4, probeDeltas = false,
+      tailMightContain = _ => false)
     val pos = screen.positives(seeds)
     assert(pos.sorted.sameElements(pos), "positives must come back sorted")
     assert(hits.toSet.subsetOf(pos.toSet),
@@ -57,7 +58,8 @@ class BucketScreenSpec extends AnyFunSuite with SparkSpec {
     // the tail tier unions in (driver-side): mark one fresh hash as a
     // post-build append
     val tailHash = fresh.head
-    val pos2 = BucketScreen.probe(dir, 4, h => h == tailHash).positives(seeds)
+    val pos2 = BucketScreen.probe(dir, 4, probeDeltas = false,
+      h => h == tailHash).positives(seeds)
     assert(pos2.toSet == hits.toSet + tailHash, "tail tier must union in")
   }
 
@@ -74,7 +76,7 @@ class BucketScreenSpec extends AnyFunSuite with SparkSpec {
       .bucketBy(buckets, "h").sortBy("h").saveAsTable(tbl)
   }
 
-  test("extend folds only the tail into the existing blooms; covered advances, no false negatives") {
+  test("extend folds only the tail into per-bucket DELTAS; covered advances, no false negatives") {
     import spark.implicits._
     val dir = tmp("bs-extend") + "/reg"
     val base = (0 until 400).map(i => s"base gram $i")
@@ -83,6 +85,10 @@ class BucketScreenSpec extends AnyFunSuite with SparkSpec {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cap0 = BucketScreen.readMeta(fs, dir).get.capacityPerBucket
+    val baseMtimes = (0 until 4).map { b =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(
+        dir, f"_screen/bloom-$b%05d.bin")).getModificationTime
+    }
     val tail1 = (0 until 80).map(i => s"tail one gram $i")
     val tail2 = (0 until 80).map(i => s"tail two gram $i")
     appendRegistry(tail1, dir, 4, batchId = 1L)
@@ -90,13 +96,25 @@ class BucketScreenSpec extends AnyFunSuite with SparkSpec {
     assert(BucketScreen.extendOrBuild(spark, tbl, dir, buckets = 4)
       .contains(2L))
     val meta = BucketScreen.readMeta(fs, dir).get
-    assert(meta.coveredBatch == 2L && meta.capacityPerBucket == cap0,
-      s"extend must advance covered and keep build-time capacity: $meta")
-    // old AND tail hits all screen positive with an EMPTY driver tail
-    // (proves they sit in the bucket blooms), fresh hashes do not
+    assert(meta.coveredBatch == 2L && meta.baseCovered == 0L &&
+      meta.capacityPerBucket == cap0,
+      s"extend must advance covered, keep base_covered and capacity: $meta")
+    // the BASE blooms were never rewritten (extension I/O is the
+    // delta's bytes, not the screen's) and every bucket has a delta
+    (0 until 4).foreach { b =>
+      val basePath = new org.apache.hadoop.fs.Path(
+        dir, f"_screen/bloom-$b%05d.bin")
+      assert(fs.getFileStatus(basePath).getModificationTime == baseMtimes(b),
+        s"base bloom $b must not be rewritten by extend")
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        dir, f"_screen/bloom-$b%05d.delta.bin")),
+        s"bucket $b must carry a delta file")
+    }
+    // old hits (base blooms) AND tail hits (deltas) all screen positive
+    // with an EMPTY driver tail, fresh hashes do not
     val hits = (base.take(5) ++ tail1.take(5) ++ tail2.take(5)).map(hashOf)
     val fresh = (0 until 200).map(i => hashOf(s"never registered $i"))
-    val pos = BucketScreen.probe(dir, 4, _ => false)
+    val pos = BucketScreen.probe(dir, 4, probeDeltas = true, _ => false)
       .positives((hits ++ fresh).toDF("h"))
     assert(pos.toSet == hits.toSet,
       s"extended screen must hit old+tail and nothing else: ${pos.length}")
@@ -104,7 +122,7 @@ class BucketScreenSpec extends AnyFunSuite with SparkSpec {
     assert(BucketScreen.extend(spark, tbl, dir, buckets = 4).contains(2L))
   }
 
-  test("a tail that saturates the build-time capacity falls back to a full re-sized build") {
+  test("a tail that saturates the delta is rebuilt re-sized from the delta-tier rows") {
     import spark.implicits._
     val dir = tmp("bs-saturate") + "/reg"
     val tbl = mkRegistry((0 until 100).map(i => s"small base $i"), dir, 4)
@@ -112,27 +130,39 @@ class BucketScreenSpec extends AnyFunSuite with SparkSpec {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cap0 = BucketScreen.readMeta(fs, dir).get.capacityPerBucket
-    // ~10k rows/bucket >> the ~1k build-time floor: extend must refuse
-    // (a silently saturated bloom still has no false negatives but
-    // over-fires forever) and extendOrBuild re-sizes via full build
+    // first extend: small tail => fresh deltas at the 4096 floor
+    appendRegistry((0 until 80).map(i => s"small tail $i"), dir, 4, 1L)
+    assert(BucketScreen.extend(spark, tbl, dir, buckets = 4).contains(1L))
+    val deltaLen0 = fs.getFileStatus(new org.apache.hadoop.fs.Path(
+      dir, "_screen/bloom-00000.delta.bin")).getLen
+    // second extend: ~10k rows/bucket >> the floor-capacity delta —
+    // the incremental put saturates and the delta tier is REBUILT in
+    // place from one batch_id > base_covered scan at a re-sized
+    // capacity; the extend still SUCCEEDS and the base is untouched
     val big = (0 until 40000).map(i => s"saturating tail gram $i")
-    appendRegistry(big, dir, 4, batchId = 1L)
-    assert(BucketScreen.extend(spark, tbl, dir, buckets = 4).isEmpty,
-      "a saturating tail must abort the incremental extend")
-    assert(BucketScreen.extendOrBuild(spark, tbl, dir, buckets = 4)
-      .contains(1L))
+    appendRegistry(big, dir, 4, batchId = 2L)
+    assert(BucketScreen.extend(spark, tbl, dir, buckets = 4).contains(2L),
+      "a saturating delta must re-size in place, not abort")
     val meta = BucketScreen.readMeta(fs, dir).get
-    assert(meta.capacityPerBucket > cap0,
-      s"fallback build must re-size capacity: $cap0 -> $meta")
+    assert(meta.capacityPerBucket == cap0 && meta.baseCovered == 0L &&
+      meta.coveredBatch == 2L, s"base untouched, covered advanced: $meta")
+    val deltaLen1 = fs.getFileStatus(new org.apache.hadoop.fs.Path(
+      dir, "_screen/bloom-00000.delta.bin")).getLen
+    assert(deltaLen1 > deltaLen0,
+      s"re-sized delta must be larger: $deltaLen0 -> $deltaLen1")
     // no stranded extend tmps
     val leftovers = fs.listStatus(
       new org.apache.hadoop.fs.Path(dir, "_screen"))
-      .map(_.getPath.getName).filter(_.endsWith(".tmp-extend"))
+      .map(_.getPath.getName).filter(_.contains(".tmp-extend"))
     assert(leftovers.isEmpty, leftovers.mkString(","))
+    // old delta rows AND the saturating tail all hit; absents do not
     val hit = hashOf("saturating tail gram 7")
-    val pos = BucketScreen.probe(dir, 4, _ => false)
-      .positives(Seq(hit, hashOf("absent gram x")).toDF("h"))
-    assert(pos.sameElements(Array(hit)))
+    val hitOld = hashOf("small tail 3")
+    val pos = BucketScreen.probe(dir, 4, probeDeltas = true, _ => false)
+      .positives(Seq(hit, hitOld, hashOf("absent gram x")).toDF("h"))
+    assert(pos.toSet == Set(hit, hitOld), pos.mkString(","))
+    // a mismatched bucket count still refuses (the full-build fallback)
+    assert(BucketScreen.extend(spark, tbl, dir, buckets = 8).isEmpty)
   }
 
   test("a swept-away bloom file fails loudly instead of returning false negatives") {
@@ -154,7 +184,7 @@ class BucketScreenSpec extends AnyFunSuite with SparkSpec {
       .select(col("h"), pmod(hash(col("h")), lit(4)).as("b"))
       .collect().filter(_.getInt(1) == 0).map(_.getLong(0)).head
     intercept[org.apache.spark.SparkException] {
-      BucketScreen.probe(dir, 4, _ => false)
+      BucketScreen.probe(dir, 4, probeDeltas = false, _ => false)
         .positives(Seq(probeHash).toDF("h"))
     }
   }
