@@ -243,6 +243,13 @@ object StreamingSelfDedup {
     // catalog entry, the fresh-session simulation), instead of paying
     // 3-4 metadata RPCs per micro-batch forever
     var registryValidated = false
+    // the gram length IS part of the on-disk contract, exactly like a
+    // band route's geometry: a resume with a different minTokens emits
+    // grams that never match the registered ones, silently re-emitting
+    // every previously-clipped span — validate-or-stamp like _BUCKETS
+    val geometry = Map("kind" -> "substring-clip",
+      "min_tokens" -> minTokens.toString)
+    var geomOk = false
     val query = writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val s = batch.sparkSession
       // a DIRTY batch pushes its screen-positive hash set into the
@@ -252,6 +259,11 @@ object StreamingSelfDedup {
       MaintainedScreen.raiseInPushdown(s)
       val regPath = new org.apache.hadoop.fs.Path(registryDir)
       val fs = regPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      // gram-length contract BEFORE the first probe (see `geometry`)
+      if (!geomOk && fs.exists(regPath)) {
+        BucketedRegistry.requireGeometry(fs, registryDir, geometry)
+        geomOk = true
+      }
       // batch-id fencing makes the REPLAY correct, not just tolerated:
       // a crash after the registry append but before the offset commit
       // re-runs this batch with its own grams already in the registry
@@ -314,6 +326,10 @@ object StreamingSelfDedup {
           // location, ignoring the path option).
           BucketedRegistry.writeBucketsMarkerIfAbsent(
             fs, registryDir, registryBuckets)
+          if (!geomOk) { // stamp the fresh registry's gram length
+            BucketedRegistry.requireGeometry(fs, registryDir, geometry)
+            geomOk = true
+          }
           if (!registryValidated || !s.catalog.tableExists(tbl)) {
             requireRegistryTable(s, registryDir, registryBuckets)
             registryValidated = true
@@ -335,8 +351,13 @@ object StreamingSelfDedup {
             .option("path", registryDir)
             .bucketBy(registryBuckets, "h").sortBy("h")
             .saveAsTable(tbl)
-        } else
+        } else {
           out.write.mode("append").parquet(registryDir)
+          if (!geomOk) { // plain-dir registries carry the contract too
+            BucketedRegistry.requireGeometry(fs, registryDir, geometry)
+            geomOk = true
+          }
+        }
         // extend, don't rebuild: stream the pinned new grams' hashes
         // to the driver (8 bytes each — a distributed build's partial
         // aggregates each weigh the FULL filter); an extension that

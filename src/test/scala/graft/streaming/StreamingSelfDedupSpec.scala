@@ -159,6 +159,44 @@ class StreamingSelfDedupSpec extends AnyFunSuite with SparkSpec {
       s"post-'restart' batch must still clip batch-0 grams: ${got.asScala.toSeq}")
   }
 
+  test("gram-length marker: resume with a different minTokens fails loudly") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = tmp("sd-geom")
+    val reg = base + "/reg"
+    val ckpt = base + "/ckpt"
+    val ms = MemoryStream[(Long, String)]
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    def start(minTokens: Int) = StreamingSelfDedup.clipStream(
+      ms.toDS().toDF("doc_id", "text"), col("doc_id"), col("text"),
+      minTokens, reg, Some(ckpt), registryBuckets = 4) { df =>
+      df.collect().foreach(r => got.add((r.getLong(0), r.getString(1))))
+    }
+    val q1 = start(2)
+    try { ms.addData(Seq((1L, "k1 k2 tail"))); q1.processAllAvailable() }
+    finally q1.stop()
+    // a different gram length emits grams that never match the
+    // registered ones — without the marker this resume would silently
+    // re-emit every previously-clipped span
+    val q2 = start(3)
+    val e = intercept[Exception] {
+      try { ms.addData(Seq((2L, "k1 k2 again"))); q2.processAllAvailable() }
+      finally q2.stop()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("geometry"), msgs)
+    // the matching gram length still resumes (replaying doc 2) and
+    // clips batch-0 grams
+    val q3 = start(2)
+    try { ms.addData(Seq((3L, "k1 k2 fin"))); q3.processAllAvailable() }
+    finally q3.stop()
+    import scala.jdk.CollectionConverters._
+    val out = got.asScala.toSeq.filter(_._1 == 3L)
+    assert(out == Seq((3L, "fin")),
+      s"matching gram length must clip batch-0 grams: ${got.asScala.toSeq}")
+  }
+
   test("gram registry rebucket 4->8 between runs: prior grams still clip, stale count refuses") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
