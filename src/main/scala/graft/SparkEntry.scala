@@ -2547,13 +2547,14 @@ object SparkEntry {
               ms.addData(chunk)
               q.processAllAvailable()
               // between batches (single-maintenance-writer contract):
-              // fold the one-file-per-bucket-per-batch append residue
-              // back to <=1 file/bucket — the long-stream maintenance
-              // a week-long ingest runs, in-gate so the oracle proves
-              // compaction cannot change a later batch's clip
+              // the ZERO-DIAL policy window (r16) — compaction floor/
+              // fanout and the screen decision all derive from on-disk
+              // stats, the long-stream maintenance a week-long ingest
+              // runs, in-gate so the oracle proves maintenance cannot
+              // change a later batch's clip
               if (i == 1)
-                graft.streaming.StreamingSelfDedup.compactRegistry(
-                  s, s"$tmp/registry", registryBuckets = 8)
+                graft.streaming.StreamingSelfDedup.maintainRegistry(
+                  s, s"$tmp/registry")
           }
         } finally q.stop()
         out.toSeq.toDF("doc_id", "clean_text", "n_removed")
@@ -2602,15 +2603,14 @@ object SparkEntry {
         try {
           chunks.take(2).foreach { c => ms.addData(c); q1.processAllAvailable() }
         } finally q1.stop()
-        // the maintenance window a fresh process restarts into (r14):
+        // the maintenance window a fresh process restarts into (r14;
+        // ZERO-DIAL since r16 — floor/fanout/screen all policy-derived):
         // size-tiered registry compaction + a per-bucket screen build,
         // so q2's first batch takes the TWO-TIER screen path (executor
         // bucket blooms + driver tail over post-build appends) under
         // the same full-corpus oracle — a screen false negative
         // under-clips and breaks the hash
-        graft.streaming.StreamingSelfDedup.compactRegistry(
-          s, reg, registryBuckets = 8, minFileBytes = 1L << 20,
-          rebuildScreen = true)
+        graft.streaming.StreamingSelfDedup.maintainRegistry(s, reg)
         // IF EXISTS: if q1 never completed a bucketed append (tiny or
         // failing corpus) the gate must surface THAT failure via the
         // oracle hash, not die on the fresh-process simulation's DROP
@@ -2671,10 +2671,9 @@ object SparkEntry {
             case (chunk, i) =>
               ms.addData(chunk)
               q.processAllAvailable()
-              if (i == 1)
-                graft.streaming.StreamingNearDup.compact(
-                  s, s"$tmp/registry", 8, minFileBytes = 1L << 20,
-                  rebuildScreen = true)
+              if (i == 1) // r16: zero-dial policy-derived maintenance
+                graft.streaming.StreamingNearDup.maintain(
+                  s, s"$tmp/registry")
           }
         } finally q.stop()
         out.toSeq.toDF("id", "dup_of", "jaccard").orderBy("id")
@@ -2745,10 +2744,9 @@ object SparkEntry {
             case (chunk, i) =>
               ms.addData(chunk)
               q.processAllAvailable()
-              if (i == 1)
-                graft.streaming.StreamingEmbDedup.compact(
-                  s, s"$tmp/registry", 8, minFileBytes = 1L << 20,
-                  rebuildScreen = true)
+              if (i == 1) // r16: zero-dial policy-derived maintenance
+                graft.streaming.StreamingEmbDedup.maintain(
+                  s, s"$tmp/registry")
           }
         } finally q.stop()
         out.toSeq.toDF("id", "dup_of", "cosine").orderBy("id")
@@ -2814,10 +2812,10 @@ object SparkEntry {
             case (chunk, i) =>
               ms.addData(chunk)
               q.processAllAvailable()
-              if (i == 1)
-                graft.streaming.StreamingNearDup.compact(
-                  s, s"$tmp/registry", 8, minFileBytes = 1L << 20,
-                  rebuildScreen = true, tierFanout = 4)
+              if (i == 1) // r16: zero-dial policy-derived maintenance
+                        // (multi-tier fanout now comes from the policy)
+                graft.streaming.StreamingNearDup.maintain(
+                  s, s"$tmp/registry")
           }
         } finally q.stop()
         // registry ∝ unique content: exactly one feature-store row per

@@ -169,6 +169,9 @@ object BucketScreen {
     val capacity = math.max(total / buckets * 13L / 10L + 64L, 1024L)
     val root = new Path(registryDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // cross-process single-maintenance-writer for the screen swap
+    val lease = MaintenanceLease.acquire(fs, registryDir)
+    try {
     val stage = stagePath(registryDir)
     fs.delete(stage, true)
     fs.mkdirs(stage)
@@ -219,13 +222,17 @@ object BucketScreen {
         .getBytes("UTF-8"))
     finally out.close()
     // swap: a crash between delete and rename leaves NO screen — the
-    // stream degrades to the whole-registry driver bloom, perf only
+    // stream degrades to the whole-registry driver bloom, perf only.
+    // Validate first: a lost lease means another writer owns the dir
+    // now — abandon the stage rather than swap over its work
+    MaintenanceLease.validate(fs, lease)
     fs.delete(screenPath(registryDir), true)
     if (!fs.rename(stage, screenPath(registryDir)))
       throw new java.io.IOException(
         s"bucket-screen swap failed: rename $stage -> " +
           s"${screenPath(registryDir)} returned false")
     Some(covered)
+    } finally MaintenanceLease.release(fs, lease)
   }
 
   /** Per-bucket bloom write of `rows`' key hashes into attempt-unique
@@ -305,6 +312,9 @@ object BucketScreen {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val meta = readMeta(fs, registryDir).filter(_.buckets == buckets)
       .getOrElse(return None)
+    // cross-process single-maintenance-writer for the delta swaps
+    val lease = MaintenanceLease.acquire(fs, registryDir)
+    try {
     // a driver crash between the task collect and the swap (or losing
     // task attempts) strands `.tmp-extend-*` files in the live screen
     // dir; nothing later ever reads them — reap before writing fresh
@@ -353,7 +363,9 @@ object BucketScreen {
         None
       case Some(tmps) =>
         // swap per file (delete + rename; maintenance-window contract —
-        // same visibility window the full build's dir swap has)
+        // same visibility window the full build's dir swap has). A
+        // lost lease aborts before the first swap — tmp litter only
+        MaintenanceLease.validate(fs, lease)
         tmps.foreach { case (b, _, tmpName) =>
           val dst = new Path(dir, deltaName(b))
           fs.delete(dst, false)
@@ -365,13 +377,20 @@ object BucketScreen {
         // every bucket must carry a delta file once the meta says the
         // delta tier exists — the probe loads them unconditionally and
         // a missing file must keep meaning "screen swept away", not
-        // "bucket had no tail rows"
+        // "bucket had no tail rows". Temp-then-rename like every other
+        // screen write: a crash mid-create at the LIVE path would leave
+        // a truncated-but-present delta that wedges every later probe/
+        // extend of the bucket until a full build replaces the screen
         (0 until buckets).foreach { b =>
           val p = new Path(dir, deltaName(b))
           if (!fs.exists(p)) {
-            val out = fs.create(p, true)
+            val tmp = new Path(dir, s".${deltaName(b)}.tmp-extend-ph")
+            val out = fs.create(tmp, true)
             try BloomFilter.create(64, meta.fpp).writeTo(out)
             finally out.close()
+            if (!fs.rename(tmp, p))
+              throw new java.io.IOException(
+                s"bucket-screen placeholder delta rename failed for bucket $b")
           }
         }
         // meta LAST: crash before this line leaves the old covered
@@ -381,6 +400,7 @@ object BucketScreen {
           meta.copy(coveredBatch = newCovered))
         Some(newCovered)
     }
+    } finally MaintenanceLease.release(fs, lease)
   }
 
   /** [[extend]] when a compatible screen exists (cost ∝ tail),
@@ -395,23 +415,54 @@ object BucketScreen {
 
   /** JVM-local (executor-side) cache of deserialized bucket blooms,
     * keyed by (file path, mtime) so a rebuilt screen is picked up on
-    * its first probe. Bounded crudely: a full clear past 1024 entries
-    * (dozens of concurrent registries × their buckets fit long before
-    * that; a clear only costs re-reads).
+    * its first probe. Access-ordered LRU bounded at [[BloomCacheMax]]
+    * entries: with many live registries per executor, evicting the
+    * least-recently-probed bloom keeps every ACTIVE registry's working
+    * set hot, where the previous clear-everything-past-the-bound form
+    * thrashed all probes' caches at once. Eviction only costs a
+    * re-read. Guarded by its own monitor (LinkedHashMap's access-order
+    * bookkeeping mutates on get, so even reads need exclusion); probe
+    * tasks hold it only for map ops, never across a filesystem read.
     */
-  private val bloomCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), BloomFilter]()
+  private[streaming] val BloomCacheMax = 1024
 
-  private def cachedBloom(screenDir: String, name: String,
+  private val bloomCache =
+    new java.util.LinkedHashMap[(String, Long), BloomFilter](
+      64, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), BloomFilter]): Boolean =
+        size() > BloomCacheMax
+    }
+
+  /** Current cache keys, LRU-first — a diagnostic seam for the
+    * eviction spec (and ops), not a hot-path API.
+    */
+  private[streaming] def bloomCacheKeys: Seq[(String, Long)] =
+    bloomCache.synchronized {
+      import scala.jdk.CollectionConverters._
+      bloomCache.keySet().asScala.toList
+    }
+
+  private[streaming] def bloomCacheClear(): Unit =
+    bloomCache.synchronized(bloomCache.clear())
+
+  private[streaming] def cachedBloom(screenDir: String, name: String,
                           conf: org.apache.hadoop.conf.Configuration): BloomFilter = {
     val p = new Path(screenDir, name)
     val fs = p.getFileSystem(conf)
     val mtime = fs.getFileStatus(p).getModificationTime
-    if (bloomCache.size > 1024) bloomCache.clear()
-    bloomCache.computeIfAbsent((p.toString, mtime), { _ =>
+    val key = (p.toString, mtime)
+    val hit = bloomCache.synchronized(bloomCache.get(key))
+    if (hit != null) hit
+    else {
+      // read OUTSIDE the monitor (a slow object-store read must not
+      // block every other bucket's probe); a racing double-read of the
+      // same bloom is benign — last put wins, both are identical bytes
       val in = fs.open(p)
-      try BloomFilter.readFrom(in) finally in.close()
-    })
+      val bf = try BloomFilter.readFrom(in) finally in.close()
+      bloomCache.synchronized(bloomCache.put(key, bf))
+      bf
+    }
   }
 
   /** The two-tier [[SeedScreen]]: seed hashes shuffle to their buckets

@@ -172,6 +172,10 @@ private[graft] object BucketedRegistry {
     requireNoActiveStream(dir)
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // cross-process single-maintenance-writer (the guard above is
+    // JVM-local only); explicit try/finally for the early returns
+    val lease = MaintenanceLease.acquire(fs, dir)
+    try {
     recoverRebucket(fs, dir)
     if (!fs.exists(root)) return // nothing registered yet — first
                                  // batch creates at the caller's count
@@ -180,8 +184,18 @@ private[graft] object BucketedRegistry {
         s"registry at $dir has no _BUCKETS marker; open it once (which " +
           "stamps the marker after the part-file cross-check) before " +
           "rebucketing"))
-    if (current == newBuckets) return
     val tbl = tableName(prefix, dir)
+    if (current == newBuckets) {
+      // a crash between a prior rebucket's roll-forward and its DROPs
+      // leaves the OLD bucket spec in a persistent catalog; the re-run
+      // lands here (marker already restamped) — repair the catalog too,
+      // or requireTable's location-only check would accept an N-bucket
+      // layout through a stale-count table spec. Dropping a valid spec
+      // on a no-op rebucket is harmless: the next open re-registers it.
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_rebucket_stage")
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      return
+    }
     val old = fs.listStatus(root).toSeq
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
       .map(_.getPath.getName)
@@ -213,12 +227,45 @@ private[graft] object BucketedRegistry {
     try out.write((Seq(s"B $newBuckets") ++ staged.map("A " + _) ++
       old.map("D " + _)).mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    // commit point: abort BEFORE the manifest rename if the lease was
+    // lost (staged files are unreferenced litter until the manifest)
+    MaintenanceLease.validate(fs, lease)
     if (!fs.rename(mTmp, rebucketManifest(dir)))
       throw new java.io.IOException(
         s"rebucket manifest rename failed at $dir")
     spark.sql(s"DROP TABLE IF EXISTS $stageTable")
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     recoverRebucket(fs, dir) // the roll-forward IS the commit path
+    } finally MaintenanceLease.release(fs, lease)
+  }
+
+  /** What to do when a `_GEOMETRY` marker is ABSENT on an existing
+    * registry dir — the one moment the contract cannot be checked and
+    * must be established. The distinctions matter because a WRONG stamp
+    * closes the hole on the wrong side forever (every later open
+    * validates against the bad values).
+    */
+  sealed trait MissingGeometry
+  object MissingGeometry {
+    /** The registry was just created by this very stream: the caller's
+      * geometry IS the registry's geometry by construction — stamp
+      * silently.
+      */
+    case object StampFresh extends MissingGeometry
+    /** A pre-marker (legacy) registry opened with CALLER-EXPLICIT
+      * geometry: stamp it, but log the stamped values LOUDLY — this
+      * one trusted open locks them in, and only the operator can audit
+      * them against the stream that originally wrote the registry.
+      */
+    case object StampTrusted extends MissingGeometry
+    /** A pre-marker registry opened with DERIVED-DEFAULT geometry:
+      * refuse. The derivation may not match what the legacy stream ran
+      * (e.g. the embedding route's pre-r15 8x16 default vs the derived
+      * 30x15 at minCosine 0.9), and trusted-stamping the derived values
+      * would both silently miss every prior registration AND lock the
+      * wrong geometry in. The caller must resume with explicit values.
+      */
+    case object Refuse extends MissingGeometry
   }
 
   /** Validate-or-stamp a `_GEOMETRY` properties marker at the registry
@@ -229,12 +276,15 @@ private[graft] object BucketedRegistry {
     * exactly like the bucket count — band keys from a DIFFERENT
     * geometry never collide with registered ones, so a resumed stream
     * with mismatched geometry would silently emit no duplicates
-    * against prior registrations instead of failing loudly. Absent
-    * marker (pre-geometry registry): trusted stamp, same policy as the
-    * marker-less `_BUCKETS` open.
+    * against prior registrations instead of failing loudly. An absent
+    * marker on an existing dir follows `onMissing` (see
+    * [[MissingGeometry]]); an absent DIR is always a no-op (nothing
+    * exists to contract against yet).
     */
   def requireGeometry(fs: FileSystem, dir: String,
-                      props: Map[String, String]): Unit = {
+                      props: Map[String, String],
+                      onMissing: MissingGeometry =
+                        MissingGeometry.StampFresh): Unit = {
     val p = new Path(dir, "_GEOMETRY")
     val render = props.toSeq.sorted
       .map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")
@@ -251,10 +301,31 @@ private[graft] object BucketedRegistry {
           s"refusing to open it with $props (band keys from a different " +
           "geometry never collide — duplicates would be silently missed)")
     } else if (fs.exists(new Path(dir))) {
-      val tmp = new Path(dir, "._GEOMETRY.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(render.getBytes("UTF-8")) finally out.close()
-      if (!fs.rename(tmp, p)) { fs.delete(tmp, false); () }
+      onMissing match {
+        case MissingGeometry.Refuse =>
+          throw new IllegalStateException(
+            s"registry at $dir predates the _GEOMETRY marker and this " +
+              "open uses DERIVED-default banding geometry " +
+              s"(${props.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+                .mkString(", ")}); the legacy stream's geometry may " +
+              "differ, and a wrong trusted stamp would silently miss " +
+              "every prior registration — resume with the explicit " +
+              "geometry the registry was created under to stamp it")
+        case note =>
+          val tmp = new Path(dir, "._GEOMETRY.tmp")
+          val out = fs.create(tmp, true)
+          try out.write(render.getBytes("UTF-8")) finally out.close()
+          if (!fs.rename(tmp, p)) { fs.delete(tmp, false); () }
+          else if (note == MissingGeometry.StampTrusted)
+            Console.err.println(
+              s"[graft] TRUSTED-STAMPED _GEOMETRY at $dir: " +
+                props.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+                  .mkString(", ") +
+                " — this pre-marker registry had no geometry contract; " +
+                "this one open locked these values in. AUDIT them " +
+                "against the stream that created the registry (a wrong " +
+                "stamp silently misses every prior registration).")
+      }
     }
   }
 
@@ -308,6 +379,13 @@ private[graft] object BucketedRegistry {
           s"registry at $dir has part-files up to bucket id $m; " +
             s"refusing to stamp it as $buckets buckets"))
         writeBucketsMarkerIfAbsent(fs, dir, buckets)
+        if (maxSeen.isDefined)
+          Console.err.println(
+            s"[graft] TRUSTED-STAMPED _BUCKETS=$buckets at $dir — this " +
+              "pre-marker registry had no bucket-count contract; the " +
+              "part-file names were cross-checked (max bucket id " +
+              s"${maxSeen.get}) but cannot prove the count. AUDIT it " +
+              "against the stream that created the registry.")
       case None => ()
     }
     if (spark.catalog.tableExists(tbl)) {

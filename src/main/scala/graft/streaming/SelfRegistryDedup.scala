@@ -85,6 +85,38 @@ private[streaming] object SelfRegistryDedup {
         screenFpp, keyCol = "band_key")
   }
 
+  /** ZERO-DIAL maintenance window: both registries compact under the
+    * [[MaintenancePolicy]]-derived size-tier floor and fanout, and the
+    * band registry's screen extends or fully rebuilds per the derived
+    * delta-fraction trigger — the caller chooses NOTHING (a mis-chosen
+    * floor silently degrades to O(registry) windows; a forgotten full
+    * build lets delta blooms grow unbounded). Returns the band-side
+    * plan, whose `rebucketTo` (if set) the operator should apply via
+    * [[rebucket]] at the next stream restart — rebucketing is a
+    * stop-the-world rewrite, deliberately not fired behind a live
+    * stream. No-op (None) until the registry exists.
+    */
+  def maintain(spark: SparkSession, kind: Kind, registryDir: String):
+      Option[MaintenancePolicy.TablePlan] = {
+    val bDir = bandsDir(registryDir)
+    val fs = new org.apache.hadoop.fs.Path(bDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(bDir))) return None
+    // buckets come from the on-disk contract, not a caller dial
+    val buckets = BucketedRegistry.readBucketsMarker(fs, bDir).getOrElse(
+      return None) // mid-first-append crash: next batch stamps it
+    val bt = requireBandsTable(spark, kind, registryDir, buckets)
+    val plan = MaintenancePolicy.maintainTable(spark, bt, bDir, buckets,
+      bucketCol = "band_key", withScreen = true)
+    if (fs.exists(new org.apache.hadoop.fs.Path(featsDir(kind, registryDir)))) {
+      val dt = requireFeatsTable(spark, kind, registryDir, buckets)
+      MaintenancePolicy.maintainTable(spark, dt,
+        featsDir(kind, registryDir), buckets, bucketCol = "id",
+        withScreen = false)
+    }
+    Some(plan)
+  }
+
   /** Rewrite BOTH registries at `newBuckets` buckets — the lifecycle
     * op for a registry that outlived its initial sizing (probe and
     * compaction parallelism are per bucket). Staged-manifest protocol
@@ -127,7 +159,8 @@ private[streaming] object SelfRegistryDedup {
           verify: (Column, Column) => Column, minSim: Double,
           simName: String, screenCapacity: Long, screenFpp: Double,
           registerDups: Boolean,
-          geometry: Map[String, String] = Map.empty)
+          geometry: Map[String, String] = Map.empty,
+          geometryDerived: Boolean = false)
          (write: DataFrame => Unit):
       org.apache.spark.sql.streaming.StreamingQuery = {
     val writer = prepared.writeStream
@@ -150,9 +183,17 @@ private[streaming] object SelfRegistryDedup {
       // geometry contract BEFORE the first probe: a resume against a
       // registry banded under different geometry must fail loudly here
       // — its band keys would never collide with registered ones, so
-      // every later batch would silently admit duplicates
+      // every later batch would silently admit duplicates. A
+      // PRE-EXISTING dir with no marker is a legacy registry: stamping
+      // it is a trusted (loudly logged) act, and refused outright when
+      // this stream's geometry was DERIVED from defaults rather than
+      // caller-pinned — the legacy stream's geometry may differ, and a
+      // wrong stamp locks the hole in on the wrong side.
       if (exists && !geomOk && geometry.nonEmpty) {
-        BucketedRegistry.requireGeometry(fs, registryDir, geometry)
+        BucketedRegistry.requireGeometry(fs, registryDir, geometry,
+          onMissing =
+            if (geometryDerived) BucketedRegistry.MissingGeometry.Refuse
+            else BucketedRegistry.MissingGeometry.StampTrusted)
         geomOk = true
       }
       if (exists && (!validated || !s.catalog.tableExists(bTbl) ||

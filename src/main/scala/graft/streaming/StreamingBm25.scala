@@ -171,6 +171,13 @@ object StreamingBm25 {
               minFileBytes: Long = 0L, tierFanout: Int = 0): Int = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // cross-process single-maintenance-writer: a second driver's
+    // compact/rebucket against this dir fails loudly HERE instead of
+    // corrupting an in-flight swap (the JVM-local stream guard cannot
+    // see other processes). Explicit try/finally — the early returns
+    // below must release too.
+    val lease = MaintenanceLease.acquire(fs, path)
+    try {
     recoverCompact(fs, root)
     spark.catalog.refreshTable(table)
     val all = fs.listStatus(root).toSeq
@@ -182,6 +189,14 @@ object StreamingBm25 {
     // with at least tierFanout members merge along with the litter.
     // Bucket identity comes from the part-file NAME (the `_0000N`
     // suffix), same source of truth the bucketed reader uses.
+    // OPS NOTE (name-scheme dependency): this is one of THREE places
+    // the bucketed writer's `_NNNNN.` file-name convention is
+    // load-bearing — here (tier grouping), the append protocol's
+    // bucket-preserving file moves above, and
+    // [[BucketedRegistry.requireTable]]'s marker-less stamp
+    // cross-check. A Spark release changing the naming breaks all
+    // three loudly (cross-check failure / no tier ever fills), never
+    // silently.
     val bucketIdRe = "_(\\d{5})\\.".r
     val (tierSt, bigSt) =
       if (minFileBytes > 0 && tierFanout > 1) {
@@ -235,6 +250,10 @@ object StreamingBm25 {
     out.write((staged.map("A " + _) ++ old.map("D " + _))
       .mkString("\n").getBytes("UTF-8"))
     out.close()
+    // the manifest rename is the COMMIT POINT: if this op outlived its
+    // lease TTL and another writer took over, abort here — the staged
+    // litter is unreferenced and reaped by the next compact
+    MaintenanceLease.validate(fs, lease)
     renameOrFail(fs, mTmp, manifest)
     staged.foreach(n =>
       renameOrFail(fs, new Path(stagePath, n), new Path(root, n)))
@@ -243,6 +262,7 @@ object StreamingBm25 {
     fs.delete(new Path(root, "__compact"), true)
     spark.catalog.refreshTable(table)
     staged.size + bigSt.size
+    } finally MaintenanceLease.release(fs, lease)
   }
 
   /** Start the maintenance sink over a document stream: per batch,

@@ -47,6 +47,13 @@ object StreamingEmbDedup {
     SelfRegistryDedup.compact(spark, kind, registryDir, buckets,
       minFileBytes, rebuildScreen, screenFpp, tierFanout)
 
+  /** [[StreamingNearDup.maintain]] for the embedding registries —
+    * zero-dial, policy-derived ([[MaintenancePolicy]]).
+    */
+  def maintain(spark: SparkSession, registryDir: String):
+      Option[MaintenancePolicy.TablePlan] =
+    SelfRegistryDedup.maintain(spark, kind, registryDir)
+
   /** [[StreamingNearDup.rebucket]] for the embedding registries. */
   def rebucket(spark: SparkSession, registryDir: String, newBuckets: Int,
                rebuildScreen: Boolean = false,
@@ -82,8 +89,16 @@ object StreamingEmbDedup {
                      registerDups: Boolean = true)
                     (write: DataFrame => Unit):
       org.apache.spark.sql.streaming.StreamingQuery = {
+    // a half-specified geometry (bands without bits or vice versa)
+    // must fail loudly: silently deriving BOTH would hand the caller a
+    // geometry they did not ask for on the dimension they DID pin
+    require((bands > 0) == (bits > 0),
+      s"bands and bits must be pinned together (got bands=$bands, " +
+        s"bits=$bits): pass both explicitly, or leave both 0 to derive " +
+        s"the geometry from minCosine")
+    val derived = bands == 0
     val (b, r) =
-      if (bands > 0 && bits > 0) (bands, bits)
+      if (!derived) (bands, bits)
       else EmbeddingDedup.geometryFor(minCosine)
     val planes = EmbeddingDedup.hyperplanes(dim, b, r, seed)
     SelfRegistryDedup.run(
@@ -99,6 +114,7 @@ object StreamingEmbDedup {
       registerDups = registerDups,
       geometry = Map("kind" -> "sign-hyperplane", "dim" -> dim.toString,
         "bands" -> b.toString, "bits" -> r.toString,
-        "seed" -> seed.toString))(write)
+        "seed" -> seed.toString),
+      geometryDerived = derived)(write)
   }
 }

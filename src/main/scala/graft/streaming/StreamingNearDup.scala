@@ -66,6 +66,16 @@ object StreamingNearDup {
     SelfRegistryDedup.compact(spark, kind, registryDir, buckets,
       minFileBytes, rebuildScreen, screenFpp, tierFanout)
 
+  /** Zero-dial maintenance window ([[SelfRegistryDedup.maintain]]):
+    * compaction floor/fanout and the screen extend-vs-rebuild decision
+    * all derive from observed registry stats
+    * ([[MaintenancePolicy]]); returns the derived plan (surface its
+    * `rebucketTo` recommendation) or None until the registry exists.
+    */
+  def maintain(spark: SparkSession, registryDir: String):
+      Option[MaintenancePolicy.TablePlan] =
+    SelfRegistryDedup.maintain(spark, kind, registryDir)
+
   /** Rewrite both registries at `newBuckets` buckets — the lifecycle
     * op for a registry that outlived its initial sizing; see
     * [[SelfRegistryDedup.rebucket]] (staged-manifest, roll-forward,
@@ -136,6 +146,7 @@ object StreamingNearDup {
       geometry = Map("kind" -> "minhash-jaccard",
         "shingle_n" -> shingleN.toString,
         "perms" -> Dedup.NumPerms.toString,
-        "bands" -> bands.toString))(write)
+        "bands" -> bands.toString),
+      geometryDerived = numBands == 0)(write)
   }
 }

@@ -190,6 +190,27 @@ object StreamingSelfDedup {
     n
   }
 
+  /** ZERO-DIAL maintenance window for the gram registry: compaction
+    * floor/fanout and the screen extend-vs-full-rebuild decision all
+    * derive from observed registry stats ([[MaintenancePolicy]] — the
+    * lifecycle analog of the derived banding geometry). Bucket count
+    * comes from the on-disk `_BUCKETS` contract. Returns the derived
+    * plan (surface its `rebucketTo` recommendation — rebucketing stays
+    * a deliberate stop-the-world event via [[rebucketRegistry]]), or
+    * None until the registry exists.
+    */
+  def maintainRegistry(spark: SparkSession, registryDir: String):
+      Option[MaintenancePolicy.TablePlan] = {
+    val root = new org.apache.hadoop.fs.Path(registryDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return None
+    val buckets = BucketedRegistry.readBucketsMarker(fs, registryDir)
+      .getOrElse(return None)
+    val tbl = requireRegistryTable(spark, registryDir, buckets)
+    Some(MaintenancePolicy.maintainTable(spark, tbl, registryDir, buckets,
+      bucketCol = "h", withScreen = true))
+  }
+
   /** Start the self-dedup clip over `stream`; `write` receives each
     * batch's (doc_id, clean_text, n_removed). `registryDir` holds the
     * maintained gram registry (created on first batch), as a plain
@@ -259,9 +280,13 @@ object StreamingSelfDedup {
       MaintainedScreen.raiseInPushdown(s)
       val regPath = new org.apache.hadoop.fs.Path(registryDir)
       val fs = regPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-      // gram-length contract BEFORE the first probe (see `geometry`)
+      // gram-length contract BEFORE the first probe (see `geometry`).
+      // A pre-existing dir with no marker is a legacy registry — the
+      // stamp is a trusted act, logged loudly so the operator can audit
+      // the locked-in gram length against the stream that created it
       if (!geomOk && fs.exists(regPath)) {
-        BucketedRegistry.requireGeometry(fs, registryDir, geometry)
+        BucketedRegistry.requireGeometry(fs, registryDir, geometry,
+          onMissing = BucketedRegistry.MissingGeometry.StampTrusted)
         geomOk = true
       }
       // batch-id fencing makes the REPLAY correct, not just tolerated:
