@@ -2842,6 +2842,176 @@ object SparkEntry {
               |  ON b.id = d.doc_id
               |ORDER BY id""".stripMargin)),
 
+    // KEEP-FIRST'S DIVERGENT (TRANSITIVE-CHAIN) SEMANTICS under the
+    // oracle (r16): the one behavior streaming_neardup_keepfirst could
+    // not prove — chains A≈B, B≈C with A≉C, where keep-first ADMITS C
+    // because rejected B never registered, the exact property a 100 TB
+    // ingest relies on for registry growth ∝ unique content. The
+    // fixture is built per RANK (row_number over doc_id) so chains
+    // span the three batch chunks by construction: position p in each
+    // chunk, p%9==0, holds chain member m = chunk index with tokens
+    // c<p>t[3m, 3m+39) — a 39-token window sliding by 3 per member, so
+    // consecutive members share 34 of 40 distinct 3-gram shingles
+    // (J = 0.85 ≥ 0.8) while members two apart share 31 of 43
+    // (J = 0.7209 < 0.8). p%9==1 plants identical cross-chunk orbits
+    // (keep-first == keep-earliest there); chunk-0 positions p%9∈
+    // {3,4,5} plant WITHIN-batch chains (B rejected in-batch still
+    // flags C — the batch-local join sees all earlier rows); everything
+    // else is high-entropy salad (pairwise shingle-disjoint: a shared
+    // token run needs rank diff ≥ 31M by the affine-hash arithmetic).
+    // LSH recall: numBands=32 over the 64-perm signature = two perms
+    // per band, so a J=0.85 pair misses every band with p =
+    // (1 − 0.85²)^32 ≈ 1.5e-18 — structurally negligible even summed
+    // over every planted pair at every tested scale — while salad
+    // pairs share no shingle and cannot collide except by 64-bit hash
+    // equality (identical-set orbit pairs collide deterministically in
+    // every band at any geometry). The
+    // DuckDB oracle replays the greedy sequential admit/reject fold as
+    // a recursive CTE over the id-ordered pair graph (the q_mmr_rerank
+    // LATERAL-argmax technique): candidate a for b iff J(a,b) ≥ 0.8
+    // AND (same chunk OR a already admitted); dup_of = smallest such
+    // a; admitted accumulates. The gate ASSERTS the divergence: every
+    // complete chain's m1 is rejected (dup_of = m0) yet m2 is ADMITTED
+    // although J(m1,m2) = 0.85 means keep-earliest would flag it —
+    // keep-first and keep-earliest verdicts provably differ, and the
+    // hash pins keep-first's fold exactly. Registry pin rides along.
+    Q("streaming_neardup_keepfirst_chain",
+      (s, dir) => withStreamShuffle(s) {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val ids = Tables.documents(s, dir).select(col("doc_id"))
+          .collect().map(_.getLong(0)).sorted
+        val n = ids.length
+        val cs = n / 3 + 1
+        def text(r: Int): String = {
+          val m = r / cs
+          val p = r % cs
+          if (p % 9 == 0)
+            (3 * m until 3 * m + 39).map(j => s"c${p}t$j").mkString(" ")
+          else if (p % 9 == 1)
+            (0 until 12).map(j => s"o${p}t$j").mkString(" ")
+          else if (m == 0 && p % 9 >= 3 && p % 9 <= 5) {
+            val mm = p % 9 - 3
+            (3 * mm until 3 * mm + 39).map(j => s"i${p - mm}t$j").mkString(" ")
+          } else (0 until 16)
+            .map(j => s"w${(r.toLong * 2654435761L + j * 40503L) % 2147483647L}")
+            .mkString(" ")
+        }
+        val rows = ids.zipWithIndex.map { case (id, r) => (id, text(r)) }.toSeq
+        val ms = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val tmp = graft.TempDirs.create("neardup-chain").toString
+        val out = scala.collection.mutable
+          .ArrayBuffer[(Long, Option[Long], Option[Double])]()
+        val q = graft.streaming.StreamingNearDup.nearDupStream(
+          ms.toDS().toDF("id", "text"), col("id"), col("text"),
+          s"$tmp/registry", buckets = 8, minJaccard = 0.8, numBands = 32,
+          registerDups = false) { batchOut =>
+          out.synchronized {
+            out ++= batchOut.collect().map(r => (r.getLong(0),
+              if (r.isNullAt(1)) None else Some(r.getLong(1)),
+              if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+          }
+        }
+        try {
+          rows.grouped(cs).zipWithIndex.foreach { case (chunk, i) =>
+            ms.addData(chunk)
+            q.processAllAvailable()
+            if (i == 1) // zero-dial policy-derived maintenance window
+              graft.streaming.StreamingNearDup.maintain(s, s"$tmp/registry")
+          }
+        } finally q.stop()
+        // THE divergence assertion: for every complete cross-chunk
+        // chain, m1 is rejected onto m0, and m2 — whose J to rejected
+        // m1 is 0.85 ≥ 0.8, so keep-earliest WOULD flag it — is
+        // admitted because m1 never registered. Verified against the
+        // actual generated strings, not the construction's intent.
+        def shingles(t: String): Set[String] =
+          t.split("\\s+").toSeq.sliding(3).map(_.mkString(" ")).toSet
+        def jac(a: String, b: String): Double = {
+          val (x, y) = (shingles(a), shingles(b))
+          math.floor(x.intersect(y).size.toDouble /
+            math.max(x.union(y).size, 1) * 10000.0) / 10000.0
+        }
+        val verdicts = out.map(r => r._1 -> r._2).toMap
+        val completeChains = (0 until cs)
+          .filter(p => p % 9 == 0 && 2 * cs + p < n)
+        require(completeChains.nonEmpty, "fixture must plant full chains")
+        completeChains.foreach { p =>
+          val (m0, m1, m2) = (ids(p), ids(cs + p), ids(2 * cs + p))
+          require(verdicts(m1) == Some(m0),
+            s"chain $p: m1=$m1 must reject onto m0=$m0, got ${verdicts(m1)}")
+          require(jac(text(cs + p), text(2 * cs + p)) >= 0.8,
+            s"chain $p: J(m1,m2) must qualify (keep-earliest would flag)")
+          require(verdicts(m2).isEmpty,
+            s"chain $p: keep-first must ADMIT m2=$m2 (B never " +
+              s"registered), got ${verdicts(m2)} — divergence broken")
+        }
+        // registry ∝ unique content, as in the sibling gate
+        val admitted = out.count(_._2.isEmpty).toLong
+        val registered = s.read.parquet(s"$tmp/registry/docs")
+          .select(col("id")).distinct().count()
+        require(registered == admitted,
+          s"keep-first registry must hold exactly the admitted docs: " +
+            s"registered=$registered admitted=$admitted")
+        out.toSeq.toDF("id", "dup_of", "jaccard").orderBy("id")
+      },
+      Some {
+        s"""WITH RECURSIVE cls AS MATERIALIZED (
+           |  SELECT doc_id AS id, r, r // cs AS m, r % cs AS p
+           |  FROM (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS r,
+           |          (SELECT count(*) // 3 + 1 FROM documents) AS cs
+           |        FROM documents)),
+           |content AS MATERIALIZED (
+           |  SELECT id, m AS chunk, CASE
+           |    WHEN p % 9 = 0 THEN array_to_string(list_transform(
+           |      range(3*m, 3*m + 39),
+           |      j -> 'c' || CAST(p AS VARCHAR) || 't' || CAST(j AS VARCHAR)), ' ')
+           |    WHEN p % 9 = 1 THEN array_to_string(list_transform(range(0, 12),
+           |      j -> 'o' || CAST(p AS VARCHAR) || 't' || CAST(j AS VARCHAR)), ' ')
+           |    WHEN m = 0 AND (p % 9) IN (3, 4, 5) THEN array_to_string(
+           |      list_transform(range(3*((p % 9) - 3), 3*((p % 9) - 3) + 39),
+           |      j -> 'i' || CAST(p - ((p % 9) - 3) AS VARCHAR) || 't' ||
+           |        CAST(j AS VARCHAR)), ' ')
+           |    ELSE array_to_string(list_transform(range(0, 16),
+           |      j -> 'w' || CAST((r * 2654435761 + j * 40503) % 2147483647
+           |        AS VARCHAR)), ' ')
+           |  END AS text FROM cls),
+           |pc AS MATERIALIZED (
+           |  SELECT p.id_a, p.id_b, p.jaccard,
+           |    ca.chunk AS chunk_a, cb.chunk AS chunk_b
+           |  FROM (${graft.dedup.Dedup.ngramJaccardPairsIndexedSql(
+                  "content", "id", "text", n = 3, minJaccard = 0.8)}) p
+           |  JOIN content ca ON ca.id = p.id_a
+           |  JOIN content cb ON cb.id = p.id_b),
+           |seq AS MATERIALIZED (
+           |  SELECT id, row_number() OVER (ORDER BY id) AS rn
+           |  FROM (SELECT id_a AS id FROM pc UNION SELECT id_b FROM pc)),
+           |fold AS (
+           |  SELECT CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS id,
+           |         CAST(NULL AS BIGINT) AS dup_of,
+           |         CAST(NULL AS DOUBLE) AS jaccard,
+           |         CAST([] AS BIGINT[]) AS admitted
+           |  UNION ALL
+           |  SELECT s.rn, s.id, d.dup_of, d.jaccard,
+           |         CASE WHEN d.dup_of IS NULL
+           |              THEN list_append(f.admitted, s.id)
+           |              ELSE f.admitted END
+           |  FROM fold f JOIN seq s ON s.rn = f.rn + 1
+           |  LEFT JOIN LATERAL (
+           |    SELECT p.id_a AS dup_of, p.jaccard FROM pc p
+           |    WHERE p.id_b = s.id
+           |      AND (p.chunk_a = p.chunk_b
+           |           OR list_contains(f.admitted, p.id_a))
+           |    ORDER BY p.id_a LIMIT 1) d ON TRUE)
+           |SELECT d.doc_id AS id, f.dup_of, f.jaccard
+           |FROM documents d
+           |LEFT JOIN (SELECT id, dup_of, jaccard FROM fold
+           |           WHERE id IS NOT NULL) f
+           |  ON f.id = d.doc_id
+           |ORDER BY id""".stripMargin
+      }),
+
     // Paragraph-level corpus dedup (CCNet-style): corpus-wide repeated
     // paragraphs dropped, first occurrence kept, documents reassembled
     // in paragraph order. Fixture plants a universal header, per-block
