@@ -2781,8 +2781,9 @@ object SparkEntry {
     // DuckDB reduction applies verbatim. The gate additionally pins
     // the registry-stays-small claim: the feature store's row count
     // must equal the ADMITTED count exactly (a dup orbit adds one
-    // registrant). In-gate maintenance runs the r15 MULTI-TIER
-    // compaction (tierFanout=4) so tier selection sits under the hash.
+    // registrant). In-gate maintenance is the r16 ZERO-DIAL policy
+    // window, whose derived fanout (4) runs the r15 MULTI-TIER
+    // compaction — tier selection still sits under the hash.
     Q("streaming_neardup_keepfirst",
       (s, dir) => withStreamShuffle(s) {
         import s.implicits._

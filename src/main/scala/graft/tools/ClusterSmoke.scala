@@ -76,8 +76,10 @@ object ClusterSmoke {
     "pipeline_training_data_v2",  // r12: composed clip pipeline (memoized docStats)
     "streaming_neardup_self",     // r14: band registry + executor bucket blooms
     "streaming_neardup_emb",      // r14: hyperplane-band registry, shared engine
-    "streaming_neardup_keepfirst") // r15: keep-first registration anti-join +
+    "streaming_neardup_keepfirst", // r15: keep-first registration anti-join +
                                    // multi-tier compaction across executors
+    "streaming_neardup_keepfirst_chain") // r16: divergent chain fold +
+                                   // zero-dial policy maintenance window
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

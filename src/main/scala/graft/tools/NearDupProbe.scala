@@ -52,10 +52,21 @@ object NearDupProbe {
     def textOf(idCol: org.apache.spark.sql.Column) = concat_ws(" ",
       (0 until 10).map(k => concat(lit("d"), idCol, lit(s"w$k"))): _*)
 
+    // past this size the unscreened control leg (full registry re-scan
+    // per batch) and its byte-copy are omitted: the flat-vs-linear
+    // contrast is established on the smaller legs (and r14/r15
+    // artifacts to 300M); the BILLION-row legs exist to measure the
+    // screened route's flatness and the one-task-per-bucket bloom
+    // build's wall/memory envelope
+    val UnscreenedMaxRows = 300000000L
+
     /** Bands + docs registries at batch_id = -1, one file per bucket,
-      * bucket screen built over the bands.
+      * bucket screen built over the bands. Returns (screen build
+      * seconds, capacity per bucket, max bloom bytes per bucket) — the
+      * single-task envelope that decides when per-bucket builds need
+      * sub-bucket sharding.
       */
-    def mkRegistry(nBands: Long, dir: String): Unit = {
+    def mkRegistry(nBands: Long, dir: String): (Double, Long, Long) = {
       val nDocs = nBands / bandsPerDoc
       val base = spark.range(nDocs).select(col("id"), textOf(col("id")).as("text"))
         .withColumn("sh", Dedup.shingleHashes(col("text"), 3))
@@ -68,6 +79,14 @@ object NearDupProbe {
       fs.mkdirs(new org.apache.hadoop.fs.Path(dDir))
       BucketedRegistry.writeBucketsMarkerIfAbsent(fs, bDir, buckets)
       BucketedRegistry.writeBucketsMarkerIfAbsent(fs, dDir, buckets)
+      // the pre-built registry carries the full on-disk contract the
+      // stream validates: the r16 legacy-registry guard refuses a
+      // marker-less dir under derived-default geometry BY DESIGN, and
+      // this builder knows its geometry exactly
+      BucketedRegistry.requireGeometry(fs, dir, Map(
+        "kind" -> "minhash-jaccard", "shingle_n" -> "3",
+        "perms" -> Dedup.NumPerms.toString,
+        "bands" -> bandsPerDoc.toString))
       val bTbl = StreamingNearDup.bandsTableName(dir)
       val dTbl = StreamingNearDup.docsTableName(dir)
       base.select(col("id"), explode(col("bands")).as("band_key"),
@@ -80,8 +99,20 @@ object NearDupProbe {
         .repartition(buckets, pmod(hash(col("id")), lit(buckets)))
         .write.mode("append").format("parquet").option("path", dDir)
         .bucketBy(buckets, "id").sortBy("id").saveAsTable(dTbl)
+      val t0 = System.nanoTime()
       require(BucketScreen.build(spark, bTbl, bDir, buckets,
         keyCol = "band_key").contains(-1L), "screen build failed")
+      val buildSecs = (System.nanoTime() - t0) / 1e9
+      val fs2 = new org.apache.hadoop.fs.Path(bDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val perBucket = fs2.listStatus(
+          new org.apache.hadoop.fs.Path(s"$bDir/_screen")).toSeq
+        .filter(st => st.isFile && st.getPath.getName.startsWith("bloom-"))
+        .map(_.getLen)
+      // capacity the build sized each bucket's filter at (13/10 + 64
+      // over rows/buckets — mirrors BucketScreen.build's sizing)
+      val capacity = math.max(nBands / buckets * 13L / 10L + 64L, 1024L)
+      (buildSecs, capacity, perBucket.maxOption.getOrElse(0L))
     }
 
     /** One stream, one batch at a time; returns seconds per batch. */
@@ -126,7 +157,7 @@ object NearDupProbe {
     spark.range(100).count()
     val results = sizes.map { n =>
       val dir = graft.TempDirs.create(s"ndp-$n").toString + "/reg"
-      mkRegistry(n, dir)
+      val (buildSecs, capPerBucket, maxBloomBytes) = mkRegistry(n, dir)
       val conf = spark.sparkContext.hadoopConfiguration
       val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
       // bucket-bloom bytes on disk — the number that decides whether
@@ -135,16 +166,24 @@ object NearDupProbe {
       val screenBytes = fs.listStatus(
           new org.apache.hadoop.fs.Path(s"$dir/bands/_screen")).toSeq
         .filter(_.isFile).map(_.getLen).sum
-      // byte-copy for the unscreened leg (separate checkpoint => its
-      // batch ids restart at 0; sharing a dir would fence wrong)
-      val dirNs = graft.TempDirs.create(s"ndp-ns-$n").toString + "/reg"
-      org.apache.hadoop.fs.FileUtil.copy(fs,
-        new org.apache.hadoop.fs.Path(dir), fs,
-        new org.apache.hadoop.fs.Path(dirNs), false, conf)
+      // what the r16 derived policy would say about this layout —
+      // rows/bucket vs the single-task bloom budget
+      val rec = graft.streaming.MaintenancePolicy.plan(
+        graft.streaming.MaintenancePolicy.TableStats(buckets, n, buckets,
+          0L, 1L, None, 0L)).rebucketTo
+      val unscreened =
+        if (n > UnscreenedMaxRows) Seq(-1.0, -1.0)
+        else {
+          // byte-copy for the unscreened leg (separate checkpoint =>
+          // its batch ids restart at 0; sharing a dir would fence wrong)
+          val dirNs = graft.TempDirs.create(s"ndp-ns-$n").toString + "/reg"
+          org.apache.hadoop.fs.FileUtil.copy(fs,
+            new org.apache.hadoop.fs.Path(dir), fs,
+            new org.apache.hadoop.fs.Path(dirNs), false, conf)
+          runBatches(dirNs, screenCapacity = 0L, Seq(clean(1), clean(2)))
+        }
       val screened = runBatches(dir, screenCapacity = 4000000L,
         Seq(clean(1), clean(2), dirty(3), dirty(4)))
-      val unscreened = runBatches(dirNs, screenCapacity = 0L,
-        Seq(clean(1), clean(2)))
       // tail rebuild: register a 50k-doc tail after the covered batch,
       // then extend the bucket blooms incrementally — cost must track
       // the TAIL (bloom bytes + tail scan), not the registry
@@ -168,10 +207,13 @@ object NearDupProbe {
       println(f"bands=$n%,d  clean_screen=${math.min(screened(0), screened(1))}%.2fs  " +
         f"dirty_screen=${math.min(screened(2), screened(3))}%.2fs  " +
         f"clean_noscreen=${math.min(unscreened(0), unscreened(1))}%.2fs  " +
-        f"screen_mb=${screenBytes / 1e6}%.1f  tail_extend=$extendSecs%.2fs")
+        f"screen_mb=${screenBytes / 1e6}%.1f  tail_extend=$extendSecs%.2fs  " +
+        f"screen_build=$buildSecs%.1fs  max_bloom_mb=${maxBloomBytes / 1e6}%.1f  " +
+        s"policy_rebucket=${rec.getOrElse(0)}")
       (n, math.min(screened(0), screened(1)),
         math.min(screened(2), screened(3)),
-        math.min(unscreened(0), unscreened(1)), screenBytes, extendSecs)
+        math.min(unscreened(0), unscreened(1)), screenBytes, extendSecs,
+        buildSecs, capPerBucket, maxBloomBytes, rec.getOrElse(0))
     }
     val json =
       s"""{"registry_band_rows":[${results.map(_._1).mkString(",")}],""" +
@@ -180,7 +222,12 @@ object NearDupProbe {
       s""""clean_noscreen":[${results.map(r => f"${r._4}%.3f").mkString(",")}],""" +
       s""""screen_bytes":[${results.map(_._5).mkString(",")}],""" +
       s""""tail_docs":$tailDocs,""" +
-      s""""tail_extend_secs":[${results.map(r => f"${r._6}%.3f").mkString(",")}]}"""
+      s""""tail_extend_secs":[${results.map(r => f"${r._6}%.3f").mkString(",")}],""" +
+      s""""screen_build_secs":[${results.map(r => f"${r._7}%.3f").mkString(",")}],""" +
+      s""""capacity_per_bucket":[${results.map(_._8).mkString(",")}],""" +
+      s""""max_bloom_bytes_per_bucket":[${results.map(_._9).mkString(",")}],""" +
+      s""""buckets":$buckets,""" +
+      s""""policy_rebucket_to":[${results.map(_._10).mkString(",")}]}"""
     println(json)
     outPath.foreach(p => java.nio.file.Files.write(
       java.nio.file.Paths.get(p), json.getBytes("UTF-8")))
