@@ -181,9 +181,65 @@ object CompactProbe {
       }
       (trajectory.toSeq, secs.toSeq)
     }
+    // ---- ZERO-DIAL policy leg (r16): the same 30-window lifetime, but
+    // every window is one `maintainRegistry(spark, dir)` call — floor,
+    // fanout, and the screen extend-vs-full-build decision all derived
+    // by MaintenancePolicy from on-disk stats, nothing caller-chosen.
+    // Claims measured: files/bucket stays bounded (the derived fanout-4
+    // multi-tier merge), per-window cost stays ~flat, and FULL screen
+    // builds fire only when the delta tier crosses the derived 25%
+    // boundary (geometric cadence: as the base grows, builds space out)
+    // while every other window extends at delta-sized cost.
+    def policyWindowsLeg(baseRows: Long):
+        (Seq[Int], Seq[Double], Seq[Boolean]) = {
+      val dir = graft.TempDirs.create("cprobe-p").toString + "/reg"
+      val tbl = graft.streaming.StreamingSelfDedup.registryTableName(dir)
+      spark.range(baseRows)
+        .select(xxhash64(gram("p")).as("h"), gram("p").as("gram"),
+          lit(0L).as("batch_id"))
+        .repartition(buckets, pmod(hash(col("h")), lit(buckets)))
+        .write.format("parquet").option("path", dir)
+        .bucketBy(buckets, "h").sortBy("h").saveAsTable(tbl)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // the production stream stamps this on first append; the probe
+      // builds the registry directly, so it stamps the contract itself
+      graft.streaming.BucketedRegistry
+        .writeBucketsMarkerIfAbsent(fs, dir, buckets)
+      var batch = 1L
+      val traj = scala.collection.mutable.ArrayBuffer[Int]()
+      val secs = scala.collection.mutable.ArrayBuffer[Double]()
+      val fullBuilds = scala.collection.mutable.ArrayBuffer[Boolean]()
+      (1 to windows).foreach { _ =>
+        val per = perWindowRows / windowBatches
+        (1 to windowBatches).foreach { _ =>
+          spark.range(per)
+            .select(xxhash64(gram(s"p$batch")).as("h"),
+              gram(s"p$batch").as("gram"), lit(batch).as("batch_id"))
+            .repartition(buckets, pmod(hash(col("h")), lit(buckets)))
+            .write.mode("append").format("parquet").option("path", dir)
+            .bucketBy(buckets, "h").sortBy("h").saveAsTable(tbl)
+          batch += 1
+        }
+        val t = System.nanoTime()
+        val plan = graft.streaming.StreamingSelfDedup
+          .maintainRegistry(spark, dir)
+        secs += (System.nanoTime() - t) / 1e9
+        traj += filesPerBucketMax(dir)
+        fullBuilds += plan.exists(_.fullScreenBuild)
+      }
+      (traj.toSeq, secs.toSeq, fullBuilds.toSeq)
+    }
+
     val wBase = 2000000L
     val (tierTraj, tierSecs) = windowsLeg(wBase, fanout)
     val (flatTraj, flatSecs) = windowsLeg(wBase, 0)
+    val (polTraj, polSecs, polBuilds) = policyWindowsLeg(wBase)
+    println(f"policy windows=$windows base=$wBase%,d  " +
+      f"files/bucket max=${polTraj.max} final=${polTraj.last}  " +
+      f"win secs avg=${polSecs.sum / windows}%.2f  " +
+      s"full_screen_builds at windows " +
+      s"${polBuilds.zipWithIndex.collect { case (true, i) => i + 1 }.mkString(",")}")
     println(f"windows=$windows fanout=$fanout base=$wBase%,d  " +
       f"tiered files/bucket max=${tierTraj.max} final=${tierTraj.last}  " +
       f"single-floor final=${flatTraj.last}  " +
@@ -201,7 +257,13 @@ object CompactProbe {
       s""""tiered_files_per_bucket":[${tierTraj.mkString(",")}],""" +
       s""""singlefloor_files_per_bucket":[${flatTraj.mkString(",")}],""" +
       s""""tiered_window_secs":[${tierSecs.map(s => f"$s%.3f").mkString(",")}],""" +
-      s""""singlefloor_window_secs":[${flatSecs.map(s => f"$s%.3f").mkString(",")}]}}"""
+      s""""singlefloor_window_secs":[${flatSecs.map(s => f"$s%.3f").mkString(",")}]},""" +
+      s""""policy_windows":{"count":$windows,"base_rows":$wBase,""" +
+      s""""window_rows":$perWindowRows,""" +
+      s""""files_per_bucket":[${polTraj.mkString(",")}],""" +
+      s""""window_secs":[${polSecs.map(s => f"$s%.3f").mkString(",")}],""" +
+      s""""full_screen_build_windows":[${polBuilds.zipWithIndex
+        .collect { case (true, i) => i + 1 }.mkString(",")}]}}"""
     println(json)
     outPath.foreach(p => java.nio.file.Files.write(
       java.nio.file.Paths.get(p), json.getBytes("UTF-8")))
