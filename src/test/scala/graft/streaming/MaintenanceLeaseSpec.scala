@@ -51,6 +51,10 @@ class MaintenanceLeaseSpec extends AnyFunSuite with SparkSpec {
       "maintenance loudly") {
     val reg = buildRegistry("lease-block")
     val bandsDir = s"$reg/bands"
+    val btPre = StreamingNearDup.bandsTableName(reg)
+    // a screen must exist for the extend leg to reach its acquire
+    assert(BucketScreen.build(spark, btPre, bandsDir, 4,
+      keyCol = "band_key").isDefined)
     plantForeignLease(bandsDir, expiresInMs = 10 * 60 * 1000)
     val e1 = intercept[IllegalStateException] {
       StreamingNearDup.compact(spark, reg, 4)
@@ -65,6 +69,10 @@ class MaintenanceLeaseSpec extends AnyFunSuite with SparkSpec {
       BucketScreen.build(spark, bt, bandsDir, 4, keyCol = "band_key")
     }
     assert(e3.getMessage.contains("held by other-host"), e3.getMessage)
+    val e4 = intercept[IllegalStateException] {
+      BucketScreen.extend(spark, bt, bandsDir, 4, keyCol = "band_key")
+    }
+    assert(e4.getMessage.contains("held by other-host"), e4.getMessage)
     // the foreign lease is not ours to delete — release of a failed
     // acquire must leave it in place
     assert(fsFor(bandsDir).exists(new Path(bandsDir, "__maintenance_lease")))

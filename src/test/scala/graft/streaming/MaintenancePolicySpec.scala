@@ -105,4 +105,36 @@ class MaintenancePolicySpec extends AnyFunSuite with SparkSpec {
       assert(p3.rebucketTo.isEmpty) // tiny registry: no recommendation
     } finally q.stop()
   }
+
+  test("integration: the gram route's zero-dial maintainRegistry " +
+      "builds then extends its screen") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val reg = tmp("policy-gram") + "/reg"
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = StreamingSelfDedup.clipStream(
+      ms.toDS().toDF("id", "text"), col("id"), col("text"),
+      minTokens = 4, registryDir = reg,
+      registryBuckets = 4) { df => df.collect(); () }
+    def feed(ids: Range): Unit = {
+      ms.addData(ids.map(i =>
+        (i.toLong, (0 until 8).map(j => s"g${i}w$j").mkString(" "))))
+      q.processAllAvailable()
+    }
+    val fs = new Path(reg).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    try {
+      feed(0 until 30)
+      val p1 = StreamingSelfDedup.maintainRegistry(spark, reg).get
+      assert(p1.fullScreenBuild) // no screen yet -> build
+      val m1 = BucketScreen.readMeta(fs, reg).get
+      feed(100 until 102) // small tail -> extend
+      val p2 = StreamingSelfDedup.maintainRegistry(spark, reg).get
+      assert(!p2.fullScreenBuild)
+      val m2 = BucketScreen.readMeta(fs, reg).get
+      assert(m2.baseCovered == m1.baseCovered && m2.coveredBatch > m1.coveredBatch,
+        s"gram-route extend must keep the base and advance coverage: $m2")
+    } finally q.stop()
+  }
 }
