@@ -28,12 +28,21 @@ import graft.streaming.{BucketScreen, BucketedRegistry, StreamingNearDup}
   * two streams cannot fence each other's appends in.
   *
   * Usage: runMain graft.tools.NearDupProbe [bandRowsCsv] [outPath]
+  * [buckets]
+  *
+  * The optional third arg overrides the bucket count (default 32) —
+  * the boundary-regime lever: the policy's rebucket trigger and the
+  * single-task bloom-build envelope are both ROWS-PER-BUCKET
+  * quantities, so a 400M-row registry at 4 buckets exercises the
+  * exact same per-task regime as 3.2B rows at 32 buckets, at a tenth
+  * of the disk.
   */
 object NearDupProbe {
   def main(args: Array[String]): Unit = {
     val sizes = args.headOption.getOrElse("1000000,10000000,30000000")
       .split(",").map(_.trim.toLong).toSeq
     val outPath = args.lift(1)
+    val bucketsArg = args.lift(2).map(_.trim.toInt)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -44,7 +53,7 @@ object NearDupProbe {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val buckets = 32
+    val buckets = bucketsArg.getOrElse(32)
     val bandsPerDoc = Dedup.NumBands
 
     // doc i's text: 10 disjoint tokens — distinct shingle sets, no
