@@ -199,6 +199,11 @@ object BucketScreen {
           (b, bf.expectedFpp())
         }
       }.collect()
+    // the O(registry) per-bucket bloom job is the op's long pole:
+    // refresh the lease so a build slower than the TTL is never taken
+    // over mid-flight (takeover → abort at validate → retry → repeat:
+    // a livelock the heartbeat removes)
+    MaintenanceLease.heartbeat(fs, lease)
     if (built.exists(_._2 > StreamingSelfDedup.ScreenUsableFpp)) {
       Console.err.println(s"[graft] bucket-screen build aborted: " +
         s"${built.count(_._2 > StreamingSelfDedup.ScreenUsableFpp)} " +
@@ -354,6 +359,9 @@ object BucketScreen {
           Some(rebuilt)
         else None
       }
+    // delta writes done (the op's long pole — the re-size path scans
+    // the whole delta tier): refresh the lease before the swaps
+    MaintenanceLease.heartbeat(fs, lease)
     written match {
       case None =>
         Console.err.println("[graft] bucket-screen extend aborted: a " +

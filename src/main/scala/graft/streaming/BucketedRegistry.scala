@@ -220,6 +220,9 @@ private[graft] object BucketedRegistry {
       .option("path", stage.toString)
       .bucketBy(newBuckets, bucketCol).sortBy(bucketCol)
       .saveAsTable(stageTable)
+    // the O(table) stage write is the long pole: refresh the lease so
+    // a rebucket slower than the TTL is never taken over mid-flight
+    MaintenanceLease.heartbeat(fs, lease)
     val staged = fs.listStatus(stage).toSeq.map(_.getPath.getName)
       .filter(_.startsWith("part-"))
     val mTmp = new Path(dir, "__rebucket/.manifest.tmp")

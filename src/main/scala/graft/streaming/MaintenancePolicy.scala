@@ -69,13 +69,21 @@ object MaintenancePolicy {
   val ScreenFpp = 1e-6
 
   /** At fpp 1e-6 a Bloom filter needs -ln(fpp)/ln²2 ≈ 28.76 bits per
-    * item; the rows/bucket where one bucket's bloom hits the 256 MiB
-    * single-task budget.
+    * item; the rows/bucket where one bucket's bloom hits the given
+    * single-task byte budget.
     */
-  val MaxRowsPerBucket: Long =
-    (MaxBloomBytesPerBucket * 8L / 28.76).toLong // ≈ 74.7M
+  def maxRowsPerBucket(bloomBudgetBytes: Long): Long =
+    (bloomBudgetBytes * 8L / 28.76).toLong
 
-  /** What is on disk for one bucketed registry table. */
+  /** The derived default budget's boundary ≈ 74.7M rows/bucket. */
+  val MaxRowsPerBucket: Long = maxRowsPerBucket(MaxBloomBytesPerBucket)
+
+  /** What is on disk for one bucketed registry table. `batches` is the
+    * count of DISTINCT batch ids present — not max+1, which a
+    * pre-seeded registry (batch_id = -1 bulk loads) or an offset id
+    * history would collapse to 0 or overcount, zeroing the per-append
+    * estimate the tier floor derives from.
+    */
   final case class TableStats(
       buckets: Int, rows: Long, dataFiles: Int, dataBytes: Long,
       batches: Long, screen: Option[BucketScreen.Meta], deltaRows: Long)
@@ -86,9 +94,11 @@ object MaintenancePolicy {
       rebucketTo: Option[Int])
 
   /** Observe `table` (registered, bucketed, batch_id-fenced) at `dir`.
-    * One metadata listing + one aggregate scan; `deltaRows` scans only
-    * `batch_id > base_covered` (row-group stats skip the bulk on
-    * compacted files) and only when a screen meta exists.
+    * One metadata listing + ONE aggregate scan: row count, distinct
+    * batch ids, and (when a screen meta exists) the conditional
+    * `batch_id > base_covered` delta count all fold into a single pass
+    * over the `batch_id` column — the whole-table count already reads
+    * it, so a second row-group-pruned delta scan would only add I/O.
     */
   def statsFor(spark: SparkSession, table: String, dir: String,
                buckets: Int): TableStats = {
@@ -100,20 +110,28 @@ object MaintenancePolicy {
           .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
       else Seq.empty
     spark.catalog.refreshTable(table)
-    val agg = spark.table(table)
-      .agg(count(lit(1)).as("n"), max(col("batch_id")).as("m")).collect()(0)
-    val rows = agg.getLong(0)
-    val batches = if (agg.isNullAt(1)) 0L else agg.getLong(1) + 1L
     val meta = BucketScreen.readMeta(fs, dir).filter(_.buckets == buckets)
-    val deltaRows = meta.fold(0L) { m =>
-      spark.table(table).where(col("batch_id") > m.baseCovered).count()
-    }
-    TableStats(buckets, rows, files.size, files.map(_.getLen).sum,
-      batches, meta, deltaRows)
+    val aggCols =
+      Seq(count(lit(1)).as("n"),
+        countDistinct(col("batch_id")).as("b")) ++
+      meta.map(m =>
+        count(when(col("batch_id") > m.baseCovered, lit(1))).as("d"))
+    val agg = spark.table(table)
+      .agg(aggCols.head, aggCols.tail: _*).collect()(0)
+    val deltaRows = if (meta.isDefined) agg.getLong(2) else 0L
+    TableStats(buckets, agg.getLong(0), files.size,
+      files.map(_.getLen).sum, agg.getLong(1), meta, deltaRows)
   }
 
-  /** Pure derivation — unit-testable at any synthetic scale. */
-  def plan(stats: TableStats): TablePlan = {
+  /** Pure derivation — unit-testable at any synthetic scale.
+    * `bloomBudgetBytes` is the per-task memory envelope the rebucket
+    * trigger derives its rows/bucket boundary from: defaulted to the
+    * 256 MiB single-task budget, overridable ONLY because the envelope
+    * is a property of the deployment's executors, not of the data —
+    * every trigger still derives from on-disk stats.
+    */
+  def plan(stats: TableStats,
+           bloomBudgetBytes: Long = MaxBloomBytesPerBucket): TablePlan = {
     val perAppendBytes =
       if (stats.batches <= 0 || stats.buckets <= 0) 0L
       else stats.dataBytes / stats.batches / stats.buckets
@@ -125,12 +143,13 @@ object MaintenancePolicy {
         val base = math.max(stats.rows - stats.deltaRows, 1L)
         stats.deltaRows.toDouble / base > ScreenDeltaRebuildFraction
     }
+    val maxRows = maxRowsPerBucket(bloomBudgetBytes)
     val rebucketTo =
       if (stats.buckets <= 0 ||
-          stats.rows / stats.buckets <= MaxRowsPerBucket) None
+          stats.rows / stats.buckets <= maxRows) None
       else {
         var b = stats.buckets.toLong
-        while (stats.rows / b > MaxRowsPerBucket) b *= 2
+        while (stats.rows / b > maxRows) b *= 2
         Some(b.toInt)
       }
     TablePlan(floor, TierFanout, fullBuild, rebucketTo)
@@ -144,27 +163,50 @@ object MaintenancePolicy {
     * maintenance-scale event (see the class doc).
     */
   def maintainTable(spark: SparkSession, table: String, dir: String,
-                    buckets: Int, bucketCol: String,
-                    withScreen: Boolean): TablePlan = {
+                    buckets: Int, bucketCol: String, withScreen: Boolean,
+                    bloomBudgetBytes: Long = MaxBloomBytesPerBucket):
+      TablePlan = {
+    val t0 = System.nanoTime()
     val stats = statsFor(spark, table, dir, buckets)
-    val p = plan(stats)
+    val p = plan(stats, bloomBudgetBytes)
     StreamingBm25.compact(spark, table, dir, bucketCol = bucketCol,
       numBuckets = buckets, minFileBytes = p.tierFloorBytes,
       tierFanout = p.tierFanout)
-    if (withScreen) {
-      if (p.fullScreenBuild)
+    val screenOp =
+      if (!withScreen) "none"
+      else if (p.fullScreenBuild) {
         BucketScreen.build(spark, table, dir, buckets, ScreenFpp,
           keyCol = bucketCol)
-      else
+        "build"
+      } else {
         BucketScreen.extendOrBuild(spark, table, dir, buckets, ScreenFpp,
           keyCol = bucketCol)
-    }
+        "extend"
+      }
     p.rebucketTo.foreach { n =>
       Console.err.println(s"[graft] maintenance policy: registry at " +
         s"$dir holds ~${stats.rows / math.max(buckets, 1)} rows/bucket " +
-        s"(> $MaxRowsPerBucket); RECOMMEND rebucket to $n buckets at " +
-        "the next stream restart (stop-the-world table rewrite)")
+        s"(> ${maxRowsPerBucket(bloomBudgetBytes)}); RECOMMEND rebucket " +
+        s"to $n buckets at the next stream restart (stop-the-world " +
+        "table rewrite)")
     }
+    val secs = (System.nanoTime() - t0) / 1e9
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(dir)))
+      MaintenanceLog.append(fs, dir,
+        s"""{"ts_ms":${System.currentTimeMillis()},"table":"$table",""" +
+        s""""buckets":${stats.buckets},"rows":${stats.rows},""" +
+        s""""data_files":${stats.dataFiles},""" +
+        s""""data_bytes":${stats.dataBytes},"batches":${stats.batches},""" +
+        s""""delta_rows":${stats.deltaRows},""" +
+        s""""screen_covered":${
+          stats.screen.map(_.coveredBatch).getOrElse(-1L)},""" +
+        s""""tier_floor_bytes":${p.tierFloorBytes},""" +
+        s""""tier_fanout":${p.tierFanout},"screen_op":"$screenOp",""" +
+        s""""full_screen_build":${p.fullScreenBuild},""" +
+        s""""rebucket_to":${p.rebucketTo.getOrElse(0)},""" +
+        f""""secs":$secs%.3f,"holder":"${MaintenanceLease.holderId}"}""")
     p
   }
 }

@@ -96,7 +96,9 @@ private[streaming] object SelfRegistryDedup {
     * stop-the-world rewrite, deliberately not fired behind a live
     * stream. No-op (None) until the registry exists.
     */
-  def maintain(spark: SparkSession, kind: Kind, registryDir: String):
+  def maintain(spark: SparkSession, kind: Kind, registryDir: String,
+               bloomBudgetBytes: Long =
+                 MaintenancePolicy.MaxBloomBytesPerBucket):
       Option[MaintenancePolicy.TablePlan] = {
     val bDir = bandsDir(registryDir)
     val fs = new org.apache.hadoop.fs.Path(bDir)
@@ -107,12 +109,13 @@ private[streaming] object SelfRegistryDedup {
       return None) // mid-first-append crash: next batch stamps it
     val bt = requireBandsTable(spark, kind, registryDir, buckets)
     val plan = MaintenancePolicy.maintainTable(spark, bt, bDir, buckets,
-      bucketCol = "band_key", withScreen = true)
+      bucketCol = "band_key", withScreen = true,
+      bloomBudgetBytes = bloomBudgetBytes)
     if (fs.exists(new org.apache.hadoop.fs.Path(featsDir(kind, registryDir)))) {
       val dt = requireFeatsTable(spark, kind, registryDir, buckets)
       MaintenancePolicy.maintainTable(spark, dt,
         featsDir(kind, registryDir), buckets, bucketCol = "id",
-        withScreen = false)
+        withScreen = false, bloomBudgetBytes = bloomBudgetBytes)
     }
     Some(plan)
   }

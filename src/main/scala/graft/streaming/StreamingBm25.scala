@@ -242,6 +242,9 @@ object StreamingBm25 {
      else reader)
       .bucketBy(numBuckets, bucketCol).sortBy(bucketCol)
       .saveAsTable(stageTable)
+    // the stage write is the op's long pole: refresh the lease so a
+    // compact slower than the TTL is never taken over mid-flight
+    MaintenanceLease.heartbeat(fs, lease)
     val staged = fs.listStatus(stagePath).toSeq.map(_.getPath.getName)
       .filter(_.startsWith("part-"))
     val mTmp = new Path(root, "__compact/.manifest.tmp")

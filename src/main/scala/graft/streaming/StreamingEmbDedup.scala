@@ -50,9 +50,11 @@ object StreamingEmbDedup {
   /** [[StreamingNearDup.maintain]] for the embedding registries —
     * zero-dial, policy-derived ([[MaintenancePolicy]]).
     */
-  def maintain(spark: SparkSession, registryDir: String):
+  def maintain(spark: SparkSession, registryDir: String,
+               bloomBudgetBytes: Long =
+                 MaintenancePolicy.MaxBloomBytesPerBucket):
       Option[MaintenancePolicy.TablePlan] =
-    SelfRegistryDedup.maintain(spark, kind, registryDir)
+    SelfRegistryDedup.maintain(spark, kind, registryDir, bloomBudgetBytes)
 
   /** [[StreamingNearDup.rebucket]] for the embedding registries. */
   def rebucket(spark: SparkSession, registryDir: String, newBuckets: Int,

@@ -72,9 +72,11 @@ object StreamingNearDup {
     * ([[MaintenancePolicy]]); returns the derived plan (surface its
     * `rebucketTo` recommendation) or None until the registry exists.
     */
-  def maintain(spark: SparkSession, registryDir: String):
+  def maintain(spark: SparkSession, registryDir: String,
+               bloomBudgetBytes: Long =
+                 MaintenancePolicy.MaxBloomBytesPerBucket):
       Option[MaintenancePolicy.TablePlan] =
-    SelfRegistryDedup.maintain(spark, kind, registryDir)
+    SelfRegistryDedup.maintain(spark, kind, registryDir, bloomBudgetBytes)
 
   /** Rewrite both registries at `newBuckets` buckets — the lifecycle
     * op for a registry that outlived its initial sizing; see

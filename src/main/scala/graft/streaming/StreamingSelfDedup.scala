@@ -199,7 +199,9 @@ object StreamingSelfDedup {
     * a deliberate stop-the-world event via [[rebucketRegistry]]), or
     * None until the registry exists.
     */
-  def maintainRegistry(spark: SparkSession, registryDir: String):
+  def maintainRegistry(spark: SparkSession, registryDir: String,
+                       bloomBudgetBytes: Long =
+                         MaintenancePolicy.MaxBloomBytesPerBucket):
       Option[MaintenancePolicy.TablePlan] = {
     val root = new org.apache.hadoop.fs.Path(registryDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -208,7 +210,8 @@ object StreamingSelfDedup {
       .getOrElse(return None)
     val tbl = requireRegistryTable(spark, registryDir, buckets)
     Some(MaintenancePolicy.maintainTable(spark, tbl, registryDir, buckets,
-      bucketCol = "h", withScreen = true))
+      bucketCol = "h", withScreen = true,
+      bloomBudgetBytes = bloomBudgetBytes))
   }
 
   /** Start the self-dedup clip over `stream`; `write` receives each

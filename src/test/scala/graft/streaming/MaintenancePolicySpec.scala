@@ -65,6 +65,46 @@ class MaintenancePolicySpec extends AnyFunSuite with SparkSpec {
       .rebucketTo == Some(64))
   }
 
+  test("the bloom-budget override scales the boundary (per-task " +
+      "envelope is the deployment's, the trigger is still derived)") {
+    val budget = 4096L // bytes -> ~1139 rows/bucket
+    val max = MaintenancePolicy.maxRowsPerBucket(budget)
+    assert(max > 0 && max < MaintenancePolicy.MaxRowsPerBucket)
+    assert(plan(stats(buckets = 4, rows = 4L * max),
+      bloomBudgetBytes = budget).rebucketTo.isEmpty)
+    assert(plan(stats(buckets = 4, rows = 4L * max + 4),
+      bloomBudgetBytes = budget).rebucketTo == Some(8))
+    // the default budget's constant is itself the derivation at 256 MiB
+    assert(MaintenancePolicy.MaxRowsPerBucket ==
+      MaintenancePolicy.maxRowsPerBucket(
+        MaintenancePolicy.MaxBloomBytesPerBucket))
+  }
+
+  test("statsFor counts DISTINCT batch ids: pre-seeded (batch_id = -1) " +
+      "and offset histories keep a meaningful per-append estimate") {
+    val dir = tmp("policy-stats") + "/reg"
+    val tbl = "graft_policy_stats_test"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    // a probe-style pre-seeded registry: bulk load at batch_id = -1,
+    // then one real append at batch_id = 5 — max+1 would say 6 batches
+    // (overcount) and a pure bulk load would say 0 (collapse); the
+    // distinct count says 2
+    spark.range(1000)
+      .selectExpr("id AS h", "CAST(-1 AS BIGINT) AS batch_id")
+      .unionAll(spark.range(50)
+        .selectExpr("id + 5000 AS h", "CAST(5 AS BIGINT) AS batch_id"))
+      .repartition(4, pmod(hash(col("h")), lit(4)))
+      .write.format("parquet").option("path", dir)
+      .bucketBy(4, "h").sortBy("h").saveAsTable(tbl)
+    val st = MaintenancePolicy.statsFor(spark, tbl, dir, buckets = 4)
+    assert(st.rows == 1050 && st.batches == 2, st.toString)
+    assert(st.dataBytes > 0 && st.dataFiles > 0)
+    // per-append estimate: bytes / 2 batches / 4 buckets, NOT bytes/6
+    val p = plan(st)
+    assert(p.tierFloorBytes >= MaintenancePolicy.TierFloorMinBytes)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("integration: zero-dial maintain drives build -> extend -> " +
       "full rebuild on a real registry") {
     import spark.implicits._
@@ -103,6 +143,23 @@ class MaintenancePolicySpec extends AnyFunSuite with SparkSpec {
       assert(m3.baseCovered == m3.coveredBatch && m3.baseCovered > m1.baseCovered,
         s"full build must fold the delta into a new base: $m3")
       assert(p3.rebucketTo.isEmpty) // tiny registry: no recommendation
+      // every window left a machine-readable trail: one JSON line per
+      // maintainTable call on the bands dir, in order, recording the
+      // stats observed and the plan applied — the audit the stderr
+      // lines alone could not provide
+      val log = MaintenanceLog.read(fs, s"$reg/bands")
+      assert(log.length == 3, s"3 windows -> 3 lines: $log")
+      assert(log(0).contains("\"screen_op\":\"build\"") &&
+        log(1).contains("\"screen_op\":\"extend\"") &&
+        log(2).contains("\"screen_op\":\"build\""),
+        log.mkString("\n"))
+      log.foreach { l =>
+        assert(l.contains("\"rows\":") && l.contains("\"batches\":") &&
+          l.contains("\"tier_floor_bytes\":") && l.contains("\"secs\":") &&
+          l.contains("\"rebucket_to\":0") && l.contains("\"holder\":"), l)
+      }
+      // the feature store's windows log to ITS dir
+      assert(MaintenanceLog.read(fs, s"$reg/docs").length == 3)
     } finally q.stop()
   }
 
