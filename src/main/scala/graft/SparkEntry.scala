@@ -6197,8 +6197,54 @@ object SparkEntry {
     vectorSpecs ++ relationalSpecs ++ classifySpecs ++ textSpecs ++
       dedupSpecs ++ pipelineSpecs
 
+  /** A declared query ending in a global `orderBy` pays its subtree
+    * TWICE: the range-partitioning exchange below SortExec first runs
+    * a sampling pass over the child RDD (every partition, all rows,
+    * down to the nearest shuffle boundary) to pick range bounds, then
+    * the real pass re-executes the same subtree. For the map-shaped
+    * tails that dominate this suite (regex cascades, levenshtein
+    * verify, tokenizer encodes — expensive narrow work ABOVE the last
+    * exchange) that is a ~30-50% tax, measured r17: dedup_edit_verified
+    * 15.6→8.2s, f7_conclusion_extract 7.3→4.2s, mm_resize_real
+    * 3.8→1.6s (ProfileSortTax, steady-state pairs).
+    *
+    * Fix (guide §3.3 "materialising an intermediate truncates the
+    * plan"): rebuild `<subtree>.orderBy(k)` as
+    * `<subtree>.localCheckpoint().sort(k)` — the subtree executes
+    * exactly once, the sampling pass then reads the materialized
+    * result rows instead of recomputing them. Rows AND declared
+    * ordering are bit-identical (same Sort, same keys, over the same
+    * rows); only the double execution is gone. The checkpoint lives
+    * inside the timed/measured query (nothing crosses runs — the
+    * bench unpersists all blocks between queries) and is
+    * result-sized, not corpus-sized. Applied mechanically to every
+    * declared query whose ROOT logical node is a global Sort; roots
+    * like Limit-over-Sort (semantic top-k) are left alone.
+    */
+  private def checkpointTrailingSort(
+      fn: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val df = fn(s, dir)
+      df.queryExecution.logical match {
+        case org.apache.spark.sql.catalyst.plans.logical.Sort(order, true, child, _) =>
+          org.apache.spark.sql.GraftColumnBridge.ofRows(s, child)
+            .localCheckpoint()
+            .sort(order.map(org.apache.spark.sql.GraftColumnBridge.column): _*)
+        case _ => df
+      }
+    }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
+    specs.map(q => q.name -> checkpointTrailingSort(q.fn)).toMap
+
+  /** The declared queries WITHOUT [[checkpointTrailingSort]] — plan
+    * evidence only (plans/r17): the wrapper's final plan shows
+    * `Sort → Scan ExistingRDD`, hiding the subtree that executes once
+    * inside the localCheckpoint; dump tools read the raw form to show
+    * that subtree. Not part of the driver contract.
+    */
+  private[graft] def rawQueries: Map[String, (SparkSession, String) => DataFrame] =
     specs.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

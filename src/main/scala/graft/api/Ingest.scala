@@ -71,12 +71,12 @@ object Ingest {
       sha2(fileName, 256).as("file_id"),
       courtLevel.cast("int").as("court_level"),
       Cascades.docType(textCol).as("document_type"),
-      regexp_extract(page1, CaseMetadata.partiesPattern, 0).as("__pm"),
+      CaseMetadata.partiesExtract(page1, 0).as("__pm"),
       CaseMetadata.caseNumber(page1).as("__cn"))
     val meta = concat_ws(" ",
       col("__cn"),
-      trim(regexp_extract(col("__pm"), CaseMetadata.partiesPattern, 1)),
-      trim(regexp_extract(col("__pm"), CaseMetadata.partiesPattern, 2)))
+      trim(CaseMetadata.partiesExtract(col("__pm"), 1)),
+      trim(CaseMetadata.partiesExtract(col("__pm"), 2)))
     staged.select(
       col("key"), col("doc_text"), col("file_name"), col("file_id"),
       col("court_level"), col("document_type"),

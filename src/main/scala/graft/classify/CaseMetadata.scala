@@ -34,6 +34,29 @@ object CaseMetadata {
   val partiesPattern =
     """(?i)([A-Za-z\s\.,]+)\s+(?:versus|vs\.?|v\.)\s+([A-Za-z\s\.,]+)"""
 
+  /** Guarded parties extraction. The pattern's nested quantifiers
+    * ([A-Za-z\s\.,]+ overlaps \s+) backtrack O(n³) per scan on
+    * NON-matching text, and a failed scan is the common case — the
+    * whole document is typically one [A-Za-z\s\.,] run, so every start
+    * position replays the full greedy collapse. Every alternative of
+    * the separator token, lowercased, IS one of the literals "versus",
+    * "vs", "v." (note "versus" does NOT contain "vs" — v and s are
+    * never adjacent in it; the spec's adversarial corpus pins this) —
+    * so a text whose lowercase contains none of the three cannot
+    * match, and `regexp_extract` on it returns '' by contract.
+    * Guarding the extract with two substring probes (codegen
+    * UTF8String.contains, linear, no regex) makes the no-match case
+    * O(n) while matching texts take the identical regex path: results
+    * are bit-identical (pinned by CaseMetadataSpec's guard property
+    * test and the s2/ingest oracle hashes, whose DuckDB side still
+    * runs the unguarded pattern).
+    */
+  def partiesExtract(text: Column, group: Int): Column = {
+    val low = lower(text)
+    when(low.contains("vs") || low.contains("v.") || low.contains("versus"),
+      regexp_extract(text, partiesPattern, group)).otherwise(lit(""))
+  }
+
   def caseNumber(text: Column): Column =
     regexp_extract(text, caseNumberPattern, 1).as("case_number")
 
@@ -47,8 +70,8 @@ object CaseMetadata {
     regexp_extract(text, datePattern, 0).as("first_date")
 
   def appellant(text: Column): Column =
-    trim(regexp_extract(text, partiesPattern, 1)).as("appellant")
+    trim(partiesExtract(text, 1)).as("appellant")
 
   def respondent(text: Column): Column =
-    trim(regexp_extract(text, partiesPattern, 2)).as("respondent")
+    trim(partiesExtract(text, 2)).as("respondent")
 }

@@ -61,4 +61,34 @@ class CaseMetadataSpec extends AnyFunSuite {
           s"viaGroup0=${viaGroup0(text)} direct=${direct(text)}")
     }
   }
+
+  test("partiesExtract substring guard never suppresses a real match") {
+    // the guard skips the regex only when lowercase(text) contains
+    // none of "vs", "v.", "versus" — every separator alternative,
+    // lowercased, IS one of those literals ("versus" does NOT contain
+    // "vs": v and s are never adjacent in it — the first guard draft
+    // missed exactly that and this corpus caught it), so a guarded-out
+    // text cannot match. Mirror the guard in plain Scala against the
+    // same corpus
+    // the scan-once property uses, plus adversarial near-separator
+    // texts (the guard firing SPURIOUSLY is fine — regex then decides;
+    // the bug class is a match behind a non-firing guard).
+    val rnd = new Random(2027)
+    val wordChars = "abvsurceVSZ .,"
+    def word(len: Int): String =
+      (0 until len).map(_ => wordChars(rnd.nextInt(wordChars.length))).mkString
+    val adversarial = Seq(
+      "avs b", "a v.b", "a V. b", "a Vs b", "a VERSUS b", "a verSus b",
+      "v.", "vs", " v. ", " vs ", "x v y", "x vv y", "x s.v y",
+      "does not contain separator token at all")
+    val randomized = (1 to 600).map(_ => word(rnd.nextInt(40)))
+    (adversarial ++ randomized).foreach { text =>
+      val low = text.toLowerCase
+      val guardFires = low.contains("vs") || low.contains("v.") ||
+        low.contains("versus")
+      if (!guardFires)
+        assert(direct(text).isEmpty,
+          s"guard suppressed a real match on '$text': ${direct(text)}")
+    }
+  }
 }
