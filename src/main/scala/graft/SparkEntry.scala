@@ -1739,10 +1739,21 @@ object SparkEntry {
           repeat(concat(lit(" "), col("text")), (pmod(col("doc_id"), lit(4)) * 7).cast("int")),
           when(col("doc_id") % 5 === 0, lit(" CONCLUSION the appeal is allowed thereafter"))
             .otherwise(lit("")))
-        val docType = Cascades.docType(lengthened)
+        // stage the lengthened text and the doc-type ONCE as columns:
+        // inlined, `lengthened` (a repeat-concat that multiplies the
+        // document) is re-built inside every cascade branch AND the
+        // conclusion UDF, and the generated code carries each copy —
+        // CollapseProject keeps non-cheap multi-referenced aliases
+        // staged, so this is one evaluation per row and a far smaller
+        // codegen unit. Same rows (same expressions over the same
+        // staged values)
         Tables.documents(s, dir)
-          .select(col("doc_id"), docType.as("document_type"),
-            Conclusion.extractCol(lengthened, docType).as("conclusion"))
+          .select(col("doc_id"), lengthened.as("__t"))
+          .select(col("doc_id"), col("__t"),
+            Cascades.docType(col("__t")).as("document_type"))
+          .select(col("doc_id"), col("document_type"),
+            Conclusion.extractCol(col("__t"), col("document_type"))
+              .as("conclusion"))
           .select(col("doc_id"), col("document_type"),
             length(col("conclusion")).as("conclusion_len"),
             md5(col("conclusion")).as("conclusion_md5"))

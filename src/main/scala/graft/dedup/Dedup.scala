@@ -467,8 +467,17 @@ object Dedup {
         greatest(length(col("__ta")), length(col("__tb"))).cast("long"))
       // d*1000 <= p*max_len  ⟺  d <= floor(p*max_len/1000) for integer d,
       // so the banded threshold loses nothing vs the full predicate.
+      // r17: [[EditKernel.editDist]] replaces the built-in
+      // `levenshtein(l, r, threshold)` — same contract (code-point
+      // distance, −1 over threshold, null-propagating; parity pinned
+      // by EditKernelSpec's randomized cross-check and this gate's
+      // full-DP DuckDB oracle), but it trims the pair's common
+      // prefix/suffix before the banded DP. Verified near-dup pairs
+      // share almost everything by construction, so the DP shrinks to
+      // the differing middle: measured 5.4 s → ~0.6 s over the sf0.1
+      // fixture's 258k pairs.
       .withColumn("edit_dist",
-        call_function("levenshtein", col("__ta"), col("__tb"),
+        EditKernel.editDist(col("__ta"), col("__tb"),
           (lit(maxRelPermille.toLong) * col("max_len") / 1000L)
             .cast("int")).cast("long"))
       .where(col("edit_dist") >= 0L &&
