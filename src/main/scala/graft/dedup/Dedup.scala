@@ -182,12 +182,17 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, idCol: Column, textCol: Column,
                    n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
-    // Every stage is a codegen kernel (shingle-hash → signature → band
-    // keys), so the subtree is cheap to re-evaluate on both sides of
-    // the self-join — no caching or pre-shuffle needed; the band-key
-    // equi-join provides the only required exchange.
+    // The signature table is referenced FOUR times downstream (both
+    // sides of the band self-join, both verification set fetches), and
+    // un-pinned each reference re-runs the shingle+64-perm signature
+    // kernel over the whole corpus. Pin it once (r17; guide §8 step 1
+    // "fingerprints only — one full read, then reuse"): the pinned
+    // frame is (id, shingles, sig) — far smaller than the corpus text,
+    // and the materialize-once plan is also the correct one at scale
+    // (recomputing signatures 4× reads the corpus 4×).
     val base = df.select(idCol.as("id"), shingleHashes(textCol, n).as("sh"))
       .withColumn("sig", minhashSignatureFromHashes(col("sh")))
+      .localCheckpoint()
     val exploded = base
       .select(col("id"),
         explode(ShingleKernel.bandHash64(col("sig"), NumBands)).as("band_key"))
@@ -219,6 +224,7 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
                         n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
     val base  = df.select(idCol.as("id"), shingleHashes(textCol, n).as("sh"))
+      .localCheckpoint() // pinned: inv self-join + sizes re-read it (see minhashPairs note)
     val sizes = base.select(col("id"), size(col("sh")).as("n_sh"))
     val inv   = base.select(col("id"), explode(col("sh")).as("shingle"))
     val shared = inv.as("l")
@@ -298,6 +304,7 @@ object Dedup {
   def ngramJaccardPairsPrefix(df: DataFrame, idCol: Column, textCol: Column,
                               n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
     val base = df.select(idCol.as("id"), shingleHashes(textCol, n).as("sh"))
+      .localCheckpoint() // pinned: inverted index + both verify fetches (see minhashPairs note)
     val inv  = base.select(col("id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("shingle"))
     val freq = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -343,6 +350,7 @@ object Dedup {
                              n: Int = 3, minJaccard: Double = 0.5,
                              maxDf: Long = 1000L): DataFrame = {
     val base = df.select(idCol.as("id"), shingleHashes(textCol, n).as("sh"))
+      .localCheckpoint() // pinned: candidates + both verify fetches (see minhashPairs note)
     val cands = dfCutCandidates(base, maxDf)
     cands
       .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
@@ -508,6 +516,7 @@ object Dedup {
       s"minContainment must be in (0, 1], got $minContainment")
     def floor4(c: Column): Column = floor(c * 10000.0) / 10000.0
     val base  = df.select(idCol.as("id"), shingleHashes(textCol, n).as("sh"))
+      .localCheckpoint() // pinned: inv self-join + both size fetches (see minhashPairs note)
     val sizes = base.select(col("id"), size(col("sh")).as("n_sh"))
     val inv   = base.select(col("id"), explode(col("sh")).as("shingle"))
     inv.as("l")
