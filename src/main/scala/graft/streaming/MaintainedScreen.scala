@@ -114,15 +114,21 @@ private[streaming] final class MaintainedScreen(
     }
 
   /** Extend with the batch's appended key hashes (single `h` column):
-    * stream the 8-byte hashes to the driver — a distributed bloom
-    * build's partial aggregates each weigh the FULL filter. Drops the
-    * screen if the extension saturates it; with a bucket screen the
-    * drop is temporary (the next maintenance rebuild revives it).
+    * stream the 8-byte hashes to the driver in one job
+    * ([[SeedScreen.longsToDriver]] — a distributed bloom build's
+    * partial aggregates each weigh the FULL filter, and the previous
+    * `toLocalIterator` paid one job per post-shuffle partition).
+    * Drops the screen if the extension saturates it; with a bucket
+    * screen the drop is temporary (the next maintenance rebuild
+    * revives it).
     */
   def extend(appendedHashes: DataFrame, batchId: Long): Unit = {
     if (bloom == null) return
-    appendedHashes.toLocalIterator().forEachRemaining(
-      r => bloom.putLong(r.getLong(0)))
+    val bf = bloom
+    SeedScreen.longsToDriver(appendedHashes) { arr =>
+      var i = 0
+      while (i < arr.length) { bf.putLong(arr(i)); i += 1 }
+    }
     if (bloom.expectedFpp() > StreamingSelfDedup.ScreenUsableFpp) {
       MaintainedScreen.event(
         s"$label ${if (bucketCovered.isDefined) "tail " else ""}screen " +

@@ -32,6 +32,34 @@ import graft.dedup.Spans
   */
 private[streaming] object SelfRegistryDedup {
 
+  /** Run two independent write actions as concurrent Spark jobs
+    * (overlap-independent-jobs: the second job's tasks back-fill
+    * executor slots the first's tail leaves idle, and its driver-side
+    * analysis/commit runs while the first's tasks execute). `b` runs
+    * on a daemon pool thread, `a` on the calling thread; the await
+    * sits in a finally so neither failure path leaves an in-flight
+    * write behind — `a`'s exception wins, else `b`'s surfaces, and
+    * the batch retry replays both idempotently under the batch-id
+    * fence either way.
+    */
+  private def inParallel[A](a: => A, b: => Unit): A = {
+    val fb = scala.concurrent.Future(b)(appendEc)
+    val ra =
+      try a
+      finally scala.concurrent.Await.ready(
+        fb, scala.concurrent.duration.Duration.Inf)
+    fb.value.get.get
+    ra
+  }
+
+  private lazy val appendEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "graft-registry-append")
+        t.setDaemon(true)
+        t
+      }))
+
   /** One route's identity: screen-event label, catalog-name prefixes,
     * feature store subdir, and the feature column's name + SQL type.
     */
@@ -73,16 +101,22 @@ private[streaming] object SelfRegistryDedup {
               buckets: Int, minFileBytes: Long, rebuildScreen: Boolean,
               screenFpp: Double, tierFanout: Int = 0): Unit = {
     val bt = requireBandsTable(spark, kind, registryDir, buckets)
-    StreamingBm25.compact(spark, bt, bandsDir(registryDir),
-      bucketCol = "band_key", numBuckets = buckets,
-      minFileBytes = minFileBytes, tierFanout = tierFanout)
     val dt = requireFeatsTable(spark, kind, registryDir, buckets)
-    StreamingBm25.compact(spark, dt, featsDir(kind, registryDir),
-      bucketCol = "id", numBuckets = buckets, minFileBytes = minFileBytes,
-      tierFanout = tierFanout)
-    if (rebuildScreen)
-      BucketScreen.extendOrBuild(spark, bt, bandsDir(registryDir), buckets,
-        screenFpp, keyCol = "band_key")
+    // the two registries are independent tables under independent
+    // leases (per-dir) with per-table staging names: the feats compact
+    // runs concurrently with the bands compact + screen refresh
+    inParallel(
+      {
+        StreamingBm25.compact(spark, bt, bandsDir(registryDir),
+          bucketCol = "band_key", numBuckets = buckets,
+          minFileBytes = minFileBytes, tierFanout = tierFanout)
+        if (rebuildScreen)
+          BucketScreen.extendOrBuild(spark, bt, bandsDir(registryDir),
+            buckets, screenFpp, keyCol = "band_key")
+      },
+      StreamingBm25.compact(spark, dt, featsDir(kind, registryDir),
+        bucketCol = "id", numBuckets = buckets, minFileBytes = minFileBytes,
+        tierFanout = tierFanout))
   }
 
   /** ZERO-DIAL maintenance window: both registries compact under the
@@ -108,15 +142,22 @@ private[streaming] object SelfRegistryDedup {
     val buckets = BucketedRegistry.readBucketsMarker(fs, bDir).getOrElse(
       return None) // mid-first-append crash: next batch stamps it
     val bt = requireBandsTable(spark, kind, registryDir, buckets)
-    val plan = MaintenancePolicy.maintainTable(spark, bt, bDir, buckets,
-      bucketCol = "band_key", withScreen = true,
-      bloomBudgetBytes = bloomBudgetBytes)
-    if (fs.exists(new org.apache.hadoop.fs.Path(featsDir(kind, registryDir)))) {
-      val dt = requireFeatsTable(spark, kind, registryDir, buckets)
-      MaintenancePolicy.maintainTable(spark, dt,
-        featsDir(kind, registryDir), buckets, bucketCol = "id",
-        withScreen = false, bloomBudgetBytes = bloomBudgetBytes)
-    }
+    // both tables' windows derive and apply their own plans from
+    // independent on-disk stats (per-dir leases, per-table staging):
+    // the feats window runs concurrently with the bands window + its
+    // screen refresh
+    val plan = inParallel(
+      MaintenancePolicy.maintainTable(spark, bt, bDir, buckets,
+        bucketCol = "band_key", withScreen = true,
+        bloomBudgetBytes = bloomBudgetBytes),
+      if (fs.exists(
+          new org.apache.hadoop.fs.Path(featsDir(kind, registryDir)))) {
+        val dt = requireFeatsTable(spark, kind, registryDir, buckets)
+        MaintenancePolicy.maintainTable(spark, dt,
+          featsDir(kind, registryDir), buckets, bucketCol = "id",
+          withScreen = false, bloomBudgetBytes = bloomBudgetBytes)
+        ()
+      })
     Some(plan)
   }
 
@@ -341,17 +382,24 @@ private[streaming] object SelfRegistryDedup {
           }
           // repartition by the BUCKET ID first: one file per bucket per
           // batch instead of (partitions × buckets) — see clipStream's
-          // append for the measured 32× litter consequence
-          registrantBands.withColumn("batch_id", lit(batchId))
-            .repartition(buckets, pmod(hash(col("band_key")), lit(buckets)))
-            .write.mode("append").format("parquet").option("path", bDir)
-            .bucketBy(buckets, "band_key").sortBy("band_key")
-            .saveAsTable(bTbl)
-          registrants.select(col("id"), col(feat), lit(batchId).as("batch_id"))
-            .repartition(buckets, pmod(hash(col("id")), lit(buckets)))
-            .write.mode("append").format("parquet").option("path", dDir)
-            .bucketBy(buckets, "id").sortBy("id")
-            .saveAsTable(dTbl)
+          // append for the measured 32× litter consequence. The two
+          // appends hit DIFFERENT tables from shared cached inputs, so
+          // they run as concurrent jobs: the feats append's driver-side
+          // analysis/commit overlaps the bands append's tasks (both
+          // must land before the screen extends — a key the screen
+          // covers but the registry lost would be a false negative).
+          inParallel(
+            registrantBands.withColumn("batch_id", lit(batchId))
+              .repartition(buckets, pmod(hash(col("band_key")), lit(buckets)))
+              .write.mode("append").format("parquet").option("path", bDir)
+              .bucketBy(buckets, "band_key").sortBy("band_key")
+              .saveAsTable(bTbl),
+            registrants.select(col("id"), col(feat),
+                lit(batchId).as("batch_id"))
+              .repartition(buckets, pmod(hash(col("id")), lit(buckets)))
+              .write.mode("append").format("parquet").option("path", dDir)
+              .bucketBy(buckets, "id").sortBy("id")
+              .saveAsTable(dTbl))
           maintained.extend(
             registrantBands.select(col("band_key").as("h")).distinct(), batchId)
         } finally best.unpersist(blocking = false)

@@ -7,8 +7,10 @@ import graft.api.Enrich
 import graft.dedup.Dedup
 import graft.sources.Tables
 
-/** r17: does pinning the shingle table (referenced 3x inside
-  * ngramJaccardPairsPrefix: inverted index + both verify joins) pay?
+/** r17 (session 2): the prefix miner's rarest-first selection is a
+  * per-doc window (exchange + full sort + WindowExec). A/B it against
+  * an aggregation-based selection (collect_list + array_sort + slice)
+  * that keeps the exchange but drops the full sort.
   */
 object ProfileCand {
   def main(args: Array[String]): Unit = {
@@ -31,37 +33,49 @@ object ProfileCand {
     val docs = Tables.documents(spark, "/root/testdata/sf0.1")
     docs.count()
     val t = Enrich.dedupContent(col("text"), col("doc_id"))
-    // steady-state pairs: run each variant twice
     def current() = Dedup.ngramJaccardPairsPrefix(docs, col("doc_id"), t)
-    def pinned() = {
+    // identical selection, aggregation-based: per doc the kept set is
+    // the k smallest (df, shingle) pairs, k = n_sh - ceil(n_sh*j) + 1;
+    // sh is a sorted DISTINCT hash array so the order is total and
+    // slice(array_sort(...), 1, k) keeps exactly the window's rows
+    def aggSel() = {
+      val minJaccard = 0.5
       val base = docs.select(col("doc_id").as("id"),
         Dedup.shingleHashes(t, 3).as("sh")).localCheckpoint()
-      val inv = base.select(col("id"), size(col("sh")).as("n_sh"),
-        explode(col("sh")).as("shingle"))
+      val inv = base.select(col("id"), explode(col("sh")).as("shingle"))
       val freq = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("id")).orderBy(col("df").asc, col("shingle").asc)
-      val prefix = inv.join(freq, "shingle")
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") <= col("n_sh") - ceil(col("n_sh") * 0.5) + 1)
-        .select(col("id"), col("shingle"))
+      val ranked = inv.join(freq, "shingle")
+        .groupBy("id")
+        .agg(array_sort(collect_list(struct(col("df"), col("shingle"))))
+          .as("ranked"))
+      val prefix = ranked.select(col("id"),
+          explode(slice(col("ranked"), lit(1),
+            (size(col("ranked")) -
+              ceil(size(col("ranked")) * minJaccard) + 1).cast("int")))
+            .as("r"))
+        .select(col("id"), col("r.shingle").as("shingle"))
       val cands = prefix.as("l")
         .join(prefix.as("r"), col("l.shingle") === col("r.shingle")
           && col("l.id") < col("r.id"))
         .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
         .distinct()
-      def floor4(c: org.apache.spark.sql.Column) = floor(c * 10000.0) / 10000.0
       cands
         .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
         .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
         .select(col("id_a"), col("id_b"),
           Dedup.jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
-        .where(col("jaccard") >= 0.5)
+        .where(col("jaccard") >= minJaccard)
     }
-    time("current 1")(current())
-    time("current 2")(current())
-    time("pinned 1")(pinned())
-    time("pinned 2")(pinned())
+    time("window 1")(current())
+    time("window 2")(current())
+    time("aggsel 1")(aggSel())
+    time("aggsel 2")(aggSel())
+    // result equivalence on the full corpus
+    val a = current().select("id_a", "id_b", "jaccard")
+    val b = aggSel().select("id_a", "id_b", "jaccard")
+    val onlyA = a.exceptAll(b).count()
+    val onlyB = b.exceptAll(a).count()
+    println(s"equivalence: onlyWindow=$onlyA onlyAgg=$onlyB")
     spark.stop()
   }
 }

@@ -28,6 +28,9 @@ object ProfileEmbGate {
           jobs.put(e.jobId, (e.time,
             Option(e.properties.getProperty("spark.job.description"))
               .orElse(Option(e.properties.getProperty("callSite.short")))
+              .filter(_.nonEmpty)
+              .orElse(e.stageInfos.lastOption.map(si =>
+                s"stages=${e.stageInfos.size} ${si.name.take(80)}"))
               .getOrElse("?")))
         override def onJobEnd(
             e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
