@@ -42,7 +42,7 @@ private[streaming] object SelfRegistryDedup {
     * the batch retry replays both idempotently under the batch-id
     * fence either way.
     */
-  private def inParallel[A](a: => A, b: => Unit): A = {
+  private[streaming] def inParallel[A](a: => A, b: => Unit): A = {
     val fb = scala.concurrent.Future(b)(appendEc)
     val ra =
       try a
@@ -355,7 +355,6 @@ private[streaming] object SelfRegistryDedup {
         try {
           val out = base.select(col("id")).join(best, Seq("id"), "left")
             .select(col("id"), col("dup_of"), col(simName))
-          write(out)
           // registration scope: everything (the oracle-exact default)
           // or admitted rows only (keep-first production — the
           // registry grows with unique content, not stream volume)
@@ -364,6 +363,13 @@ private[streaming] object SelfRegistryDedup {
             else base.join(best.select(col("id")), Seq("id"), "left_anti")
           val registrantBands = registrants
             .select(col("id"), explode(col("bands")).as("band_key"))
+          // the sink write and the registry appends are independent
+          // given `base`/`best` (both pinned): overlap them. A batch
+          // that fails in the sink after the appends landed replays
+          // under the batch-id fence exactly like the documented
+          // crash-after-append case — the replayed probe sees only
+          // strictly earlier batches, so verdicts are unchanged.
+          inParallel(write(out), {
           // appends, marker-first per table (see clipStream's ordering
           // argument); both fenced under this batch's id for replays
           BucketedRegistry.writeBucketsMarkerIfAbsent(fs, bDir, buckets)
@@ -400,6 +406,7 @@ private[streaming] object SelfRegistryDedup {
               .write.mode("append").format("parquet").option("path", dDir)
               .bucketBy(buckets, "id").sortBy("id")
               .saveAsTable(dTbl))
+          })
           maintained.extend(
             registrantBands.select(col("band_key").as("h")).distinct(), batchId)
         } finally best.unpersist(blocking = false)

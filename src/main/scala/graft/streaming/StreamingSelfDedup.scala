@@ -340,7 +340,14 @@ object StreamingSelfDedup {
       val out = newGrams.select(col("h"), col("gram"),
         lit(batchId).as("batch_id")).persist()
       try {
-        write(clipped)
+        // the clipped-output write and the registry append are
+        // independent given the step's pinned frames: overlap them
+        // (SelfRegistryDedup.inParallel — sink on this thread, append
+        // on the pool). A sink failure after the append landed replays
+        // under the batch-id fence exactly like the documented
+        // crash-after-append case; the duplicate append re-lands under
+        // the same batch_id, invisible to every later probe.
+        SelfRegistryDedup.inParallel(write(clipped),
         if (registryBuckets > 0) {
           // marker FIRST: a crash between the append and a
           // marker-after write would leave bucket-named files with no
@@ -385,7 +392,7 @@ object StreamingSelfDedup {
             BucketedRegistry.requireGeometry(fs, registryDir, geometry)
             geomOk = true
           }
-        }
+        })
         // extend, don't rebuild: stream the pinned new grams' hashes
         // to the driver (8 bytes each — a distributed build's partial
         // aggregates each weigh the FULL filter); an extension that

@@ -39,13 +39,62 @@ object ProfileEmbGate {
           }
         }
       })
+    // in-JVM sampler: every 100ms classify what the micro-batch
+    // (stream execution) thread is doing — codegen, analysis, catalog,
+    // job-await — to split the non-job driver seconds per batch.
+    val sampleBuckets =
+      new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val samplerOn = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val sampler = new Thread(() => {
+      while (samplerOn.get) {
+        val all = Thread.getAllStackTraces
+        val it = all.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getKey.getName.startsWith("stream execution thread")) {
+            val fr = e.getValue.map(f =>
+              f.getClassName + "." + f.getMethodName).mkString(" ")
+            val bucket =
+              if (fr.contains("janino") || fr.contains("CodeGenerator") ||
+                fr.contains("doCompile")) "codegen"
+              else if (fr.contains("awaitResult") || fr.contains("runJob") ||
+                fr.contains("DAGScheduler")) "await-job"
+              else if (fr.contains("RuleExecutor")) "analyze/optimize"
+              else if (fr.contains("FileIndex") || fr.contains("listLeafFiles"))
+                "file-listing"
+              else if (fr.contains("Catalog")) "catalog"
+              else if (fr.contains("FileFormatWriter") || fr.contains("commit"))
+                "write-commit"
+              else if (fr.contains("QueryExecution") ||
+                fr.contains("QueryPlanner") || fr.contains("Analyzer") ||
+                fr.contains("Optimizer"))
+                "plan-other: " + e.getValue.take(4).map(f =>
+                  f.getClassName.split("\\.").last + "." +
+                    f.getMethodName).mkString(" <- ")
+              else fr.split(" ").headOption.getOrElse("?").take(60)
+            sampleBuckets.merge(bucket, Integer.valueOf(1),
+              (a, b) => Integer.valueOf(a.intValue + b.intValue))
+          }
+        }
+        Thread.sleep(100)
+      }
+    }, "graft-prof-sampler")
+    sampler.setDaemon(true)
+    sampler.start()
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     s.range(100).count()
     var t0 = System.nanoTime()
+    val cm = org.apache.spark.metrics.source.CodegenMetrics
+    var cgN = cm.METRIC_COMPILATION_TIME.getCount
+    var cgMs = cm.METRIC_COMPILATION_TIME.getSnapshot.getValues.sum
     def lap(label: String): Unit = {
-      println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+      val n = cm.METRIC_COMPILATION_TIME.getCount
+      val ms = cm.METRIC_COMPILATION_TIME.getSnapshot.getValues.sum
+      println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs" +
+        f"  codegen +${n - cgN}%3d compiles ${(ms - cgMs) / 1e3}%6.2fs")
+      cgN = n; cgMs = ms
       t0 = System.nanoTime()
     }
     val prev = s.conf.get("spark.sql.shuffle.partitions")
@@ -92,7 +141,12 @@ object ProfileEmbGate {
     s.conf.set("spark.sql.shuffle.partitions", prev)
     lap(s"final frame (rows=$n)")
     Thread.sleep(500)
-    val cm = org.apache.spark.metrics.source.CodegenMetrics
+    samplerOn.set(false)
+    println("stream-thread samples (100ms each):")
+    import scala.jdk.CollectionConverters._
+    sampleBuckets.asScala.toSeq.sortBy(-_._2.intValue).take(15).foreach {
+      case (k, v) => println(f"  ${v.intValue}%4d  $k")
+    }
     println(s"codegen compile time total = " +
       f"${cm.METRIC_COMPILATION_TIME.getSnapshot.getValues.sum / 1e3}%.2f s " +
       s"over ${cm.METRIC_COMPILATION_TIME.getCount} compilations")
