@@ -36,16 +36,27 @@ object LabelProp {
   /** Communities after `rounds` synchronous majority-vote rounds.
     * `nodes`: (id); `edges`: (id_a, id_b) undirected, self-pair-free.
     * Isolated nodes keep their own id. Returns (id, community).
+    *
+    * Each round's labels feed exactly ONE consumer (the next round's
+    * vote join), so per-round materialization buys nothing — the
+    * checkpoint exists only to keep lineage flat at deep round counts.
+    * Materialize at a cadence instead (the [[graft.operators.PageRank]]
+    * `checkpointEvery` shape): between checkpoints the rounds unroll
+    * lazily into one plan and execute once, and superseded checkpoint
+    * blocks are dropped as soon as the next lands (they are otherwise
+    * pinned in the block manager for the session's lifetime).
     */
   def labelPropagation(nodes: DataFrame, edges: DataFrame,
-                       rounds: Int = 4): DataFrame = {
+                       rounds: Int = 4, checkpointEvery: Int = 2): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val e0 = edges.select(col("id_a"), col("id_b")).localCheckpoint()
     val sym = e0.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(e0.select(col("id_b").as("src"), col("id_a").as("dst")))
     val n0 = nodes.select(col("id")).localCheckpoint()
     var labels = n0.select(col("id"), col("id").as("lbl"))
-    for (_ <- 1 to rounds) {
+    var prevCkpt: Option[DataFrame] = None
+    for (t <- 1 to rounds) {
       val votes = sym
         .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
         .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("cnt"))
@@ -56,7 +67,13 @@ object LabelProp {
       labels = n0
         .join(winners.select(col("src").as("id"), col("w")), Seq("id"), "left")
         .select(col("id"), coalesce(col("w"), col("id")).as("lbl"))
-        .localCheckpoint()
+      if (t % checkpointEvery == 0 && t < rounds) {
+        val ck = labels.localCheckpoint() // eager: materialized now
+        prevCkpt.foreach(
+          org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint)
+        prevCkpt = Some(ck)
+        labels = ck
+      }
     }
     labels.select(col("id"), col("lbl").as("community"))
   }
