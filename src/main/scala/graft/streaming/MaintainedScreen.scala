@@ -122,10 +122,40 @@ private[streaming] final class MaintainedScreen(
     * screen the drop is temporary (the next maintenance rebuild
     * revives it).
     */
-  def extend(appendedHashes: DataFrame, batchId: Long): Unit = {
-    if (bloom == null) return
+  def extend(appendedHashes: DataFrame, batchId: Long): Unit =
+    extendApply(extendCollect(appendedHashes), batchId)
+
+  /** Phase 1 of [[extend]]: the one Spark job that streams the batch's
+    * appended key hashes to the driver, buffered as per-partition
+    * arrays. Reads only the (caller-pinned) input frame and mutates no
+    * screen state, so the caller may run it CONCURRENTLY with the
+    * sink write and the registry appends (the stream thread otherwise
+    * idles parked on the append await while this job would run after
+    * it). [[extendApply]] — which mutates the filter — must still run
+    * strictly AFTER the appends land: a key the screen covers but the
+    * registry lost would be a false negative. Returns null when the
+    * screen is down (apply then no-ops). Thread-safety: screen state
+    * is written only by `refresh`/`extendApply` on the stream thread;
+    * a pool-thread collect is safe when submitted by the stream
+    * thread after its `refresh` (the submission orders the writes).
+    */
+  def extendCollect(appendedHashes: DataFrame): java.util.List[Array[Long]] = {
+    if (bloom == null) return null
+    val bufs = new java.util.ArrayList[Array[Long]]()
+    SeedScreen.longsToDriver(appendedHashes)(arr => bufs.add(arr))
+    bufs
+  }
+
+  /** Phase 2 of [[extend]]: fold the collected hash arrays into the
+    * driver filter and drop the screen if the extension saturates it.
+    * No-op on a null/absent collect (screen down).
+    */
+  def extendApply(bufs: java.util.List[Array[Long]], batchId: Long): Unit = {
+    if (bloom == null || bufs == null) return
     val bf = bloom
-    SeedScreen.longsToDriver(appendedHashes) { arr =>
+    val it = bufs.iterator()
+    while (it.hasNext) {
+      val arr = it.next()
       var i = 0
       while (i < arr.length) { bf.putLong(arr(i)); i += 1 }
     }

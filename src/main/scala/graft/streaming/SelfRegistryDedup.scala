@@ -52,6 +52,32 @@ private[streaming] object SelfRegistryDedup {
     ra
   }
 
+  /** Three-way [[inParallel]]: `a` on the calling (stream) thread,
+    * `b` and `c` on pool threads — used to overlap the sink write, the
+    * registry appends, and the screen-extension collect job (which
+    * reads only batch-pinned frames; its filter mutation happens
+    * strictly after, see [[MaintainedScreen.extendCollect]]). Both
+    * awaits sit in a finally so no failure path leaves an in-flight
+    * write behind; `a`'s exception wins, else `b`'s, else `c`'s, and a
+    * batch retry replays all three idempotently under the batch-id
+    * fence.
+    */
+  private[streaming] def inParallel3[A](a: => A, b: => Unit, c: => Unit): A = {
+    val fb = scala.concurrent.Future(b)(appendEc)
+    val fc = scala.concurrent.Future(c)(appendEc)
+    val ra =
+      try a
+      finally {
+        scala.concurrent.Await.ready(
+          fb, scala.concurrent.duration.Duration.Inf)
+        scala.concurrent.Await.ready(
+          fc, scala.concurrent.duration.Duration.Inf)
+      }
+    fb.value.get.get
+    fc.value.get.get
+    ra
+  }
+
   private lazy val appendEc: scala.concurrent.ExecutionContext =
     scala.concurrent.ExecutionContext.fromExecutor(
       java.util.concurrent.Executors.newCachedThreadPool(r => {
@@ -363,13 +389,18 @@ private[streaming] object SelfRegistryDedup {
             else base.join(best.select(col("id")), Seq("id"), "left_anti")
           val registrantBands = registrants
             .select(col("id"), explode(col("bands")).as("band_key"))
-          // the sink write and the registry appends are independent
-          // given `base`/`best` (both pinned): overlap them. A batch
-          // that fails in the sink after the appends landed replays
-          // under the batch-id fence exactly like the documented
+          // the sink write, the registry appends, and the screen
+          // extension's collect job are independent given `base`/
+          // `best` (both pinned): overlap all three. A batch that
+          // fails in the sink after the appends landed replays under
+          // the batch-id fence exactly like the documented
           // crash-after-append case — the replayed probe sees only
-          // strictly earlier batches, so verdicts are unchanged.
-          inParallel(write(out), {
+          // strictly earlier batches, so verdicts are unchanged. The
+          // extension's filter MUTATION stays strictly after the
+          // appends (extendApply below) — a key the screen covers but
+          // the registry lost would be a false negative.
+          var extBufs: java.util.List[Array[Long]] = null
+          inParallel3(write(out), {
           // appends, marker-first per table (see clipStream's ordering
           // argument); both fenced under this batch's id for replays
           BucketedRegistry.writeBucketsMarkerIfAbsent(fs, bDir, buckets)
@@ -406,9 +437,11 @@ private[streaming] object SelfRegistryDedup {
               .write.mode("append").format("parquet").option("path", dDir)
               .bucketBy(buckets, "id").sortBy("id")
               .saveAsTable(dTbl))
+          }, {
+            extBufs = maintained.extendCollect(
+              registrantBands.select(col("band_key").as("h")).distinct())
           })
-          maintained.extend(
-            registrantBands.select(col("band_key").as("h")).distinct(), batchId)
+          maintained.extendApply(extBufs, batchId)
         } finally best.unpersist(blocking = false)
         } finally crossCand.unpersist(blocking = false)
       } finally base.unpersist(blocking = false)

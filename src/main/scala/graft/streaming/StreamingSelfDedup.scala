@@ -340,14 +340,19 @@ object StreamingSelfDedup {
       val out = newGrams.select(col("h"), col("gram"),
         lit(batchId).as("batch_id")).persist()
       try {
-        // the clipped-output write and the registry append are
-        // independent given the step's pinned frames: overlap them
-        // (SelfRegistryDedup.inParallel — sink on this thread, append
-        // on the pool). A sink failure after the append landed replays
-        // under the batch-id fence exactly like the documented
-        // crash-after-append case; the duplicate append re-lands under
-        // the same batch_id, invisible to every later probe.
-        SelfRegistryDedup.inParallel(write(clipped),
+        // the clipped-output write, the registry append, and the
+        // screen extension's collect job are independent given the
+        // step's pinned frames: overlap all three
+        // (SelfRegistryDedup.inParallel3 — sink on this thread, append
+        // + collect on the pool). A sink failure after the append
+        // landed replays under the batch-id fence exactly like the
+        // documented crash-after-append case; the duplicate append
+        // re-lands under the same batch_id, invisible to every later
+        // probe. The extension's filter MUTATION stays strictly after
+        // the append (extendApply below) — a key the screen covers but
+        // the registry lost would be a false negative.
+        var extBufs: java.util.List[Array[Long]] = null
+        SelfRegistryDedup.inParallel3(write(clipped),
         if (registryBuckets > 0) {
           // marker FIRST: a crash between the append and a
           // marker-after write would leave bucket-named files with no
@@ -392,12 +397,15 @@ object StreamingSelfDedup {
             BucketedRegistry.requireGeometry(fs, registryDir, geometry)
             geomOk = true
           }
+        }, {
+          extBufs = maintained.extendCollect(out.select(col("h")))
         })
         // extend, don't rebuild: stream the pinned new grams' hashes
         // to the driver (8 bytes each — a distributed build's partial
-        // aggregates each weigh the FULL filter); an extension that
+        // aggregates each weigh the FULL filter; collected above,
+        // overlapped with the sink+append); an extension that
         // saturates the screen drops it (revived at the next rebuild)
-        maintained.extend(out.select(col("h")), batchId)
+        maintained.extendApply(extBufs, batchId)
       } finally {
         out.unpersist(blocking = false)
         release()

@@ -266,4 +266,45 @@ class BucketScreenSpec extends AnyFunSuite with SparkSpec {
     assert(out(1) == (2L, "q1 q2 q3 q4", 3L), s"exact path while dead: $out")
     assert(out(3) == (4L, "z zz", 8L), s"revived screen must clip exactly: $out")
   }
+
+  test("extend split: collect buffers without mutating the screen, apply lands the keys (and still drops on saturation)") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val noDir = new org.apache.hadoop.fs.Path("/graft-spec-nonexistent")
+    val msc = new MaintainedScreen("/graft-spec-nonexistent", 0,
+      capacity = 1000, fpp = 1e-6, "spec")
+    msc.refresh(fs, noDir, 0L,
+      registryHashes = Seq(1L, 2L, 3L).toDF("h"),
+      tailHashes = _ => fail("no bucket screen exists"))
+    val newHashes = Seq(100L, 200L).toDF("h")
+    val bufs = msc.extendCollect(newHashes)
+    // the collect phase ran the job but must NOT have mutated the
+    // filter: the screen still rejects the new keys (deterministic for
+    // these fixed values — Spark's bloom hashing is deterministic)
+    assert(msc.screen.get.positives(newHashes).isEmpty,
+      "collect must not mutate the screen before apply")
+    assert(bufs.asScala.map(_.length).sum == 2)
+    msc.extendApply(bufs, 1L)
+    assert(msc.screen.get.positives(newHashes).toSet == Set(100L, 200L))
+    assert(msc.screen.get.positives(Seq(1L, 2L).toDF("h")).toSet == Set(1L, 2L),
+      "original registry keys stay covered")
+    // down screen: collect returns null, apply no-ops
+    val dead = new MaintainedScreen("/graft-spec-nonexistent", 0,
+      capacity = 0, fpp = 1e-6, "spec")
+    assert(dead.extendCollect(newHashes) == null)
+    dead.extendApply(null, 1L)
+    assert(dead.screen.isEmpty)
+    // saturation still drops through the split path
+    val tiny = new MaintainedScreen("/graft-spec-nonexistent", 0,
+      capacity = 8, fpp = 1e-6, "spec")
+    tiny.refresh(fs, noDir, 0L,
+      registryHashes = Seq(1L).toDF("h"),
+      tailHashes = _ => fail("no bucket screen exists"))
+    assert(tiny.screen.isDefined)
+    val many = (1000L until 1500L).toDF("h")
+    tiny.extendApply(tiny.extendCollect(many), 1L)
+    assert(tiny.screen.isEmpty, "outgrown extension must drop the screen")
+  }
 }
