@@ -1747,7 +1747,7 @@ object SparkEntry {
         // staged, so this is one evaluation per row and a far smaller
         // codegen unit. Same rows (same expressions over the same
         // staged values)
-        Tables.documents(s, dir)
+        Tables.documentsPar(s, dir) // regex-cascade kernel: compute-bound scan
           .select(col("doc_id"), lengthened.as("__t"))
           .select(col("doc_id"), col("__t"),
             Cascades.docType(col("__t")).as("document_type"))
@@ -2278,7 +2278,10 @@ object SparkEntry {
         val m = Bpe.trainMerges(docs, col("text"), steps = 10)
           .orderBy("step").collect()
           .map(r => (r.getString(1), r.getString(2))).toSeq
-        Bpe.encodeTokenCounts(docs, col("doc_id"), col("text"), m)
+        // encode is the compute-bound half: parallelize ITS scan only
+        // (training keeps the combine-friendly single-row-group scan)
+        Bpe.encodeTokenCounts(Tables.documentsPar(s, dir), col("doc_id"),
+            col("text"), m)
           .orderBy("id")
       },
       Some(Bpe.encodeTokenCountsSql("documents", "doc_id", "text", steps = 10)
@@ -2321,7 +2324,8 @@ object SparkEntry {
         val m = Bpe.trainMergesBytes(docs, col("text"), steps = 10)
           .orderBy("step").collect()
           .map(r => (r.getString(1), r.getString(2))).toSeq
-        Bpe.encodeTokenCountsBytes(docs, col("doc_id"), col("text"), m)
+        Bpe.encodeTokenCountsBytes(Tables.documentsPar(s, dir),
+            col("doc_id"), col("text"), m)
           .orderBy("id")
       },
       Some(Bpe.encodeTokenCountsBytesSql("documents", "doc_id", "text",
@@ -3516,7 +3520,7 @@ object SparkEntry {
     // strides lack. Exact-integer hash, narrow projection + one
     // generator, corpus chunks never shuffle
     Q("text_cdc_chunks",
-      (s, dir) => graft.text.Cdc.cdcChunks(Tables.documents(s, dir),
+      (s, dir) => graft.text.Cdc.cdcChunks(Tables.documentsPar(s, dir),
           col("doc_id"), col("text"), modulus = 64)
         .orderBy("id", "chunk_idx"),
       Some(graft.text.Cdc.cdcChunksSql("documents", "doc_id", "text",
@@ -3731,7 +3735,7 @@ object SparkEntry {
     // tier; the scale path flips mineLsh's label constraint (band
     // collisions across labels)
     Q("mldata_triplets_hard",
-      (s, dir) => graft.ml.Triplets.mineHard(Tables.embeddings(s, dir),
+      (s, dir) => graft.ml.Triplets.mineHard(Tables.embeddingsPar(s, dir),
           col("vec_id"), col("embedding"), col("label"))
         .orderBy("anchor"),
       Some(graft.ml.Triplets.mineHardSql("embeddings", "vec_id", "embedding",

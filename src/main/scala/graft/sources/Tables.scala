@@ -33,6 +33,93 @@ object Tables {
     }
   }
 
+  /** [[load]] for COMPUTE-BOUND consumers — kernels whose per-row
+    * pre-shuffle work dwarfs a row's bytes (quadratic/LSH verify
+    * tiers, regex cascades, tokenizer encodes, per-vector dim²
+    * kernels, media decodes).
+    *
+    * Row groups are parquet's unit of split parallelism: byte-range
+    * splits beyond the row-group count plan as tasks but read ZERO
+    * rows, so a table written as one row group (every harness fixture
+    * is) runs its ENTIRE pre-shuffle stage as one task regardless of
+    * session cores. That is the "one huge unsplittable file"
+    * input-skew case: repartition right after the read, but only when
+    * the LAYOUT cannot feed the session (`rowGroups < width`) — at
+    * production scale files arrive with row groups ≫ cores and this
+    * is a no-op, so nothing here is tuned to local mode. Tiny inputs
+    * stay put (64-row floor per task keeps task overhead above
+    * per-row work).
+    *
+    * Deliberately OPT-IN, not folded into [[load]]: a cheap scan
+    * feeding a high-combine-ratio aggregate must NOT pre-shuffle raw
+    * rows — partial aggregation already collapses them before the
+    * wire, and a forced round-robin exchange of the raw table costs
+    * more than the single-task scan it parallelizes (measured: the
+    * exact-percentile/countDistinct row doubled under a blanket
+    * version of this; the compute-bound rows below halved or better).
+    *
+    * Results are row-order invariant: round-robin repartition sorts
+    * its input partition first (sortBeforeRepartition, on by default)
+    * so the split is deterministic under retries, filters/projections
+    * still push through a Repartition into the scan, and every
+    * downstream aggregate/argmax rides the engine's order-free
+    * determinism contract (ties resolved by key, never by arrival).
+    */
+  def loadParallel(spark: SparkSession, dir: String, name: String): DataFrame =
+    parallelizeScan(spark, load(spark, dir, name), s"$dir/$name.parquet")
+
+  def documentsPar(spark: SparkSession, dir: String): DataFrame =
+    loadParallel(spark, dir, "documents")
+  def embeddingsPar(spark: SparkSession, dir: String): DataFrame =
+    loadParallel(spark, dir, "embeddings")
+
+  private val MinRowsPerTask = 64L
+  private final case class ScanMeta(rows: Long, rowGroups: Int)
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ScanMeta]()
+
+  private def parallelizeScan(spark: SparkSession, df: DataFrame,
+                              path: String): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (target <= 1) return df
+    val meta = scanMeta(spark, path)
+    val width = math.min(target.toLong,
+      math.max(1L, meta.rows / MinRowsPerTask)).toInt
+    if (meta.rowGroups >= width) df else df.repartition(width)
+  }
+
+  /** Footer metadata (rows + row-group count) for a parquet file or a
+    * directory of part files, cached by (path, mtime, length) — a few
+    * KB of footer per table, read once per fixture dir, never the
+    * data.
+    */
+  private def scanMeta(spark: SparkSession, path: String): ScanMeta = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = hp.getFileSystem(conf)
+    val st = fs.getFileStatus(hp)
+    val key = s"${fs.getUri}$path#${st.getModificationTime}#${st.getLen}"
+    metaCache.computeIfAbsent(key, _ => {
+      val files =
+        if (st.isDirectory)
+          fs.listStatus(hp).toSeq.filter(f => f.isFile &&
+            f.getPath.getName.endsWith(".parquet"))
+        else Seq(st)
+      var rows = 0L
+      var rgs = 0
+      files.foreach { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(f, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          rgs += r.getFooter.getBlocks.size()
+          rows += r.getRecordCount
+        } finally r.close()
+      }
+      ScanMeta(rows, rgs)
+    })
+  }
+
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
