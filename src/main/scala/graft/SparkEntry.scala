@@ -4076,7 +4076,7 @@ object SparkEntry {
     // overlaps doc-level dedup keeps. Integer positions, bit-identical
     Q("dedup_substring_spans",
       (s, dir) => graft.dedup.Spans.duplicatedSpans(
-          Tables.documents(s, dir), col("doc_id"), col("text"),
+          Tables.documentsPar(s, dir), col("doc_id"), col("text"),
           minTokens = 8)
         .orderBy("doc_id", "span_start"),
       Some(graft.dedup.Spans.duplicatedSpansSql(
@@ -4089,7 +4089,7 @@ object SparkEntry {
     // hashed route sits under the EXACT string-keyed oracle
     Q("dedup_substring_spans_hashed",
       (s, dir) => graft.dedup.Spans.duplicatedSpans(
-          Tables.documents(s, dir), col("doc_id"), col("text"),
+          Tables.documentsPar(s, dir), col("doc_id"), col("text"),
           minTokens = 8, hashGrams = true)
         .orderBy("doc_id", "span_start"),
       Some(graft.dedup.Spans.duplicatedSpansSql(
@@ -4102,7 +4102,7 @@ object SparkEntry {
     // a small per-doc interval list; corpus text never shuffles
     Q("dedup_clip_spans",
       (s, dir) => graft.dedup.Spans.clipSpans(
-          Tables.documents(s, dir), col("doc_id"), col("text"),
+          Tables.documentsPar(s, dir), col("doc_id"), col("text"),
           minTokens = 8)
         .orderBy("doc_id"),
       Some(graft.dedup.Spans.clipSpansSql(

@@ -7,6 +7,16 @@ import org.apache.spark.sql.functions._
   * carry into foreachBatch, and what does the registry gates' heavy
   * per-batch narrow work (gram seeds / minhash featurize) cost on it
   * as-is vs repartitioned to the session's cores?
+  *
+  * FINDING (r17 session 5): a MemoryStream batch is ONE partition,
+  * and a HOF-shaped minhash is ~6x faster repartitioned — but the
+  * SHIPPED featurize is a codegen kernel whose single-task cost is
+  * small, and repartitioning the batch made every registry gate
+  * SLOWER in paired A/B (both at 32-wide and at the stream's 8-wide
+  * shuffle width): the batch feeds ~10 small jobs per micro-batch, so
+  * extra partitions multiply task-scheduling cost across all of them
+  * and the added round-robin exchange is pure overhead. The engine
+  * therefore does NOT parallelize batches; this probe documents why.
   */
 object ProfileBatchPar {
   def main(args: Array[String]): Unit = {
@@ -53,7 +63,7 @@ object ProfileBatchPar {
           transform(sequence(lit(0), lit(63)), p =>
             array_min(transform(col("sh"),
               s => xxhash64(concat_ws("|", p.cast("string"), s))))).as("sig"))
-        .select(sum(element_at(col("sig"), 1))).queryExecution.toRdd.count()
+        .select(max(element_at(col("sig"), 1))).queryExecution.toRdd.count()
       require(n == 1)
       (System.nanoTime() - t0) / 1e9
     }
